@@ -1,0 +1,573 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.pipeline.AnalysisPipeline
+import graft.score.Scoring
+import graft.usage.Usage
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator surface of the engine, one entry per SURVEY.md §2 row, each
+  * with (where SQL-expressible) a DuckDB oracle twin over the same parquet.
+  *
+  * Oracle-determinism rules (SURVEY §5): explicit ORDER BY over keys that
+  * make the row multiset deterministic; money sums via DECIMAL(18,2) then
+  * cast to double (exact on both engines); DuckDB aggregates CAST to Spark's
+  * natural result types (count/sum(bigint)→BIGINT, floor→BIGINT); raw
+  * nanosecond timestamps never emitted (Spark reads them µs-truncated).
+  */
+object Queries {
+
+  final case class QSpec(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  private def withQlog(body: String): String =
+    s"WITH qlog AS (\n${TableRegistry.queryLogOracleCte}\n)\n$body"
+
+  /** (qk → referenced table) ground truth for the canned workload. */
+  private val refTablesValues: String =
+    Seq((0, "lineitem"), (1, "orders"), (1, "lineitem"), (2, "customer"),
+      (3, "orders"), (4, "supplier"), (4, "nation"))
+      .map { case (k, n) => s"($k, '$n')" }.mkString(", ")
+
+  /** (qk, column, multiplicity) of every column reference per canned query. */
+  private val refColsSeq: Seq[(Int, String, Int)] = Seq(
+    (0, "l_returnflag", 2), (0, "l_quantity", 1), (0, "l_shipdate", 1),
+    (1, "o_orderkey", 2), (1, "l_quantity", 1), (1, "l_orderkey", 1), (1, "o_totalprice", 1),
+    (2, "c_mktsegment", 2),
+    (3, "o_orderdate", 1), (3, "o_orderstatus", 1),
+    (4, "s_name", 1), (4, "s_nationkey", 1), (4, "n_nationkey", 1), (4, "n_name", 1))
+
+  private val refJoinColsSeq: Seq[(Int, String, Int)] = Seq(
+    (1, "o_orderkey", 1), (1, "l_orderkey", 1),
+    (4, "s_nationkey", 1), (4, "n_nationkey", 1))
+
+  private val refWhereColsSeq: Seq[(Int, String, Int)] = Seq(
+    (0, "l_shipdate", 1), (1, "o_totalprice", 1),
+    (3, "o_orderdate", 1), (3, "o_orderstatus", 1), (4, "n_name", 1))
+
+  private def valuesOf(xs: Seq[(Int, String, Int)]): String =
+    xs.map { case (k, n, c) => s"($k, '$n', $c)" }.mkString(", ")
+
+  // ---------------------------------------------------------------- scans
+
+  private val scanSpecs = Seq(
+    QSpec("scan_catalog_views",
+      (s, dir) => {
+        import s.implicits._
+        TableRegistry.profiledTables.flatMap { tb =>
+          t(s, dir, tb).schema.fieldNames.zipWithIndex.map { case (c, i) => (tb, c, i + 1) }
+        }.toDF("table_name", "column_name", "ordinal_position")
+          .orderBy("table_name", "ordinal_position")
+      },
+      Some {
+        val rows = TableRegistry.profiledTables.flatMap { tb =>
+          TableRegistry.profiledColumns(tb).zipWithIndex.map { case (c, i) =>
+            s"('$tb', '$c', ${i + 1})"
+          }
+        }.mkString(", ")
+        s"SELECT * FROM (VALUES $rows) AS t(table_name, column_name, ordinal_position) ORDER BY table_name, ordinal_position"
+      }),
+
+    QSpec("scan_querylog_sorted",
+      (s, dir) =>
+        TableRegistry.queryLog(s, dir)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("execution_time_ms"), col("cpu_time_ms"), col("input_bytes"))
+          .orderBy(desc("execution_time_ms"), asc("query_id")).limit(20),
+      Some(withQlog(
+        """SELECT CAST(query_id AS BIGINT) AS query_id, execution_time_ms, cpu_time_ms, input_bytes
+          |FROM qlog ORDER BY execution_time_ms DESC, CAST(query_id AS BIGINT) ASC LIMIT 20""".stripMargin))),
+
+    QSpec("limit_probe",
+      (s, dir) => t(s, dir, "region").orderBy("r_regionkey").limit(1),
+      Some("SELECT * FROM region ORDER BY r_regionkey LIMIT 1")),
+
+    // ---------------------------------------------------------------- filters
+
+    QSpec("filter_conjunctive",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+          |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    QSpec("filter_point",
+      (s, dir) => t(s, dir, "events").where(col("event_id") === 42)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value")),
+      Some("SELECT event_id, user_id, event_type, ROUND(value, 2) AS value FROM events WHERE event_id = 42")),
+
+    QSpec("filter_time_range",
+      // create_time >= TIMESTAMP literal (F4, fixed boundary — README.md:81's
+      // interval form with a pinned timestamp for determinism). ts is epoch
+      // nanos (bigint) on the Spark side.
+      (s, dir) => t(s, dir, "events")
+        .where(col("ts") >= lit(1705276800L * 1000000000L))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QSpec("filter_isin",
+      (s, dir) => t(s, dir, "nation")
+        .where(col("n_name").isin("NATION_3", "NATION_7", "NATION_12"))
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey"),
+      Some(
+        """SELECT n_nationkey, n_name, n_regionkey FROM nation
+          |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12') ORDER BY n_nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- joins
+
+    QSpec("join_broadcast_left",
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal
+          |FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin)),
+
+    QSpec("join_semi",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    QSpec("join_equi_inner",
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QSpec("join_explode_agg",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "data", "join", "merge", "spark").toDF("token")
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .join(broadcast(stop), Seq("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy("token")
+      },
+      Some(
+        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) toks
+          |JOIN (VALUES ('the'), ('a'), ('data'), ('join'), ('merge'), ('spark')) AS stop(token) USING (token)
+          |GROUP BY token ORDER BY token""".stripMargin)),
+
+    // ------------------------------------------------------------- set ops
+
+    QSpec("setop_union_all",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("nationkey"),
+      Some(
+        """SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+          |  UNION ALL SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+          |) u GROUP BY nationkey ORDER BY nationkey""".stripMargin)))
+
+  // ---------------------------------------------------------------- aggs
+
+  private val aggSpecs = Seq(
+    QSpec("q1_agg",
+      // flagship TPC-H-Q1-shaped aggregate (A1/A8 family + E4 arithmetic)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QSpec("agg_count_distinct",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        countDistinct(col("l_returnflag")).as("distinct_flag"),
+        countDistinct(col("l_suppkey")).as("distinct_supp"),
+        countDistinct(col("l_partkey")).as("distinct_part"),
+        count(lit(1)).as("total")),
+      Some(
+        """SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS distinct_flag,
+          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supp,
+          |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_part,
+          |  CAST(COUNT(*) AS BIGINT) AS total
+          |FROM lineitem""".stripMargin)),
+
+    QSpec("agg_approx_distinct",
+      // HLL++ — deterministic for fixed data but not DuckDB-reproducible:
+      // exact twin above is the oracle (SURVEY §5 rule 1).
+      (s, dir) => t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_part"),
+        approx_count_distinct(col("l_orderkey")).as("approx_order")),
+      None),
+
+    QSpec("agg_percentile_exact",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.1D)"), 6).as("qty_p10"),
+        round(expr("percentile(l_quantity, 0.5D)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9D)"), 6).as("qty_p90"),
+        round(expr("percentile(l_tax, 0.5D)"), 6).as("tax_p50")),
+      Some(
+        """SELECT ROUND(quantile_cont(l_quantity, 0.1), 6) AS qty_p10,
+          |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+          |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+          |  ROUND(quantile_cont(l_tax, 0.5), 6) AS tax_p50
+          |FROM lineitem""".stripMargin)),
+
+    QSpec("agg_percentile",
+      // approx sketch variant (reference approx_percentile) — no oracle.
+      (s, dir) => t(s, dir, "lineitem").agg(
+        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.5), lit(0.9)), lit(10000)).as("qty_pct")),
+      None),
+
+    QSpec("agg_min_max_range",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(max("l_extendedprice") - min("l_extendedprice"), 2).as("value_range"),
+        min("l_suppkey").as("min_supp"),
+        max("l_suppkey").as("max_supp")),
+      Some(
+        """SELECT ROUND(MIN(l_extendedprice), 2) AS min_price,
+          |  ROUND(MAX(l_extendedprice), 2) AS max_price,
+          |  ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS value_range,
+          |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+          |FROM lineitem""".stripMargin)),
+
+    QSpec("agg_date_granularity",
+      // two-level date aggregation (A7, partitioning.py:380-408)
+      (s, dir) => {
+        val inner = t(s, dir, "lineitem")
+          .groupBy(
+            dayofmonth(col("l_shipdate")).as("day_val"),
+            month(col("l_shipdate")).as("month_val"),
+            year(col("l_shipdate")).as("year_val"))
+          .agg(count(lit(1)).as("cnt"))
+        inner.agg(
+          countDistinct(col("day_val")).as("day_count"),
+          countDistinct(col("month_val")).as("month_count"),
+          countDistinct(col("year_val")).as("year_count"))
+      },
+      Some(
+        """WITH date_counts AS (
+          |  SELECT CAST(EXTRACT(DAY FROM l_shipdate) AS INT) AS day_val,
+          |    CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS month_val,
+          |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS year_val,
+          |    COUNT(*) AS cnt
+          |  FROM lineitem GROUP BY 1, 2, 3)
+          |SELECT CAST(COUNT(DISTINCT day_val) AS BIGINT) AS day_count,
+          |  CAST(COUNT(DISTINCT month_val) AS BIGINT) AS month_count,
+          |  CAST(COUNT(DISTINCT year_val) AS BIGINT) AS year_count
+          |FROM date_counts""".stripMargin)),
+
+    QSpec("agg_table_rollup",
+      // A8: per-table execution totals from the workload (J3 join, no loop)
+      (s, dir) => {
+        val (totals, _) = Scoring.performanceMetrics(s, TableRegistry.queryLog(s, dir))
+        totals.select(col("table"), col("execution_time"), col("query_count"))
+          .orderBy("table")
+      },
+      Some(withQlog(
+        s"""SELECT name AS "table", CAST(SUM(execution_time_ms) AS BIGINT) AS execution_time,
+           |  CAST(COUNT(*) AS BIGINT) AS query_count
+           |FROM qlog JOIN (VALUES $refTablesValues) AS refs(qk, name)
+           |  ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+           |GROUP BY name ORDER BY name""".stripMargin))),
+
+    QSpec("agg_column_weight",
+      // A9: per-(table, column) execution-time weights
+      (s, dir) => {
+        val (_, weights) = Scoring.performanceMetrics(s, TableRegistry.queryLog(s, dir))
+        weights.orderBy("table", "column")
+      },
+      Some(withQlog(
+        s"""SELECT refs."table", refs."column", CAST(SUM(execution_time_ms * refs.cnt) AS BIGINT) AS weight
+           |FROM qlog JOIN (
+           |  SELECT tv.qk, tv.name AS "table", cv."column", cv.cnt
+           |  FROM (VALUES $refTablesValues) AS tv(qk, name)
+           |  JOIN (VALUES ${valuesOf(refColsSeq)}) AS cv(qk, "column", cnt) ON tv.qk = cv.qk
+           |) refs ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+           |GROUP BY refs."table", refs."column" ORDER BY refs."table", refs."column"""".stripMargin))),
+
+    QSpec("agg_value_counts",
+      (s, dir) => t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("cnt")).orderBy("event_type"),
+      Some("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QSpec("agg_histogram",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 10000).as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket"),
+      Some(
+        """SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    QSpec("agg_weighted_frequency",
+      // A1: the reference's aggregate_column_usage Counter as a distributed
+      // union → groupBy → sum (partitioning.py:68-100).
+      (s, dir) => Usage.weightedFrequency(s,
+        AnalysisPipeline.views(s, dir), TableRegistry.queryLog(s, dir)),
+      Some {
+        val metaRows = (TableRegistry.profiledTables.flatMap(tb =>
+          TableRegistry.profiledColumns(tb).map(c => s"('$c', 1)")) ++
+          TableRegistry.ddlJoinColumns.map(c => s"('$c', 1)")).mkString(", ")
+        withQlog(
+          s"""SELECT name, CAST(SUM(weight) AS BIGINT) AS weighted_frequency FROM (
+             |  SELECT name, weight FROM (VALUES $metaRows) AS meta(name, weight)
+             |  UNION ALL
+             |  SELECT refs.name AS name, 1 AS weight
+             |  FROM qlog JOIN (VALUES $refTablesValues) AS refs(qk, name)
+             |    ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+             |) u GROUP BY name ORDER BY weighted_frequency DESC, name ASC""".stripMargin)
+      }))
+
+  // ------------------------------------------------- window / sort / parse
+
+  private val windowSpecs = Seq(
+    QSpec("window_topn_per_view",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("l_returnflag")
+            .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))))
+        .where(col("rank") <= 3)
+        .orderBy("l_returnflag", "rank"),
+      Some(
+        """SELECT * FROM (
+          |  SELECT l_returnflag, l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          |      ORDER BY ROUND(l_extendedprice, 2) DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rank
+          |  FROM lineitem) ranked
+          |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin)),
+
+    QSpec("sort_limit_topk",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), round(col("value"), 2).as("value"))
+        .orderBy(desc("value"), asc("event_id")).limit(10),
+      Some(
+        """SELECT event_id, ROUND(value, 2) AS value FROM events
+          |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin)),
+
+    QSpec("parse_query_columns",
+      // P2: Catalyst-parser extraction of (kind, name) references across the
+      // workload, weighted by how often each text ran. The oracle VALUES are
+      // hand-derived ground truth for the five canned texts.
+      (s, dir) => {
+        import s.implicits._
+        val log = TableRegistry.queryLog(s, dir)
+        val texts = log.select("query").distinct().collect().map(_.getString(0)).toSeq
+        val refRows: Seq[(String, String, String, Long)] = texts.flatMap { q =>
+          graft.introspect.QueryIntrospector.parse(s, q).toSeq.flatMap { r =>
+            r.tables.groupBy(identity).map { case (n, v) => (q, "table", n, v.size.toLong) } ++
+              r.joinColumns.map { case (n, c) => (q, "join_col", n, c.toLong) } ++
+              r.whereColumns.map { case (n, c) => (q, "where_col", n, c.toLong) } ++
+              r.allColumns.map { case (n, c) => (q, "col", n, c.toLong) }
+          }
+        }
+        val refsDf = refRows.toDF("query", "kind", "name", "cnt")
+        log.join(broadcast(refsDf), Seq("query"))
+          .groupBy("kind", "name").agg(sum("cnt").as("total"))
+          .orderBy("kind", "name")
+      },
+      Some {
+        val all = refColsSeq.map { case (k, n, c) => (k, "col", n, c) } ++
+          refJoinColsSeq.map { case (k, n, c) => (k, "join_col", n, c) } ++
+          refWhereColsSeq.map { case (k, n, c) => (k, "where_col", n, c) } ++
+          Seq((0, "table", "lineitem", 1), (1, "table", "orders", 1), (1, "table", "lineitem", 1),
+            (2, "table", "customer", 1), (3, "table", "orders", 1),
+            (4, "table", "supplier", 1), (4, "table", "nation", 1))
+        val vals = all.map { case (k, kind, n, c) => s"($k, '$kind', '$n', $c)" }.mkString(", ")
+        withQlog(
+          s"""SELECT refs.kind, refs.name, CAST(SUM(refs.cnt) AS BIGINT) AS total
+             |FROM qlog JOIN (VALUES $vals) AS refs(qk, kind, name, cnt)
+             |  ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+             |GROUP BY refs.kind, refs.name ORDER BY refs.kind, refs.name""".stripMargin)
+      }))
+
+  // ---------------------------------------------------------------- scoring
+
+  private val scoreSpecs = Seq(
+    QSpec("score_resource",
+      (s, dir) => Scoring.resourceScores(TableRegistry.queryLog(s, dir))
+        .select(col("query_id").cast("long").as("query_id"),
+          round(col("resource_score"), 6).as("resource_score"))
+        .orderBy("query_id"),
+      Some(withQlog(
+        """SELECT CAST(query_id AS BIGINT) AS query_id,
+          |  ROUND(execution_time_ms / GREATEST((SELECT MAX(execution_time_ms) FROM qlog), 1) * 40.0
+          |      + cpu_time_ms / GREATEST((SELECT MAX(cpu_time_ms) FROM qlog), 1) * 30.0
+          |      + input_bytes / GREATEST((SELECT MAX(input_bytes) FROM qlog), 1) * 15.0
+          |      + peak_memory_bytes / GREATEST((SELECT MAX(peak_memory_bytes) FROM qlog), 1) * 15.0, 6)
+          |    AS resource_score
+          |FROM qlog ORDER BY query_id""".stripMargin))),
+
+    QSpec("score_query_type",
+      (s, dir) => Scoring.queryTypes(TableRegistry.queryLog(s, dir))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("is_interactive"), col("partition_priority"))
+        .orderBy("query_id"),
+      Some(withQlog(
+        """SELECT CAST(query_id AS BIGINT) AS query_id,
+          |  (POSITION('LIMIT' IN UPPER(query)) > 0 OR execution_time_ms < 10000) AS is_interactive,
+          |  CASE WHEN POSITION('LIMIT' IN UPPER(query)) > 0 OR execution_time_ms < 10000
+          |    THEN 2.0 ELSE 1.0 END AS partition_priority
+          |FROM qlog ORDER BY query_id""".stripMargin))),
+
+    QSpec("score_distribution",
+      // C6 over lineitem's first-5 (numeric) columns: skew = p90/p10 with the
+      // intended guards, density = distinct/total.
+      (s, dir) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+        // two single-row passes: mixing multi-DISTINCT (Expand ×n) with
+        // imperative percentile buffers in ONE aggregate multiplies every
+        // percentile buffer update by the expand factor — 10× slower at sf0.1.
+        val pctAggs = cols.flatMap(c => Seq(
+          expr(s"percentile($c, 0.1D)").as(s"${c}_p10"),
+          expr(s"percentile($c, 0.9D)").as(s"${c}_p90"))) :+ count(lit(1)).as("total")
+        val dcAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_dc"))
+        val wide = t(s, dir, "lineitem").agg(pctAggs.head, pctAggs.tail: _*)
+          .crossJoin(t(s, dir, "lineitem").agg(dcAggs.head, dcAggs.tail: _*))
+        val stacked = wide.selectExpr(
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', ${c}_p10, ${c}_p90, ${c}_dc").mkString(", ") +
+            ") as (column, p10, p90, distinct_count)",
+          "total")
+        stacked.select(
+          col("column"),
+          round(when(col("p10") =!= col("p90") && col("p10") =!= 0.0, col("p90") / col("p10"))
+            .otherwise(1.0), 6).as("skew_ratio"),
+          round(col("distinct_count") / col("total"), 6).as("density"))
+          .orderBy("column")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+        val parts = cols.map { c =>
+          s"""SELECT '$c' AS "column", quantile_cont($c, 0.1) AS p10, quantile_cont($c, 0.9) AS p90,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_count, CAST(COUNT(*) AS BIGINT) AS total
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""SELECT "column",
+           |  ROUND(CASE WHEN p10 <> p90 AND p10 <> 0 THEN p90 / p10 ELSE 1.0 END, 6) AS skew_ratio,
+           |  ROUND(CAST(distinct_count AS DOUBLE) / total, 6) AS density
+           |FROM ($parts) stats ORDER BY "column"""".stripMargin
+      }))
+
+  // ------------------------------------------------------------ transforms
+
+  private val transformSpecs = Seq(
+    QSpec("transform_date",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month_start"))
+        .agg(count(lit(1)).as("cnt")).orderBy("month_start"),
+      Some(
+        """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem GROUP BY 1 ORDER BY month_start""".stripMargin)),
+
+    QSpec("transform_truncate",
+      (s, dir) => t(s, dir, "part")
+        .groupBy((floor(col("p_size") / 10) * 10).as("trunc_size"))
+        .agg(count(lit(1)).as("cnt")).orderBy("trunc_size"),
+      Some(
+        """SELECT CAST(FLOOR(p_size / 10) * 10 AS BIGINT) AS trunc_size,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM part GROUP BY 1 ORDER BY trunc_size""".stripMargin)),
+
+    QSpec("transform_bucket",
+      // Spark Murmur3 bucketing — not DuckDB-reproducible by design (T3
+      // caveat); covered by ScalaCheck property tests instead.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(pmod(hash(col("l_suppkey")), lit(8)).as("bucket"))
+        .agg(count(lit(1)).as("cnt")).orderBy("bucket"),
+      None))
+
+  // ------------------------------------------------------------- text / ext
+
+  private val extSpecs = Seq(
+    QSpec("dedup_exact",
+      // X1: exact dedup on text, min-doc_id winner (stable tiebreak)
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+          |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    QSpec("text_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy("token"),
+      Some(
+        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) toks
+          |GROUP BY token ORDER BY token""".stripMargin)),
+
+    QSpec("token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QSpec("json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("cnt"))
+        .orderBy("k_val"),
+      Some(
+        """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin)))
+
+  val specs: Seq[QSpec] =
+    scanSpecs ++ aggSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

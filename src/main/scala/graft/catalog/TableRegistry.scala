@@ -1,0 +1,128 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metadata registry over the fixture tables — the Spark-native stand-in for
+  * the reference's `information_schema` discovery (trino_client.py:22-36,
+  * 65-93) and `SHOW CREATE MATERIALIZED VIEW` DDL fetch (cli.py:34-41).
+  * All metadata comes from `df.schema` — no remote round trips.
+  */
+final case class ViewMeta(view: String, columns: Seq[String], queryCount: Long, ddl: String)
+
+object TableRegistry {
+
+  /** All fixture tables, in a stable order. */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The subset we treat as "views to profile" (the reference profiles
+    * materialized views; our analogs are the TPC-H-ish core tables). */
+  val profiledTables: Seq[String] = Seq("lineitem", "orders", "customer", "part", "supplier")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** (table, column, ordinal) rows — replaces information_schema.columns
+    * scan (cli.py:43-53); ordinal order is intrinsic to df.schema. */
+  def columnsMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tableNames
+      .flatMap { t =>
+        table(spark, sfDir, t).schema.fields.zipWithIndex.map { case (f, i) =>
+          (t, f.name, i + 1, f.dataType.simpleString)
+        }
+      }
+      .toDF("table_name", "column_name", "ordinal_position", "data_type")
+  }
+
+  /** Canned analytical query texts — the stand-in corpus for
+    * `system.runtime.queries` query texts (trino_client.py:38-63). These are
+    * written in the Spark/DuckDB common SQL subset so the Catalyst parser
+    * (graft.introspect) has ground truth the oracle can also enumerate. */
+  val cannedQueries: Seq[String] = Seq(
+    "SELECT l_returnflag, sum(l_quantity) FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' GROUP BY l_returnflag LIMIT 10",
+    "SELECT o_orderkey, l_quantity FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_totalprice > 150000.0",
+    "SELECT c_mktsegment, count(*) FROM customer GROUP BY c_mktsegment",
+    "SELECT * FROM orders WHERE o_orderdate >= DATE '1996-01-01' AND o_orderstatus = 'F'",
+    "SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'FRANCE' LIMIT 5")
+
+  /** Deterministic query-log derivation from `events` — schema per the
+    * reference's system.runtime.queries projection (trino_client.py:43-52):
+    * (query_id, query, create_time, execution_time_ms, cpu_time_ms,
+    * scheduled_time_ms, input_bytes, peak_memory_bytes,
+    * peak_total_memory_bytes). Every derived column uses floor() (not raw
+    * double→bigint casts) so a DuckDB oracle reproduces it bit-for-bit.
+    */
+  def queryLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    val queryCase = cannedQueries.zipWithIndex.foldLeft(lit(null: String)) {
+      case (acc, (q, i)) => when(col("event_id") % 5 === i, lit(q)).otherwise(acc)
+    }
+    // ts arrives as epoch-nanos bigint (spark.sql.legacy.parquet.nanosAsLong):
+    // derive a µs-precision timestamp for engine use; oracle-checked queries
+    // only ever use coarse (second-or-worse) derivations of it.
+    ev.select(
+      col("event_id").cast("string").as("query_id"),
+      queryCase.as("query"),
+      timestamp_micros((col("ts") / 1000).cast("long")).as("create_time"),
+      floor(col("value") * 100).cast("long").as("execution_time_ms"),
+      floor(col("value") * 60).cast("long").as("cpu_time_ms"),
+      floor(col("value") * 10).cast("long").as("scheduled_time_ms"),
+      floor(col("value") * 1e6).cast("long").as("input_bytes"),
+      floor(col("value") * 5e5).cast("long").as("peak_memory_bytes"),
+      floor(col("value") * 6e5).cast("long").as("peak_total_memory_bytes"))
+  }
+
+  /** DuckDB-side equivalent of [[queryLog]], usable as a CTE body in oracle
+    * SQL. Kept adjacent to the Spark derivation so they never drift. */
+  def queryLogOracleCte: String = {
+    val cases = cannedQueries.zipWithIndex
+      .map { case (q, i) => s"WHEN ${i} THEN '${q.replace("'", "''")}'" }
+      .mkString(" ")
+    s"""SELECT CAST(event_id AS VARCHAR) AS query_id,
+       |  CASE CAST(event_id % 5 AS INT) $cases END AS query,
+       |  ts AS create_time,
+       |  CAST(FLOOR(value * 100) AS BIGINT) AS execution_time_ms,
+       |  CAST(FLOOR(value * 60) AS BIGINT) AS cpu_time_ms,
+       |  CAST(FLOOR(value * 10) AS BIGINT) AS scheduled_time_ms,
+       |  CAST(FLOOR(value * 1e6) AS BIGINT) AS input_bytes,
+       |  CAST(FLOOR(value * 5e5) AS BIGINT) AS peak_memory_bytes,
+       |  CAST(FLOOR(value * 6e5) AS BIGINT) AS peak_total_memory_bytes
+       |FROM events""".stripMargin
+  }
+
+  /** Per-view DDL strings (the stand-in for SHOW CREATE MATERIALIZED VIEW).
+    * Shaped like the reference's MV DDL so P1 " AS " extraction and the
+    * JOIN-column parse path (partitioning.py:9-20, 80-86) have work to do.
+    * The *_src relations are fictitious upstream tables (only ever parsed,
+    * never resolved). */
+  val viewDdls: Map[String, String] = Map(
+    "lineitem" -> "CREATE MATERIALIZED VIEW lineitem AS SELECT * FROM lineitem_src JOIN orders_src ON l_orderkey = o_orderkey;",
+    "orders" -> "CREATE MATERIALIZED VIEW orders AS SELECT * FROM orders_src JOIN customer_src ON o_custkey = c_custkey;",
+    "customer" -> "CREATE MATERIALIZED VIEW customer AS SELECT * FROM customer_src JOIN nation_src ON c_nationkey = n_nationkey;",
+    "part" -> "CREATE MATERIALIZED VIEW part AS SELECT * FROM part_src WHERE p_size > 0;",
+    "supplier" -> "CREATE MATERIALIZED VIEW supplier AS SELECT * FROM supplier_src JOIN nation_src ON s_nationkey = n_nationkey;")
+
+  def viewDdl(view: String): String =
+    viewDdls.getOrElse(view, s"CREATE MATERIALIZED VIEW $view AS SELECT * FROM ${view}_src;")
+
+  /** Static column lists of the profiled tables — the single source of truth
+    * shared by the `scan_catalog_views` oracle (the runtime query derives the
+    * same rows from parquet footers, making this a genuine cross-check). */
+  val profiledColumns: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+
+  /** JOIN-condition columns contributed by [[viewDdls]] (each ×1). */
+  val ddlJoinColumns: Seq[String] = Seq(
+    "l_orderkey", "o_orderkey", "o_custkey", "c_custkey",
+    "c_nationkey", "n_nationkey", "s_nationkey", "n_nationkey")
+}

@@ -1,0 +1,60 @@
+package graft.introspect
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+
+import scala.util.Try
+
+/** SQL introspection via Catalyst's parser — the Spark-native replacement for
+  * the reference's sqlglot AST walk (partitioning.py:22-66, 87-97): extract
+  * referenced tables, JOIN-condition columns, WHERE-clause columns, and all
+  * column references from a SQL text, without executing it.
+  *
+  * Parse failures degrade to None, mirroring the reference's warn-and-skip
+  * (partitioning.py:36-37, 96-97).
+  */
+object QueryIntrospector {
+
+  /** Multiplicity-preserving reference sets extracted from one SQL text. */
+  final case class SqlRefs(
+      tables: Seq[String],
+      joinColumns: Map[String, Int],
+      whereColumns: Map[String, Int],
+      allColumns: Map[String, Int])
+
+  /** `" AS "` DDL→SELECT extraction (reference partitioning.py:9-20). */
+  def extractSelect(ddl: String): Option[String] = {
+    val idx = ddl.toUpperCase.indexOf(" AS ")
+    if (idx < 0) None
+    else Some(ddl.substring(idx + 4).trim.stripSuffix(";").trim)
+  }
+
+  private def attrNames(e: Expression): Seq[String] =
+    e.collect { case a: UnresolvedAttribute => a.nameParts.last }
+
+  private def counted(names: Seq[String]): Map[String, Int] =
+    names.groupBy(identity).map { case (k, v) => k -> v.size }
+
+  /** Parse one SQL text into its reference sets. None on parse failure. */
+  def parse(spark: SparkSession, sql: String): Option[SqlRefs] =
+    Try {
+      val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+      val tables = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+      val joinCols = plan.collect { case j: Join =>
+        j.condition.toSeq.flatMap(attrNames)
+      }.flatten
+      val whereCols = plan.collect { case f: Filter => attrNames(f.condition) }.flatten
+      // all column references anywhere in the plan (select list, group by,
+      // join, where …) — matches sqlglot find_all(exp.Column) used by the
+      // reference's performance correlation (partitioning.py:186).
+      val allCols = plan.flatMap(_.expressions.flatMap(attrNames))
+      SqlRefs(tables, counted(joinCols), counted(whereCols), counted(allCols))
+    }.toOption
+
+  /** Parse a view DDL (CREATE … AS SELECT …) like the reference's
+    * parse_underlying_query (partitioning.py:22-66). */
+  def parseDdl(spark: SparkSession, ddl: String): Option[SqlRefs] =
+    extractSelect(ddl).flatMap(parse(spark, _))
+}

@@ -1,0 +1,90 @@
+package graft.recommend
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg-style partition transforms as a Scala ADT, both renderable to
+  * partition-spec DDL text and evaluable as Catalyst columns — the native
+  * counterpart of iceberg_utils.py:1-46.
+  */
+sealed trait PartitionTransform {
+  /** Iceberg partition-spec fragment, e.g. `month(l_shipdate)`. */
+  def render(column: String): String
+  /** Evaluable partition value for a data column (used by partitioned
+    * writes, T5). Note: bucket uses Spark's Murmur3 `hash`, which is *our*
+    * engine's bucketing, not byte-compatible with Iceberg's bucket spec. */
+  def apply(c: Column): Column
+}
+
+case object IdentityTransform extends PartitionTransform {
+  def render(column: String): String = column
+  def apply(c: Column): Column = c
+}
+
+/** unit ∈ {day, month, year} — partition-value semantics via date_trunc. */
+final case class DateTransform(unit: String) extends PartitionTransform {
+  require(Set("day", "month", "year")(unit), s"bad unit $unit")
+  def render(column: String): String = s"$unit($column)"
+  def apply(c: Column): Column = date_trunc(unit, c).cast(DateType)
+}
+
+final case class BucketTransform(n: Int) extends PartitionTransform {
+  def render(column: String): String = s"bucket($n, $column)"
+  def apply(c: Column): Column = pmod(hash(c), lit(n))
+}
+
+/** Iceberg integer truncate-width semantics: floor(c/w)*w. */
+final case class TruncateTransform(width: Int) extends PartitionTransform {
+  def render(column: String): String = s"truncate($column, $width)"
+  def apply(c: Column): Column = floor(c / width) * width
+}
+
+object Transforms {
+
+  /** Stats consumed by transform selection (subset of a ColumnProfile). */
+  final case class ColStats(
+      cardinality: Long,
+      valueRange: Option[Double],
+      dateGranularity: Option[String])
+
+  /** T4: transform-selection rules, branch-for-branch with
+    * iceberg_utils.py:1-46 mapped onto Spark types:
+    *   date/timestamp → granularity-driven day|month|year (default month)
+    *   string         → bucket(16) if cardinality > 10000 else identity
+    *   int/bigint     → bucket(clamp(card/500, 4, 32)) if card > 1000;
+    *                    else truncate(100) if range > 10000; else identity
+    *   anything else  → identity
+    */
+  def select(dataType: DataType, stats: ColStats): PartitionTransform = dataType match {
+    case _: DateType | _: TimestampType | _: TimestampNTZType =>
+      DateTransform(stats.dateGranularity.getOrElse("month"))
+    case _: StringType =>
+      if (stats.cardinality > 10000) BucketTransform(16) else IdentityTransform
+    case _: IntegerType | _: LongType =>
+      if (stats.cardinality > 1000) {
+        val n = math.min(math.max((stats.cardinality / 500).toInt, 4), 32)
+        BucketTransform(n)
+      } else if (stats.valueRange.exists(_ > 10000)) TruncateTransform(100)
+      else IdentityTransform
+    case _ => IdentityTransform
+  }
+
+  /** Same selection, as SQL-expressible column logic over a profile row
+    * (dataType simpleString, cardinality, valueRange, dateGranularity) —
+    * renders the spec fragment. Kept semantically identical to [[select]];
+    * used where selection must stay distributed (and by the DuckDB oracle,
+    * which mirrors this CASE shape). */
+  def selectExpr(dataType: Column, column: Column, card: Column, range: Column, gran: Column): Column = {
+    val bucketN = least(greatest((card / 500).cast("int"), lit(4)), lit(32))
+    when(dataType.isin("date", "timestamp", "timestamp_ntz"),
+      concat(coalesce(gran, lit("month")), lit("("), column, lit(")")))
+      .when(dataType === "string",
+        when(card > 10000, concat(lit("bucket(16, "), column, lit(")"))).otherwise(column))
+      .when(dataType.isin("int", "bigint"),
+        when(card > 1000, concat(lit("bucket("), bucketN.cast("string"), lit(", "), column, lit(")")))
+          .when(coalesce(range, lit(0.0)) > 10000, concat(lit("truncate("), column, lit(", 100)")))
+          .otherwise(column))
+      .otherwise(column)
+  }
+}

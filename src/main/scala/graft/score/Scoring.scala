@@ -1,0 +1,148 @@
+package graft.score
+
+import graft.introspect.QueryIntrospector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-log scoring and the composite partition score — native versions of
+  * the reference's analyze_query_resource_metrics (partitioning.py:123-168),
+  * analyze_query_types (205-238), analyze_query_performance (170-203) and
+  * calculate_partition_score (294-325).
+  */
+object Scoring {
+
+  /** C5: 0–100 composite resource score per query. Metrics normalized by
+    * their global max (fallback 1) and weighted 40/30/15/15
+    * (exec/cpu/input/memory — partitioning.py:141-165). The global maxes are
+    * a 1-row aggregate cross-joined back (broadcast of a scalar), not a
+    * window over the whole log — no full-log shuffle.
+    */
+  def resourceScores(queryLog: DataFrame): DataFrame = {
+    val maxes = queryLog.agg(
+      greatest(max("execution_time_ms"), lit(1L)).as("max_exec"),
+      greatest(max("cpu_time_ms"), lit(1L)).as("max_cpu"),
+      greatest(max("input_bytes"), lit(1L)).as("max_input"),
+      greatest(max("peak_memory_bytes"), lit(1L)).as("max_mem"))
+    def term(c: String, m: String, w: Double) =
+      when(col(c).isNotNull, col(c) / col(m) * w).otherwise(lit(0.0))
+    queryLog.crossJoin(broadcast(maxes))
+      .withColumn("resource_score",
+        term("execution_time_ms", "max_exec", 40.0) +
+        term("cpu_time_ms", "max_cpu", 30.0) +
+        term("input_bytes", "max_input", 15.0) +
+        term("peak_memory_bytes", "max_mem", 15.0))
+      .drop("max_exec", "max_cpu", "max_input", "max_mem")
+  }
+
+  /** C7: interactive/batch classification — interactive iff the text contains
+    * LIMIT or execution_time_ms < 10000; priority 2.0 else 1.0
+    * (partitioning.py:205-238). */
+  def queryTypes(queryLog: DataFrame): DataFrame =
+    queryLog
+      .withColumn("is_interactive",
+        upper(col("query")).contains("LIMIT") ||
+          (col("execution_time_ms").isNotNull && col("execution_time_ms") < 10000))
+      .withColumn("partition_priority",
+        when(col("is_interactive"), lit(2.0)).otherwise(lit(1.0)))
+
+  /** Distinct query text → (tables, all referenced columns) parsed once on
+    * the driver; returned as a DataFrame keyed by text for joining back onto
+    * the log. Schema: (query, ref_table, ref_column nullable, col_count). A
+    * row with null ref_column carries the table-level reference. */
+  def parsedRefs(spark: SparkSession, queryLog: DataFrame): DataFrame = {
+    import spark.implicits._
+    val texts = queryLog.select("query").where(col("query").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val rows = texts.flatMap { t =>
+      QueryIntrospector.parse(spark, t).toSeq.flatMap { refs =>
+        refs.tables.distinct.flatMap { tbl =>
+          (tbl, Option.empty[String], 1L) +:
+            refs.allColumns.toSeq.map { case (c, n) => (tbl, Option(c), n.toLong) }
+        }.map { case (tbl, c, n) => (t, tbl, c, n) }
+      }
+    }
+    rows.toDF("query", "ref_table", "ref_column", "col_count")
+  }
+
+  /** J3 + A8/A9: per-table execution totals and per-(table,column)
+    * execution-time weights — the reference's analyze_query_performance
+    * rewritten from an O(log-rows) point-query loop (partitioning.py:178-183)
+    * into one broadcast join + two aggregations.
+    *
+    * Returns (tableTotals, columnWeights):
+    *   tableTotals:  (table, execution_time, query_count)
+    *   columnWeights:(table, column, weight)  — exec-time-weighted
+    */
+  def performanceMetrics(spark: SparkSession, queryLog: DataFrame): (DataFrame, DataFrame) = {
+    val refs = parsedRefs(spark, queryLog)
+    val joined = queryLog.join(broadcast(refs), Seq("query"))
+    val tableTotals = joined.where(col("ref_column").isNull)
+      .groupBy(col("ref_table").as("table"))
+      .agg(sum("execution_time_ms").as("execution_time"),
+        count(lit(1)).as("query_count"))
+    val columnWeights = joined.where(col("ref_column").isNotNull)
+      .groupBy(col("ref_table").as("table"), col("ref_column").as("column"))
+      .agg(sum(col("execution_time_ms") * col("col_count")).as("weight"))
+    (tableTotals, columnWeights)
+  }
+
+  /** E5 cardinality banding (partitioning.py:305-318). */
+  def cardinalityBand(card: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(card < 10, 5.0)
+      .when(card < 100, 10.0)
+      .when(card < 1000, 8.0)
+      .when(card < 10000, 5.0)
+      .otherwise(1.0)
+
+  /** C8: composite partition score per (view, column).
+    *
+    * Reference-faithful terms (partitioning.py:294-325):
+    *   base   = global usage WeightedFrequency × 1.0 (0 if absent)
+    *   band   = cardinality band 5/10/8/5/1
+    *   perf   = min(columnWeight/1000, 50)
+    * README-documented intent terms the reference computed but never wired in
+    * (SURVEY §0 decision — explicit weights):
+    *   interactive = 5.0 × (avg partition_priority of queries referencing the
+    *                 view − 1.0)            ∈ [0, 5]
+    *   skew        = −3.0 when skewRatio > 10 (imbalanced partitions)
+    *   density     = −2.0 when density > 0.9 (near-unique key ⇒ too many
+    *                 partitions)
+    *
+    * Inputs: profiles (view, column, cardinality, skewRatio, density),
+    * usage (name, weighted_frequency), columnWeights (table, column, weight),
+    * viewPriorities (table, avg_priority).
+    */
+  def partitionScores(
+      profiles: DataFrame,
+      usage: DataFrame,
+      columnWeights: DataFrame,
+      viewPriorities: DataFrame): DataFrame = {
+    val u = broadcast(usage.select(col("name").as("column"), col("weighted_frequency")))
+    val w = broadcast(columnWeights.select(col("table").as("view"), col("column"), col("weight")))
+    val p = broadcast(viewPriorities.select(col("table").as("view"), col("avg_priority")))
+    profiles
+      .join(u, Seq("column"), "left")
+      .join(w, Seq("view", "column"), "left")
+      .join(p, Seq("view"), "left")
+      .withColumn("base_score", coalesce(col("weighted_frequency").cast("double"), lit(0.0)))
+      .withColumn("band_score", cardinalityBand(col("cardinality")))
+      .withColumn("perf_score", least(coalesce(col("weight"), lit(0L)) / 1000.0, lit(50.0)))
+      .withColumn("interactive_score", (coalesce(col("avg_priority"), lit(1.0)) - 1.0) * 5.0)
+      .withColumn("skew_score",
+        when(col("skewRatio").isNotNull && col("skewRatio") > 10.0, lit(-3.0)).otherwise(lit(0.0)))
+      .withColumn("density_score",
+        when(col("density").isNotNull && col("density") > 0.9, lit(-2.0)).otherwise(lit(0.0)))
+      .withColumn("score",
+        col("base_score") + col("band_score") + col("perf_score") +
+          col("interactive_score") + col("skew_score") + col("density_score"))
+  }
+
+  /** W1: per-view top-N by (score desc, column asc), keeping score > 0
+    * (partitioning.py:413-415). */
+  def topNPerView(scores: DataFrame, topN: Int = 3): DataFrame =
+    scores
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("view").orderBy(desc("score"), asc("column"))))
+      .where(col("rank") <= topN && col("score") > 0)
+}
