@@ -1,0 +1,52 @@
+package graft
+
+import graft.introspect.QueryIntrospector
+
+/** P1/P2/P3 — Catalyst-parser extraction vs hand-derived ground truth for
+  * the canned workload, plus degrade-to-empty on malformed SQL
+  * (reference partitioning.py:36-37, 96-97). */
+class IntrospectorSpec extends SparkSpec {
+
+  test("DDL AS-marker extraction (P1)") {
+    assert(QueryIntrospector.extractSelect(
+      "CREATE MATERIALIZED VIEW v AS SELECT a FROM t;").contains("SELECT a FROM t"))
+    assert(QueryIntrospector.extractSelect("SELECT 1").isEmpty)
+  }
+
+  test("join query: tables, join columns, where columns, all columns") {
+    val refs = QueryIntrospector.parse(spark,
+      "SELECT o_orderkey, l_quantity FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_totalprice > 150000.0").get
+    assert(refs.tables == Seq("orders", "lineitem"))
+    assert(refs.joinColumns == Map("o_orderkey" -> 1, "l_orderkey" -> 1))
+    assert(refs.whereColumns == Map("o_totalprice" -> 1))
+    assert(refs.allColumns == Map(
+      "o_orderkey" -> 2, "l_quantity" -> 1, "l_orderkey" -> 1, "o_totalprice" -> 1))
+  }
+
+  test("group-by query counts grouped column twice (select + grouping)") {
+    val refs = QueryIntrospector.parse(spark,
+      "SELECT c_mktsegment, count(*) FROM customer GROUP BY c_mktsegment").get
+    assert(refs.tables == Seq("customer"))
+    assert(refs.allColumns == Map("c_mktsegment" -> 2))
+  }
+
+  test("filter + limit query") {
+    val refs = QueryIntrospector.parse(spark,
+      "SELECT l_returnflag, sum(l_quantity) FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' GROUP BY l_returnflag LIMIT 10").get
+    assert(refs.tables == Seq("lineitem"))
+    assert(refs.whereColumns == Map("l_shipdate" -> 1))
+    assert(refs.allColumns("l_returnflag") == 2)
+  }
+
+  test("malformed SQL degrades to None") {
+    assert(QueryIntrospector.parse(spark, "SELEKT broken FROMM").isEmpty)
+    assert(QueryIntrospector.parse(spark, "").isEmpty)
+    assert(QueryIntrospector.parseDdl(spark, "no marker here").isEmpty)
+  }
+
+  test("DDL with join contributes join columns (view-usage path)") {
+    val refs = QueryIntrospector.parseDdl(spark,
+      graft.catalog.TableRegistry.viewDdl("lineitem")).get
+    assert(refs.joinColumns == Map("l_orderkey" -> 1, "o_orderkey" -> 1))
+  }
+}
