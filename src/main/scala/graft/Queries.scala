@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   * natural result types (count/sum(bigint)→BIGINT, floor→BIGINT); raw
   * nanosecond timestamps never emitted (Spark reads them µs-truncated).
   */
-object Queries {
+final case class QSpec(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
 
-  final case class QSpec(
-      name: String,
-      fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableRegistry.table(s, dir, name)
@@ -565,9 +565,11 @@ object Queries {
   val specs: Seq[QSpec] =
     scanSpecs ++ aggSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
 
+  def allSpecs: Seq[QSpec] = specs ++ QueriesExt.specs
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    specs.map(q => q.name -> q.fn).toMap
+    allSpecs.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allSpecs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

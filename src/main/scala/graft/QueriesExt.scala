@@ -1,0 +1,394 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.{Dedup, Multimodal, SimSearch, TextAnalysis}
+import graft.pipeline.AnalysisPipeline
+import graft.streaming.StreamingUsage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-2 operator surface: full-pipeline scoring/recommendation with
+  * generated whole-pipeline oracles, sinks/round-trips, partitioned writes,
+  * and the north-star extension operators (dedup, similarity, text,
+  * multimodal, streaming batch twin). See Queries.scala for the
+  * determinism rules.
+  */
+object QueriesExt {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  private def tmpOut(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${java.util.UUID.randomUUID}"
+
+  // ---------------------------------------------------- pipeline oracles
+
+  /** Spark simpleString data types per profiled column (static twin of the
+    * parquet schemas; used only to *generate* oracle SQL). */
+  private val colTypes: Map[String, Map[String, String]] = Map(
+    "lineitem" -> Map(
+      "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+      "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "timestamp_ntz"),
+    "orders" -> Map(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+      "o_totalprice" -> "double", "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "customer" -> Map(
+      "c_custkey" -> "bigint", "c_name" -> "string", "c_nationkey" -> "int",
+      "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Map(
+      "s_suppkey" -> "bigint", "s_name" -> "string", "s_nationkey" -> "int",
+      "s_acctbal" -> "double"),
+    "part" -> Map(
+      "p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+      "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"))
+
+  private def isNumType(ty: String) = Set("bigint", "int", "double")(ty)
+
+  /** Per-(view,column) stats CTE body — the DuckDB twin of one Profiler
+    * pass: cardinality, range, first-5-numeric percentiles, date counts. */
+  private def statsCte: String =
+    TableRegistry.profiledTables.flatMap { tb =>
+      val cols = TableRegistry.profiledColumns(tb)
+      val first5Numeric = cols.take(5).filter(c => isNumType(colTypes(tb)(c))).toSet
+      cols.map { c =>
+        val ty = colTypes(tb)(c)
+        val num = isNumType(ty)
+        val ts = ty.startsWith("timestamp") || ty == "date"
+        val mnmx = if (num)
+          s"CAST(MIN($c) AS DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx"
+        else "CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx"
+        val pct = if (first5Numeric(c))
+          s"quantile_cont($c, 0.1) AS p10, quantile_cont($c, 0.9) AS p90"
+        else "CAST(NULL AS DOUBLE) AS p10, CAST(NULL AS DOUBLE) AS p90"
+        val dmy = if (ts)
+          s"""CAST(COUNT(DISTINCT EXTRACT(DAY FROM $c)) AS BIGINT) AS day_cnt,
+             |    CAST(COUNT(DISTINCT EXTRACT(MONTH FROM $c)) AS BIGINT) AS month_cnt,
+             |    CAST(COUNT(DISTINCT EXTRACT(YEAR FROM $c)) AS BIGINT) AS year_cnt""".stripMargin
+        else
+          """CAST(NULL AS BIGINT) AS day_cnt, CAST(NULL AS BIGINT) AS month_cnt,
+            |    CAST(NULL AS BIGINT) AS year_cnt""".stripMargin
+        s"""SELECT '$tb' AS view, '$c' AS "column", '$ty' AS dtype,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS card, CAST(COUNT(*) AS BIGINT) AS total,
+           |    $mnmx, $pct,
+           |    $dmy
+           |  FROM $tb""".stripMargin
+      }
+    }.mkString("\n  UNION ALL\n  ")
+
+  private val refTablesValues: String =
+    Seq((0, "lineitem"), (1, "orders"), (1, "lineitem"), (2, "customer"),
+      (3, "orders"), (4, "supplier"), (4, "nation"))
+      .map { case (k, n) => s"($k, '$n')" }.mkString(", ")
+
+  private val refColsValues: String = Seq(
+    (0, "l_returnflag", 2), (0, "l_quantity", 1), (0, "l_shipdate", 1),
+    (1, "o_orderkey", 2), (1, "l_quantity", 1), (1, "l_orderkey", 1), (1, "o_totalprice", 1),
+    (2, "c_mktsegment", 2),
+    (3, "o_orderdate", 1), (3, "o_orderstatus", 1),
+    (4, "s_name", 1), (4, "s_nationkey", 1), (4, "n_nationkey", 1), (4, "n_name", 1))
+    .map { case (k, n, c) => s"($k, '$n', $c)" }.mkString(", ")
+
+  private def usageCteBody: String = {
+    val metaRows = (TableRegistry.profiledTables.flatMap(tb =>
+      TableRegistry.profiledColumns(tb).map(c => s"('$c', 1)")) ++
+      TableRegistry.ddlJoinColumns.map(c => s"('$c', 1)")).mkString(", ")
+    s"""SELECT name, CAST(SUM(weight) AS BIGINT) AS weighted_frequency FROM (
+       |    SELECT name, weight FROM (VALUES $metaRows) AS meta(name, weight)
+       |    UNION ALL
+       |    SELECT refs.name AS name, 1 AS weight
+       |    FROM qlog JOIN (VALUES $refTablesValues) AS refs(qk, name)
+       |      ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+       |  ) u GROUP BY name""".stripMargin
+  }
+
+  /** The scored CTE chain shared by score_partition and
+    * emit_partition_scripts — the DuckDB twin of
+    * AnalysisPipeline.scores(…): usage + banding + perf weights +
+    * interactive priority + skew/density terms (Scoring.partitionScores). */
+  private def scoredCtes: String =
+    s"""WITH qlog AS (
+       |${TableRegistry.queryLogOracleCte}
+       |), stats AS (
+       |  $statsCte
+       |), usage AS (
+       |  $usageCteBody
+       |), colw AS (
+       |  SELECT refs."table", refs."column", CAST(SUM(execution_time_ms * refs.cnt) AS BIGINT) AS weight
+       |  FROM qlog JOIN (
+       |    SELECT tv.qk, tv.name AS "table", cv."column", cv.cnt
+       |    FROM (VALUES $refTablesValues) AS tv(qk, name)
+       |    JOIN (VALUES $refColsValues) AS cv(qk, "column", cnt) ON tv.qk = cv.qk
+       |  ) refs ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+       |  GROUP BY refs."table", refs."column"
+       |), pri AS (
+       |  SELECT refs.name AS "table",
+       |    AVG(CASE WHEN POSITION('LIMIT' IN UPPER(query)) > 0 OR execution_time_ms < 10000
+       |        THEN 2.0 ELSE 1.0 END) AS avg_priority
+       |  FROM qlog JOIN (VALUES $refTablesValues) AS refs(qk, name)
+       |    ON CAST(CAST(qlog.query_id AS BIGINT) % 5 AS INT) = refs.qk
+       |  GROUP BY refs.name
+       |), scored AS (
+       |  SELECT s.view, s."column", s.dtype, s.card, s.mn, s.mx, s.day_cnt, s.month_cnt, s.year_cnt,
+       |    COALESCE(CAST(u.weighted_frequency AS DOUBLE), 0.0)
+       |    + CASE WHEN s.card < 10 THEN 5.0 WHEN s.card < 100 THEN 10.0
+       |           WHEN s.card < 1000 THEN 8.0 WHEN s.card < 10000 THEN 5.0 ELSE 1.0 END
+       |    + LEAST(COALESCE(w.weight, 0) / 1000.0, 50.0)
+       |    + (COALESCE(p.avg_priority, 1.0) - 1.0) * 5.0
+       |    + CASE WHEN s.p10 IS NOT NULL AND
+       |        (CASE WHEN s.p10 <> s.p90 AND s.p10 <> 0 THEN s.p90 / s.p10 ELSE 1.0 END) > 10.0
+       |        THEN -3.0 ELSE 0.0 END
+       |    + CASE WHEN s.p10 IS NOT NULL AND CAST(s.card AS DOUBLE) / s.total > 0.9
+       |        THEN -2.0 ELSE 0.0 END
+       |    AS score
+       |  FROM stats s
+       |  LEFT JOIN usage u ON u.name = s."column"
+       |  LEFT JOIN colw w ON w."table" = s.view AND w."column" = s."column"
+       |  LEFT JOIN pri p ON p."table" = s.view
+       |)""".stripMargin
+
+  private val pipelineSpecs = Seq(
+    QSpec("score_partition",
+      (s, dir) => AnalysisPipeline.scores(s, dir)
+        .select(col("view"), col("column"), round(col("score"), 6).as("score"))
+        .orderBy("view", "column"),
+      Some(
+        s"""$scoredCtes
+           |SELECT view, "column", ROUND(score, 6) AS score FROM scored
+           |ORDER BY view, "column"""".stripMargin)),
+
+    QSpec("emit_partition_scripts",
+      // S12/C9/T4: the whole advisor, end to end — oracle re-derives the
+      // top-3 ranking AND the transform selection from raw data.
+      (s, dir) => AnalysisPipeline.run(s, dir)
+        .select("view", "partition_spec").orderBy("view"),
+      Some(
+        s"""$scoredCtes, ranked AS (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY view ORDER BY score DESC, "column" ASC) AS INT) AS rnk
+           |  FROM scored WHERE score > 0
+           |), spec AS (
+           |  SELECT view, rnk,
+           |    CASE WHEN dtype IN ('date', 'timestamp', 'timestamp_ntz') THEN
+           |        (CASE WHEN day_cnt IS NULL THEN 'month'
+           |              WHEN day_cnt > month_cnt * 20 THEN 'day'
+           |              WHEN month_cnt > year_cnt * 8 THEN 'month' ELSE 'year' END)
+           |        || '(' || "column" || ')'
+           |      WHEN dtype = 'string' THEN
+           |        CASE WHEN card > 10000 THEN 'bucket(16, ' || "column" || ')' ELSE "column" END
+           |      WHEN dtype IN ('int', 'bigint') THEN
+           |        CASE WHEN card > 1000 THEN
+           |            'bucket(' || CAST(LEAST(GREATEST(CAST(FLOOR(card / 500.0) AS INT), 4), 32) AS VARCHAR)
+           |              || ', ' || "column" || ')'
+           |          WHEN COALESCE(mx - mn, 0) > 10000 THEN 'truncate(' || "column" || ', 100)'
+           |          ELSE "column" END
+           |      ELSE "column" END AS spec_str
+           |  FROM ranked WHERE rnk <= 3
+           |)
+           |SELECT view, STRING_AGG(spec_str, ',' || chr(10) || '    ' ORDER BY rnk) AS partition_spec
+           |FROM spec GROUP BY view ORDER BY view""".stripMargin)))
+
+  // ------------------------------------------------------- sinks / writes
+
+  private val sinkSpecs = Seq(
+    QSpec("sink_csv",
+      // S9 + S11: write the report artifact as CSV, read it back (schema
+      // preserved explicitly — the dashboard contract), return the round trip.
+      (s, dir) => {
+        val agg = t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("total_price"))
+        val out = tmpOut("sink_csv")
+        agg.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").schema(agg.schema).csv(out)
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QSpec("sink_json",
+      // S10 + S11: line-delimited JSON artifact round trip.
+      (s, dir) => {
+        val agg = t(s, dir, "customer").groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+        val out = tmpOut("sink_json")
+        agg.coalesce(1).write.mode("overwrite").json(out)
+        s.read.schema(agg.schema).json(out).orderBy("c_mktsegment")
+      },
+      Some(
+        """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QSpec("write_partitioned",
+      // T5: materialize the advisor's recommendation — partitioned write by
+      // month(l_shipdate), then read back through partition discovery.
+      (s, dir) => {
+        val out = tmpOut("write_part")
+        t(s, dir, "lineitem")
+          .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+        s.read.parquet(out)
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
+          .orderBy("ship_month")
+      },
+      Some(
+        """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+          |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)))
+
+  // ------------------------------------------------------------ extensions
+
+  private val extSpecs = Seq(
+    QSpec("simsearch_topk",
+      (s, dir) => SimSearch.topK(s, t(s, dir, "embeddings"), queryVecId = 0, k = 10),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+          |SELECT vec_id, ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i])) /
+          |  (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cos
+          |FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    QSpec("simjoin_ann",
+      // X4 LSH-bucketed ANN self-join — recall/bucket boundaries are
+      // fp-sign-sensitive, so no oracle; recall vs the exact join is
+      // asserted in ExtSpec.
+      (s, dir) => SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
+        dim = 64, nPlanes = 8, threshold = 0.25),
+      None),
+
+    QSpec("simjoin_exact",
+      // exact-threshold twin (bounded: embeddings stays small by fixture
+      // design; at scale this is the per-bucket verification step)
+      (s, dir) => SimSearch.exactSelfJoin(s, t(s, dir, "embeddings"), threshold = 0.30)
+        .where(col("a_id") < 500 && col("b_id") < 500),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings WHERE vec_id < 500),
+          |p AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+          |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+          |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+          |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.30 ORDER BY a_id, b_id""".stripMargin)),
+
+    QSpec("dedup_minhash",
+      // X2 MinHash+LSH banding — xxhash64-based, engine-native; verified
+      // against exact Jaccard in ExtSpec, not DuckDB.
+      (s, dir) => Dedup.minhashNearDups(s, t(s, dir, "documents")),
+      None),
+
+    QSpec("dedup_simhash",
+      (s, dir) => Dedup.simhashNearDups(s, t(s, dir, "documents")),
+      None),
+
+    QSpec("dedup_ngram_jaccard",
+      (s, dir) => Dedup.exactJaccard(s, t(s, dir, "documents"),
+        shingleW = 3, threshold = 0.2, idCap = 500),
+      Some(
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
+          |), pairs AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |)
+          |SELECT a_id, b_id, jaccard FROM (
+          |  SELECT a_id, b_id, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+          |  FROM pairs) j
+          |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin)),
+
+    QSpec("quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, ROUND(
+          |    LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
+          |    + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
+          |    + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
+          |  , 6) AS quality
+          |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("lang_id",
+      (s, dir) => t(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred"),
+      Some {
+        // replicate the fold's first-max-in-order argmax as nested CASE
+        val score = TextAnalysis.defaultMarkers.map { case (lang, ws) =>
+          lang -> s"len(list_filter(sp, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+        }
+        val Seq(de, en, es, fr, zh) = score.map(_._2)
+        s"""SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           |  SELECT CASE
+           |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |    WHEN $fr >= $zh THEN 'fr'
+           |    ELSE 'zh' END AS lang_pred
+           |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) d
+           |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
+    QSpec("doc_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.polyFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, CAST(list_sum(list_transform(range(1, len(sp)+1),
+          |    i -> (length(sp[i]) * i) % 1000003)) % 1000003 AS BIGINT) AS fingerprint
+          |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("token_count_bpe",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.bpeishTokenCount(col("text")).as("n_units"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, CAST(list_sum(list_transform(sp,
+          |    t -> 1 + CAST(FLOOR(GREATEST(length(t) - 1, 0) / 4.0) AS INT))) AS INT) AS n_units
+          |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("multimodal_features",
+      // X-multimodal: binary media column → typed features through the real
+      // mapPartitions decode plumbing (decode itself is a deterministic
+      // stub — no codecs offline). The oracle re-derives the arithmetic
+      // features from byte lengths.
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+          .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("channels"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+          |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+          |  CAST(3 AS INT) AS channels
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QSpec("stream_usage_window",
+      // X5 batch twin of the streaming hourly usage windows (streaming path
+      // itself is exercised in StreamingSpec with a memory source).
+      (s, dir) => StreamingUsage.batchTwin(s, t(s, dir, "events")),
+      Some(
+        """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS window_start,
+          |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)))
+
+  val specs: Seq[QSpec] = pipelineSpecs ++ sinkSpecs ++ extSpecs
+}

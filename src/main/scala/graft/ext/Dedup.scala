@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1/X2: document deduplication family for training-data pipelines.
+  *
+  * Scale design notes:
+  *  - exact: hash-groupBy on the text (or its sha2) — one shuffle, map-side
+  *    combine; at 100 TB group on sha2(text) so shuffle keys are 32 bytes,
+  *    not document bodies.
+  *  - minhash: per-doc signature (narrow, one pass), explode to (band,
+  *    bucket) keys, shuffle groups only docs sharing a band bucket —
+  *    candidate pairs ≪ n²; exact Jaccard re-check on candidates only.
+  *  - simhash: 64-bit signature per doc from token hashes; near-dup iff
+  *    hamming distance ≤ k on band-bucketed candidates.
+  */
+object Dedup {
+
+  /** Exact dedup keyed on content hash: keeps min(doc_id) per text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** Word-shingle array (w consecutive tokens joined). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < w, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  /** MinHash signature: for each of k hash functions, min over shingles of
+    * h_i(s) = xxhash64(s, seed=i). Computed per-row with higher-order
+    * expressions — no shuffle, no UDF. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, i))))
+
+  /** Candidate pairs via LSH banding: signature split into bands of `rows`
+    * hashes; docs sharing any band bucket become candidates; candidates are
+    * verified with exact shingle-set Jaccard. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
+  def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
+      k: Int = 20, rows: Int = 4, threshold: Double = 0.7): DataFrame = {
+    // persist: the k-aggregate signature projection feeds both sides of the
+    // band self-join AND the verification joins; without materialization
+    // Catalyst inlines it into each branch (and into the band generator) and
+    // recomputes it ~10× — measured 61 s vs 4 s on sf0.1. At cluster scale
+    // this is the classic "materialize the sketch pass" step.
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBands = k / rows
+    // band join carries only (band, bucket, doc_id) — shingle arrays would
+    // multiply the shuffle by the document size; they're joined back onto
+    // the (small) candidate-pair set for verification instead.
+    val banded = sh.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))))
+      .select(col("doc_id"), col("col.band"), col("col.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact n-gram Jaccard self-join (oracle twin at test scale; bounded by
+    * an id cap so the quadratic stays fixed-size at any sf). */
+  def exactJaccard(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      threshold: Double, idCap: Long): DataFrame = {
+    val sh = docs.where(col("doc_id") < idCap)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 63-bit SimHash from token hashes: bit b of the signature is the sign of
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). 63 bits (not 64) keeps
+    * the assembled value inside a non-negative long — Spark 4 runs with ANSI
+    * overflow checking on. Bit positions are unrolled at plan-build time
+    * (shiftright takes a literal Int), so this is still one codegen'd
+    * projection, no UDF. */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(split(text, " "), t => xxhash64(t)))
+
+  /** Signature from a pre-materialized token-hash array — callers project
+    * the hash array into its own column first so the 63 bit-sum expressions
+    * share one evaluation of split+xxhash64 instead of recomputing it per
+    * bit (63× — measured 10× slower end to end). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits = (0 until 63).map { b =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dups: hamming(sig_a, sig_b) ≤ maxDist, candidates bucketed
+    * by 16-bit band equality (a near-dup within ≤3 bits must agree on at
+    * least one of four 16-bit bands — pigeonhole). */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), transform(split(col("text"), " "), t => xxhash64(t)).as("hashes"))
+      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*)))
+      .select(col("doc_id"), col("sig"), col("col.band"), col("col.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("siga"), col("sigb")).distinct()
+      .withColumn("dist", bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .where(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+  }
+}

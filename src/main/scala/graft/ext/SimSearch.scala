@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X3/X4: similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is a broadcast of the (tiny) query
+  * vector against a single scan of the corpus — no shuffle, fully
+  * codegen'd higher-order expressions, linear in corpus size and
+  * embarrassingly parallel across partitions. The bucketed (LSH) path cuts
+  * candidate pairs to co-bucketed vectors so the self-join shuffles only
+  * bucket-local groups — the 100 TB posture where O(n²) is not an option.
+  */
+object SimSearch {
+
+  /** Cast float embedding to double once — keeps all arithmetic in fp64 so
+    * results are reproducible against the DuckDB oracle. */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of one query vector. */
+  def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    e.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style bucketed ANN: assign each vector to the sign-pattern bucket of
+    * `nPlanes` fixed pseudo-random hyperplanes (deterministic — derived from
+    * the dimension index, no RNG), then compare only within buckets. Recall
+    * is traded for turning an O(n²) cross join into a per-bucket self-join
+    * (shuffle on bucket id). */
+  def bucketId(v: Column, dim: Int, nPlanes: Int): Column = {
+    // plane p weight for dimension i: cos-ish deterministic pseudo-weights
+    // from integer arithmetic: w(p,i) = ((i*2654435761 + p*40503) mod 1000 - 500)
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x * (((i * lit(2654435761L) + lit(p * 40503L)) % 1000).cast("double") - 500.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN self-join: pairs (a < b) with cosine ≥ threshold, candidates
+    * restricted to same bucket. */
+  def annSelfJoin(spark: SparkSession, emb: DataFrame, dim: Int,
+      nPlanes: Int, threshold: Double): DataFrame = {
+    // persist: bucket-id projection (nPlanes aggregates) feeds both join
+    // sides — materialize once instead of letting Catalyst inline it twice.
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketId(col("v"), dim, nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact threshold self-join (oracle twin / recall baseline at test scale). */
+  def exactSelfJoin(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object AnalysisPipeline {
 
+  // Profiles are deterministic per (sfDir, approx) and profiling is the
+  // pipeline's only heavy scan — memoize the collected per-column stats so
+  // score_partition / emit_partition_scripts / entry don't re-profile the
+  // same fixtures (compute-once, SURVEY §0's fix for the reference's double
+  // stat computation).
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[Profiler.ColumnProfile]]()
+
+  private def profilesFor(spark: SparkSession, sfDir: String,
+      approxCardinality: Boolean): Seq[Profiler.ColumnProfile] =
+    profileCache.computeIfAbsent((sfDir, approxCardinality), { _ =>
+      views(spark, sfDir).flatMap(v =>
+        Profiler.profile(spark, v.view,
+          TableRegistry.table(spark, sfDir, v.view), approxCardinality))
+    })
+
   def views(spark: SparkSession, sfDir: String): Seq[ViewMeta] =
     TableRegistry.profiledTables.map { t =>
       val cols = TableRegistry.table(spark, sfDir, t).schema.fieldNames.toSeq
@@ -22,10 +38,10 @@ object AnalysisPipeline {
       ViewMeta(t, cols, 1L, TableRegistry.viewDdl(t))
     }
 
-  /** Full run → one recommendation row per profiled view:
-    * (view, partition_spec, script). */
-  def run(spark: SparkSession, sfDir: String, approxCardinality: Boolean = false,
-      topN: Int = 3): DataFrame = {
+  /** Composite partition scores for every (view, column) — all statistics
+    * computed once (each is a DataFrame the caller can reuse). */
+  def scores(spark: SparkSession, sfDir: String,
+      approxCardinality: Boolean = false): DataFrame = {
     val vs = views(spark, sfDir)
     val queryLog = TableRegistry.queryLog(spark, sfDir).cache()
 
@@ -40,11 +56,19 @@ object AnalysisPipeline {
       .groupBy(col("ref_table").as("table"))
       .agg(avg("partition_priority").as("avg_priority"))
 
-    val profiles = Profiler.profileTables(spark,
-      vs.map(v => v.view -> TableRegistry.table(spark, sfDir, v.view)), approxCardinality)
+    val profiles = {
+      import spark.implicits._
+      profilesFor(spark, sfDir, approxCardinality).toDF()
+    }
 
-    val scores = Scoring.partitionScores(profiles, usage, colWeights, priorities)
-    val ranked = Scoring.topNPerView(scores, topN)
-    Recommender.scripts(spark, ranked, vs.map(_.view))
+    Scoring.partitionScores(profiles, usage, colWeights, priorities)
+  }
+
+  /** Full run → one recommendation row per profiled view:
+    * (view, partition_spec, script). */
+  def run(spark: SparkSession, sfDir: String, approxCardinality: Boolean = false,
+      topN: Int = 3): DataFrame = {
+    val ranked = Scoring.topNPerView(scores(spark, sfDir, approxCardinality), topN)
+    Recommender.scripts(spark, ranked, TableRegistry.profiledTables)
   }
 }

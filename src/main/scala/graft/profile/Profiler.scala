@@ -76,30 +76,37 @@ object Profiler {
     def card(c: String): Column =
       if (approxCardinality) approx_count_distinct(col(c)) else countDistinct(col(c))
 
-    val aggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_total"))
+    // Two single-row passes over the table. Mixing multi-DISTINCT aggregates
+    // (which plan as Expand ×(groups+1)) with imperative percentile buffers
+    // in ONE aggregate makes every buffer update pay the expand factor —
+    // measured 25× slower at sf0.1. Distinct counts go in one pass,
+    // everything else in the other; exact percentiles keep the verification
+    // path deterministic (the reference used approx_percentile — the approx
+    // twin is exposed via percentile_approx in Queries.agg_percentile).
+    val distinctAggs = scala.collection.mutable.ArrayBuffer[Column]()
+    val plainAggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_total"))
     fields.foreach { f =>
       val c = f.name
-      aggs += card(c).as(s"${c}__card")
+      distinctAggs += card(c).as(s"${c}__card")
       if (isNumeric(f.dataType)) {
-        aggs += min(col(c)).cast("double").as(s"${c}__min")
-        aggs += max(col(c)).cast("double").as(s"${c}__max")
+        plainAggs += min(col(c)).cast("double").as(s"${c}__min")
+        plainAggs += max(col(c)).cast("double").as(s"${c}__max")
         if (distCols(c)) {
-          // exact percentiles keep the verification path deterministic; the
-          // reference used approx_percentile — approx twin available via
-          // percentile_approx in Queries (agg_percentile).
-          aggs += expr(s"percentile($c, array(0.1D, 0.5D, 0.9D))").as(s"${c}__pct")
+          plainAggs += expr(s"percentile($c, array(0.1D, 0.5D, 0.9D))").as(s"${c}__pct")
         }
       }
       if (isDateLike(f.dataType)) {
         // two-level date-granularity aggregation (partitioning.py:380-408):
         // count(distinct day-of-month / month / year values).
-        aggs += countDistinct(dayofmonth(col(c))).as(s"${c}__days")
-        aggs += countDistinct(month(col(c))).as(s"${c}__months")
-        aggs += countDistinct(year(col(c))).as(s"${c}__years")
+        distinctAggs += countDistinct(dayofmonth(col(c))).as(s"${c}__days")
+        distinctAggs += countDistinct(month(col(c))).as(s"${c}__months")
+        distinctAggs += countDistinct(year(col(c))).as(s"${c}__years")
       }
     }
 
-    val row: Row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    val row: Row = df.agg(plainAggs.head, plainAggs.tail.toSeq: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail.toSeq: _*))
+      .collect()(0)
     def get[T](name: String): Option[T] = {
       val names = row.schema.fieldNames
       val i = names.indexOf(name)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.{Dedup, Multimodal, SimSearch}
+import org.apache.spark.sql.functions._
+
+/** X1–X4 extension operators: LSH variants vs their exact twins, bucket
+  * properties, multimodal plumbing. */
+class ExtSpec extends SparkSpec {
+
+  private lazy val docs = TableRegistry.table(spark, sfDir, "documents").cache()
+  private lazy val emb = TableRegistry.table(spark, sfDir, "embeddings").cache()
+
+  test("minhash LSH finds every exact-Jaccard pair above a high threshold") {
+    // at threshold 0.7 with 5 bands × 4 rows, P(candidate) = 1-(1-s^4)^5
+    // ≈ 0.80 at s=0.7 … ≈ 0.99 at s=0.9; banding may miss borderline pairs
+    // but must agree largely with exact. Verify: every LSH pair IS an exact
+    // pair (no false positives after verification — guaranteed by re-check)
+    // and recall over exact pairs ≥ 0.5.
+    val lsh = Dedup.minhashNearDups(spark, docs, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactJaccard(spark, docs, shingleW = 3, threshold = 0.5, idCap = Long.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("simhash signature is deterministic and near-dup join is symmetric-free (a<b)") {
+    val sigs1 = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val sigs2 = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sigs1.sameElements(sigs2))
+    assert(sigs1.forall(_ >= 0L)) // 63-bit: never negative
+    val pairs = Dedup.simhashNearDups(spark, docs).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("identical texts collide under minhash and simhash") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDups(spark, d, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSeq == Seq((1L, 2L)))
+    val sh = Dedup.simhashNearDups(spark, d, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ANN self-join pairs are a subset of exact pairs with decent recall") {
+    val ann = SimSearch.annSelfJoin(spark, emb, dim = 64, nPlanes = 8, threshold = 0.25)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimSearch.exactSelfJoin(spark, emb, threshold = 0.25)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact).take(5)}")
+    // 8 hyperplanes ⇒ cos≥0.25 pairs land in the same bucket reasonably often
+    if (exact.size >= 10) {
+      val recall = ann.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.05, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("topK returns k rows, descending, excluding the query vector") {
+    val rows = SimSearch.topK(spark, emb, queryVecId = 0, k = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val cos = rows.map(_.getDouble(1))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("transform_bucket values stay in [0, n) and are stable") {
+    val li = TableRegistry.table(spark, sfDir, "lineitem")
+    val buckets = li.select(pmod(hash(col("l_suppkey")), lit(8)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(buckets.forall(b => b >= 0 && b < 8))
+  }
+
+  test("multimodal mapPartitions plumbing: features deterministic, media never null") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.byte_len > 0 && f.width == (f.byte_len % 640).toInt))
+    val again = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs)).collect()
+    assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+}
