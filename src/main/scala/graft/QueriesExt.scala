@@ -46,6 +46,50 @@ object QueriesExt {
 
   private def isNumType(ty: String) = Set("bigint", "int", "double")(ty)
 
+  // ------------------------------------------------------ metadata / exprs
+
+  private val metaSpecs = Seq(
+    QSpec("scan_columns_meta",
+      // S2: ordered column-metadata scan incl. types — runtime derives from
+      // parquet footers, oracle pins the static schema contract.
+      (s, dir) => {
+        import s.implicits._
+        TableRegistry.profiledTables.flatMap { tb =>
+          t(s, dir, tb).schema.fields.zipWithIndex.map { case (f, i) =>
+            (tb, f.name, f.dataType.simpleString, i + 1)
+          }
+        }.toDF("table_name", "column_name", "data_type", "ordinal_position")
+          .orderBy("table_name", "ordinal_position")
+      },
+      Some {
+        val rows = TableRegistry.profiledTables.flatMap { tb =>
+          TableRegistry.profiledColumns(tb).zipWithIndex.map { case (c, i) =>
+            s"('$tb', '$c', '${colTypes(tb)(c)}', ${i + 1})"
+          }
+        }.mkString(", ")
+        s"""SELECT * FROM (VALUES $rows)
+           |AS t(table_name, column_name, data_type, ordinal_position)
+           |ORDER BY table_name, ordinal_position""".stripMargin
+      }),
+
+    QSpec("expr_ddl_extract",
+      // E3/P1: DDL→SELECT extraction as an expression (first " AS " marker,
+      // case-insensitive, strip trailing "; \n" — partitioning.py:9-20).
+      (s, dir) => {
+        import s.implicits._
+        TableRegistry.profiledTables.map(v => (v, TableRegistry.viewDdl(v)))
+          .toDF("view", "ddl")
+          .select(col("view"),
+            trim(regexp_extract(col("ddl"), "(?is)^.*? AS (.*)$", 1), " \n;").as("select_sql"))
+          .orderBy("view")
+      },
+      Some {
+        val rows = TableRegistry.profiledTables
+          .map(v => s"('$v', '${TableRegistry.viewDdl(v).replace("'", "''")}')").mkString(", ")
+        s"""SELECT view, trim(regexp_extract(ddl, '(?is)^.*? AS (.*)$$', 1), ' ' || chr(10) || ';') AS select_sql
+           |FROM (VALUES $rows) AS t(view, ddl) ORDER BY view""".stripMargin
+      }))
+
   /** Per-(view,column) stats CTE body — the DuckDB twin of one Profiler
     * pass: cardinality, range, first-5-numeric percentiles, date counts. */
   private def statsCte: String =
@@ -390,5 +434,5 @@ object QueriesExt {
           |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)))
 
-  val specs: Seq[QSpec] = pipelineSpecs ++ sinkSpecs ++ extSpecs
+  val specs: Seq[QSpec] = metaSpecs ++ pipelineSpecs ++ sinkSpecs ++ extSpecs
 }

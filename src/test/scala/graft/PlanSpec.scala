@@ -1,0 +1,62 @@
+package graft
+
+import graft.catalog.TableRegistry
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality assertions (the 100 TB posture, SURVEY §4): filters
+  * and projections must reach the parquet scan, small-side joins must
+  * broadcast, partitioned writes must enable partition pruning. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = TableRegistry.table(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
+  }
+
+  test("column pruning: scan reads only projected columns") {
+    val df = TableRegistry.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("broadcast join is planned for the explicitly-broadcast dimension") {
+    val df = TableRegistry.table(spark, sfDir, "orders")
+      .join(broadcast(TableRegistry.table(spark, sfDir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left")
+    assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    val df = Queries.queries("q1_agg")(spark, sfDir)
+    df.collect() // AQE only shows codegen spans in the finalized plan
+    // codegen'd operators render with the "*(stageId)" prefix
+    val plan = planOf(df)
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+    assert(plan.contains("*(2) HashAggregate") || plan.contains("*(1) HashAggregate"), plan)
+  }
+
+  test("partitioned write enables partition pruning on read (T5 goal)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    TableRegistry.table(spark, sfDir, "lineitem")
+      .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("ship_month") === "1995-03-01")
+    val plan = planOf(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_month"), plan)
+    // the pruned scan must touch at most one partition directory
+    val scanned = pruned.select(input_file_name()).distinct().count()
+    assert(scanned <= 1, s"read $scanned files")
+  }
+
+  test("querylog derivation stays a single scan with no shuffle") {
+    val df = TableRegistry.queryLog(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
