@@ -365,8 +365,10 @@ object QueriesExt {
           |ORDER BY doc_id""".stripMargin)),
 
     QSpec("lang_id",
-      (s, dir) => t(s, dir, "documents")
-        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+      (s, dir) => TextAnalysis.withLangIdNgram(
+        t(s, dir, "documents"), "text", "lang_pred",
+        profiles = TextAnalysis.defaultMarkers,
+        extractor = TextAnalysis.tokens)
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred"),
       Some {
@@ -423,6 +425,63 @@ object QueriesExt {
           |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
           |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
           |  CAST(3 AS INT) AS channels
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QSpec("lang_id_ngram",
+      // char-trigram language ID (the real n-gram heuristic; marker-word
+      // variant is `lang_id`)
+      (s, dir) => TextAnalysis.withLangIdNgram(
+        t(s, dir, "documents"), "text", "lang_pred")
+        .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred"),
+      Some {
+        val score = TextAnalysis.defaultTrigramProfiles.map { case (lang, ps) =>
+          lang -> s"len(list_filter(grams, g -> g IN (${ps.map(p => s"'$p'").mkString(", ")})))"
+        }
+        val Seq(de, en, es, fr, zh) = score.map(_._2)
+        s"""SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           |  SELECT CASE
+           |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |    WHEN $fr >= $zh THEN 'fr'
+           |    ELSE 'zh' END AS lang_pred
+           |  FROM (SELECT list_transform(range(1, GREATEST(length(text) - 2, 1) + 1),
+           |          i -> substr(text, i, 3)) AS grams FROM documents) d
+           |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
+    QSpec("simsearch_ivf",
+      // IVF-bucketed ANN: cluster-pruned search path (recall vs brute force
+      // asserted in ExtSpec; ordering depends on pruning, so rows-only here)
+      (s, dir) => SimSearch.ivfTopK(s, t(s, dir, "embeddings"),
+        queryVecId = 0, k = 10, nCentroids = 16, nProbe = 4),
+      None),
+
+    QSpec("multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resizeAll(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")), 64, 64)
+          .select(col("doc_id"), col("width"), col("height"),
+            octet_length(col("thumb")).as("thumb_bytes"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+          |  CAST(GREATEST(1, LEAST(octet_length(encode(text)), 64)) AS INT) AS thumb_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QSpec("multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sampleAllFrames(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")), everyN = 4)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QSpec("stream_usage_window",

@@ -52,6 +52,49 @@ object Multimodal {
     }
   }
 
+  /** A decoded-and-resized thumbnail record (stub payload). */
+  final case class Thumbnail(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** A sampled frame from a (fake) video payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** STUB resize: a real implementation scales pixels; the stub takes a
+    * deterministic byte stride so output size tracks the requested dims. */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): Thumbnail = {
+    val target = math.max(1, math.min(r.media.length, w * h / 64))
+    val stride = math.max(1, r.media.length / target)
+    val out = Array.tabulate(target)(i => r.media(math.min(i * stride, r.media.length - 1)))
+    Thumbnail(r.doc_id, w, h, out)
+  }
+
+  /** STUB frame sampling: every `everyN`-th 64-byte block stands in for a
+    * decoded video frame (a real impl seeks keyframes in the container). */
+  def sampleFramesStub(r: MediaRecord, everyN: Int): Iterator[Frame] = {
+    val blockSize = 64
+    Iterator.from(0)
+      .map(_ * everyN * blockSize)
+      .takeWhile(_ < r.media.length)
+      .zipWithIndex
+      .map { case (off, idx) =>
+        Frame(r.doc_id, idx, off.toLong,
+          r.media.slice(off, math.min(off + blockSize, r.media.length)))
+      }
+  }
+
+  /** Batch resize over the corpus: same mapPartitions shape as
+    * [[extractFeatures]]. */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[Thumbnail] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
+  /** Frame sampling is a flatMap — one media row fans out to many frames;
+    * downstream repartitioning (not here) controls frame-batch sizing. */
+  def sampleAllFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(sampleFramesStub(_, everyN)))
+  }
+
   /** Fixture adapter: documents.text bytes stand in for media payloads. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._

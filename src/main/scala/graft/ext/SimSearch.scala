@@ -73,6 +73,53 @@ object SimSearch {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF-style top-k: deterministic "centroids" (the first nCentroids
+    * vectors by vec_id — a k-means iteration would refine these; seeding is
+    * enough to demonstrate the index shape), embedded as literal arrays so
+    * cluster assignment is one shuffle-free projection; the query probes its
+    * nProbe nearest centroids and brute-forces only those clusters.
+    *
+    * 100 TB posture: assignment is scan-parallel; the probe filter prunes
+    * (nCentroids-nProbe)/nCentroids of the corpus before any distance math;
+    * the per-cluster layout would be a partitionBy("cluster") write.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids: Array[(Int, Array[Double])] =
+      e.orderBy("vec_id").limit(nCentroids).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+    // nearest centroid = argmin over nCentroids dot-free L2 distances,
+    // unrolled at plan-build time into one projection
+    def nearest(v: Column): Column = {
+      val dists = centroids.map { case (i, c) =>
+        (i, aggregate(zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      }
+      dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
+        case ((bestD, bestI), (i, d)) =>
+          (least(bestD, d), when(d < bestD, lit(i)).otherwise(bestI))
+      }._2
+    }
+    val assigned = e.withColumn("cluster", nearest(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver-side: the query's nProbe nearest centroids (tiny math)
+    val qv = assigned.where(col("vec_id") === queryVecId).select("v")
+      .collect()(0).getSeq[Double](0).toArray
+    val probes = centroids.map { case (i, c) =>
+      (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = assigned.where(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    assigned
+      .where(col("cluster").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Exact threshold self-join (oracle twin / recall baseline at test scale). */
   def exactSelfJoin(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -59,6 +59,56 @@ object TextAnalysis {
     }._2
   }
 
+  /** Character-trigram language ID (the real n-gram heuristic shape): per
+    * language, a profile of characteristic trigrams; score = how many of the
+    * text's trigrams are in the profile; predict argmax (first-max-in-order
+    * tie-break, like [[langId]]). */
+  val defaultTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("er ", "der", "ein", "ich", "sch"),
+    "en" -> Seq("the", "he ", "ing", "and", " th"),
+    "es" -> Seq("os ", "el ", "ión", "ent", "de "),
+    "fr" -> Seq("le ", "es ", "ent", "une", "eur"),
+    "zh" -> Seq("的", "是", "了", "我", "在"))
+
+  /** The text's character trigrams (positions 1..len-2), one pass, no
+    * shuffle; expressible identically in the DuckDB oracle. */
+  def charTrigrams(text: Column): Column =
+    transform(sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => text.substr(i, lit(3)))
+
+  def langIdNgram(text: Column,
+      profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): Column = {
+    val scores = profiles.map { case (lang, ps) =>
+      lang -> size(filter(charTrigrams(text), g => g.isin(ps.map(lit): _*)))
+    }
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s), when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Dataframe-staged variant of [[langIdNgram]]: trigram extraction and the
+    * five per-language scores land in their own projections so the argmax
+    * fold references score *columns* instead of re-inlining the extraction
+    * per language (measured 10× slower as one expression tree). Use this
+    * form on data-proportional paths. */
+  def withLangIdNgram(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String,
+      profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles,
+      extractor: Column => Column = charTrigrams): org.apache.spark.sql.DataFrame = {
+    val withGrams = df.withColumn("__grams", extractor(col(textCol)))
+    val withScores = profiles.foldLeft(withGrams) { case (d, (lang, ps)) =>
+      d.withColumn(s"__s_$lang", size(filter(col("__grams"), g => g.isin(ps.map(lit): _*))))
+    }
+    val scores = profiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s), when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    withScores.withColumn(out, pred)
+      .drop("__grams" +: profiles.map(p => s"__s_${p._1}"): _*)
+  }
+
   /** Positional polynomial fingerprint: Σ_i (len(tok_i) · i) mod 1000003 —
     * deterministic, SQL-expressible on any engine (rolling-hash shape
     * without engine-specific hash functions). */

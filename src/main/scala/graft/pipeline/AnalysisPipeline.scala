@@ -26,6 +26,9 @@ object AnalysisPipeline {
   private def profilesFor(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean): Seq[Profiler.ColumnProfile] =
     profileCache.computeIfAbsent((sfDir, approxCardinality), { _ =>
+      // serial job submission: concurrent profiling jobs oversubscribe a
+      // small local executor (measured 3× slower on local[4]); on a real
+      // cluster with spare slots, wrapping these in Futures is the lever.
       views(spark, sfDir).flatMap(v =>
         Profiler.profile(spark, v.view,
           TableRegistry.table(spark, sfDir, v.view), approxCardinality))

@@ -73,6 +73,38 @@ class ExtSpec extends SparkSpec {
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
   }
 
+  test("IVF top-k recall vs brute force is reasonable and results are a subset") {
+    val exact = SimSearch.topK(spark, emb, queryVecId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SimSearch.ivfTopK(spark, emb, queryVecId = 0, k = 10,
+      nCentroids = 16, nProbe = 8).collect().map(_.getLong(0)).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall (ivf=$ivf exact=$exact)")
+  }
+
+  test("multimodal resize and frame sampling plumbing") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val thumbs = Multimodal.resizeAll(media, 64, 64).collect()
+    assert(thumbs.length == docs.count())
+    assert(thumbs.forall(th => th.thumb.length <= 64 && th.thumb.nonEmpty))
+    val frames = Multimodal.sampleAllFrames(media, everyN = 4).collect()
+    assert(frames.nonEmpty)
+    // frame offsets are strictly increasing per doc and frames are ≤ 64 bytes
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      val offs = fs.sortBy(_.frame_idx).map(_.offset)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
+      assert(fs.forall(_.frame.length <= 64))
+    }
+  }
+
+  test("trigram language id is deterministic and total") {
+    import spark.implicits._
+    val preds = docs.select(graft.ext.TextAnalysis.langIdNgram(col("text")).as("p"))
+      .as[String].collect()
+    assert(preds.length == docs.count())
+    assert(preds.toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
   test("transform_bucket values stay in [0, n) and are stable") {
     val li = TableRegistry.table(spark, sfDir, "lineitem")
     val buckets = li.select(pmod(hash(col("l_suppkey")), lit(8)).as("b"))
