@@ -171,14 +171,17 @@ object Queries {
         import s.implicits._
         val stop = Seq("the", "a", "data", "join", "merge", "spark").toDF("token")
         t(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("token"))
+          .select(col("n_chars"), explode(split(col("text"), " ")).as("token"))
           .join(broadcast(stop), Seq("token"))
-          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"),
+            // A12: average over the joined-exploded rows
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
           .orderBy("token")
       },
       Some(
-        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-          |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) toks
+        """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+          |FROM (SELECT n_chars, UNNEST(string_split(text, ' ')) AS token FROM documents) toks
           |JOIN (VALUES ('the'), ('a'), ('data'), ('join'), ('merge'), ('spark')) AS stop(token) USING (token)
           |GROUP BY token ORDER BY token""".stripMargin)),
 
