@@ -272,8 +272,12 @@ object QueriesExt {
       // month(l_shipdate), then read back through partition discovery.
       (s, dir) => {
         val out = tmpOut("write_part")
+        // repartition by the partition column first: one file per partition
+        // instead of (tasks × partitions) small files — the file-count
+        // discipline that matters at 1000-executor scale.
         t(s, dir, "lineitem")
           .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+          .repartition(col("ship_month"))
           .write.mode("overwrite").partitionBy("ship_month").parquet(out)
         s.read.parquet(out)
           .groupBy("ship_month")

@@ -54,6 +54,30 @@ class PlanSpec extends SparkSpec {
     assert(scanned <= 1, s"read $scanned files")
   }
 
+  test("bucketed tables join without a shuffle (co-located join path)") {
+    TableRegistry.table(spark, sfDir, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    TableRegistry.table(spark, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = planOf(joined)
+      // bucketed SMJ: no Exchange below the join (only the final agg may shuffle)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("querylog derivation stays a single scan with no shuffle") {
     val df = TableRegistry.queryLog(spark, sfDir)
     val plan = planOf(df)
