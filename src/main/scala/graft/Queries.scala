@@ -515,6 +515,18 @@ object Queries {
           |  CAST(COUNT(*) AS BIGINT) AS cnt
           |FROM part GROUP BY 1 ORDER BY trunc_size""".stripMargin)),
 
+    QSpec("transform_bucket_iceberg",
+      // T3 without the caveat: byte-compatible Iceberg bucket via the
+      // custom codegen Expression (spec vectors in FunctionsSpec; murmur
+      // not reproducible in DuckDB → rows-only).
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "lineitem")
+          .selectExpr("iceberg_bucket(8, l_suppkey) AS bucket")
+          .groupBy("bucket").agg(count(lit(1)).as("cnt")).orderBy("bucket")
+      },
+      None),
+
     QSpec("transform_bucket",
       // Spark Murmur3 bucketing — not DuckDB-reproducible by design (T3
       // caveat); covered by ScalaCheck property tests instead.
