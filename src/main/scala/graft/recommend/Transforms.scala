@@ -31,7 +31,15 @@ final case class DateTransform(unit: String) extends PartitionTransform {
 
 final case class BucketTransform(n: Int) extends PartitionTransform {
   def render(column: String): String = s"bucket($n, $column)"
-  def apply(c: Column): Column = pmod(hash(c), lit(n))
+  /** Byte-compatible with the Iceberg bucket spec via the custom
+    * [[graft.functions.IcebergBucket]] codegen expression (falls back to
+    * Spark murmur for types outside the Iceberg bucket domain). */
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.IcebergBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      GraftColumnBridge.expression(c)))
+  }
 }
 
 /** Iceberg integer truncate-width semantics: floor(c/w)*w. */
