@@ -220,6 +220,27 @@ object Queries {
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    QSpec("sql_end_to_end",
+      // the SQL surface itself: a canned workload query run through
+      // spark.sql over registered temp views (decimal-safe aggregate form)
+      (s, dir) => {
+        TableRegistry.tableNames.foreach { n =>
+          t(s, dir, n).createOrReplaceTempView(s"graft_$n")
+        }
+        s.sql(
+          """SELECT l_returnflag,
+            |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+            |  COUNT(*) AS cnt
+            |FROM graft_lineitem WHERE l_shipdate >= DATE '1995-01-01'
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QSpec("agg_count_distinct",
       (s, dir) => t(s, dir, "lineitem").agg(
         countDistinct(col("l_returnflag")).as("distinct_flag"),

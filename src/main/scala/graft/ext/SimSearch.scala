@@ -18,21 +18,35 @@ object SimSearch {
     * results are reproducible against the DuckDB oracle. */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product — bit-identical to the interpreted
+    * `aggregate(zip_with(…))` fold (same ascending summation order) but
+    * ~100× cheaper per pair; see graft.functions.VectorDot. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.VectorDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** (vec_id, v, nrm) — norms precomputed once per vector so pairwise work
+    * is only the dot product (norms in the pair expression would be
+    * recomputed per partner — 3× the flops). */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
   /** Brute-force top-k cosine neighbors of one query vector. */
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = e.where(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val e = withNorm(emb)
+    val q = e.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
     e.where(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
@@ -61,14 +75,15 @@ object SimSearch {
       nPlanes: Int, threshold: Double): DataFrame = {
     // persist: bucket-id projection (nPlanes aggregates) feeds both join
     // sides — materialize once instead of letting Catalyst inline it twice.
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = withNorm(emb)
       .withColumn("bucket", bucketId(col("v"), dim, nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("a_id", "b_id")
   }
@@ -85,7 +100,7 @@ object SimSearch {
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = withNorm(emb)
     val centroids: Array[(Int, Array[Double])] =
       e.orderBy("vec_id").limit(nCentroids).collect()
         .zipWithIndex
@@ -111,23 +126,26 @@ object SimSearch {
     val probes = centroids.map { case (i, c) =>
       (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum)
     }.sortBy(_._2).take(nProbe).map(_._1)
-    val q = assigned.where(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val q = assigned.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
     assigned
       .where(col("cluster").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
   }
 
   /** Exact threshold self-join (oracle twin / recall baseline at test scale). */
   def exactSelfJoin(spark: SparkSession, emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val e = withNorm(emb)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("a_id", "b_id")
   }
