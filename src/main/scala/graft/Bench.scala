@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet footer caches, so the first
+    // timed query isn't charged ~3 s of session startup
+    try {
+      graft.catalog.TableRegistry.tableNames.foreach { n =>
+        spark.read.parquet(s"$sfDir/$n.parquet").count()
+      }
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -97,7 +97,9 @@ object Profiler {
       }
       if (isDateLike(f.dataType)) {
         // two-level date-granularity aggregation (partitioning.py:380-408):
-        // count(distinct day-of-month / month / year values).
+        // count(distinct day-of-month / month / year values). Folded into
+        // the same distinct pass — a separate two-level job costs an extra
+        // table scan per date column (measured slower than 3 Expand groups).
         distinctAggs += countDistinct(dayofmonth(col(c))).as(s"${c}__days")
         distinctAggs += countDistinct(month(col(c))).as(s"${c}__months")
         distinctAggs += countDistinct(year(col(c))).as(s"${c}__years")
