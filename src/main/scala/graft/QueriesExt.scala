@@ -354,6 +354,23 @@ object QueriesExt {
           |  FROM pairs) j
           |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin)),
 
+    QSpec("dedup_embedding_cosine",
+      // near-dup removal by embedding similarity: drop rows with an
+      // earlier near-neighbor (cos ≥ 0.9), keep survivors
+      (s, dir) => Dedup.embeddingNearDups(s, t(s, dir, "embeddings"),
+        threshold = 0.9, idCap = 500),
+      Some(
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings WHERE vec_id < 500),
+          |p AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+          |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+          |  FROM e a, e b WHERE a.vec_id < b.vec_id),
+          |dups AS (SELECT DISTINCT b_id AS vec_id FROM p WHERE cos >= 0.9)
+          |SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+          |ORDER BY vec_id""".stripMargin)),
+
     QSpec("quality_score",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),

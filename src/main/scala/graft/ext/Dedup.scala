@@ -94,6 +94,20 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Embedding-cosine near-dedup: a row is a duplicate iff an
+    * earlier-id row has cosine ≥ threshold; survivors are returned. Exact
+    * within an id cap (the oracle-able form); at scale the pair generation
+    * step swaps in the LSH/IVF candidate path from SimSearch. */
+  def embeddingNearDups(spark: SparkSession, emb: DataFrame,
+      threshold: Double, idCap: Long): DataFrame = {
+    val capped = emb.where(col("vec_id") < idCap)
+    val dupIds = SimSearch.exactSelfJoin(spark, capped, threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    capped.select("vec_id", "label")
+      .join(dupIds, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** 63-bit SimHash from token hashes: bit b of the signature is the sign of
     * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). 63 bits (not 64) keeps
     * the assembled value inside a non-negative long — Spark 4 runs with ANSI

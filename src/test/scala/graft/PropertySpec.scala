@@ -1,0 +1,64 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck-style invariants over the fixture corpus (SURVEY §5 rule 3). */
+class PropertySpec extends SparkSpec {
+
+  private lazy val docs = graft.catalog.TableRegistry.table(spark, sfDir, "documents").cache()
+
+  test("quality score stays in [0, 1]") {
+    val mm = docs.select(TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("q"))
+      .agg(min("q"), max("q")).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("poly fingerprint is stable and in [0, p)") {
+    val a = docs.select(TextAnalysis.polyFingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0))
+    val b = docs.select(TextAnalysis.polyFingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.forall(f => f >= 0 && f < 1000003L))
+  }
+
+  test("dedup_exact is idempotent (X1 property)") {
+    val once = Dedup.exact(docs).cache()
+    // feed the survivors back through: every group is now singleton
+    val again = once.join(docs, Seq("doc_id")).select("doc_id", "text")
+    val redup = Dedup.exact(again)
+    assert(redup.where(col("dup_count") > 1).count() == 0)
+    assert(redup.count() == once.count())
+  }
+
+  test("minhash signature length and determinism") {
+    val sig = docs.limit(50)
+      .select(Dedup.minhashSignature(
+        array_distinct(Dedup.shingles(col("text"), 3)), 20).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 20))
+    val sig2 = docs.limit(50)
+      .select(Dedup.minhashSignature(
+        array_distinct(Dedup.shingles(col("text"), 3)), 20).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.zip(sig2).forall { case (x, y) => x == y })
+  }
+
+  test("approx percentile stays within tolerance band of exact (A4 rule)") {
+    val li = graft.catalog.TableRegistry.table(spark, sfDir, "lineitem")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5D)").as("exact"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
+      .collect()(0)
+    val (ex, ap) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(ap - ex) <= math.max(1.0, ex * 0.01), s"approx $ap vs exact $ex")
+  }
+
+  test("embedding near-dedup keeps at most all rows and survivors are stable") {
+    val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
+    val survivors = Dedup.embeddingNearDups(spark, emb, threshold = 0.9, idCap = 500)
+    val n = survivors.count()
+    assert(n > 0 && n <= emb.where(col("vec_id") < 500).count())
+  }
+}
