@@ -145,8 +145,10 @@ object IcebergBucket {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`,
   * or call [[GraftFunctions.register]] on a live session. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucket.descriptor)
+    ext.injectOptimizerRule(_ => VectorDotRewriteRule)
+  }
 }
 
 object GraftFunctions {

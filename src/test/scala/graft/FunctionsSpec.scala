@@ -37,6 +37,24 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).distinct.length >= 6)
   }
 
+  test("VectorDotRewriteRule rewrites the HOF dot-product idiom, results unchanged") {
+    import graft.functions.VectorDotRewriteRule
+    if (!spark.experimental.extraOptimizations.contains(VectorDotRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VectorDotRewriteRule
+    val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val hof = emb.selectExpr(
+      "vec_id", "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e) AS d")
+    assert(hof.queryExecution.optimizedPlan.toString.contains("vectordot"),
+      hof.queryExecution.optimizedPlan.toString)
+    val viaRule = hof.orderBy("vec_id").collect().map(_.getDouble(1))
+    val direct = emb.select(col("vec_id"),
+      graft.ext.SimSearch.dot(col("v"), col("v")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(viaRule.sameElements(direct))
+  }
+
   test("interpreted and codegen paths agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
