@@ -383,6 +383,59 @@ object Queries {
              |) u GROUP BY name ORDER BY weighted_frequency DESC, name ASC""".stripMargin)
       }))
 
+  // ------------------------------------------------ beyond-reference bonus
+
+  private val bonusSpecs = Seq(
+    QSpec("agg_rollup",
+      // hierarchical subtotals (not in the reference — engine generality).
+      // Null subtotal keys are coalesced to 'ALL' so null-ordering
+      // differences between engines can't break the compare.
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("flag", "status"),
+      Some(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY flag, status""".stripMargin)),
+
+    QSpec("window_running_sum",
+      // frame-spec window (rowsBetween) — not in the reference; ordered
+      // running total per group over a deterministic key
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .withColumn("running",
+          sum(col("p")).over(Window.partitionBy("o_orderstatus")
+            .orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("running").cast("double"), 2).as("running"))
+        .where(col("o_orderkey") < 300)
+        .orderBy("o_orderstatus", "o_orderkey"),
+      Some(
+        """SELECT o_orderstatus, o_orderkey,
+          |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_orderstatus ORDER BY o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running
+          |FROM orders QUALIFY o_orderkey < 300
+          |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
+    QSpec("join_anti",
+      // explicit left-anti (the dedup survivors pattern as a relational op)
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+          |ORDER BY c_custkey""".stripMargin)))
+
   // ------------------------------------------------- window / sort / parse
 
   private val windowSpecs = Seq(
@@ -599,7 +652,7 @@ object Queries {
           |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin)))
 
   val specs: Seq[QSpec] =
-    scanSpecs ++ aggSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
+    scanSpecs ++ aggSpecs ++ bonusSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
 
   def allSpecs: Seq[QSpec] = specs ++ QueriesExt.specs
 
