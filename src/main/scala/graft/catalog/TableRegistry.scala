@@ -23,8 +23,14 @@ object TableRegistry {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  // DataFrames are immutable logical plans — cache per (session, path) so
+  // repeated queries don't re-list files / re-read parquet footers.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    dfCache.computeIfAbsent((spark, path(sfDir, name)),
+      { case (s, p) => s.read.parquet(p) })
 
   /** (table, column, ordinal) rows — replaces information_schema.columns
     * scan (cli.py:43-53); ordinal order is intrinsic to df.schema. */

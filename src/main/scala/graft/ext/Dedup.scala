@@ -31,13 +31,17 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
-  /** MinHash signature: for each of k hash functions, min over shingles of
-    * h_i(s) = xxhash64(s, seed=i). Computed per-row with higher-order
-    * expressions — no shuffle, no UDF. */
-  def minhashSignature(sh: Column, k: Int): Column =
+  /** MinHash signature: each shingle string is hashed ONCE to a 64-bit
+    * value; the k hash functions are cheap seeded re-mixes of that long
+    * (xxhash64(h, i)) — 10× cheaper than re-hashing the string k times,
+    * same LSH property. Computed per-row with higher-order expressions —
+    * no shuffle, no UDF. */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val hashes = transform(sh, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)),
-      i => aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, i))))
+      i => aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, i))))
+  }
 
   /** Candidate pairs via LSH banding: signature split into bands of `rows`
     * hashes; docs sharing any band bucket become candidates; candidates are
