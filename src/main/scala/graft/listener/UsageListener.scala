@@ -28,11 +28,16 @@ object UsageListener {
     val events = new ConcurrentLinkedQueue[UsageEvent]()
 
     private def refs(plan: LogicalPlan): Seq[(String, String)] = {
-      val tables = plan.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.catalogTable.map(_.identifier.table)
-            .getOrElse(r.relation.toString.takeWhile(_ != '['))
-      }.map("table" -> _)
+      // table names: catalog tables directly; temp views surface as
+      // SubqueryAlias wrappers in the analyzed plan
+      val tables = (plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.isDefined =>
+          r.catalogTable.get.identifier.table
+      } ++ plan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          s.alias
+      }).map("table" -> _)
       val joinCols = plan.collect { case j: Join =>
         j.condition.toSeq.flatMap(_.collect { case a: AttributeReference => a.name })
       }.flatten.map("join_col" -> _)

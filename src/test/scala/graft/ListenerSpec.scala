@@ -27,4 +27,18 @@ class ListenerSpec extends SparkSpec {
       assert(frame.where(col("kind") === "join_col").count() >= 2)
     } finally spark.listenerManager.unregister(rec)
   }
+
+  test("self-hosting loop: canned workload observed through spark.sql") {
+    val usage = graft.pipeline.SelfHosting.observeWorkload(spark, sfDir,
+      graft.catalog.TableRegistry.cannedQueries)
+    val rows = usage.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tables = rows.filter(_._1 == "table").map(t => t._2 -> t._3).toMap
+    // the canned workload references lineitem twice (q0, q1) and orders twice
+    assert(tables.getOrElse("lineitem", 0L) >= 2, tables.toString)
+    assert(tables.getOrElse("orders", 0L) >= 2, tables.toString)
+    val joins = rows.filter(_._1 == "join_col").map(_._2).toSet
+    assert(joins.contains("o_orderkey") && joins.contains("l_orderkey"), joins.toString)
+    val wheres = rows.filter(_._1 == "where_col").map(_._2).toSet
+    assert(wheres.contains("o_totalprice"), wheres.toString)
+  }
 }
