@@ -28,4 +28,30 @@ object StreamingUsage {
   def batchTwin(spark: SparkSession, events: DataFrame): DataFrame =
     windowedCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
+
+  /** Per-user running state carried across micro-batches. */
+  final case class UserState(count: Long, lastValueSum: Double)
+
+  /** Custom streaming state via mapGroupsWithState: running per-user event
+    * count + value sum, state persisted in the state store between
+    * micro-batches (the advisor's "evolving workload" counter as true
+    * incremental state rather than a recomputed aggregate). Input columns:
+    * (user_id long, value double). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var c = prev.count
+          var s = prev.lastValueSum
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update(UserState(c, s))
+          (uid, c, s)
+      }
+      .toDF("user_id", "event_count", "value_sum")
+  }
 }

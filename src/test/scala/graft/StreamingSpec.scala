@@ -36,4 +36,35 @@ class StreamingSpec extends SparkSpec {
       assert(want.nonEmpty)
     } finally query.stop()
   }
+
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toSeq
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[(Long, Double)]
+    val streamed = StreamingUsage.runningUserTotals(
+      stream.toDF().toDF("user_id", "value"))
+    val qname = s"user_state_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("update").start()
+    try {
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+      // latest state per user (update mode appends one row per batch-update)
+      val got = spark.table(qname)
+        .groupBy("user_id").agg(max("event_count").as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got == want)
+      // state really accumulated across batches: at least one user appears in both
+      assert(batch1.map(_._1).toSet.intersect(batch2.map(_._1).toSet).nonEmpty)
+    } finally query.stop()
+  }
 }
