@@ -41,29 +41,44 @@ object AnalysisPipeline {
       ViewMeta(t, cols, 1L, TableRegistry.viewDdl(t))
     }
 
+  /** Workload-derived statistics (usage frequencies, per-column exec-time
+    * weights, per-view priorities) are metadata-sized and deterministic per
+    * sfDir — memoized as collected rows, like the profiles, so repeated
+    * pipeline entry points don't rescan the query log. */
+  private val workloadCache = new java.util.concurrent.ConcurrentHashMap[String,
+    (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)])]()
+
+  private def workloadFor(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) =
+    workloadCache.computeIfAbsent(sfDir, { _ =>
+      val vs = views(spark, sfDir)
+      val queryLog = TableRegistry.queryLog(spark, sfDir).cache()
+      val usage = Usage.weightedFrequency(spark, vs, queryLog)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (_, colWeights) = Scoring.performanceMetrics(spark, queryLog)
+      val weights = colWeights.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val types = Scoring.queryTypes(queryLog)
+      val tblRefs = Scoring.parsedRefs(spark, queryLog).where(col("ref_column").isNull)
+        .select(col("query"), col("ref_table"))
+      val priorities = types.join(broadcast(tblRefs), Seq("query"))
+        .groupBy(col("ref_table").as("table"))
+        .agg(avg("partition_priority").as("avg_priority"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      queryLog.unpersist()
+      (usage, weights, priorities)
+    })
+
   /** Composite partition scores for every (view, column) — all statistics
-    * computed once (each is a DataFrame the caller can reuse). */
+    * computed once (each memoized at metadata size). */
   def scores(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean = false): DataFrame = {
-    val vs = views(spark, sfDir)
-    val queryLog = TableRegistry.queryLog(spark, sfDir).cache()
-
-    val usage = Usage.weightedFrequency(spark, vs, queryLog)
-    val (_, colWeights) = Scoring.performanceMetrics(spark, queryLog)
-
-    // per-view avg interactive priority (README-intent score term)
-    val types = Scoring.queryTypes(queryLog)
-    val tblRefs = Scoring.parsedRefs(spark, queryLog).where(col("ref_column").isNull)
-      .select(col("query"), col("ref_table"))
-    val priorities = types.join(broadcast(tblRefs), Seq("query"))
-      .groupBy(col("ref_table").as("table"))
-      .agg(avg("partition_priority").as("avg_priority"))
-
-    val profiles = {
-      import spark.implicits._
-      profilesFor(spark, sfDir, approxCardinality).toDF()
-    }
-
+    import spark.implicits._
+    val (usageRows, weightRows, priorityRows) = workloadFor(spark, sfDir)
+    val usage = usageRows.toDF("name", "weighted_frequency")
+    val colWeights = weightRows.toDF("table", "column", "weight")
+    val priorities = priorityRows.toDF("table", "avg_priority")
+    val profiles = profilesFor(spark, sfDir, approxCardinality).toDF()
     Scoring.partitionScores(profiles, usage, colWeights, priorities)
   }
 
