@@ -37,19 +37,35 @@ object QueryIntrospector {
   private def counted(names: Seq[String]): Map[String, Int] =
     names.groupBy(identity).map { case (k, v) => k -> v.size }
 
+  /** Every plan node reachable from `p`, including CTE definitions
+    * (innerChildren) and subquery-expression plans — sqlglot's find_all
+    * walks those too, so the faithful traversal must as well. */
+  private def allNodes(p: LogicalPlan): Seq[LogicalPlan] = {
+    val direct = p.collect { case n => n }
+    val inner = direct.flatMap(_.innerChildren.collect { case lp: LogicalPlan => lp })
+      .flatMap(allNodes)
+    val fromSubqueries = direct
+      .flatMap(_.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s.plan
+      }))
+      .flatMap(allNodes)
+    direct ++ inner ++ fromSubqueries
+  }
+
   /** Parse one SQL text into its reference sets. None on parse failure. */
   def parse(spark: SparkSession, sql: String): Option[SqlRefs] =
     Try {
       val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
-      val tables = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
-      val joinCols = plan.collect { case j: Join =>
+      val nodes = allNodes(plan)
+      val tables = nodes.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+      val joinCols = nodes.collect { case j: Join =>
         j.condition.toSeq.flatMap(attrNames)
       }.flatten
-      val whereCols = plan.collect { case f: Filter => attrNames(f.condition) }.flatten
+      val whereCols = nodes.collect { case f: Filter => attrNames(f.condition) }.flatten
       // all column references anywhere in the plan (select list, group by,
       // join, where …) — matches sqlglot find_all(exp.Column) used by the
       // reference's performance correlation (partitioning.py:186).
-      val allCols = plan.flatMap(_.expressions.flatMap(attrNames))
+      val allCols = nodes.flatMap(_.expressions.flatMap(attrNames))
       SqlRefs(tables, counted(joinCols), counted(whereCols), counted(allCols))
     }.toOption
 

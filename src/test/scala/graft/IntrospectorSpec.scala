@@ -38,6 +38,23 @@ class IntrospectorSpec extends SparkSpec {
     assert(refs.allColumns("l_returnflag") == 2)
   }
 
+  test("CTE, subquery, and union shapes parse without crashing") {
+    val cte = QueryIntrospector.parse(spark,
+      "WITH top AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 1000) " +
+        "SELECT c_name FROM customer JOIN top ON c_custkey = o_custkey").get
+    assert(cte.tables.contains("orders") && cte.tables.contains("customer"))
+    assert(cte.whereColumns == Map("o_totalprice" -> 1))
+    assert(cte.joinColumns.keySet == Set("c_custkey", "o_custkey"))
+
+    val sub = QueryIntrospector.parse(spark,
+      "SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)").get
+    assert(sub.tables.contains("lineitem") && sub.tables.contains("orders"))
+
+    val union = QueryIntrospector.parse(spark,
+      "SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier").get
+    assert(union.tables == Seq("customer", "supplier"))
+  }
+
   test("malformed SQL degrades to None") {
     assert(QueryIntrospector.parse(spark, "SELEKT broken FROMM").isEmpty)
     assert(QueryIntrospector.parse(spark, "").isEmpty)
