@@ -1,0 +1,36 @@
+package graft
+
+import graft.report.ReportExporter
+import org.apache.spark.sql.functions._
+
+/** C11 artifact-set export: all seven artifacts written and readable back. */
+class ReportSpec extends SparkSpec {
+
+  test("export writes the full artifact set, readable back with content") {
+    val out = java.nio.file.Files.createTempDirectory("graft_report").toString
+    ReportExporter.export(spark, sfDir, out)
+
+    val gs = spark.read.option("header", "true").csv(s"$out/global_stats")
+    assert(gs.columns.toSeq == Seq("name", "weighted_frequency"))
+    assert(gs.count() > 0)
+
+    Seq("view_data", "column_scores", "cardinality_stats",
+      "recommendations", "resource_metrics", "query_metrics").foreach { a =>
+      val df = spark.read.json(s"$out/$a")
+      assert(df.count() > 0, s"$a empty")
+    }
+
+    val recs = spark.read.json(s"$out/recommendations")
+    assert(recs.columns.contains("partition_spec") && recs.columns.contains("script"))
+    assert(recs.where(col("view") === "orders").count() == 1)
+  }
+
+  test("time filter restricts the log-derived artifacts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_report_tf").toString
+    ReportExporter.export(spark, sfDir, out,
+      timeFilter = Some("execution_time_ms > 15000"))
+    val qm = spark.read.json(s"$out/query_metrics")
+    assert(qm.count() > 0)
+    assert(qm.agg(min("execution_time_ms")).collect()(0).getLong(0) > 15000)
+  }
+}
