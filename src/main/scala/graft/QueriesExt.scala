@@ -505,6 +505,24 @@ object QueriesExt {
         """SELECT doc_id, CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QSpec("sessionize_batch",
+      // gap-based sessionization (lag → break flag → running-sum session id
+      // → group); the streaming flatMapGroupsWithState twin is verified
+      // equivalent in StreamingSpec
+      (s, dir) => StreamingUsage.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30),
+      Some(
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+          |l AS (SELECT user_id, event_id, tus,
+          |  LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+          |b AS (SELECT user_id, tus,
+          |  CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+          |s AS (SELECT user_id, tus,
+          |  SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+          |SELECT user_id, CAST(MIN(tus) // 1000000 AS BIGINT) AS session_start,
+          |  CAST(MAX(tus) // 1000000 AS BIGINT) AS session_end,
+          |  CAST(COUNT(*) AS BIGINT) AS n_events
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     QSpec("stream_usage_window",
       // X5 batch twin of the streaming hourly usage windows (streaming path
       // itself is exercised in StreamingSpec with a memory source).

@@ -74,7 +74,7 @@ object TableRegistry {
     ev.select(
       col("event_id").cast("string").as("query_id"),
       queryCase.as("query"),
-      timestamp_micros((col("ts") / 1000).cast("long")).as("create_time"),
+      timestamp_micros(expr("ts div 1000")).as("create_time"),
       floor(col("value") * 100).cast("long").as("execution_time_ms"),
       floor(col("value") * 60).cast("long").as("cpu_time_ms"),
       floor(col("value") * 10).cast("long").as("scheduled_time_ms"),

@@ -15,7 +15,7 @@ object StreamingUsage {
     * streaming inputs; the watermark is applied only when streaming. */
   def windowedCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame = {
     val withTime = events.withColumn("event_time",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+      timestamp_micros(expr("ts div 1000")))
     val src = if (withWatermarkCol) withTime.withWatermark("event_time", "10 minutes") else withTime
     src.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -28,6 +28,82 @@ object StreamingUsage {
   def batchTwin(spark: SparkSession, events: DataFrame): DataFrame =
     windowedCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
+
+  /** Batch sessionization: split each user's events into sessions separated
+    * by gaps > gapMinutes (lag → gap-break flag → running sum as session
+    * index → group). Input ts is epoch-nanos bigint. Output
+    * (user_id, session_start, session_end, n_events) with start/end as epoch
+    * seconds. The oracle twin expresses the same three-window chain in
+    * DuckDB. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // µs precision: DuckDB reads parquet ns-timestamps µs-truncated, so the
+    // shared semantics (and the oracle) are defined over epoch-µs.
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("prev_ts", lag("tus", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ts").isNull || col("tus") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        expr("min(tus) div 1000000").as("session_start"),
+        expr("max(tus) div 1000000").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Open-session accumulator for streaming sessionization (ms epoch). */
+  final case class SessionAcc(start: Long, end: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState + event-time
+    * timeout: in-batch gaps close sessions immediately; the trailing open
+    * session closes when the watermark passes its end + gap. Semantics match
+    * [[sessionizeBatch]] on the same data once all sessions have closed.
+    * Input columns: (user_id long, ts long epoch-nanos). */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "10 minutes")
+    withTime.select(col("user_id"), col("event_time"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start / 1000, s.end / 1000, s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted // epoch ms
+            var acc = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            times.foreach { t =>
+              acc match {
+                case null => acc = SessionAcc(t, t, 1)
+                case a if t - a.end > gapMs =>
+                  closed += SessionOut(uid, a.start / 1000, a.end / 1000, a.n)
+                  acc = SessionAcc(t, t, 1)
+                case a => acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.end + gapMs + 1)
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
 
   /** Per-user running state carried across micro-batches. */
   final case class UserState(count: Long, lastValueSum: Double)

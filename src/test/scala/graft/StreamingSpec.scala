@@ -37,6 +37,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState sessionization == batch twin once watermark flushes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = TableRegistry.table(spark, sfDir, "events")
+      .select(col("user_id"), col("ts")).as[(Long, Long)].collect().toSeq
+    val maxTs = events.map(_._2).max
+    // sentinel user far in the future: advances the watermark past every real
+    // session end + gap so all real sessions flush via timeout
+    val sentinel = (-1L, maxTs + 10L * 3600 * 1000000000L)
+
+    val stream = MemoryStream[(Long, Long)]
+    val streamed = StreamingUsage.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val qname = s"sessions_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      query.processAllAvailable()
+      // one more batch so timeouts triggered by the new watermark fire
+      stream.addData(Seq.empty[(Long, Long)])
+      query.processAllAvailable()
+      val got = spark.table(qname).where(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = StreamingUsage.sessionizeBatch(
+        TableRegistry.table(spark, sfDir, "events"), gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
