@@ -426,6 +426,50 @@ object Queries {
           |FROM orders QUALIFY o_orderkey < 300
           |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
 
+    QSpec("q3_shipping",
+      // TPC-H-Q3-shaped 3-way join: filters on both sides, revenue agg, topk
+      (s, dir) => t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") >= lit("1996-01-01"))
+        .groupBy("o_orderkey")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("o_orderkey")).limit(20),
+      Some(
+        """SELECT o_orderkey,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+          |  CAST(COUNT(*) AS BIGINT) AS n_items
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND l_shipdate >= TIMESTAMP '1996-01-01'
+          |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
+    QSpec("q5_region",
+      // TPC-H-Q5-shaped 6-way join through the dimension chain
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+        .orderBy("n_name"),
+      Some(
+        """SELECT n_name,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON o_orderkey = l_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     QSpec("join_anti",
       // explicit left-anti (the dedup survivors pattern as a relational op)
       (s, dir) => t(s, dir, "customer")
