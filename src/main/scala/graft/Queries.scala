@@ -220,6 +220,18 @@ object Queries {
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    QSpec("expr_to_json",
+      // E9 JSON render as an expression: to_json(struct(...))
+      (s, dir) => t(s, dir, "events")
+        .where(col("event_id") < 50)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("j"))
+        .orderBy("event_id"),
+      Some(
+        """SELECT event_id,
+          |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS j
+          |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin)),
+
     QSpec("sql_end_to_end",
       // the SQL surface itself: a canned workload query run through
       // spark.sql over registered temp views (decimal-safe aggregate form)

@@ -9,6 +9,13 @@ class ScoringSpec extends SparkSpec {
 
   private lazy val log = TableRegistry.queryLog(spark, sfDir).cache()
 
+  test("typed Dataset[QueryLogRow] round-trips the log schema") {
+    val ds = TableRegistry.queryLogDs(spark, sfDir)
+    val first = ds.orderBy("query_id").head()
+    assert(first.query != null && first.execution_time_ms >= 0)
+    assert(ds.count() == log.count())
+  }
+
   test("resource score is bounded (0,100] and the max-metric query scores 100-ish") {
     val scored = Scoring.resourceScores(log)
     val mm = scored.agg(min("resource_score"), max("resource_score")).collect()(0)
