@@ -78,6 +78,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one dominant key: ~50k rows on key 1, a handful elsewhere
+      val left = spark.range(0, 50000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 64).select((col("id") % 8 + 2).as("k"), col("id").as("v")))
+      val right = spark.range(0, 10).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      joined.collect() // run THIS plan so AQE finalizes it
+      val plan = planOf(joined)
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("querylog derivation stays a single scan with no shuffle") {
     val df = TableRegistry.queryLog(spark, sfDir)
     val plan = planOf(df)
