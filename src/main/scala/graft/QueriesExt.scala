@@ -371,6 +371,21 @@ object QueriesExt {
           |SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dups)
           |ORDER BY vec_id""".stripMargin)),
 
+    QSpec("text_stats_by_source",
+      // grouped corpus profiling: per-source doc count, mean length, exact
+      // median length — the per-slice quality dashboard of a data pipeline
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("median_chars"))
+        .orderBy("source"),
+      Some(
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+          |  ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     QSpec("quality_score",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
