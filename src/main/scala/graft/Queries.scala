@@ -438,6 +438,28 @@ object Queries {
           |FROM orders QUALIFY o_orderkey < 300
           |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
 
+    QSpec("agg_stats_moments",
+      // statistical profiling functions (stddev/corr) — rounded to absorb
+      // partition-order fp drift in the merge formulas
+      (s, dir) => t(s, dir, "part").agg(
+        round(stddev_samp(col("p_retailprice")), 4).as("price_stddev"),
+        round(corr(col("p_size"), col("p_retailprice")), 4).as("size_price_corr"),
+        round(avg(col("p_retailprice")), 4).as("price_avg")),
+      Some(
+        """SELECT ROUND(stddev_samp(p_retailprice), 4) AS price_stddev,
+          |  ROUND(corr(p_size, p_retailprice), 4) AS size_price_corr,
+          |  ROUND(AVG(p_retailprice), 4) AS price_avg
+          |FROM part""".stripMargin)),
+
+    QSpec("filter_like",
+      (s, dir) => t(s, dir, "part")
+        .where(col("p_name").like("%widget%"))
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM part
+          |WHERE p_name LIKE '%widget%' GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     QSpec("q3_shipping",
       // TPC-H-Q3-shaped 3-way join: filters on both sides, revenue agg, topk
       (s, dir) => t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
