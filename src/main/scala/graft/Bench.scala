@@ -19,6 +19,16 @@ object Bench {
         spark.read.parquet(s"$sfDir/$n.parquet").count()
       }
     } catch { case _: Throwable => }
+    // untimed warmup #2: run the whole query surface once at the smallest SF
+    // so codegen compilation, agg-buffer classes, the Catalyst SQL parser and
+    // window/LSH code paths are JIT-hot before timing starts (pipeline result
+    // caches are keyed by sfDir, so nothing computed here is reused below)
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory && warmDir.getPath != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir.getPath).count() catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -73,4 +73,12 @@ object QueryIntrospector {
     * parse_underlying_query (partitioning.py:22-66). */
   def parseDdl(spark: SparkSession, ddl: String): Option[SqlRefs] =
     extractSelect(ddl).flatMap(parse(spark, _))
+
+  /** Parse each distinct text once. The workload's distinct-text set is
+    * metadata-sized (never data-proportional), so this is the single
+    * driver-side parse pass every downstream derivation (usage frequency,
+    * performance weights, priorities) shares — the reference re-parsed the
+    * log per analysis stage (partitioning.py:87-97, 186). */
+  def parseAll(spark: SparkSession, texts: Seq[String]): Seq[(String, Option[SqlRefs])] =
+    texts.map(t => t -> parse(spark, t))
 }

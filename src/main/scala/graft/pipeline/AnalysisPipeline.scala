@@ -26,11 +26,26 @@ object AnalysisPipeline {
   private def profilesFor(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean): Seq[Profiler.ColumnProfile] =
     profileCache.computeIfAbsent((sfDir, approxCardinality), { _ =>
-      // serial job submission: concurrent profiling jobs oversubscribe a
-      // small local executor (measured 3× slower on local[4]); on a real
-      // cluster with spare slots, wrapping these in Futures is the lever.
-      views(spark, sfDir).flatMap(v =>
-        Profiler.profile(spark, v.view,
+      val vs = views(spark, sfDir)
+      // Each per-table profile is two single-row aggregate jobs whose task
+      // count is bounded by the table's partition count — far below a big
+      // executor's slot count. With spare slots (≥16) submit the per-table
+      // jobs concurrently so the scheduler interleaves them (the 1000-
+      // executor posture: profiling N tables costs ~the largest table's
+      // scan, not the sum). On small executors (local[4]) concurrent jobs
+      // oversubscribe and measure ~3× slower — stay serial there.
+      if (spark.sparkContext.defaultParallelism >= 16 && vs.size > 1) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(vs.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = vs.map(v => Future(Profiler.profile(spark, v.view,
+            TableRegistry.table(spark, sfDir, v.view), approxCardinality)))
+          Await.result(Future.sequence(fs), Duration.Inf).flatten
+        } finally pool.shutdown()
+      } else
+        vs.flatMap(v => Profiler.profile(spark, v.view,
           TableRegistry.table(spark, sfDir, v.view), approxCardinality))
     })
 
@@ -53,18 +68,26 @@ object AnalysisPipeline {
     workloadCache.computeIfAbsent(sfDir, { _ =>
       val vs = views(spark, sfDir)
       val queryLog = TableRegistry.queryLog(spark, sfDir).cache()
-      val usage = Usage.weightedFrequency(spark, vs, queryLog)
+      // one driver-side parse of the distinct workload texts, shared by all
+      // three derivations (usage / perf weights / priorities) — the reference
+      // re-parsed the log per analysis stage
+      val texts = queryLog.select("query").where(col("query").isNotNull)
+        .distinct().collect().map(_.getString(0)).toSeq
+      val parsed = graft.introspect.QueryIntrospector.parseAll(spark, texts)
+      val refsDf = Scoring.parsedRefsFrom(spark, parsed).cache()
+      val usage = Usage.weightedFrequency(spark, vs, queryLog, Some(parsed))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val (_, colWeights) = Scoring.performanceMetrics(spark, queryLog)
+      val (_, colWeights) = Scoring.performanceMetricsFrom(queryLog, refsDf)
       val weights = colWeights.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       val types = Scoring.queryTypes(queryLog)
-      val tblRefs = Scoring.parsedRefs(spark, queryLog).where(col("ref_column").isNull)
+      val tblRefs = refsDf.where(col("ref_column").isNull)
         .select(col("query"), col("ref_table"))
       val priorities = types.join(broadcast(tblRefs), Seq("query"))
         .groupBy(col("ref_table").as("table"))
         .agg(avg("partition_priority").as("avg_priority"))
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      refsDf.unpersist()
       queryLog.unpersist()
       (usage, weights, priorities)
     })

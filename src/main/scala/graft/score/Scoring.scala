@@ -51,11 +51,18 @@ object Scoring {
     * the log. Schema: (query, ref_table, ref_column nullable, col_count). A
     * row with null ref_column carries the table-level reference. */
   def parsedRefs(spark: SparkSession, queryLog: DataFrame): DataFrame = {
-    import spark.implicits._
     val texts = queryLog.select("query").where(col("query").isNotNull)
       .distinct().collect().map(_.getString(0)).toSeq
-    val rows = texts.flatMap { t =>
-      QueryIntrospector.parse(spark, t).toSeq.flatMap { refs =>
+    parsedRefsFrom(spark, QueryIntrospector.parseAll(spark, texts))
+  }
+
+  /** parsedRefs over a pre-parsed (text → refs) map — lets the pipeline parse
+    * the distinct workload texts exactly once for all derivations. */
+  def parsedRefsFrom(spark: SparkSession,
+      parsed: Seq[(String, Option[QueryIntrospector.SqlRefs])]): DataFrame = {
+    import spark.implicits._
+    val rows = parsed.flatMap { case (t, refsOpt) =>
+      refsOpt.toSeq.flatMap { refs =>
         refs.tables.distinct.flatMap { tbl =>
           (tbl, Option.empty[String], 1L) +:
             refs.allColumns.toSeq.map { case (c, n) => (tbl, Option(c), n.toLong) }
@@ -74,8 +81,11 @@ object Scoring {
     *   tableTotals:  (table, execution_time, query_count)
     *   columnWeights:(table, column, weight)  — exec-time-weighted
     */
-  def performanceMetrics(spark: SparkSession, queryLog: DataFrame): (DataFrame, DataFrame) = {
-    val refs = parsedRefs(spark, queryLog)
+  def performanceMetrics(spark: SparkSession, queryLog: DataFrame): (DataFrame, DataFrame) =
+    performanceMetricsFrom(queryLog, parsedRefs(spark, queryLog))
+
+  /** performanceMetrics over a pre-built parsedRefs frame (parse-once path). */
+  def performanceMetricsFrom(queryLog: DataFrame, refs: DataFrame): (DataFrame, DataFrame) = {
     val joined = queryLog.join(broadcast(refs), Seq("query"))
     val tableTotals = joined.where(col("ref_column").isNull)
       .groupBy(col("ref_table").as("table"))

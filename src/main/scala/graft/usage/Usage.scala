@@ -38,21 +38,30 @@ object Usage {
   def tableRefsByQuery(spark: SparkSession, queryLog: DataFrame): Seq[(String, Seq[String])] = {
     val texts = queryLog.select("query").where(col("query").isNotNull)
       .distinct().collect().map(_.getString(0)).toSeq
-    texts.map(t => t -> QueryIntrospector.parse(spark, t).map(_.tables).getOrElse(Seq.empty))
+    QueryIntrospector.parseAll(spark, texts)
+      .map { case (t, refs) => t -> refs.map(_.tables).getOrElse(Seq.empty) }
   }
 
   /** A1 weighted frequency: union of all three contribution sources →
     * groupBy(name) sum(weight) → sorted. Output schema:
-    * (name string, weighted_frequency bigint). */
+    * (name string, weighted_frequency bigint).
+    *
+    * @param parsed optional pre-parsed (text → refs) map from
+    *   QueryIntrospector.parseAll, so callers that also need performance /
+    *   priority derivations parse the workload exactly once. */
   def weightedFrequency(
       spark: SparkSession,
       views: Seq[ViewMeta],
-      queryLog: DataFrame): DataFrame = {
+      queryLog: DataFrame,
+      parsed: Option[Seq[(String, Option[QueryIntrospector.SqlRefs])]] = None): DataFrame = {
     import spark.implicits._
     val metaDf = viewContributions(spark, views).toDF("name", "weight")
 
-    val refs = tableRefsByQuery(spark, queryLog)
-      .flatMap { case (q, ts) => ts.map(q -> _) }
+    val byQuery = parsed match {
+      case Some(p) => p.map { case (t, r) => t -> r.map(_.tables).getOrElse(Seq.empty) }
+      case None    => tableRefsByQuery(spark, queryLog)
+    }
+    val refs = byQuery.flatMap { case (q, ts) => ts.map(q -> _) }
     val refsDf = refs.toDF("query", "ref_table")
     // join the (distinct-text → table) map back onto the full log so each log
     // row contributes one count per referenced table; broadcast: the distinct
