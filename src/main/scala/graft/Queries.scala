@@ -518,14 +518,29 @@ object Queries {
 
   private val windowSpecs = Seq(
     QSpec("window_topn_per_view",
-      (s, dir) => t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice"), 2).as("price"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("l_returnflag")
-            .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))))
-        .where(col("rank") <= 3)
-        .orderBy("l_returnflag", "rank"),
+      // W1 as a two-phase (salted) top-N: l_returnflag has only 3 values, so
+      // a single window would shuffle the whole table into 3 partitions
+      // (parallelism 3 — the sparse-group window trap at 100 TB). Phase 1
+      // takes the local top-3 per (group, salt) across 32 salt buckets;
+      // phase 2 ranks the ≤ 3×32 survivors per group. Exact under the total
+      // tie-break order: the global top-3 of a group are in their salt
+      // bucket's top-3 by definition.
+      (s, dir) => {
+        val base = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+        val ord = Seq(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
+        val local = base
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("l_returnflag", "salt").orderBy(ord: _*)))
+          .where(col("rank") <= 3).drop("salt", "rank")
+        local
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("l_returnflag").orderBy(ord: _*)))
+          .where(col("rank") <= 3)
+          .orderBy("l_returnflag", "rank")
+      },
       Some(
         """SELECT * FROM (
           |  SELECT l_returnflag, l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,

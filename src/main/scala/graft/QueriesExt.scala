@@ -464,15 +464,19 @@ object QueriesExt {
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QSpec("lang_id_ngram",
-      // char-trigram language ID (the real n-gram heuristic; marker-word
-      // variant is `lang_id`)
-      (s, dir) => TextAnalysis.withLangIdNgram(
+      // n-gram-occurrence language ID (the real n-gram heuristic;
+      // marker-word variant is `lang_id`). Occurrence counting via
+      // length-delta of replace() — plain codegen string ops on both
+      // engines, no trigram-array materialization.
+      (s, dir) => TextAnalysis.withLangIdOccurrence(
         t(s, dir, "documents"), "text", "lang_pred")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred"),
       Some {
         val score = TextAnalysis.defaultTrigramProfiles.map { case (lang, ps) =>
-          lang -> s"len(list_filter(grams, g -> g IN (${ps.map(p => s"'$p'").mkString(", ")})))"
+          lang -> ps.map(p =>
+            s"CAST((length(text) - length(replace(text, '$p', ''))) // ${p.length} AS INT)")
+            .mkString("(", " + ", ")")
         }
         val Seq(de, en, es, fr, zh) = score.map(_._2)
         s"""SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -482,8 +486,7 @@ object QueriesExt {
            |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
            |    WHEN $fr >= $zh THEN 'fr'
            |    ELSE 'zh' END AS lang_pred
-           |  FROM (SELECT list_transform(range(1, GREATEST(length(text) - 2, 1) + 1),
-           |          i -> substr(text, i, 3)) AS grams FROM documents) d
+           |  FROM documents
            |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
       }),
 

@@ -34,13 +34,13 @@ object Dedup {
   /** MinHash signature: each shingle string is hashed ONCE to a 64-bit
     * value; the k hash functions are cheap seeded re-mixes of that long
     * (xxhash64(h, i)) — 10× cheaper than re-hashing the string k times,
-    * same LSH property. Computed per-row with higher-order expressions —
-    * no shuffle, no UDF. */
+    * same LSH property. The k-minima pass runs as the codegen'd
+    * [[graft.functions.MinHashSig]] kernel (bit-identical to the former
+    * k-fold HOF form, one pass instead of k interpreted folds). */
   def minhashSignature(sh: Column, k: Int): Column = {
-    val hashes = transform(sh, s => xxhash64(s))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, xxhash64(h, i))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.MinHashSig(GraftColumnBridge.expression(sh), k))
   }
 
   /** Candidate pairs via LSH banding: signature split into bands of `rows`
@@ -81,21 +81,33 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Exact n-gram Jaccard self-join (oracle twin at test scale; bounded by
-    * an id cap so the quadratic stays fixed-size at any sf). */
+  /** Exact n-gram Jaccard self-join via an inverted index: explode to
+    * (shingle, doc_id), equi-join on the shingle, and count co-occurrences
+    * per pair — |A∩B| as one codegen'd hash aggregation. Identical output to
+    * the naive crossJoin + array_intersect (pairs sharing no shingle have
+    * J = 0 < threshold), but the pair generation shuffles on shingle keys
+    * instead of materializing the O(n²) cross product — the 100 TB shape
+    * (the id cap bounds the verified region at any sf; the oracle twin
+    * stays the declarative set-intersect form). */
   def exactJaccard(spark: SparkSession, docs: DataFrame, shingleW: Int,
       threshold: Double, idCap: Long): DataFrame = {
     val sh = docs.where(col("doc_id") < idCap)
       .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-    a.crossJoin(b).where(col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val a = inv.select(col("g"), col("doc_id").as("a_id"), col("n").as("na"))
+    val b = inv.select(col("g"), col("doc_id").as("b_id"), col("n").as("nb"))
+    val out = a.join(b, Seq("g"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter") /
-        (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+        (col("na") + col("nb") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+    out
   }
 
   /** Embedding-cosine near-dedup: a row is a duplicate iff an
@@ -121,17 +133,15 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(split(text, " "), t => xxhash64(t)))
 
-  /** Signature from a pre-materialized token-hash array — callers project
-    * the hash array into its own column first so the 63 bit-sum expressions
-    * share one evaluation of split+xxhash64 instead of recomputing it per
-    * bit (63× — measured 10× slower end to end). */
+  /** Signature from a pre-materialized token-hash array, computed by the
+    * codegen'd [[graft.functions.SimHashSig]] kernel: one pass over the
+    * hashes for all 63 bit-sums (the former per-bit HOF folds re-walked the
+    * array 63×, interpreted). Bit semantics unchanged: bit b set iff
+    * Σ_h (bit b of h ? +1 : −1) > 0. */
   def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 63).map { b =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.SimHashSig(GraftColumnBridge.expression(hashes)))
   }
 
   /** SimHash near-dups: hamming(sig_a, sig_b) ≤ maxDist, candidates bucketed

@@ -58,13 +58,14 @@ object SimSearch {
     * (shuffle on bucket id). */
   def bucketId(v: Column, dim: Int, nPlanes: Int): Column = {
     // plane p weight for dimension i: cos-ish deterministic pseudo-weights
-    // from integer arithmetic: w(p,i) = ((i*2654435761 + p*40503) mod 1000 - 500)
+    // from integer arithmetic: w(p,i) = ((i*2654435761 + p*40503) mod 1000 - 500).
+    // The weights are plan-time literal arrays, so each projection is one
+    // codegen VectorDot (ascending fold — bit-identical to the former
+    // interpreted zip_with+aggregate, hence identical buckets).
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x * (((i * lit(2654435761L) + lit(p * 40503L)) % 1000).cast("double") - 500.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+      val w = array((0 until dim).map(i =>
+        lit(((i.toLong * 2654435761L + p.toLong * 40503L) % 1000L).toDouble - 500.0)): _*)
+      when(dot(v, w) >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
@@ -106,12 +107,15 @@ object SimSearch {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
-    // nearest centroid = argmin over nCentroids dot-free L2 distances,
-    // unrolled at plan-build time into one projection
+    // nearest centroid = argmin over nCentroids L2 distances, unrolled at
+    // plan-build time. ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is constant
+    // across candidates, so the argmin ranks by −2·v·c + ‖c‖² — one codegen
+    // VectorDot per centroid instead of an interpreted per-element
+    // (x−y)² fold (which dominated this key's runtime at sf0.1).
     def nearest(v: Column): Column = {
       val dists = centroids.map { case (i, c) =>
-        (i, aggregate(zip_with(v, centroidLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
+        val c2 = c.map(x => x * x).sum
+        (i, dot(v, centroidLit(c)) * -2.0 + lit(c2))
       }
       dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
         case ((bestD, bestI), (i, d)) =>

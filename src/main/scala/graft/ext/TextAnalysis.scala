@@ -109,6 +109,32 @@ object TextAnalysis {
       .drop("__grams" +: profiles.map(p => s"__s_${p._1}"): _*)
   }
 
+  /** Occurrence-counting language ID: score(lang) = Σ_p over the language's
+    * profile n-grams of the non-overlapping occurrence count of p in the
+    * text, computed as (len(text) − len(replace(text, p))) / len(p) — plain
+    * codegen'd string ops, no array materialization. The trigram-array form
+    * ([[withLangIdNgram]]) allocates one substring per character position
+    * and filters it per language through interpreted higher-order lambdas;
+    * this form is the data-proportional-path default. Unlike the 3-char
+    * substr grams, it also scores 1–2-char profile entries (e.g. CJK
+    * single-character markers). Argmax tie-break identical: first language
+    * in profile order with a strictly greater score. */
+  def withLangIdOccurrence(df: DataFrame, textCol: String, out: String,
+      profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): DataFrame = {
+    val withScores = profiles.foldLeft(df) { case (d, (lang, ps)) =>
+      d.withColumn(s"__s_$lang", ps.map { p =>
+        ((length(col(textCol)) - length(replace(col(textCol), lit(p)))) / p.length).cast("int")
+      }.reduce(_ + _))
+    }
+    val scores = profiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s), when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    withScores.withColumn(out, pred)
+      .drop(profiles.map(p => s"__s_${p._1}"): _*)
+  }
+
   /** Positional polynomial fingerprint: Σ_i (len(tok_i) · i) mod 1000003 —
     * deterministic, SQL-expressible on any engine (rolling-hash shape
     * without engine-specific hash functions). */

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Native sketch kernels for the dedup family (reference's near-dup
+  * north-star). The higher-order forms — k MinHash folds
+  * (`aggregate(hashes, MaxValue, least(acc, xxhash64(h, i)))` per seed) and
+  * 63 SimHash bit-sum folds — are interpreted per element (lambda binding +
+  * boxing): measured multi-second at sf0.1. These single-pass loops keep the
+  * sketch projection inside whole-stage codegen and are bit-identical to the
+  * HOF forms (same Spark xxhash64 mixing, same fold order).
+  */
+object TextSketch {
+
+  /** out[i] = min over h in hashes of xxhash64(h, i) with Spark's chained
+    * seeding: hashInt(i, hashLong(h, 42)) — identical to the HOF form where
+    * the seed index comes from `sequence(0, k-1)` (IntegerType). */
+  def minhash(hashes: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      if (!hashes.isNullAt(j)) mix(XXH64.hashLong(hashes.getLong(j), 42L), k, out)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** String-input variant: each element is hashed once with Spark's
+    * `xxhash64(s)` (seed 42), then re-mixed per seed exactly like
+    * [[minhash]] — so signatures equal `minhash(transform(sh, xxhash64), k)`
+    * without materializing the intermediate hash array. */
+  def minhashStr(shingles: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        mix(XXH64.hashLong(XXH64.hashUTF8String(s, 42L), 42L), k, out)
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private def mix(h0: Long, k: Int, out: Array[Long]): Unit = {
+    var i = 0
+    while (i < k) {
+      val v = XXH64.hashInt(i, h0)
+      if (v < out(i)) out(i) = v
+      i += 1
+    }
+  }
+
+  /** 63-bit SimHash: bit b of the result is set iff
+    * Σ_h (bit b of h ? +1 : −1) > 0. 63 bits keeps the assembled value
+    * non-negative under ANSI arithmetic (Dedup.scala contract). */
+  def simhash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](63)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      if (!hashes.isNullAt(j)) {
+        val h = hashes.getLong(j)
+        var b = 0
+        while (b < 63) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 63) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** MinHash signature (array<long> pre-hashed tokens OR array<string>
+  * shingles → array<long> of k per-seed minima) as one codegen'd pass. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isStr = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<bigint> or array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    if (isStr) TextSketch.minhashStr(input.asInstanceOf[ArrayData], k)
+    else TextSketch.minhash(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isStr) "minhashStr" else "minhash"
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.$fn($c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SimHash signature (array<long> token hashes → 63-bit long) as one
+  * codegen'd pass. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash_sig needs array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.simhash(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}

@@ -76,18 +76,16 @@ object Profiler {
     def card(c: String): Column =
       if (approxCardinality) approx_count_distinct(col(c)) else countDistinct(col(c))
 
-    // Two single-row passes over the table. Mixing multi-DISTINCT aggregates
-    // (which plan as Expand ×(groups+1)) with imperative percentile buffers
-    // in ONE aggregate makes every buffer update pay the expand factor —
-    // measured 25× slower at sf0.1. Distinct counts go in one pass,
-    // everything else in the other; exact percentiles keep the verification
-    // path deterministic (the reference used approx_percentile — the approx
-    // twin is exposed via percentile_approx in Queries.agg_percentile).
-    val distinctAggs = scala.collection.mutable.ArrayBuffer[Column]()
+    // Distinct counts and everything else are separate passes. Mixing
+    // multi-DISTINCT aggregates (which plan as Expand ×(groups+1)) with
+    // imperative percentile buffers in ONE aggregate makes every buffer
+    // update pay the expand factor — measured 25× slower at sf0.1. Exact
+    // percentiles keep the verification path deterministic (the reference
+    // used approx_percentile — the approx twin is exposed via
+    // percentile_approx in Queries.agg_percentile).
     val plainAggs = scala.collection.mutable.ArrayBuffer[Column](count(lit(1)).as("_total"))
     fields.foreach { f =>
       val c = f.name
-      distinctAggs += card(c).as(s"${c}__card")
       if (isNumeric(f.dataType)) {
         plainAggs += min(col(c)).cast("double").as(s"${c}__min")
         plainAggs += max(col(c)).cast("double").as(s"${c}__max")
@@ -95,30 +93,69 @@ object Profiler {
           plainAggs += expr(s"percentile($c, array(0.1D, 0.5D, 0.9D))").as(s"${c}__pct")
         }
       }
-      if (isDateLike(f.dataType)) {
-        // two-level date-granularity aggregation (partitioning.py:380-408):
-        // count(distinct day-of-month / month / year values). Folded into
-        // the same distinct pass — a separate two-level job costs an extra
-        // table scan per date column (measured slower than 3 Expand groups).
-        distinctAggs += countDistinct(dayofmonth(col(c))).as(s"${c}__days")
-        distinctAggs += countDistinct(month(col(c))).as(s"${c}__months")
-        distinctAggs += countDistinct(year(col(c))).as(s"${c}__years")
-      }
     }
+    val dateFields = fields.filter(f => isDateLike(f.dataType)).map(_.name)
+    def dateAggs(c: String): Seq[Column] = Seq(
+      // two-level date-granularity aggregation (partitioning.py:380-408):
+      // count(distinct day-of-month / month / year values)
+      countDistinct(dayofmonth(col(c))).as(s"${c}__days"),
+      countDistinct(month(col(c))).as(s"${c}__months"),
+      countDistinct(year(col(c))).as(s"${c}__years"))
 
-    val row: Row = df.agg(plainAggs.head, plainAggs.tail.toSeq: _*)
-      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail.toSeq: _*))
-      .collect()(0)
+    // With spare scheduler slots (≥16), each distinct count runs as its own
+    // concurrent job: a per-column HashAggregate dedupes map-side BEFORE the
+    // shuffle, vs the combined form's Expand ×(columns+date-levels) pushing
+    // |rows|×groups through one partial aggregate (measured 3.4 s vs 0.7 s
+    // on sf0.1 lineitem). Column pruning makes each job read only its own
+    // parquet column, so total I/O matches the one-pass form. On small
+    // executors the jobs would queue — keep the single Expand pass there.
+    val (plainRow, cardMap, dateMap) =
+      if (spark.sparkContext.defaultParallelism >= 16) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(fields.size + dateFields.size + 1)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try {
+          val plainF = Future(df.agg(plainAggs.head, plainAggs.tail.toSeq: _*).collect()(0))
+          val cardFs = fields.map(f => Future(
+            f.name -> df.agg(card(f.name)).collect()(0).getLong(0)))
+          val dateFs = dateFields.map { c =>
+            Future {
+              val as = dateAggs(c)
+              val r = df.agg(as.head, as.tail: _*).collect()(0)
+              c -> (r.getLong(0), r.getLong(1), r.getLong(2))
+            }
+          }
+          (Await.result(plainF, Duration.Inf),
+            Await.result(Future.sequence(cardFs), Duration.Inf).toMap,
+            Await.result(Future.sequence(dateFs), Duration.Inf).toMap)
+        } finally pool.shutdown()
+      } else {
+        val distinctAggs = fields.map(f => card(f.name).as(s"${f.name}__card")) ++
+          dateFields.flatMap(dateAggs)
+        val row = df.agg(plainAggs.head, plainAggs.tail.toSeq: _*)
+          .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+          .collect()(0)
+        def lng(name: String): Long = {
+          val i = row.schema.fieldNames.indexOf(name)
+          row.getLong(i)
+        }
+        (row,
+          fields.map(f => f.name -> lng(s"${f.name}__card")).toMap,
+          dateFields.map(c =>
+            c -> (lng(s"${c}__days"), lng(s"${c}__months"), lng(s"${c}__years"))).toMap)
+      }
+
     def get[T](name: String): Option[T] = {
-      val names = row.schema.fieldNames
+      val names = plainRow.schema.fieldNames
       val i = names.indexOf(name)
-      if (i < 0 || row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[T])
+      if (i < 0 || plainRow.isNullAt(i)) None else Some(plainRow.get(i).asInstanceOf[T])
     }
     val total = get[Long]("_total").getOrElse(0L)
 
     fields.map { f =>
       val c = f.name
-      val cardV = get[Long](s"${c}__card").getOrElse(0L)
+      val cardV = cardMap.getOrElse(c, 0L)
       val minV = get[Double](s"${c}__min")
       val maxV = get[Double](s"${c}__max")
       val pct = get[scala.collection.Seq[Double]](s"${c}__pct").map(_.toSeq)
@@ -135,8 +172,10 @@ object Profiler {
         }
       }
       val density = pct.map(_ => if (total > 0) cardV.toDouble / total else 0.0)
-      val (dCnt, mCnt, yCnt) =
-        (get[Long](s"${c}__days"), get[Long](s"${c}__months"), get[Long](s"${c}__years"))
+      val (dCnt, mCnt, yCnt) = dateMap.get(c) match {
+        case Some((d, m, y)) => (Some(d), Some(m), Some(y))
+        case None => (None, None, None)
+      }
       // granularity thresholds per partitioning.py:399-406.
       val gran = (dCnt, mCnt, yCnt) match {
         case (Some(d), Some(m), Some(y)) =>
