@@ -1,0 +1,156 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.{Dedup, Sampling, Temporal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-3 operator surface: temporal joins (as-of, interval/range),
+  * dedup clustering (connected components), and deterministic sampling —
+  * the training-pipeline operators beyond the reference's own inventory
+  * (SURVEY §2.13 extensions; the reference has no join execution at all,
+  * SURVEY §2.3). Determinism rules as in Queries.scala: explicit ORDER BY
+  * on a unique key, integer `div` (never `/`) on epoch-nano longs, decimal
+  * casts before double sums.
+  */
+object Queries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  /** ns→ms with integer division: epoch-nano longs exceed 2^53, a double
+    * quotient would corrupt low bits. DuckDB twin: epoch_ns(ts)//1000000. */
+  private val tsMs = "ts div 1000000"
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("asof_join",
+      // each purchase event joined to the same user's most recent
+      // prior-or-equal signup event (left-outer: null gap when none)
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr(tsMs).as("t"))
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), expr(tsMs).as("t"), expr(tsMs).as("s_t"))
+        Temporal.asofJoin(purchases, signups, Seq("user_id"), "t", Seq("s_t"))
+          .select(col("event_id"), col("user_id"),
+            (col("t") - col("asof_s_t")).as("gap_ms"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000000 AS t
+          |           FROM events WHERE event_type = 'purchase'),
+          |     s AS (SELECT user_id, epoch_ns(ts)//1000000 AS t
+          |           FROM events WHERE event_type = 'signup')
+          |SELECT p.event_id, p.user_id, p.t - s.t AS gap_ms
+          |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.t >= s.t
+          |ORDER BY p.event_id""".stripMargin)),
+
+    QSpec("range_join",
+      // events sliced into two data-derived time windows per event type
+      // (first quarter, third quarter of each type's time span); inclusive
+      // bounds; count + decimal-exact value sum per window
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val bounds = ev.groupBy(col("event_type").as("itype"))
+          .agg(min("ts").as("lo0"), max("ts").as("hi0"))
+        val intervals = bounds.select(col("itype"), explode(array(
+            struct(lit(0).as("iid"), col("lo0").as("lo"),
+              expr("lo0 + ((hi0 - lo0) div 4)").as("hi")),
+            struct(lit(1).as("iid"), expr("lo0 + ((hi0 - lo0) div 2)").as("lo"),
+              expr("lo0 + (((hi0 - lo0) * 3) div 4)").as("hi")))).as("iv"))
+          .select(col("itype"), col("iv.iid"), col("iv.lo"), col("iv.hi"))
+        Temporal.rangeJoin(ev.select("ts", "value"), intervals,
+            "ts", "lo", "hi", bucketWidth = 86400L * 1000000000L)
+          .groupBy("itype", "iid")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy("itype", "iid")
+      },
+      Some(
+        """WITH b AS (SELECT event_type AS itype, MIN(epoch_ns(ts)) AS lo0,
+          |                  MAX(epoch_ns(ts)) AS hi0
+          |           FROM events GROUP BY 1),
+          |iv AS (
+          |  SELECT itype, CAST(0 AS INT) AS iid, lo0 AS lo,
+          |         lo0 + ((hi0 - lo0)//4) AS hi FROM b
+          |  UNION ALL
+          |  SELECT itype, CAST(1 AS INT), lo0 + ((hi0 - lo0)//2),
+          |         lo0 + (((hi0 - lo0)*3)//4) FROM b
+          |)
+          |SELECT iv.itype, iv.iid, CAST(COUNT(*) AS BIGINT) AS n_events,
+          |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events e JOIN iv
+          |  ON epoch_ns(e.ts) >= iv.lo AND epoch_ns(e.ts) <= iv.hi
+          |GROUP BY 1, 2 ORDER BY itype, iid""".stripMargin)),
+
+    QSpec("dedup_cluster",
+      // connected components over the n-gram Jaccard near-dup pairs
+      // (same parameters as dedup_ngram_jaccard): every doc labelled with
+      // the min reachable doc_id + component size; singletons included
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.exactJaccard(s, docs, shingleW = 3,
+          threshold = 0.2, idCap = 500).select("a_id", "b_id")
+        Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+      },
+      Some(
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp
+          |        FROM documents WHERE doc_id < 500) d
+          |), pairs AS (
+          |  SELECT a_id, b_id FROM (
+          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          |    FROM sh a, sh b WHERE a.doc_id < b.doc_id) j
+          |  WHERE jaccard >= 0.2
+          |), edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION ALL SELECT b_id, a_id FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+          |), lab AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+          |), sz AS (
+          |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |  FROM lab GROUP BY cluster_id
+          |)
+          |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+          |FROM lab JOIN sz USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("sample_stratified",
+      // per-source rate sampling: keep iff idHash(doc_id) mod 1000 falls
+      // under the stratum quota (a per-mille rate derived from the source
+      // name so the oracle needs no data knowledge) — map-only, no shuffle
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quota = (length(col("source")).cast("long") * lit(37L)) % lit(300L) + lit(100L)
+        Sampling.stratifiedSample(docs, "doc_id", quota)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, source FROM documents
+          |WHERE ((doc_id * 2654435761 + 12345) % 1000003) % 1000
+          |      < ((length(source) * 37) % 300) + 100
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("sample_topk_stratum",
+      // exact-k-per-stratum deterministic reservoir: the 5 smallest-hash
+      // docs per source; one shuffle on the stratum key
+      (s, dir) => Sampling.topKPerStratum(t(s, dir, "documents"), "doc_id", "source", 5)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source, row_number() OVER (
+          |    PARTITION BY source
+          |    ORDER BY (doc_id * 2654435761 + 12345) % 1000003 ASC, doc_id ASC) AS rn
+          |  FROM documents) r
+          |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)))
+}

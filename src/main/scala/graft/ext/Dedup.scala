@@ -124,6 +124,55 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Connected components over a near-dup pair list: every document gets the
+    * minimum doc_id reachable through dup edges as its `cluster_id` (the
+    * canonical representative a corpus-dedup pass would keep), plus the
+    * component size. Documents in no pair are singleton clusters of
+    * themselves.
+    *
+    * Algorithm: iterated min-label propagation — each round every node takes
+    * the min of its own label and its neighbors' labels; fixpoint after
+    * O(component diameter) rounds. Near-dup components are overwhelmingly
+    * tiny (pairs/chains), so the diameter bound is small in practice; for
+    * adversarial long-chain graphs at 100 TB swap the propagation step for
+    * the large-star/small-star rounds (O(log n) convergence, same join
+    * shape). Each round is one shuffle (groupBy dst) + one broadcast-or-hash
+    * join; labels persist round to round; the driver sees only the changed
+    * COUNT (metadata), never the labels.
+    */
+  def clusters(spark: SparkSession, nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("label"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = labels.withColumnRenamed("label", "prev")
+        .join(next, Seq("id")).where(col("prev") =!= col("label")).count()
+      converged = changed == 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
   /** 63-bit SimHash from token hashes: bit b of the signature is the sign of
     * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). 63 bits (not 64) keeps
     * the assembled value inside a non-negative long — Spark 4 runs with ANSI

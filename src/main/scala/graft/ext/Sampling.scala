@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines (north-star
+  * family, SURVEY §2.13). Spark's `df.sample` is seed-deterministic only per
+  * partitioning — repartition the input and the sample changes — which makes
+  * it useless for reproducible corpus construction. These operators derive
+  * the keep/drop decision from the row's own key, so the sample is a pure
+  * function of the data: stable across partitionings, re-runs, engines (the
+  * DuckDB oracles reproduce it bit-for-bit), and incremental appends (new
+  * rows don't flip old decisions — the property that matters when a 100 TB
+  * corpus is sampled in daily increments).
+  *
+  * Scale design: rate-based sampling is a pure filter — map-only, no
+  * shuffle, runs at scan speed with the predicate pushed into the scan
+  * stage. Exact-k-per-stratum costs one shuffle on the stratum key (the
+  * rank window); at 100 TB prefer the rate form unless exact counts are
+  * contractual.
+  */
+object Sampling {
+
+  /** Mixing hash for a bigint id: multiplicative hashing into a prime
+    * field. Chosen over xxhash64/murmur3 deliberately: the arithmetic is
+    * reproducible in any SQL engine (the DuckDB oracle twin), which is what
+    * makes cross-engine corpus reproducibility auditable. Knuth multiplier
+    * 2654435761 (golden-ratio scaling of 2^32); modulus 1000003 (prime)
+    * keeps every product within long range under ANSI overflow checking.
+    */
+  def idHash(id: Column): Column = (id * lit(2654435761L) + lit(12345L)) % lit(1000003L)
+
+  /** Per-stratum rate sampling: keep a row iff hash(id) mod 1000 falls
+    * under the stratum's per-mille quota. `quotaPerMille` is any Column
+    * expression (per-stratum constant, data-derived, etc.). */
+  def stratifiedSample(df: DataFrame, idCol: String, quotaPerMille: Column): DataFrame =
+    df.where(idHash(col(idCol)) % lit(1000L) < quotaPerMille)
+
+  /** Exact-k-per-stratum sampling: the k rows with the smallest id-hash in
+    * each stratum (deterministic "reservoir"); hash ties broken by id. One
+    * shuffle on the stratum key. */
+  def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.{Dedup, Sampling, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Batch-3 extension operators: as-of join vs a naive per-row maximum,
+  * bucketed range join vs the plain theta join, connected-components
+  * clustering on a known graph, deterministic sampling properties. */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofJoin matches the naive greatest-t<=T lookup, including ties and misses") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"), (3L, 7L, "l4"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 150L), (1L, 25L, 250L), (2L, 9L, 900L))
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .select("k", "t", "tag", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), Option(r.get(3)))).toSet
+    // l1: tie at t=10 matches; l2: t=15 row; l3: right t=9 > 5 → none; l4: no key
+    assert(got == Set(
+      (1L, 10L, "l1", Some(100L)),
+      (1L, 20L, "l2", Some(150L)),
+      (2L, 5L, "l3", None),
+      (3L, 7L, "l4", None)))
+  }
+
+  test("asofJoin plans one shuffle (union+window), not a nested-loop join") {
+    val ev = TableRegistry.table(spark, sfDir, "events")
+    val l = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", expr("ts div 1000000").as("t"))
+    val r = ev.where($"event_type" === "signup")
+      .select($"user_id", expr("ts div 1000000").as("t"), $"value".as("v"))
+    val plan = Temporal.asofJoin(l, r, Seq("user_id"), "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("rangeJoin equals the plain theta join on inclusive bounds") {
+    val fact = Seq((1L, 0L), (2L, 100L), (3L, 250L), (4L, 400L), (5L, 999L))
+      .toDF("id", "t")
+    val ivals = Seq((10, 100L, 250L), (20, 240L, 260L), (30, 500L, 600L))
+      .toDF("iid", "lo", "hi")
+    val bucketed = Temporal.rangeJoin(fact, ivals, "t", "lo", "hi", bucketWidth = 64L)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val theta = fact.join(ivals, $"t" >= $"lo" && $"t" <= $"hi")
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bucketed == theta)
+    assert(bucketed == Set((2L, 10), (3L, 10), (3L, 20)))
+  }
+
+  test("clusters assigns min reachable id and component size, singletons included") {
+    // components: {1,2,3,7} via 1-2, 2-3, 3-7; {4,5}; singleton {6}
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(spark, nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (7L, 1L, 4L),
+      (4L, 4L, 2L), (5L, 4L, 2L), (6L, 6L, 1L)))
+  }
+
+  test("stratified sample is a pure function of the data: stable under repartition") {
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val quota = lit(200L)
+    val a = Sampling.stratifiedSample(docs, "doc_id", quota)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(13), "doc_id", quota)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("topKPerStratum returns exactly min(k, |stratum|) rows per stratum") {
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val counts = Sampling.topKPerStratum(docs, "doc_id", "source", 3)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    val strata = docs.select("source").distinct().count()
+    assert(counts.length == strata)
+    assert(counts.forall(_ <= 3))
+  }
+}
