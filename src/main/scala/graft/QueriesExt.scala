@@ -304,12 +304,25 @@ object QueriesExt {
           |FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     QSpec("simjoin_ann",
-      // X4 LSH-bucketed ANN self-join — recall/bucket boundaries are
-      // fp-sign-sensitive, so no oracle; recall vs the exact join is
-      // asserted in ExtSpec.
+      // X4 LSH-bucketed ANN self-join. The plane weights are integer-derived
+      // literals and the dot products fold ascending (codegen VectorDot), so
+      // the oracle replays the bucket assignment bit-for-bit — sign-exact fp
+      // reproducibility is what VectorDot's fixed fold order buys. Recall vs
+      // the exact join is additionally asserted in ExtSpec.
       (s, dir) => SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
         dim = 64, nPlanes = 8, threshold = 0.25),
-      None),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+          |bk AS (SELECT vec_id, v, nrm,
+          |  CAST(list_sum(list_transform(range(8), p -> CASE WHEN
+          |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + p*40503) % 1000 - 500 AS DOUBLE))) >= 0
+          |    THEN (1 << p) ELSE 0 END)) AS INT) AS bucket FROM n)
+          |SELECT a_id, b_id, cos FROM (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |    ROUND(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / (a.nrm*b.nrm), 6) AS cos
+          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+          |WHERE cos >= 0.25 ORDER BY a_id, b_id""".stripMargin)),
 
     QSpec("simjoin_exact",
       // exact-threshold twin (bounded: embeddings stays small by fixture
@@ -327,14 +340,70 @@ object QueriesExt {
           |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.30 ORDER BY a_id, b_id""".stripMargin)),
 
     QSpec("dedup_minhash",
-      // X2 MinHash+LSH banding — xxhash64-based, engine-native; verified
-      // against exact Jaccard in ExtSpec, not DuckDB.
+      // X2 MinHash+LSH banding over the polynomial prime-field hash family:
+      // the oracle replays the exact signature arithmetic (codepoint
+      // polynomial mod 1e9+7, affine per-seed re-mix), the 5×4 banding
+      // candidates (band-slice equality), and the Jaccard verification —
+      // a full hash-compared check of the whole LSH pipeline.
       (s, dir) => Dedup.minhashNearDups(s, t(s, dir, "documents")),
-      None),
+      Some(
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d
+          |), hs AS (
+          |  SELECT doc_id, sh, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, sh, list_transform(range(20), i ->
+          |    list_min(list_transform(hs, h ->
+          |      (((i+1) * 2654435761 % 1000000007) * h + ((i+1) * 40503 + 17) % 1000000007) % 1000000007))) AS sig
+          |  FROM hs
+          |), bands AS (
+          |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key FROM sig, range(5) t(b)
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          |)
+          |SELECT a_id, b_id, jaccard FROM (
+          |  SELECT c.a_id, c.b_id,
+          |    ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+          |  FROM cand c JOIN sig x ON x.doc_id = c.a_id JOIN sig y ON y.doc_id = c.b_id) v
+          |WHERE jaccard >= 0.7 ORDER BY a_id, b_id""".stripMargin)),
 
     QSpec("dedup_simhash",
+      // X2 SimHash near-dups over 61-bit polynomial token hashes: the
+      // oracle replays per-token hashing, the 61 bit-majority sums, the
+      // four 16-bit LSH bands, and the hamming-distance filter.
       (s, dir) => Dedup.simhashNearDups(s, t(s, dir, "documents")),
-      None),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          |), hs AS (
+          |  SELECT doc_id, list_transform(tk, g ->
+          |    (list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (acc, c) -> (acc * 131 + c) % 1000000007) * 2654435761 + 986244679) % 2305843009213693951) AS hs
+          |  FROM tok
+          |), sig AS (
+          |  SELECT doc_id, CAST(SUM(CASE WHEN list_sum(list_transform(hs, h ->
+          |      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+          |  FROM hs, range(61) t(b) GROUP BY doc_id
+          |), bands AS (
+          |  SELECT doc_id, b, (sig >> CAST(b*16 AS INT)) & 65535 AS key FROM sig, range(4) t(b)
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          |)
+          |SELECT a_id, b_id, dist FROM (
+          |  SELECT c.a_id, c.b_id, CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS dist
+          |  FROM cand c JOIN sig x ON x.doc_id = c.a_id JOIN sig y ON y.doc_id = c.b_id) v
+          |WHERE dist <= 3 ORDER BY a_id, b_id""".stripMargin)),
 
     QSpec("dedup_ngram_jaccard",
       (s, dir) => Dedup.exactJaccard(s, t(s, dir, "documents"),
@@ -491,11 +560,31 @@ object QueriesExt {
       }),
 
     QSpec("simsearch_ivf",
-      // IVF-bucketed ANN: cluster-pruned search path (recall vs brute force
-      // asserted in ExtSpec; ordering depends on pruning, so rows-only here)
+      // IVF-bucketed ANN: deterministic seeding (first-16 centroids),
+      // ascending-fold distances, first-index argmin tie-break — all
+      // replayed by the oracle (assignment via ranked window, probes via
+      // the same L2 ordering). Recall vs brute force asserted in ExtSpec.
       (s, dir) => SimSearch.ivfTopK(s, t(s, dir, "embeddings"),
         queryVecId = 0, k = 10, nCentroids = 16, nProbe = 4),
-      None),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv,
+          |         list_sum(list_transform(v, x -> x*x)) AS c2
+          |         FROM n ORDER BY vec_id LIMIT 16),
+          |asg AS (
+          |  SELECT vec_id, v, nrm, ci AS cluster FROM (
+          |    SELECT n.vec_id, n.v, n.nrm, cent.ci,
+          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+          |        list_sum(list_transform(range(len(n.v)), i -> n.v[i+1]*cent.cv[i+1])) * -2.0 + cent.c2, cent.ci) AS rk
+          |    FROM n, cent) r WHERE rk = 1),
+          |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+          |probes AS (SELECT cent.ci FROM cent, q
+          |           ORDER BY list_sum(list_transform(range(len(qv)), i -> (cent.cv[i+1]-qv[i+1])*(cent.cv[i+1]-qv[i+1]))), cent.ci
+          |           LIMIT 4)
+          |SELECT a.vec_id, ROUND(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*q.qv[i+1])) / (a.nrm*q.qnrm), 6) AS cos
+          |FROM asg a, q WHERE a.cluster IN (SELECT ci FROM probes) AND a.vec_id <> 0
+          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     QSpec("multimodal_resize",
       (s, dir) => {

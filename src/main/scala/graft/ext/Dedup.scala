@@ -43,6 +43,18 @@ object Dedup {
       graft.functions.MinHashSig(GraftColumnBridge.expression(sh), k))
   }
 
+  /** MinHash signature over the polynomial prime-field family — same
+    * codegen single-pass shape as [[minhashSignature]], but every step is
+    * plain modular arithmetic, so the DuckDB oracle replays the signature
+    * (and therefore the banding candidates and the final pair set) exactly.
+    * This is what upgrades `dedup_minhash` from a rows-only check to a full
+    * hash-compared oracle. */
+  def minhashPolySignature(sh: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.MinHashPolySig(GraftColumnBridge.expression(sh), k))
+  }
+
   /** Candidate pairs via LSH banding: signature split into bands of `rows`
     * hashes; docs sharing any band bucket become candidates; candidates are
     * verified with exact shingle-set Jaccard. Returns
@@ -55,7 +67,7 @@ object Dedup {
     // recomputes it ~10× — measured 61 s vs 4 s on sf0.1. At cluster scale
     // this is the classic "materialize the sketch pass" step.
     val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", minhashPolySignature(col("sh"), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = k / rows
     // band join carries only (band, bucket, doc_id) — shingle arrays would
@@ -173,14 +185,20 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 63-bit SimHash from token hashes: bit b of the signature is the sign of
-    * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). 63 bits (not 64) keeps
-    * the assembled value inside a non-negative long — Spark 4 runs with ANSI
-    * overflow checking on. Bit positions are unrolled at plan-build time
-    * (shiftright takes a literal Int), so this is still one codegen'd
-    * projection, no UDF. */
+  /** SimHash from whitespace tokens: bit b of the signature is the sign of
+    * Σ_tokens (bit b of tokenHash61(token) ? +1 : −1). Token hashes are the
+    * 61-bit polynomial family (SQL-reproducible — the `dedup_simhash`
+    * DuckDB oracle replays signatures exactly), so the assembled value
+    * stays non-negative under Spark 4's ANSI overflow checking. */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(split(text, " "), t => xxhash64(t)))
+    simhashFromHashes(tokenHashes61(split(text, " ")))
+
+  /** Per-token 61-bit polynomial hashes (codegen single pass). */
+  def tokenHashes61(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.TokenHash61(GraftColumnBridge.expression(tokens)))
+  }
 
   /** Signature from a pre-materialized token-hash array, computed by the
     * codegen'd [[graft.functions.SimHashSig]] kernel: one pass over the
@@ -198,7 +216,7 @@ object Dedup {
     * least one of four 16-bit bands — pigeonhole). */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = docs
-      .select(col("doc_id"), transform(split(col("text"), " "), t => xxhash64(t)).as("hashes"))
+      .select(col("doc_id"), tokenHashes61(split(col("text"), " ")).as("hashes"))
       .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"), col("sig"),

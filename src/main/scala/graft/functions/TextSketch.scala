@@ -60,6 +60,72 @@ object TextSketch {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Polynomial prime-field hashing — the SQL-reproducible family. Unlike
+  // xxhash64 (Spark-internal mixing), every step below is plain modular
+  // arithmetic a DuckDB oracle replays exactly (list_reduce over
+  // codepoints), which upgrades the minhash/simhash dedup keys from
+  // rows-only checks to full hash-compared oracles.
+  // ------------------------------------------------------------------
+
+  /** Polynomial codepoint hash: h = fold(7, h*131 + codepoint) mod 1e9+7.
+    * Products stay < 2^60, so plain long arithmetic is exact under ANSI.
+    * DuckDB twin: list_reduce(list_prepend(7, codepoints), (a,c) ->
+    * (a*131 + c) % 1000000007). */
+  final val PolyP = 1000000007L
+
+  def polyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var h = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp) % PolyP
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** MinHash signature over the affine family h_i(x) = (a_i·x + b_i) mod P
+    * with a_i = (i+1)·2654435761 mod P, b_i = (i+1)·40503 + 17 mod P —
+    * constants chosen so every intermediate fits a long. */
+  def minhashPoly(shingles: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val h = polyHash(shingles.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val a = ((i + 1) * 2654435761L) % PolyP
+          val b = ((i + 1) * 40503L + 17L) % PolyP
+          val v = (a * h + b) % PolyP
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 61-bit token hash for SimHash: widen [[polyHash]] into the Mersenne
+    * field 2^61−1 (one more affine step; product < 2^62). */
+  def tokenHash61(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j))
+        out(j) = (polyHash(tokens.getUTF8String(j)) * 2654435761L + 986244679L) %
+          2305843009213693951L
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 63-bit SimHash: bit b of the result is set iff
     * Σ_h (bit b of h ? +1 : −1) > 0. 63 bits keeps the assembled value
     * non-negative under ANSI arithmetic (Dedup.scala contract). */
@@ -115,6 +181,50 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** MinHash signature over the SQL-reproducible polynomial family
+  * (array<string> shingles → array<long> of k per-seed minima). */
+case class MinHashPolySig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_poly_sig needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.minhashPoly(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.minhashPoly($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashPolySig =
+    copy(child = newChild)
+}
+
+/** Per-token 61-bit polynomial hash (array<string> → array<long>),
+  * the SQL-reproducible SimHash input. */
+case class TokenHash61(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"token_hash61 needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.tokenHash61(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.tokenHash61($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash61 =
     copy(child = newChild)
 }
 
