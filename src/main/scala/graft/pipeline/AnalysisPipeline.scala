@@ -75,21 +75,38 @@ object AnalysisPipeline {
         .distinct().collect().map(_.getString(0)).toSeq
       val parsed = graft.introspect.QueryIntrospector.parseAll(spark, texts)
       val refsDf = Scoring.parsedRefsFrom(spark, parsed).cache()
-      val usage = Usage.weightedFrequency(spark, vs, queryLog, Some(parsed))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val (_, colWeights) = Scoring.performanceMetricsFrom(queryLog, refsDf)
-      val weights = colWeights.collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      val types = Scoring.queryTypes(queryLog)
-      val tblRefs = refsDf.where(col("ref_column").isNull)
-        .select(col("query"), col("ref_table"))
-      val priorities = types.join(broadcast(tblRefs), Seq("query"))
-        .groupBy(col("ref_table").as("table"))
-        .agg(avg("partition_priority").as("avg_priority"))
-        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-      refsDf.unpersist()
-      queryLog.unpersist()
-      (usage, weights, priorities)
+      // the three log-derived statistics are independent jobs over the same
+      // cached inputs — submit them concurrently so the scheduler interleaves
+      // them (same posture as the per-table profile jobs in profilesFor)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val usageF = Future(Usage.weightedFrequency(spark, vs, queryLog, Some(parsed))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+        val weightsF = Future {
+          val (_, colWeights) = Scoring.performanceMetricsFrom(queryLog, refsDf)
+          colWeights.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        }
+        val prioritiesF = Future {
+          val types = Scoring.queryTypes(queryLog)
+          val tblRefs = refsDf.where(col("ref_column").isNull)
+            .select(col("query"), col("ref_table"))
+          types.join(broadcast(tblRefs), Seq("query"))
+            .groupBy(col("ref_table").as("table"))
+            .agg(avg("partition_priority").as("avg_priority"))
+            .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        }
+        (Await.result(usageF, Duration.Inf),
+          Await.result(weightsF, Duration.Inf),
+          Await.result(prioritiesF, Duration.Inf))
+      } finally {
+        pool.shutdown()
+        refsDf.unpersist()
+        queryLog.unpersist()
+      }
     })
 
   /** Composite partition scores for every (view, column) — all statistics
@@ -97,11 +114,22 @@ object AnalysisPipeline {
   def scores(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean = false): DataFrame = {
     import spark.implicits._
+    // profile scans and workload derivations touch disjoint inputs — overlap
+    // them (cold-cache wall clock becomes max of the two, not the sum)
+    val profilesF = {
+      import scala.concurrent.{ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Future(profilesFor(spark, sfDir, approxCardinality))
+    }
     val (usageRows, weightRows, priorityRows) = workloadFor(spark, sfDir)
     val usage = usageRows.toDF("name", "weighted_frequency")
     val colWeights = weightRows.toDF("table", "column", "weight")
     val priorities = priorityRows.toDF("table", "avg_priority")
-    val profiles = profilesFor(spark, sfDir, approxCardinality).toDF()
+    val profiles = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      Await.result(profilesF, Duration.Inf).toDF()
+    }
     Scoring.partitionScores(profiles, usage, colWeights, priorities)
   }
 
