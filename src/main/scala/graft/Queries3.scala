@@ -141,6 +141,93 @@ object Queries3 {
           |      < ((length(source) * 37) % 300) + 100
           |ORDER BY doc_id""".stripMargin)),
 
+    QSpec("agg_heavy_hitters",
+      // frequent-items sketch (native TypedImperativeAggregate, Misra-Gries):
+      // capacity ≥ |distinct| ⇒ exact counts regardless of merge order, so
+      // the oracle is a plain GROUP BY; the n/capacity error bound at
+      // adversarial capacity is asserted in FunctionsSpec.
+      (s, dir) => {
+        import graft.functions.HeavyHitters.heavyHitters
+        t(s, dir, "events")
+          .agg(heavyHitters(col("user_id"), 8192).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+          .orderBy(desc("cnt"), asc("user_id")).limit(10)
+      },
+      Some(
+        """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+          |GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin)),
+
+    QSpec("text_clean",
+      // corpus normalization: lowercase, strip non-alphanumerics, collapse
+      // whitespace — the canonical pre-tokenization cleanup pass (map-only)
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", " "), " +", " ")).as("clean"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QSpec("q6_forecast",
+      // TPC-H-Q6-shaped scan-heavy filter+agg: every predicate pushes to the
+      // parquet scan; one partial+final aggregate, no shuffle of rows
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue")),
+      Some(
+        """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin)),
+
+    QSpec("q10_returns",
+      // TPC-H-Q10-shaped 3-way join + grouped revenue + top-20: returned
+      // items per customer in a quarter
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01") &&
+          col("l_returnflag") === "R")
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey")).limit(20),
+      Some(
+        """SELECT c_custkey, c_name,
+          |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |  JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name
+          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
+    QSpec("agg_cube",
+      // full cube over (flag, status): all four grouping-set levels; null
+      // subtotal keys coalesced so engine null-ordering can't differ
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("flag", "status"),
+      Some(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY flag, status""".stripMargin)),
+
     QSpec("sample_topk_stratum",
       // exact-k-per-stratum deterministic reservoir: the 5 smallest-hash
       // docs per source; one shuffle on the stratum key

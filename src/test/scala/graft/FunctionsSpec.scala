@@ -64,4 +64,34 @@ class FunctionsSpec extends SparkSpec {
     val direct = vals.map(v => IcebergMurmur3.bucketLong(v, 32))
     assert(viaDf == direct)
   }
+
+  test("heavy_hitters: exact above capacity headroom, MG bound under adversarial capacity") {
+    import graft.functions.HeavyHitters.heavyHitters
+    import spark.implicits._
+    // skewed stream: key k appears 2^(8-k) times, keys 0..8
+    val rows = (0 to 8).flatMap(k => Seq.fill(1 << (8 - k))(k.toLong))
+    val df = spark.sparkContext.parallelize(rows, 7).toDF("k")
+    val n = rows.size.toLong
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // capacity ≥ |distinct| ⇒ exact counts whatever the partitioning
+    val exact = df.agg(heavyHitters($"k", 64).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.key", $"e.cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == truth)
+
+    // adversarial capacity=4: counts under-estimate by at most n/capacity,
+    // and every key with freq > n/capacity is retained
+    val approx = df.agg(heavyHitters($"k", 4).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.key", $"e.cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bound = n / 4
+    approx.foreach { case (k, est) =>
+      assert(est <= truth(k), s"over-estimate for $k")
+      assert(truth(k) - est <= bound, s"error beyond n/capacity for $k")
+    }
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(approx.contains(k), s"frequent key $k evicted")
+    }
+  }
 }
