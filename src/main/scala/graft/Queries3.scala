@@ -141,6 +141,65 @@ object Queries3 {
           |      < ((length(source) * 37) % 300) + 100
           |ORDER BY doc_id""".stripMargin)),
 
+    QSpec("stream_dedup",
+      // batch twin of the streaming watermarked dropDuplicates (state
+      // bounded by in-horizon key cardinality); stream==batch key-set
+      // equivalence is asserted in StreamingSpec
+      (s, dir) => graft.streaming.StreamingUsage.batchDedupTwin(
+        t(s, dir, "events"), Seq("user_id", "event_type")),
+      Some(
+        """SELECT user_id, event_type, MIN(epoch_ns(ts)//1000) AS first_us
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin)),
+
+    QSpec("window_lag_lead",
+      // analytic lag + bounded moving frame (rowsBetween) — window breadth
+      // beyond the reference's single row_number use (SURVEY §2.5 notes no
+      // lag/lead/frames anywhere in it)
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+          .withColumn("delta", round(col("value") - lag("value", 1).over(w), 6))
+          .withColumn("mavg", round(avg("value").over(w.rowsBetween(-2, 0)), 6))
+          .select("user_id", "event_id", "delta", "mavg")
+          .orderBy("user_id", "event_id")
+      },
+      Some(
+        """SELECT user_id, event_id,
+          |  ROUND(value - lag(value, 1) OVER w, 6) AS delta,
+          |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+          |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+          |ORDER BY user_id, event_id""".stripMargin)),
+
+    QSpec("join_full_outer",
+      // full-outer join of two grouped sides (customers vs suppliers per
+      // nation) — both null-extension directions exercised
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_customers"))
+        val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        c.join(su, col("ck") === col("sk"), "full_outer")
+          .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+          .orderBy("nationkey")
+      },
+      Some(
+        """WITH c AS (SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_customers
+          |           FROM customer GROUP BY 1),
+          |     s AS (SELECT s_nationkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          |           FROM supplier GROUP BY 1)
+          |SELECT COALESCE(ck, sk) AS nationkey,
+          |  COALESCE(n_customers, 0) AS n_customers,
+          |  COALESCE(n_suppliers, 0) AS n_suppliers
+          |FROM c FULL OUTER JOIN s ON ck = sk
+          |ORDER BY nationkey""".stripMargin)),
+
     QSpec("agg_heavy_hitters",
       // frequent-items sketch (native TypedImperativeAggregate, Misra-Gries):
       // capacity ≥ |distinct| ⇒ exact counts regardless of merge order, so

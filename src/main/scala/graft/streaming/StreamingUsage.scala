@@ -105,6 +105,29 @@ object StreamingUsage {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` over the key
+    * columns — the streaming face of `dedup_exact`. State holds one entry
+    * per distinct key inside the watermark horizon (the 100 TB posture:
+    * state is bounded by the horizon's key cardinality, not the stream
+    * length; late duplicates beyond the watermark are dropped by
+    * construction). Emits each key once, projected to the key columns so
+    * the result is order/arrival agnostic. Batch twin: [[batchDedupTwin]].
+    * Input needs an epoch-nanos `ts` long. */
+  def streamingDedupKeys(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val withTime = events.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "10 minutes")
+    withTime.dropDuplicates(keyCols)
+      .select(keyCols.map(col): _*)
+  }
+
+  /** Batch twin of [[streamingDedupKeys]] with first-seen time (the
+    * oracle-checkable face): one row per key, min event time in epoch-µs. */
+  def batchDedupTwin(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.groupBy(keyCols.map(col): _*)
+      .agg(expr("min(ts div 1000)").as("first_us"))
+      .orderBy(keyCols.map(col): _*)
+
   /** Per-user running state carried across micro-batches. */
   final case class UserState(count: Long, lastValueSum: Double)
 

@@ -37,6 +37,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming watermarked dropDuplicates emits exactly the batch-distinct key set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = TableRegistry.table(spark, sfDir, "events")
+    val events = ev.select(col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Long, String)]
+    // split across two micro-batches: dedup state must carry over
+    val (first, second) = events.splitAt(events.size / 2)
+    val streamed = StreamingUsage.streamingDedupKeys(
+      stream.toDF().toDF("ts", "user_id", "event_type"), Seq("user_id", "event_type"))
+    val qname = s"stream_dedup_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      stream.addData(first)
+      query.processAllAvailable()
+      stream.addData(second)
+      query.processAllAvailable()
+      val got = spark.table(qname)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val want = ev.select("user_id", "event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.size == got.distinct.size, "duplicate key emitted")
+      assert(got.toSet == want.toSet)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch twin once watermark flushes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
