@@ -518,27 +518,27 @@ object Queries {
 
   private val windowSpecs = Seq(
     QSpec("window_topn_per_view",
-      // W1 as a two-phase (salted) top-N: l_returnflag has only 3 values, so
-      // a single window would shuffle the whole table into 3 partitions
-      // (parallelism 3 — the sparse-group window trap at 100 TB). Phase 1
-      // takes the local top-3 per (group, salt) across 32 salt buckets;
-      // phase 2 ranks the ≤ 3×32 survivors per group. Exact under the total
-      // tie-break order: the global top-3 of a group are in their salt
-      // bucket's top-3 by definition.
+      // W1 per-group top-N via the native bounded-heap aggregate
+      // (functions.TopKRows): l_returnflag has only 3 values, so the naive
+      // row_number window shuffles AND sorts the whole table into 3
+      // partitions (the sparse-group window trap at 100 TB; a salted
+      // two-phase window — kept in git history — splits the sort but still
+      // shuffles every row). Partial aggregation reduces each map partition
+      // to ≤ 3 rows per group BEFORE the exchange, so the shuffle carries
+      // O(groups × partitions × 3) rows and nothing is globally sorted.
+      // Exact and merge-order independent under the (price desc, orderkey,
+      // linenumber) total order — FunctionsSpec asserts equality with the
+      // window form.
       (s, dir) => {
-        val base = t(s, dir, "lineitem")
+        import graft.functions.TopKRows.topKRows
+        t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice"), 2).as("price"))
-        val ord = Seq(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
-        val local = base
-          .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("l_returnflag", "salt").orderBy(ord: _*)))
-          .where(col("rank") <= 3).drop("salt", "rank")
-        local
-          .withColumn("rank", row_number().over(
-            Window.partitionBy("l_returnflag").orderBy(ord: _*)))
-          .where(col("rank") <= 3)
+          .groupBy("l_returnflag")
+          .agg(topKRows(struct(col("price"), col("l_orderkey"), col("l_linenumber")), 3).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")))
+          .select(col("l_returnflag"), col("col.l_orderkey"), col("col.l_linenumber"),
+            col("col.price"), (col("pos") + 1).cast("int").as("rank"))
           .orderBy("l_returnflag", "rank")
       },
       Some(
@@ -626,26 +626,19 @@ object Queries {
       // C6 over lineitem's first-5 (numeric) columns: skew = p90/p10 with the
       // intended guards, density = distinct/total.
       (s, dir) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
-        // two single-row passes: mixing multi-DISTINCT (Expand ×n) with
-        // imperative percentile buffers in ONE aggregate multiplies every
-        // percentile buffer update by the expand factor — 10× slower at sf0.1.
-        val pctAggs = cols.flatMap(c => Seq(
-          expr(s"percentile($c, 0.1D)").as(s"${c}_p10"),
-          expr(s"percentile($c, 0.9D)").as(s"${c}_p90"))) :+ count(lit(1)).as("total")
-        val dcAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_dc"))
-        val wide = t(s, dir, "lineitem").agg(pctAggs.head, pctAggs.tail: _*)
-          .crossJoin(t(s, dir, "lineitem").agg(dcAggs.head, dcAggs.tail: _*))
-        val stacked = wide.selectExpr(
-          s"stack(${cols.length}, " +
-            cols.map(c => s"'$c', ${c}_p10, ${c}_p90, ${c}_dc").mkString(", ") +
-            ") as (column, p10, p90, distinct_count)",
-          "total")
-        stacked.select(
-          col("column"),
-          round(when(col("p10") =!= col("p90") && col("p10") =!= 0.0, col("p90") / col("p10"))
-            .otherwise(1.0), 6).as("skew_ratio"),
-          round(col("distinct_count") / col("total"), 6).as("density"))
+        // derived from the pipeline's memoized profile store (compute-once:
+        // whichever of score_partition / score_distribution / emit runs
+        // first pays the scans; the Profiler itself keeps the percentile and
+        // distinct passes separate — mixing multi-DISTINCT Expand with
+        // imperative percentile buffers in one aggregate is ~10× slower)
+        import s.implicits._
+        graft.pipeline.AnalysisPipeline.profilesFor(s, dir, approxCardinality = false)
+          .filter(p => p.view == "lineitem" && p.skewRatio.isDefined)
+          .map(p => (p.column, p.skewRatio.get, p.density.get))
+          .toDF("column", "skew_raw", "density_raw")
+          .select(col("column"),
+            round(col("skew_raw"), 6).as("skew_ratio"),
+            round(col("density_raw"), 6).as("density"))
           .orderBy("column")
       },
       Some {

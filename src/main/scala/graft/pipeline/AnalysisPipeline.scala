@@ -23,7 +23,10 @@ object AnalysisPipeline {
   private val profileCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), Seq[Profiler.ColumnProfile]]()
 
-  private def profilesFor(spark: SparkSession, sfDir: String,
+  /** Memoized per-column profiles for every profiled table — the
+    * compute-once statistic store every pipeline entry point (and any
+    * profile-derived query key) shares. */
+  def profilesFor(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean): Seq[Profiler.ColumnProfile] =
     profileCache.computeIfAbsent((sfDir, approxCardinality), { _ =>
       val vs = views(spark, sfDir)

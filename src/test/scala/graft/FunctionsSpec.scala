@@ -65,6 +65,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaDf == direct)
   }
 
+  test("topk_rows matches the row_number window form and is partitioning-independent") {
+    import graft.functions.TopKRows.topKRows
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.catalog.TableRegistry.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+    val viaWindow = base
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))))
+      .where(col("rank") <= 3)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("price"), col("rank"))
+      .orderBy("l_returnflag", "rank").collect().toSeq
+    // 17-way repartition forces partial buffers + serialize/merge across maps
+    val viaAgg = base.repartition(17)
+      .groupBy("l_returnflag")
+      .agg(topKRows(struct(col("price"), col("l_orderkey"), col("l_linenumber")), 3).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"), col("col.l_orderkey"), col("col.l_linenumber"),
+        col("col.price"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("l_returnflag", "rank").collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("heavy_hitters: exact above capacity headroom, MG bound under adversarial capacity") {
     import graft.functions.HeavyHitters.heavyHitters
     import spark.implicits._
