@@ -1,0 +1,321 @@
+package graft
+
+import graft.catalog.TableRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-4 operator surface: time-series gap fill + LOCF, grouping sets,
+  * pivot/unpivot, quantile binning (ntile), TF-IDF term scoring, blocked
+  * fuzzy (edit-distance) matching, TPC-H subquery shapes (EXISTS, IN+HAVING),
+  * and the batch twin of a watermarked stream-stream interval join.
+  *
+  * Determinism rules as in Queries.scala: explicit ORDER BY over a unique
+  * key, DECIMAL(18,2) money sums cast to double, ns-epoch arithmetic with
+  * integer `div`, and rank-before-round so tie-breaks never depend on
+  * engine-specific last-bit rounding. TF-IDF uses a rational idf
+  * ((N - df + 0.5)/(df + 0.5), the BM25 form) instead of ln(N/df): both
+  * engines then evaluate the identical IEEE expression tree, where libm
+  * log implementations may differ in the last ulp.
+  */
+object Queries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  /** ns→ms integer division (see Queries3.tsMs). */
+  private val tsMs = "ts div 1000000"
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("gapfill_locf",
+      // Time-series resample: per (order status, day) revenue with the date
+      // spine densified over the global range, missing days filled with a
+      // zero count and last-observation-carried-forward revenue. Scale
+      // shape: the fact table is aggregated per (status, day) BEFORE the
+      // spine join, so the join touches O(statuses × days) rows, not the
+      // raw data; the spine itself (dates × statuses) is metadata-sized and
+      // broadcast. The LOCF window partitions by status — parallel across
+      // statuses, and at 100 TB the per-status sequence is still only
+      // O(days) rows.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderstatus").as("status"),
+          to_date(col("o_orderdate")).as("day"),
+          col("o_totalprice"))
+        val daily = o.groupBy("status", "day").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        val days = o.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        val spine = o.select("status").distinct().crossJoin(broadcast(days))
+        val locf = Window.partitionBy("status").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("status", "day"), "left")
+          .select(col("status"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            round(last(col("rev"), ignoreNulls = true).over(locf).cast("double"), 2)
+              .as("locf_rev"))
+          .orderBy("status", "day")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+          |    o_totalprice FROM orders),
+          |daily AS (SELECT status, day, COUNT(*) AS cnt,
+          |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM o GROUP BY 1, 2),
+          |days AS (SELECT UNNEST(generate_series((SELECT MIN(day) FROM o),
+          |    (SELECT MAX(day) FROM o), INTERVAL 1 DAY))::DATE AS day),
+          |spine AS (SELECT st.status, days.day
+          |    FROM (SELECT DISTINCT status FROM o) st CROSS JOIN days)
+          |SELECT sp.status, sp.day,
+          |  CAST(COALESCE(d.cnt, 0) AS BIGINT) AS cnt,
+          |  ROUND(CAST(last_value(d.rev IGNORE NULLS) OVER (
+          |    PARTITION BY sp.status ORDER BY sp.day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS locf_rev
+          |FROM spine sp LEFT JOIN daily d ON d.status = sp.status AND d.day = sp.day
+          |ORDER BY sp.status, sp.day""".stripMargin)),
+
+    QSpec("agg_grouping_sets",
+      // Explicit GROUPING SETS (finer than rollup/cube, already covered):
+      // (flag, status), (flag), () with a hand-built grouping id so both
+      // engines agree bit-for-bit. Subtotal keys coalesced to 'ALL' keeps
+      // the schema null-free and the sort order engine-independent.
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql(
+          """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+            |  COALESCE(l_returnflag, 'ALL') AS flag,
+            |  COALESCE(l_linestatus, 'ALL') AS status,
+            |  CAST(COUNT(*) AS BIGINT) AS cnt,
+            |  SUM(l_quantity) AS sum_qty
+            |FROM li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            |ORDER BY gid, flag, status""".stripMargin)
+      },
+      Some(
+        """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+          |  COALESCE(l_returnflag, 'ALL') AS flag,
+          |  COALESCE(l_linestatus, 'ALL') AS status,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  SUM(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, flag, status""".stripMargin)),
+
+    QSpec("transform_pivot",
+      // Pivot year × return flag → one column per flag value. The pivot
+      // values are declared (not discovered), so no extra distinct-values
+      // job runs and the plan is a single grouped aggregate — the shape
+      // that scales (discovery would add a driver-side collect).
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("yr"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")))
+        .orderBy("yr"),
+      Some(
+        """SELECT CAST(YEAR(l_shipdate) AS INT) AS yr,
+          |  SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+          |  SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+          |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+          |FROM lineitem GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    QSpec("transform_unpivot",
+      // Unpivot (wide→long) via stack: codegen'd generator, no shuffle —
+      // each output row group stays on its input row's partition.
+      (s, dir) => t(s, dir, "part")
+        .selectExpr("p_partkey",
+          "stack(2, 'p_retailprice', p_retailprice, 'p_size', cast(p_size as double)) as (metric, val)")
+        .orderBy("p_partkey", "metric"),
+      Some(
+        """SELECT p_partkey, metric, val FROM (
+          |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+          |  UNION ALL
+          |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
+          |ORDER BY p_partkey, metric""".stripMargin)),
+
+    QSpec("window_ntile",
+      // Quartile binning over a total order (price, then key so ties are
+      // deterministic), summarized per tile. A global ntile is a
+      // single-partition sort by construction — acceptable here because the
+      // windowed input is the already-small orders summary; at 100 TB the
+      // same statistic comes from percentile cutpoints (agg_percentile)
+      // joined back, which needs no global sort.
+      (s, dir) => t(s, dir, "orders")
+        .select(ntile(4).over(
+          Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("tile"),
+          col("o_totalprice"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("cnt"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("tile"),
+      Some(
+        """SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+          |FROM (SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile,
+          |    o_totalprice FROM orders)
+          |GROUP BY 1 ORDER BY tile""".stripMargin)),
+
+    QSpec("text_tfidf",
+      // TF-IDF term scoring: tf and df from two grouped aggregates over the
+      // exploded token stream, corpus size via a broadcast scalar (never a
+      // driver-side count), top-3 terms per document by score. Rank runs on
+      // the UNROUNDED score (identical IEEE arithmetic on both engines);
+      // only the emitted value is rounded. Output bounded to doc_id < 50.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(len, "doc_id")
+          .join(dfreq, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("cnt") / col("len")) *
+              ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))))
+          .where(col("rank") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("rank").cast("int").as("rank"), col("token"),
+            round(col("score"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(
+        """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          |    FROM documents),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+          |len AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+          |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |scored AS (SELECT tf.doc_id, tf.token,
+          |    (CAST(tf.cnt AS DOUBLE) / len.len) *
+          |      ((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS score
+          |  FROM tf JOIN len USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n),
+          |ranked AS (SELECT doc_id, token, score, ROW_NUMBER() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM scored)
+          |SELECT doc_id, CAST(rank AS INT) AS rank, token,
+          |  ROUND(score, 6) AS tfidf
+          |FROM ranked WHERE rank <= 3 AND doc_id < 50
+          |ORDER BY doc_id, rank""".stripMargin)),
+
+    QSpec("fuzzy_name_pairs",
+      // Blocked fuzzy matching: distinct names, blocked on the first word
+      // (the classic dedup blocking-key move — the O(n²) edit-distance join
+      // only runs within blocks), pairs within edit distance 5. At 100 TB
+      // the distinct+block side is tiny relative to the corpus, and
+      // levenshtein runs on the post-block pairs only.
+      (s, dir) => {
+        val names = t(s, dir, "part").select("p_name").distinct()
+          .withColumn("w", split(col("p_name"), " ").getItem(0))
+        names.as("a").join(names.as("b"),
+            col("a.w") === col("b.w") && col("a.p_name") < col("b.p_name"))
+          .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+          .where(col("dist") <= 5)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            col("dist").cast("int").as("dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some(
+        """WITH names AS (SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS w
+          |    FROM part)
+          |SELECT a.p_name AS name_a, b.p_name AS name_b,
+          |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+          |FROM names a JOIN names b ON a.w = b.w AND a.p_name < b.p_name
+          |WHERE levenshtein(a.p_name, b.p_name) <= 5
+          |ORDER BY name_a, name_b""".stripMargin)),
+
+    QSpec("q4_exists",
+      // TPC-H Q4 shape: EXISTS correlated subquery → Catalyst plans a
+      // left-semi join (no row multiplication, no distinct needed) keyed on
+      // l_orderkey — the exact rewrite you'd hand-write at scale.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("ord_q4")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q4")
+        s.sql(
+          """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            |FROM ord_q4 o
+            |WHERE EXISTS (SELECT 1 FROM li_q4 l
+            |  WHERE l.l_orderkey = o.o_orderkey
+            |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QSpec("q18_large_orders",
+      // TPC-H Q18 shape: IN + grouped HAVING subquery. The qty aggregate is
+      // computed once and reused for both the membership test and the
+      // output column (Catalyst dedups the subquery); top-100 bounded by a
+      // total order.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("ord_q18")
+        t(s, dir, "lineitem").createOrReplaceTempView("li_q18")
+        t(s, dir, "customer").createOrReplaceTempView("cust_q18")
+        s.sql(
+          """SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,
+            |  sq.total_qty
+            |FROM ord_q18 o
+            |JOIN cust_q18 c ON c.c_custkey = o.o_custkey
+            |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            |      FROM li_q18 GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) sq
+            |  ON sq.l_orderkey = o.o_orderkey
+            |WHERE o.o_orderkey IN (SELECT l_orderkey FROM li_q18
+            |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+            |ORDER BY sq.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin)
+      },
+      Some(
+        """SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_date,
+          |  sq.total_qty
+          |FROM orders o
+          |JOIN customer c ON c.c_custkey = o.o_custkey
+          |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) sq
+          |  ON sq.l_orderkey = o.o_orderkey
+          |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+          |ORDER BY sq.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin)),
+
+    QSpec("event_pair_join",
+      // Batch twin of the watermarked stream-stream interval join
+      // (StreamingUsage.pairJoinStream): click→purchase pairs for the same
+      // user within ±30 min, summarized per user. The stream version bounds
+      // state with watermarks + the same interval predicate; this twin is
+      // what the streaming spec asserts equality against. Equi-key on
+      // user_id means the interval predicate is evaluated join-locally — no
+      // cross product.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), expr(tsMs).as("c_ms"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), expr(tsMs).as("p_ms"))
+        clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ms") >= col("c_ms") - lit(30L * 60 * 1000) &&
+              col("p_ms") <= col("c_ms") + lit(30L * 60 * 1000))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("pairs"),
+            min(abs(col("p_ms") - col("c_ms"))).as("min_gap_ms"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000000 AS c_ms FROM events
+          |    WHERE event_type = 'click'),
+          |p AS (SELECT user_id, epoch_ns(ts) // 1000000 AS p_ms FROM events
+          |    WHERE event_type = 'purchase')
+          |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS pairs,
+          |  CAST(MIN(ABS(p.p_ms - c.c_ms)) AS BIGINT) AS min_gap_ms
+          |FROM c JOIN p ON p.user_id = c.user_id
+          |  AND p.p_ms BETWEEN c.c_ms - 1800000 AND c.c_ms + 1800000
+          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+  )
+}

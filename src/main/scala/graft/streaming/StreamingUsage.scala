@@ -128,6 +128,36 @@ object StreamingUsage {
       .agg(expr("min(ts div 1000)").as("first_us"))
       .orderBy(keyCols.map(col): _*)
 
+  /** Watermarked stream-stream interval join: clicks joined to the same
+    * user's purchases within ±`windowMinutes` of event time. Both sides
+    * carry watermarks and the join predicate bounds event-time distance, so
+    * each side's state store holds only rows inside
+    * watermark + window horizon — the condition Spark requires to ever
+    * evict stream-stream join state (unbounded otherwise; the 100 TB
+    * posture is exactly this: state ∝ rate × horizon, not stream length).
+    * Emits raw pairs; the per-user summary (and the DuckDB oracle) lives in
+    * the batch twin `event_pair_join` in Queries4. Input: two streams each
+    * with (user_id long, ts long epoch-nanos). */
+  def pairJoinStream(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val win = expr(s"interval $windowMinutes minutes")
+    val c = clicks
+      .withColumn("c_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("c_time", "10 minutes")
+      .select(col("user_id"), col("c_time"))
+    val p = purchases
+      .withColumn("p_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("p_time", "10 minutes")
+      .select(col("user_id").as("p_user"), col("p_time"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_time") >= col("c_time") - win &&
+        col("p_time") <= col("c_time") + win)
+      .select(col("user_id"),
+        (unix_micros(col("c_time")) / 1000L).cast("long").as("c_ms"),
+        (unix_micros(col("p_time")) / 1000L).cast("long").as("p_ms"))
+  }
+
   /** Per-user running state carried across micro-batches. */
   final case class UserState(count: Long, lastValueSum: Double)
 

@@ -104,6 +104,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked stream-stream interval join == batch pairs on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = TableRegistry.table(spark, sfDir, "events")
+    def side(tpe: String): Seq[(Long, Long)] = ev
+      .where(col("event_type") === tpe)
+      .select(col("user_id"), col("ts")).as[(Long, Long)].collect().toSeq
+    val clicks = side("click")
+    val purchases = side("purchase")
+
+    val cStream = MemoryStream[(Long, Long)]
+    val pStream = MemoryStream[(Long, Long)]
+    val joined = StreamingUsage.pairJoinStream(
+      cStream.toDF().toDF("user_id", "ts"),
+      pStream.toDF().toDF("user_id", "ts"), windowMinutes = 30)
+    val qname = s"pair_join_${System.nanoTime()}"
+    val query = joined.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      // two micro-batches per side: join state must match across batches
+      val (c1, c2) = clicks.splitAt(clicks.size / 2)
+      val (p1, p2) = purchases.splitAt(purchases.size / 2)
+      cStream.addData(c1); pStream.addData(p1)
+      query.processAllAvailable()
+      cStream.addData(c2); pStream.addData(p2)
+      query.processAllAvailable()
+      val got = spark.table(qname)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // batch ground truth: same ±30 min interval join, ms precision
+      val win = 30L * 60 * 1000
+      val want = for {
+        (cu, cts) <- clicks
+        (pu, pts) <- purchases
+        if cu == pu && math.abs(pts / 1000000 - cts / 1000000) <= win
+      } yield (cu, cts / 1000000, pts / 1000000)
+      assert(want.nonEmpty)
+      assert(got.sorted == want.sorted,
+        s"got=${got.size} want=${want.size}")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
