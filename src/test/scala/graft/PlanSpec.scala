@@ -105,6 +105,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    TableRegistry.table(spark, sfDir, "lineitem")
+      .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim carries the partition key; only after the dim's own filter runs is
+    // the partition set known — exactly the DPP shape (prune at runtime via
+    // the broadcast result, not statically)
+    val dim = fact.select(col("ship_month").as("m")).distinct()
+      .withColumn("tag", (month(col("m")) % 7).cast("int"))
+    val joined = fact.join(broadcast(dim),
+      col("ship_month") === col("m") && col("tag") === 3)
+    val plan = planOf(joined)
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    assert(joined.count() > 0)
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // fixtures are far below the 10 GiB production threshold — drop it so
+      // the rewrite fires here; the injected shape (bloom agg on the filtered
+      // build side, might_contain guarding the probe scan) is what matters
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join path
+      val li = TableRegistry.table(spark, sfDir, "lineitem")
+      val sel = TableRegistry.table(spark, sfDir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        opt.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("querylog derivation stays a single scan with no shuffle") {
     val df = TableRegistry.queryLog(spark, sfDir)
     val plan = planOf(df)
