@@ -316,6 +316,122 @@ object Queries4 {
           |  CAST(MIN(ABS(p.p_ms - c.c_ms)) AS BIGINT) AS min_gap_ms
           |FROM c JOIN p ON p.user_id = c.user_id
           |  AND p.p_ms BETWEEN c.c_ms - 1800000 AND c.c_ms + 1800000
-          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+          |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    QSpec("setop_intersect",
+      // INTERSECT (distinct set semantics): nation keys present on both the
+      // customer and supplier side. Plans as an aggregate + semi join on
+      // already-distinct inputs — each side deduped before the shuffle.
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some(
+        """SELECT c_nationkey AS nationkey FROM customer
+          |INTERSECT
+          |SELECT s_nationkey FROM supplier
+          |ORDER BY nationkey""".stripMargin)),
+
+    QSpec("setop_except",
+      // EXCEPT (distinct set semantics): nation keys with customers but no
+      // suppliers — plans as a left-anti join on deduped sides.
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some(
+        """SELECT c_nationkey AS nationkey FROM customer
+          |EXCEPT
+          |SELECT s_nationkey FROM supplier
+          |ORDER BY nationkey""".stripMargin)),
+
+    QSpec("join_null_safe",
+      // Null-safe equality (<=> / IS NOT DISTINCT FROM): the null bucket
+      // joins to itself instead of disappearing. Both sides are aggregated
+      // to their distinct key set BEFORE the join, so the null⋈null match
+      // multiplies counts, not rows.
+      (s, dir) => {
+        val a = t(s, dir, "lineitem")
+          .groupBy(nullif(col("l_tax"), lit(0.0)).as("k"))
+          .agg(count(lit(1)).as("n_left"))
+        val b = t(s, dir, "lineitem")
+          .groupBy(nullif(col("l_discount"), lit(0.0)).as("k2"))
+          .agg(count(lit(1)).as("n_right"))
+        a.join(b, col("k") <=> col("k2"))
+          .select(col("k").as("tax_key"), col("n_left"), col("n_right"))
+          .orderBy(col("tax_key").asc_nulls_first)
+      },
+      Some(
+        """WITH a AS (SELECT NULLIF(l_tax, 0.0) AS k, COUNT(*) AS n_left
+          |    FROM lineitem GROUP BY 1),
+          |b AS (SELECT NULLIF(l_discount, 0.0) AS k2, COUNT(*) AS n_right
+          |    FROM lineitem GROUP BY 1)
+          |SELECT a.k AS tax_key, CAST(a.n_left AS BIGINT) AS n_left,
+          |  CAST(b.n_right AS BIGINT) AS n_right
+          |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+          |ORDER BY tax_key NULLS FIRST""".stripMargin)),
+
+    QSpec("expr_regexp_extract_all",
+      // regexp_extract_all → array column: digit runs per document, with
+      // the match count and first match (codegen'd regex, no UDF).
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)).as("nums"))
+        .select(col("doc_id"),
+          size(col("nums")).cast("long").as("n_matches"),
+          coalesce(try_element_at(col("nums"), lit(1)), lit("")).as("first_match"))
+        .where(col("doc_id") < 200)
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_matches,
+          |  COALESCE(regexp_extract_all(text, '[0-9]+')[1], '') AS first_match
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    QSpec("window_rank_family",
+      // The analytic-rank family in one pass: rank / dense_rank /
+      // percent_rank / cume_dist per status over a total order, top-5 rows
+      // per partition. One window spec → one sort, all four functions
+      // computed together.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .where(col("rn") <= 5)
+          .select(col("o_orderstatus"), col("rn").cast("int").as("rn"),
+            col("o_orderkey"), col("rnk"), col("drnk"), col("prnk"), col("cdist"))
+          .orderBy("o_orderstatus", "rn")
+      },
+      Some(
+        """SELECT o_orderstatus, CAST(rn AS INT) AS rn, o_orderkey,
+          |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+          |  ROUND(prnk, 6) AS prnk, ROUND(cdist, 6) AS cdist
+          |FROM (SELECT o_orderstatus, o_orderkey,
+          |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+          |    DENSE_RANK() OVER w AS drnk, PERCENT_RANK() OVER w AS prnk,
+          |    CUME_DIST() OVER w AS cdist
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_orderstatus
+          |               ORDER BY o_totalprice DESC, o_orderkey))
+          |WHERE rn <= 5 ORDER BY o_orderstatus, rn""".stripMargin)),
+
+    QSpec("agg_collect_sorted",
+      // Deterministic array aggregation: collect_set is order-nondeterministic
+      // under any partitioning, so the emitted array is sort_array'd — the
+      // only arrangement with a stable cross-engine hash.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
+          |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
