@@ -61,7 +61,7 @@ object Queries {
     * all mod 2^32 via HUGEINT multiplies. Seed 0 = the Iceberg spec hash
     * (vector: 34 → 2017239379); seed 42 = Spark's `hash()` for LongType.
     * Exposes `v` (input) and `sh` (signed int32 hash) in CTE `msigned`. */
-  private def murmurCte(table: String, colExpr: String, seed: Int): String =
+  private[graft] def murmurCte(table: String, colExpr: String, seed: Int): String =
     s"""WITH mbase AS (SELECT $colExpr AS v FROM $table),
        |mblk AS (SELECT v, v & 4294967295 AS b0, (v >> 32) & 4294967295 AS b1 FROM mbase),
        |m1 AS (SELECT v, b1, CAST((CAST(b0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM mblk),

@@ -432,6 +432,77 @@ object Queries4 {
         """SELECT l_returnflag,
           |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
           |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n
-          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QSpec("agg_vector_centroid",
+      // Per-label embedding centroid in long format (label, dim, value):
+      // posexplode fans each vector into 64 (label, pos) cells, then a
+      // grouped mean — one shuffle keyed on (label, pos), partial sums
+      // map-side. Long format keeps the result joinable and avoids a
+      // collect_list re-assembly; at 100 TB the shuffle carries
+      // O(labels × dims) groups regardless of row count. The per-element
+      // float→double sums commute to within 1e-15 of each other across
+      // engines; round(6) is ~9 orders of magnitude coarser.
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("int").as("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+        .orderBy("label", "pos"),
+      Some(
+        """SELECT label, CAST(r.i AS INT) AS pos,
+          |  ROUND(AVG(CAST(embedding[r.i] AS DOUBLE)), 6) AS centroid
+          |FROM embeddings CROSS JOIN range(1, 65) r(i)
+          |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),
+
+    QSpec("split_train_test",
+      // Deterministic train/test split: murmur3 of the stable id mod 100
+      // against the 80/20 cut — reproducible under any partitioning or
+      // re-run, no RNG state (the only split that survives a distributed
+      // re-shuffle). Oracle replays the identical hash via murmurCte.
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split",
+          when(pmod(hash(col("doc_id")), lit(100)) < 80, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split"),
+      Some(Queries.murmurCte("documents", "doc_id", 42) +
+        """SELECT CASE WHEN ((sh % 100) + 100) % 100 < 80
+          |    THEN 'train' ELSE 'test' END AS split,
+          |  CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS min_id, MAX(v) AS max_id
+          |FROM msigned GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    QSpec("transform_zscore",
+      // Group-wise z-score normalization via window aggregates with the
+      // variance written out explicitly — (ss - s²/n)/(n-1) over integral
+      // quantities is exact in double on both engines, and sqrt is
+      // IEEE-correctly-rounded, so the whole expression tree is
+      // bit-reproducible (the built-in stddev's Welford order wouldn't be).
+      // One window spec → one shuffle keyed on the group.
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("l_quantity")).over(w).as("s"),
+            sum(col("l_quantity") * col("l_quantity")).over(w).as("ss"))
+          .where(col("l_orderkey") < 500)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            round((col("l_quantity") - col("s") / col("n")) /
+              sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
+              .as("z"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some(
+        """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          |  ROUND((l_quantity - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+          |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+          |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+          |    SUM(l_quantity) OVER w AS s,
+          |    SUM(l_quantity * l_quantity) OVER w AS ss
+          |  FROM lineitem WINDOW w AS (PARTITION BY l_returnflag))
+          |WHERE l_orderkey < 500
+          |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin))
   )
 }
