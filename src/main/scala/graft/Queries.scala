@@ -549,13 +549,12 @@ object Queries {
   private val windowSpecs = Seq(
     QSpec("window_topn_per_view",
       // W1 per-group top-N via the native bounded-heap aggregate
-      // (functions.TopKRows): l_returnflag has only 3 values, so the naive
-      // row_number window shuffles AND sorts the whole table into 3
-      // partitions (the sparse-group window trap at 100 TB; a salted
-      // two-phase window — kept in git history — splits the sort but still
-      // shuffles every row). Partial aggregation reduces each map partition
-      // to ≤ 3 rows per group BEFORE the exchange, so the shuffle carries
-      // O(groups × partitions × 3) rows and nothing is globally sorted.
+      // (functions.TopKRows). Spark 4's WindowGroupLimit already bounds the
+      // row_number form's shuffle (partial group-limit before the exchange),
+      // but it still SORTS every map partition fully (O(n log n)) before
+      // limiting, then sorts again after the shuffle. The aggregate keeps a
+      // k-bounded heap per (group, partition) — O(n log k) with no sort
+      // operator at all — and the same O(groups × partitions × k) exchange.
       // Exact and merge-order independent under the (price desc, orderkey,
       // linenumber) total order — FunctionsSpec asserts equality with the
       // window form.
