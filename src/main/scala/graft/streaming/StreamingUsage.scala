@@ -158,6 +158,53 @@ object StreamingUsage {
         (unix_micros(col("p_time")) / 1000L).cast("long").as("p_ms"))
   }
 
+  /** Stream-static enrichment: a streaming fact joined to a static
+    * (batch) dimension. Spark re-broadcasts the static side per micro-batch
+    * and never keeps join state for it — the streaming face of the
+    * broadcast-dimension join (J1), and the standard way to attach
+    * slowly-changing metadata to a 100 TB/day event stream. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
+  /** Per-user distinct event types via transformWithState (the Spark 4
+    * arbitrary-state API, RocksDB-backed): MapState holds one entry per
+    * (user, type) — state is keyed storage, not an in-memory object the
+    * runtime must deserialize wholesale per key (the scaling edge over
+    * mapGroupsWithState for wide per-key state). Emits
+    * (user_id, distinct_types, total_events) per updated key per batch. */
+  class DistinctTypesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long](
+        "seen", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      rows.foreach { case (_, tpe) =>
+        val prev = if (seen.containsKey(tpe)) seen.getValue(tpe) else 0L
+        seen.updateValue(tpe, prev + 1L)
+      }
+      val counts = seen.values().toSeq
+      Iterator((key, counts.size.toLong, counts.sum))
+    }
+  }
+
+  /** transformWithState driver for [[DistinctTypesProcessor]]. Input
+    * columns: (user_id long, event_type string). */
+  def runningDistinctTypes(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DistinctTypesProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "distinct_types", "total_events")
+  }
+
   /** Per-user running state carried across micro-batches. */
   final case class UserState(count: Long, lastValueSum: Double)
 

@@ -146,6 +146,77 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static broadcast enrichment == batch join on the same slice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = TableRegistry.table(spark, sfDir, "events")
+    val events = ev.select(col("user_id"), col("value")).as[(Long, Double)].collect().toSeq
+    // static dimension: user tier derived once, on the batch side
+    val dim = ev.select("user_id").distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int"))
+
+    val stream = MemoryStream[(Long, Double)]
+    val enriched = StreamingUsage.enrichStream(
+      stream.toDF().toDF("user_id", "value"), dim, "user_id")
+    val qname = s"enrich_${System.nanoTime()}"
+    val query = enriched.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      stream.addData(events)
+      query.processAllAvailable()
+      val got = spark.table(qname).groupBy("tier").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val want = ev.select("user_id", "value").join(broadcast(dim), "user_id")
+        .groupBy("tier").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got == want)
+      assert(want.values.sum == events.size.toLong)
+    } finally query.stop()
+  }
+
+  test("transformWithState tracks per-user distinct types across micro-batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = TableRegistry.table(spark, sfDir, "events")
+      val events = ev.select(col("user_id"), col("event_type"))
+        .as[(Long, String)].collect().toSeq
+      val (b1, b2) = events.splitAt(events.size / 2)
+
+      val stream = MemoryStream[(Long, String)]
+      val streamed = StreamingUsage.runningDistinctTypes(
+        stream.toDF().toDF("user_id", "event_type"))
+      val qname = s"tws_${System.nanoTime()}"
+      val query = streamed.writeStream
+        .format("memory").queryName(qname).outputMode("update").start()
+      try {
+        stream.addData(b1)
+        query.processAllAvailable()
+        stream.addData(b2)
+        query.processAllAvailable()
+        // last emitted row per user = final state
+        val got = spark.table(qname)
+          .groupBy("user_id")
+          .agg(max("distinct_types").as("d"), max("total_events").as("t"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val want = events.groupBy(_._1).map { case (u, xs) =>
+          u -> ((xs.map(_._2).distinct.size.toLong, xs.size.toLong))
+        }
+        assert(got == want)
+        // MapState genuinely carried across batches: some user in both halves
+        assert(b1.map(_._1).toSet.intersect(b2.map(_._1).toSet).nonEmpty)
+      } finally query.stop()
+    } finally saved match {
+      case Some(v) => conf.set(key, v); case None => conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
