@@ -503,6 +503,73 @@ object Queries4 {
           |    SUM(l_quantity * l_quantity) OVER w AS ss
           |  FROM lineitem WINDOW w AS (PARTITION BY l_returnflag))
           |WHERE l_orderkey < 500
-          |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin))
+          |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    QSpec("kmeans_iterate",
+      // One full k-means iteration (E-step: nearest-centroid assignment as
+      // a shuffle-free literal-centroid projection with codegen VectorDot;
+      // M-step: per-(cluster, dim) mean — shuffle carries O(k × dim)
+      // partial sums whatever the corpus size). Oracle replays assignment
+      // (same −2·v·c + ‖c‖² ranking, same tie-break) and the grouped mean.
+      (s, dir) => graft.ext.SimSearch.kmeansIterate(s, t(s, dir, "embeddings"), 8),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |    FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv,
+          |    list_sum(list_transform(v, x -> x*x)) AS c2
+          |  FROM e ORDER BY vec_id LIMIT 8),
+          |asg AS (SELECT vec_id, v, ci AS cluster FROM (
+          |    SELECT e.vec_id, e.v, cent.ci,
+          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |        list_sum(list_transform(range(len(e.v)), i -> e.v[i+1]*cent.cv[i+1])) * -2.0 + cent.c2,
+          |        cent.ci) AS rk
+          |    FROM e, cent) r WHERE rk = 1)
+          |SELECT cluster, CAST(r.i AS INT) AS pos,
+          |  ROUND(AVG(v[r.i]), 6) AS centroid, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM asg CROSS JOIN range(1, 65) r(i)
+          |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin)),
+
+    QSpec("expr_array_hof",
+      // Higher-order array functions as first-class scalar surface:
+      // filter (positive components), exists (any > 0.3), aggregate
+      // (L2 norm via fold + sqrt) — all codegen'd lambdas, no UDF, no
+      // shuffle. The fold runs ascending on both engines → identical IEEE.
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"),
+          size(filter(col("v"), x => x > 0)).cast("long").as("n_pos"),
+          exists(col("v"), x => x > 0.3).as("has_big"),
+          round(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)), 6).as("l2"))
+        .where(col("vec_id") < 100)
+        .orderBy("vec_id"),
+      Some(
+        """SELECT vec_id,
+          |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+          |  len(list_filter(v, x -> x > 0.3)) > 0 AS has_big,
+          |  ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+          |    (acc, x) -> acc + x * x)), 6) AS l2
+          |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings)
+          |WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)),
+
+    QSpec("agg_median_by_group",
+      // Exact per-group median (odd/even interpolation identical across
+      // engines: percentile() interpolates, quantile_cont likewise) over a
+      // grouped aggregate — one shuffle on the group key, imperative
+      // percentile buffer kept AWAY from multi-DISTINCT Expand plans per
+      // the profiling lesson.
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5D)").as("median_price"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          round(col("median_price"), 2).as("median_price"), col("n"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus,
+          |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }

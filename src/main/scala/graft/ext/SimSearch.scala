@@ -99,30 +99,55 @@ object SimSearch {
     * (nCentroids-nProbe)/nCentroids of the corpus before any distance math;
     * the per-cluster layout would be a partitionBy("cluster") write.
     */
+  /** Deterministic seed "centroids": the first n vectors by vec_id,
+    * collected as plan-time literals (metadata-sized — n × dim doubles). */
+  def seedCentroids(emb: DataFrame, n: Int): Array[(Int, Array[Double])] =
+    withNorm(emb).orderBy("vec_id").limit(n).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+  /** Nearest centroid = argmin over L2 distances, unrolled at plan-build
+    * time. ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is constant across
+    * candidates, so the argmin ranks by −2·v·c + ‖c‖² — one codegen
+    * VectorDot per centroid instead of an interpreted per-element (x−y)²
+    * fold (which dominated the IVF key's runtime at sf0.1). Strict `<` in
+    * the fold keeps the LOWEST index on ties (the oracle's
+    * row_number(dist, ci) twin). */
+  def nearestCentroid(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+    val dists = centroids.map { case (i, c) =>
+      val c2 = c.map(x => x * x).sum
+      (i, dot(v, centroidLit(c)) * -2.0 + lit(c2))
+    }
+    dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
+      case ((bestD, bestI), (i, d)) =>
+        (least(bestD, d), when(d < bestD, lit(i)).otherwise(bestI))
+    }._2
+  }
+
+  /** One full k-means iteration over the corpus: E-step assigns every
+    * vector to its nearest seed centroid (shuffle-free scan projection —
+    * centroids are literals), M-step recomputes centroids as the
+    * per-(cluster, dim) mean in long format. The shuffle carries
+    * O(k × dim) partial sums regardless of corpus size — the iteration
+    * cost at 100 TB is one scan plus a metadata-sized exchange, which is
+    * exactly how distributed k-means should look. Output
+    * (cluster, pos, centroid, n) with n = cluster population. */
+  def kmeansIterate(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    val e = withNorm(emb)
+    val cents = seedCentroids(emb, k)
+    e.withColumn("cluster", nearestCentroid(col("v"), cents))
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), (col("pos") + 1).cast("int").as("pos"))
+      .agg(round(avg("col"), 6).as("centroid"), count(lit(1)).as("n"))
+      .orderBy("cluster", "pos")
+  }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = withNorm(emb)
-    val centroids: Array[(Int, Array[Double])] =
-      e.orderBy("vec_id").limit(nCentroids).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
-    // nearest centroid = argmin over nCentroids L2 distances, unrolled at
-    // plan-build time. ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is constant
-    // across candidates, so the argmin ranks by −2·v·c + ‖c‖² — one codegen
-    // VectorDot per centroid instead of an interpreted per-element
-    // (x−y)² fold (which dominated this key's runtime at sf0.1).
-    def nearest(v: Column): Column = {
-      val dists = centroids.map { case (i, c) =>
-        val c2 = c.map(x => x * x).sum
-        (i, dot(v, centroidLit(c)) * -2.0 + lit(c2))
-      }
-      dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
-        case ((bestD, bestI), (i, d)) =>
-          (least(bestD, d), when(d < bestD, lit(i)).otherwise(bestI))
-      }._2
-    }
-    val assigned = e.withColumn("cluster", nearest(col("v")))
+    val centroids = seedCentroids(emb, nCentroids)
+    val assigned = e.withColumn("cluster", nearestCentroid(col("v"), centroids))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-side: the query's nProbe nearest centroids (tiny math)
     val qv = assigned.where(col("vec_id") === queryVecId).select("v")
