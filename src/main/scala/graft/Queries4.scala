@@ -570,6 +570,53 @@ object Queries4 {
         """SELECT o_orderstatus,
           |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
           |  CAST(COUNT(*) AS BIGINT) AS n
-          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    QSpec("q2_correlated_scalar",
+      // Correlated scalar subquery (TPC-H Q2 shape): each customer's
+      // cheapest order. Catalyst de-correlates to a grouped MIN + join —
+      // the aggregate runs ONCE over orders, not per outer row (the rewrite
+      // that makes correlated scalars viable at scale).
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("ord_q2")
+        s.sql(
+          """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+            |FROM ord_q2 o
+            |WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM ord_q2 o2
+            |                      WHERE o2.o_custkey = o.o_custkey)
+            |  AND o_custkey < 300
+            |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+          |FROM orders o
+          |WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |  AND o_custkey < 300
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QSpec("q22_no_orders",
+      // NOT IN subquery (TPC-H Q22 shape): customers with no urgent order.
+      // NOT IN over a nullable column plans as a null-aware anti join —
+      // the plan shape that silently returns zero rows if the subquery
+      // yields a NULL, which is why the key column matters.
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("cust_q22")
+        t(s, dir, "orders").createOrReplaceTempView("ord_q22")
+        s.sql(
+          """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+            |  MIN(c_custkey) AS min_key
+            |FROM cust_q22
+            |WHERE c_custkey NOT IN (SELECT o_custkey FROM ord_q22
+            |                        WHERE o_orderpriority = '1-URGENT')
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some(
+        """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+          |  MIN(c_custkey) AS min_key
+          |FROM customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+          |                        WHERE o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

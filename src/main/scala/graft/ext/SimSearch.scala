@@ -143,6 +143,45 @@ object SimSearch {
       .orderBy("cluster", "pos")
   }
 
+  /** Lloyd's k-means for `iters` iterations. Per iteration: one corpus scan
+    * (E-step projection against literal centroids), one O(k × dim) shuffle
+    * (M-step partial means), one metadata-sized collect (the k×dim centroid
+    * matrix — the only driver-side state, identical to what any distributed
+    * k-means keeps). Empty clusters keep their previous centroid. Returns
+    * (centroids, per-iteration inertia) — inertia is Σ min-distance², the
+    * monotone Lloyd objective. */
+  def kmeansRun(spark: SparkSession, emb: DataFrame, k: Int, iters: Int)
+      : (Array[(Int, Array[Double])], Seq[Double]) = {
+    val e = withNorm(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = seedCentroids(emb, k)
+    val inertias = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to iters).foreach { _ =>
+      val assigned = e.withColumn("cluster", nearestCentroid(col("v"), cents))
+      // inertia under the CURRENT centroids: ‖v‖² − 2·v·c + ‖c‖² per row
+      // cluster matches exactly one branch per row, so the sum of
+      // zero-defaulted branches is that row's distance²
+      val distCol = cents.map { case (i, c) =>
+        val c2 = c.map(x => x * x).sum
+        coalesce(when(col("cluster") === i,
+          col("nrm") * col("nrm") + dot(col("v"), array(c.map(lit): _*)) * -2.0 + lit(c2)),
+          lit(0.0))
+      }.reduce(_ + _)
+      inertias += assigned.agg(sum(distCol)).collect()(0).getDouble(0)
+      val next = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (ci, rs) =>
+          ci -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cents = cents.map { case (i, old) => (i, next.getOrElse(i, old)) }
+    }
+    e.unpersist()
+    (cents, inertias.toSeq)
+  }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = withNorm(emb)

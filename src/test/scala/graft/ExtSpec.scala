@@ -82,6 +82,19 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall (ivf=$ivf exact=$exact)")
   }
 
+  test("k-means: Lloyd objective non-increasing, assignment matches iterate key") {
+    val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
+    val (cents, inertias) = graft.ext.SimSearch.kmeansRun(spark, emb, k = 8, iters = 4)
+    assert(cents.length == 8)
+    assert(inertias.length == 4)
+    // Lloyd's algorithm: each E+M step can only lower (or hold) the objective
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $inertias")
+    }
+    // strictly improved at least once on this data (seeds are not optimal)
+    assert(inertias.last < inertias.head, inertias.toString)
+  }
+
   test("multimodal resize and frame sampling plumbing") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val thumbs = Multimodal.resizeAll(media, 64, 64).collect()

@@ -45,6 +45,35 @@ class PropertySpec extends SparkSpec {
     assert(sig.zip(sig2).forall { case (x, y) => x == y })
   }
 
+  test("topk_rows == window top-k over randomized data / k / partitioning") {
+    import graft.functions.TopKRows.topKRows
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val k = 1 + rng.nextInt(6)
+      val nGroups = 1 + rng.nextInt(4)
+      val nParts = 1 + rng.nextInt(11)
+      // duplicate scores force tie-break paths; duplicate (score,id) rows
+      // force full-equality comparisons in the heap
+      val rows = Seq.fill(500)(
+        (rng.nextInt(nGroups).toLong, rng.nextInt(20).toDouble, rng.nextInt(50).toLong))
+      val df = spark.sparkContext.parallelize(rows, nParts).toDF("g", "score", "id")
+      val viaAgg = df.groupBy("g")
+        .agg(topKRows(struct(col("score"), col("id")), k).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+      val viaWindow = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(desc("score"), asc("id"))))
+        .where(col("rn") <= k)
+        .select(col("g"), (col("rn") - 1).as("pos"), col("score"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(viaAgg == viaWindow, s"trial=$trial k=$k groups=$nGroups parts=$nParts")
+    }
+  }
+
   test("approx percentile stays within tolerance band of exact (A4 rule)") {
     val li = graft.catalog.TableRegistry.table(spark, sfDir, "lineitem")
     val r = li.agg(
