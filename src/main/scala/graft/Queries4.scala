@@ -617,6 +617,42 @@ object Queries4 {
           |FROM customer
           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
           |                        WHERE o_orderpriority = '1-URGENT')
-          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QSpec("setop_union_distinct",
+      // UNION with set semantics (vs the existing union-all key): dedup
+      // happens in ONE hash aggregate after the concat — no per-branch
+      // distinct, one shuffle total.
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey"))).distinct()
+        .orderBy("nationkey"),
+      Some(
+        """SELECT c_nationkey AS nationkey FROM customer
+          |UNION
+          |SELECT s_nationkey FROM supplier
+          |ORDER BY nationkey""".stripMargin)),
+
+    QSpec("window_range_frame",
+      // RANGE frame (value-based, not row-based): per status, count of
+      // orders within 1000.00 of each order's price — the frame bound is a
+      // VALUE distance, so peers enter/leave by price, not position. One
+      // sort per partition serves every row's frame (sliding, not
+      // recomputed). Output bounded to o_orderkey < 300.
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+          .rangeBetween(-1000L, 1000L)
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            count(lit(1)).over(w).as("n_near"))
+          .where(col("o_orderkey") < 300)
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some(
+        """SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS price,
+          |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+          |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near
+          |FROM orders QUALIFY o_orderkey < 300
+          |ORDER BY o_orderstatus, o_orderkey""".stripMargin))
   )
 }
