@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.TableRegistry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -653,6 +653,62 @@ object Queries4 {
           |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
           |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near
           |FROM orders QUALIFY o_orderkey < 300
-          |ORDER BY o_orderstatus, o_orderkey""".stripMargin))
+          |ORDER BY o_orderstatus, o_orderkey""".stripMargin)),
+
+    QSpec("join_skew_salted",
+      // The skew-mitigation rewrite as an oracle-checked key: lineitem
+      // (l_suppkey is the hot-key side at scale) salted over 8 buckets,
+      // supplier replicated 8×, joined on (key, salt). The ORACLE is the
+      // PLAIN join — hash equality proves the salted rewrite is
+      // semantics-preserving, which is the whole point of salting (spread
+      // one hot key over `buckets` reducers without changing the result).
+      (s, dir) => graft.ext.Skew.saltedJoin(
+          t(s, dir, "lineitem").select(col("l_suppkey").as("s_suppkey"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          "s_suppkey", xxhash64(col("l_orderkey"), col("l_linenumber")), 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+        .orderBy("s_nationkey"),
+      Some(
+        """SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  SUM(l.l_quantity) AS sum_qty
+          |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |GROUP BY 1 ORDER BY s_nationkey""".stripMargin)),
+
+    QSpec("transform_zorder",
+      // Z-order (Morton) interleave of two 16-bit key spaces — the
+      // within-file layout key that makes min/max data skipping work on BOTH
+      // columns (the advisor's partitioning recommendations compose with
+      // this as the intra-partition sort). Bit-spread via the classic
+      // magic-mask ladder — identical shift/and/or trees on both engines, no
+      // UDF. Emits the top-20 rows by z-value; at scale the same column
+      // feeds repartitionByRange(zval) + sortWithinPartitions(zval).
+      (s, dir) => {
+        def spread(c: Column): Column = {
+          // 16-bit value → even bit positions of a 32-bit word
+          val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+          val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+          val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+          (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+        }
+        val x = pmod(col("l_partkey"), lit(65536L))
+        val y = pmod(col("l_suppkey"), lit(65536L))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            (spread(x).bitwiseOR(shiftleft(spread(y), 1))).as("zval"))
+          .orderBy(asc("zval"), asc("l_orderkey"), asc("l_linenumber"))
+          .limit(20)
+      },
+      Some(
+        """WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem),
+          |sx AS (SELECT *, (x | (x << 8)) & 16711935 AS x1, (y | (y << 8)) & 16711935 AS y1 FROM b),
+          |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM sx),
+          |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+          |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          |  (x4 | (y4 << 1)) AS zval
+          |FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 20""".stripMargin))
   )
 }
