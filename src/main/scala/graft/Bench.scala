@@ -11,7 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: analysis-time deprecation warnings land immediately
+    // before the JSON line in the log the driver tail-captures
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query isn't charged ~3 s of session startup
     try {
@@ -38,7 +40,10 @@ object Bench {
     // captures only the tail of the sbt log, and a >2 KB line gets truncated
     // past recognition (round-1 BENCH had parsed=null for exactly this reason)
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // per-query at 2 decimals: 114 keys × ~25 chars must stay well inside
+    // the driver's tail-capture window (total keeps 3)
+    def fmt2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
