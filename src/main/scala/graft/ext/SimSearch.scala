@@ -114,7 +114,7 @@ object SimSearch {
     * the fold keeps the LOWEST index on ties (the oracle's
     * row_number(dist, ci) twin). */
   def nearestCentroid(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
-    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+    def centroidLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
     val dists = centroids.map { case (i, c) =>
       val c2 = c.map(x => x * x).sum
       (i, dot(v, centroidLit(c)) * -2.0 + lit(c2))
@@ -164,7 +164,7 @@ object SimSearch {
       val distCol = cents.map { case (i, c) =>
         val c2 = c.map(x => x * x).sum
         coalesce(when(col("cluster") === i,
-          col("nrm") * col("nrm") + dot(col("v"), array(c.map(lit): _*)) * -2.0 + lit(c2)),
+          col("nrm") * col("nrm") + dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) * -2.0 + lit(c2)),
           lit(0.0))
       }.reduce(_ + _)
       inertias += assigned.agg(sum(distCol)).collect()(0).getDouble(0)
@@ -197,7 +197,7 @@ object SimSearch {
     val q = assigned.where(col("vec_id") === queryVecId)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     assigned
-      .where(col("cluster").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= queryVecId)
+      .where(col("cluster").isin(probes.toIndexedSeq.map(Integer.valueOf): _*) && col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))

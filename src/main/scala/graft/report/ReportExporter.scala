@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object ReportExporter {
 
-  def export(spark: SparkSession, sfDir: String, outDir: String,
+  def `export`(spark: SparkSession, sfDir: String, outDir: String,
       timeFilter: Option[String] = None): Unit = {
     import spark.implicits._
 
