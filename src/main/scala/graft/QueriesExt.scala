@@ -637,7 +637,24 @@ object QueriesExt {
       Some(
         """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS window_start,
           |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
-          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)))
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    QSpec("stream_sliding_window",
+      // X5 batch twin of SLIDING windows (1 h window / 15 min slide — each
+      // event in 4 overlapping windows). The oracle replays Spark's window
+      // replication as an explicit slide-index cross join over epoch-µs
+      // integer arithmetic.
+      (s, dir) => StreamingUsage.slidingBatchTwin(s, t(s, dir, "events")),
+      Some(
+        """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+          |w AS (SELECT event_type,
+          |    ((tus // 900000000) - r.i) * 900000000 AS win_us
+          |  FROM e CROSS JOIN range(0, 4) r(i)
+          |  WHERE tus >= ((tus // 900000000) - r.i) * 900000000
+          |    AND tus < ((tus // 900000000) - r.i) * 900000000 + 3600000000)
+          |SELECT win_us // 1000000 AS window_start, event_type,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)))
 
   val specs: Seq[QSpec] = metaSpecs ++ pipelineSpecs ++ sinkSpecs ++ extSpecs
 }

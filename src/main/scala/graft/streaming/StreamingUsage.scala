@@ -29,6 +29,27 @@ object StreamingUsage {
     windowedCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
 
+  /** Sliding-window counts (1 h window, 15 min slide): each event lands in
+    * window/slide = 4 overlapping windows — Spark's window() generates the
+    * replicas; state per (window, type) is still bounded by the watermark
+    * when streaming. The oracle twin replays the replication as an explicit
+    * slide-index cross join. */
+  def slidingCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame = {
+    val withTime = events.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+    val src = if (withWatermarkCol) withTime.withWatermark("event_time", "10 minutes") else withTime
+    src.groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Batch twin of [[slidingCounts]] (oracle-checkable). */
+  def slidingBatchTwin(spark: SparkSession, events: DataFrame): DataFrame =
+    slidingCounts(events, withWatermarkCol = false)
+      .orderBy("window_start", "event_type")
+
   /** Batch sessionization: split each user's events into sessions separated
     * by gaps > gapMinutes (lag → gap-break flag → running sum as session
     * index → group). Input ts is epoch-nanos bigint. Output

@@ -37,6 +37,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding-window counts == batch twin on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = TableRegistry.table(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+      .as[(Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(events)
+    val streamed = StreamingUsage.slidingCounts(
+      stream.toDF().toDF("ts", "event_type"), withWatermarkCol = true)
+
+    val qname = s"stream_sliding_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table(qname)
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val want = StreamingUsage.slidingBatchTwin(
+        spark, TableRegistry.table(spark, sfDir, "events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == want)
+      // overlap sanity: each event lands in window/slide = 4 windows
+      assert(want.map(_._3).sum == 4L * events.size)
+    } finally query.stop()
+  }
+
   test("streaming watermarked dropDuplicates emits exactly the batch-distinct key set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
