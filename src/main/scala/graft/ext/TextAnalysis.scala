@@ -109,6 +109,31 @@ object TextAnalysis {
       .drop("__grams" +: profiles.map(p => s"__s_${p._1}"): _*)
   }
 
+  /** Distinct-marker language ID: score(lang) = |tokens ∩ marker set| via one
+    * codegen'd `array_intersect` per language — no interpreted lambda passes.
+    * (The r3 `withLangIdNgram(tokens)` form ran five interpreted
+    * `filter(isin)` HOFs per row and measured 10× slower than codegen string
+    * ops at sf0.1; `ArrayIntersect` is a native codegen binary expression.)
+    * Scores count DISTINCT matched markers, so its DuckDB twin is
+    * `len(list_intersect(sp, [...]))` — both engines dedup identically.
+    * Argmax tie-break identical to [[langId]]: first language in profile
+    * order with a strictly greater score. */
+  def withLangIdIntersect(df: DataFrame, textCol: String, out: String,
+      markers: Seq[(String, Seq[String])] = defaultMarkers): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+    val withScores = markers.foldLeft(withToks) { case (d, (lang, ws)) =>
+      d.withColumn(s"__s_$lang",
+        size(array_intersect(col("__toks"), array(ws.map(lit): _*))))
+    }
+    val scores = markers.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s), when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+    withScores.withColumn(out, pred)
+      .drop("__toks" +: markers.map(p => s"__s_${p._1}"): _*)
+  }
+
   /** Occurrence-counting language ID: score(lang) = Σ_p over the language's
     * profile n-grams of the non-overlapping occurrence count of p in the
     * text, computed as (len(text) − len(replace(text, p))) / len(p) — plain

