@@ -151,6 +151,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k plans as a single pruned scan: no join, no shuffle before TakeOrdered") {
+    val emb = TableRegistry.table(spark, sfDir, "embeddings")
+    val df = graft.ext.SimSearch.ivfTopK(spark, emb, queryVecId = 0, k = 10,
+      nCentroids = 16, nProbe = 4)
+    val plan = planOf(df)
+    // literal centroids + literal query vector → assignment and cosine are
+    // projections over one scan; a join or exchange here would mean the
+    // index probe re-shuffles the corpus
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("capped exact self-join pushes the id bound into both scan sides") {
+    val emb = TableRegistry.table(spark, sfDir, "embeddings")
+    val df = graft.ext.SimSearch.exactSelfJoin(spark, emb, threshold = 0.30,
+      idCap = Some(500L))
+    val plan = planOf(df)
+    // the declared-key contract: the cartesian region is bounded BEFORE the
+    // join — both scan sides carry the vec_id predicate. Depending on
+    // whether another suite left the embeddings scan cached, the pushed
+    // bound renders as parquet `PushedFilters: [LessThan(vec_id,500)]` or
+    // as an InMemoryTableScan filter `vec_id#NL < 500` — accept either.
+    val pushes = "LessThan\\(vec_id,500\\)|vec_id#\\d+L? < 500".r
+      .findAllIn(plan).size
+    assert(pushes >= 2, s"cap not pushed to both sides ($pushes):\n$plan")
+  }
+
   test("querylog derivation stays a single scan with no shuffle") {
     val df = TableRegistry.queryLog(spark, sfDir)
     val plan = planOf(df)
