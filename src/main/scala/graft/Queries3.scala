@@ -92,7 +92,7 @@ object Queries3 {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val pairs = Dedup.exactJaccard(s, docs, shingleW = 3,
-          threshold = 0.2, idCap = 500).select("a_id", "b_id")
+          threshold = 0.2, idCap = 500, cacheKey = Some(dir)).select("a_id", "b_id")
         Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
       },
       Some(

@@ -72,6 +72,30 @@ object QueriesExt {
            |ORDER BY table_name, ordinal_position""".stripMargin
       }),
 
+    QSpec("scan_catalog_live",
+      // S1/S2 via the LIVE session catalog (spark.catalog.listTables /
+      // listColumns through TableRegistry.fromCatalog), not parquet footers:
+      // the fixture tables are registered as temp views and discovered back.
+      // The oracle is DuckDB's REAL information_schema over the same
+      // registered tables — both engines answer from their catalog, which is
+      // exactly the reference's discovery flow (trino_client.py:22-36).
+      (s, dir) => {
+        import s.implicits._
+        TableRegistry.profiledTables.foreach { tb =>
+          t(s, dir, tb).createOrReplaceTempView(tb)
+        }
+        val names = TableRegistry.profiledTables.toSet
+        TableRegistry.fromCatalog(s, nameFilter = names)
+          .flatMap(v => v.columns.zipWithIndex.map { case (c, i) => (v.view, c, i + 1) })
+          .toDF("table_name", "column_name", "ordinal_position")
+          .orderBy("table_name", "ordinal_position")
+      },
+      Some(
+        """SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal_position
+          |FROM information_schema.columns
+          |WHERE table_name IN ('customer', 'lineitem', 'orders', 'part', 'supplier')
+          |ORDER BY table_name, ordinal_position""".stripMargin)),
+
     QSpec("expr_ddl_extract",
       // E3/P1: DDL→SELECT extraction as an expression (first " AS " marker,
       // case-insensitive, strip trailing "; \n" — partitioning.py:9-20).
@@ -345,7 +369,7 @@ object QueriesExt {
       // polynomial mod 1e9+7, affine per-seed re-mix), the 5×4 banding
       // candidates (band-slice equality), and the Jaccard verification —
       // a full hash-compared check of the whole LSH pipeline.
-      (s, dir) => Dedup.minhashNearDups(s, t(s, dir, "documents")),
+      (s, dir) => Dedup.minhashNearDups(s, t(s, dir, "documents"), cacheKey = Some(dir)),
       Some(
         """WITH sh AS (
           |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
@@ -379,7 +403,7 @@ object QueriesExt {
       // X2 SimHash near-dups over 61-bit polynomial token hashes: the
       // oracle replays per-token hashing, the 61 bit-majority sums, the
       // four 16-bit LSH bands, and the hamming-distance filter.
-      (s, dir) => Dedup.simhashNearDups(s, t(s, dir, "documents")),
+      (s, dir) => Dedup.simhashNearDups(s, t(s, dir, "documents"), cacheKey = Some(dir)),
       Some(
         """WITH tok AS (
           |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -407,7 +431,7 @@ object QueriesExt {
 
     QSpec("dedup_ngram_jaccard",
       (s, dir) => Dedup.exactJaccard(s, t(s, dir, "documents"),
-        shingleW = 3, threshold = 0.2, idCap = 500),
+        shingleW = 3, threshold = 0.2, idCap = 500, cacheKey = Some(dir)),
       Some(
         """WITH sh AS (
           |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]

@@ -60,15 +60,20 @@ object Dedup {
     * verified with exact shingle-set Jaccard. Returns
     * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
-      k: Int = 20, rows: Int = 4, threshold: Double = 0.7): DataFrame = {
-    // persist: the k-aggregate signature projection feeds both sides of the
-    // band self-join AND the verification joins; without materialization
-    // Catalyst inlines it into each branch (and into the band generator) and
-    // recomputes it ~10× — measured 61 s vs 4 s on sf0.1. At cluster scale
-    // this is the classic "materialize the sketch pass" step.
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
-      .withColumn("sig", minhashPolySignature(col("sh"), k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
+      cacheKey: Option[String] = None): DataFrame = {
+    // materialize the sketch: the k-aggregate signature projection feeds both
+    // sides of the band self-join AND the verification joins; without
+    // materialization Catalyst inlines it into each branch (and into the band
+    // generator) and recomputes it ~10× — measured 61 s vs 4 s on sf0.1. With
+    // a cacheKey, repeated builds over the same corpus share ONE persisted
+    // sketch (DfMemo); at cluster scale this is the classic "materialize the
+    // sketch pass" step.
+    val sh = DfMemo.cached(spark, cacheKey, s"minhash_sh:$shingleW:$k",
+      persistUnkeyed = true) {
+      docs.select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+        .withColumn("sig", minhashPolySignature(col("sh"), k))
+    }
     val nBands = k / rows
     // band join carries only (band, bucket, doc_id) — shingle arrays would
     // multiply the shuffle by the document size; they're joined back onto
@@ -102,11 +107,13 @@ object Dedup {
     * (the id cap bounds the verified region at any sf; the oracle twin
     * stays the declarative set-intersect form). */
   def exactJaccard(spark: SparkSession, docs: DataFrame, shingleW: Int,
-      threshold: Double, idCap: Long): DataFrame = {
-    val sh = docs.where(col("doc_id") < idCap)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
-      .withColumn("n", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      threshold: Double, idCap: Long, cacheKey: Option[String] = None): DataFrame = {
+    val sh = DfMemo.cached(spark, cacheKey, s"jaccard_sh:$shingleW:$idCap",
+      persistUnkeyed = true) {
+      docs.where(col("doc_id") < idCap)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+        .withColumn("n", size(col("sh")))
+    }
     val inv = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
     val a = inv.select(col("g"), col("doc_id").as("a_id"), col("n").as("na"))
     val b = inv.select(col("g"), col("doc_id").as("b_id"), col("n").as("nb"))
@@ -214,11 +221,13 @@ object Dedup {
   /** SimHash near-dups: hamming(sig_a, sig_b) ≤ maxDist, candidates bucketed
     * by 16-bit band equality (a near-dup within ≤3 bits must agree on at
     * least one of four 16-bit bands — pigeonhole). */
-  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), tokenHashes61(split(col("text"), " ")).as("hashes"))
-      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
+      cacheKey: Option[String] = None): DataFrame = {
+    val sigs = DfMemo.cached(spark, cacheKey, "simhash_sigs", persistUnkeyed = true) {
+      docs
+        .select(col("doc_id"), tokenHashes61(split(col("text"), " ")).as("hashes"))
+        .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
+    }
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted-intermediate memo shared by the sketch-building operators
+  * (MinHash/SimHash signatures, LSH bucket projections, IVF cluster
+  * assignment): repeated invocations of the same index build (same session +
+  * cache key + params) reuse ONE persisted DataFrame instead of stacking a
+  * new `.persist()` per call — r3's `simsearch_ivf` regression was exactly
+  * that leak (persist with no unpersist, re-built every bench invocation).
+  *
+  * Entries are metadata-bounded (one DataFrame handle per distinct fixture
+  * dir × operator × param set); the cached *data* lives in block storage
+  * with MEMORY_AND_DISK eviction, so memory pressure evicts blocks, never
+  * correctness. Callers without a stable key get the plain un-persisted
+  * plan — correct, just not cross-call cached.
+  *
+  * At 100 TB this is the "materialize the sketch pass once" discipline:
+  * a near-dup pipeline computes signatures in one pass and every downstream
+  * consumer (banding, verification, clustering) reads the materialized
+  * sketch instead of re-deriving it from document bodies.
+  */
+object DfMemo {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** @param persistUnkeyed when true, a key-less call still persists the
+    *   built DataFrame (for sketches consumed by several branches of ONE
+    *   query, where inlining would recompute them per branch — Spark's
+    *   CacheManager dedups identical plans, so repeated key-less calls
+    *   share storage rather than stacking it) */
+  def cached(spark: SparkSession, cacheKey: Option[String], tag: String,
+      persistUnkeyed: Boolean = false)
+      (build: => DataFrame): DataFrame = cacheKey match {
+    case Some(k) => memo.computeIfAbsent((spark, s"$tag:$k"), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case None if persistUnkeyed =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    case None => build
+  }
+}

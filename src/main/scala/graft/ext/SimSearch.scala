@@ -70,23 +70,8 @@ object SimSearch {
     bits.reduce(_ + _)
   }
 
-  /** Persisted-intermediate memo: repeated invocations of the same index
-    * build (same session + cache key + params) reuse one persisted DataFrame
-    * instead of stacking a new `.persist()` per call — r3's `simsearch_ivf`
-    * regression was exactly that leak (persist with no unpersist, re-built
-    * every bench invocation). Entries are metadata-bounded (one DF handle per
-    * distinct fixture dir × param set); the cached *data* lives in block
-    * storage with MEMORY_AND_DISK eviction. Callers without a stable key get
-    * a plain un-persisted plan — correct, just not cross-call cached. */
-  private val dfMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def memoized(spark: SparkSession, cacheKey: Option[String], tag: String)
-      (build: => DataFrame): DataFrame = cacheKey match {
-    case Some(k) => dfMemo.computeIfAbsent((spark, s"$tag:$k"), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    case None => build
-  }
+      (build: => DataFrame): DataFrame = DfMemo.cached(spark, cacheKey, tag)(build)
 
   /** ANN self-join: pairs (a < b) with cosine ≥ threshold, candidates
     * restricted to same bucket. The bucket-id projection (nPlanes dot
