@@ -530,6 +530,22 @@ object QueriesExt {
           |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
           |ORDER BY doc_id""".stripMargin)),
 
+    QSpec("pack_sequences",
+      // training-sequence packing: per-source concatenation order, 512-token
+      // budget; the oracle replays the windowed running sum exactly
+      (s, dir) => TextAnalysis.packSequences(t(s, dir, "documents"), "source", 512),
+      Some(
+        """SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+          |  CAST("offset" AS BIGINT) AS "offset",
+          |  CAST("offset" // 512 AS BIGINT) AS seq_id
+          |FROM (
+          |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+          |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
+          |      PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+          |  FROM documents) d
+          |ORDER BY source, doc_id""".stripMargin)),
+
     QSpec("token_count_bpe",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.bpeishTokenCount(col("text")).as("n_units"))

@@ -160,6 +160,28 @@ object TextAnalysis {
       .drop(profiles.map(p => s"__s_${p._1}"): _*)
   }
 
+  /** Sequence packing for training-data assembly: documents are concatenated
+    * in doc_id order within each shard and cut into fixed token-budget
+    * sequences; a document is assigned to the sequence containing its first
+    * token (`offset` = running token count before the doc,
+    * `seq_id` = offset div budget — the standard "concatenate then chunk"
+    * pretraining layout, where a document may continue into the next
+    * sequence).
+    *
+    * The running sum is windowed PER SHARD (`shardCol`), so packing
+    * parallelizes across shards instead of forcing a global single-partition
+    * sort — the 100 TB posture (real pipelines pack per worker/shard anyway;
+    * a global pack order is neither needed nor reproducible there). */
+  def packSequences(docs: DataFrame, shardCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(shardCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col(shardCol), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("offset", coalesce(sum(col("n_tok")).over(before), lit(0L)))
+      .withColumn("seq_id", expr(s"offset div $budget"))
+      .orderBy(shardCol, "doc_id")
+  }
+
   /** Positional polynomial fingerprint: Σ_i (len(tok_i) · i) mod 1000003 —
     * deterministic, SQL-expressible on any engine (rolling-hash shape
     * without engine-specific hash functions). */
