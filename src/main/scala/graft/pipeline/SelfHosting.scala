@@ -45,4 +45,33 @@ object SelfHosting {
         .orderBy("kind", "name")
     } finally spark.listenerManager.unregister(rec)
   }
+
+  /** The self-hosting loop closed END TO END: execute the workload texts
+    * through `spark.sql` (measuring wall duration per text), synthesize the
+    * engine's OWN query log from those runs in the reference's log schema,
+    * and hand it to the catalog-discovery advisor — the session profiles
+    * and advises on exactly the workload it just served, with no external
+    * query-log system (the reference needs Trino's `system.runtime.queries`
+    * for this; trino_client.py:38-63).
+    *
+    * Failed texts are logged with a null query (parse-degrade semantics,
+    * same as the reference's warn-and-skip). Returns one recommendation row
+    * per profiled table. */
+  def adviseFromObservedWorkload(spark: SparkSession, sfDir: String,
+      workload: Seq[String], topN: Int = 3): DataFrame = {
+    registerViews(spark, sfDir)
+    import spark.implicits._
+    val runs = workload.zipWithIndex.map { case (sql, i) =>
+      val t0 = System.nanoTime()
+      val ok = try { spark.sql(sql).collect(); true } catch { case _: Exception => false }
+      val ms = (System.nanoTime() - t0) / 1000000L
+      (i.toString, if (ok) sql else null, new java.sql.Timestamp(t0 / 1000000L),
+        ms, ms, ms, 0L, 0L, 0L)
+    }
+    val qlog = runs.toDF("query_id", "query", "create_time",
+      "execution_time_ms", "cpu_time_ms", "scheduled_time_ms",
+      "input_bytes", "peak_memory_bytes", "peak_total_memory_bytes")
+    AnalysisPipeline.runFromCatalog(spark, qlog,
+      nameFilter = TableRegistry.profiledTables.toSet, topN = topN)
+  }
 }

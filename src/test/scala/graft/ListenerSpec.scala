@@ -41,4 +41,16 @@ class ListenerSpec extends SparkSpec {
     val wheres = rows.filter(_._1 == "where_col").map(_._2).toSet
     assert(wheres.contains("o_totalprice"), wheres.toString)
   }
+
+  test("self-hosted advisor: session serves the workload, then advises on it") {
+    val recs = graft.pipeline.SelfHosting.adviseFromObservedWorkload(
+      spark, sfDir, graft.catalog.TableRegistry.cannedQueries)
+      .collect().map(r => r.getAs[String]("view") -> r.getAs[String]("partition_spec")).toMap
+    // one row per profiled table, discovered from the session catalog
+    assert(recs.keySet == graft.catalog.TableRegistry.profiledTables.toSet, recs.keySet.toString)
+    // the workload's hottest table must get a real spec derived from its
+    // own observed queries (q0 filters l_shipdate, q1 joins l_orderkey)
+    val li = recs("lineitem")
+    assert(li != null && li.nonEmpty, "no spec for lineitem")
+  }
 }
