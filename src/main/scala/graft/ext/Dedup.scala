@@ -184,6 +184,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // the final `labels` stays persisted deliberately: the returned plan
+    // reads it twice (sizes join + projection), and unpersisting here would
+    // lazily replay the whole iteration chain at evaluation time. Identical
+    // re-invocations share the entry via Spark's plan-matching CacheManager.
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -60,5 +60,11 @@ object ReportExporter {
         col("execution_time_ms"), col("cpu_time_ms"),
         col("input_bytes"), col("peak_memory_bytes"))
       .coalesce(1).write.mode("overwrite").json(s"$outDir/query_metrics")
+
+    // the seven artifacts are written; release the export-scoped caches so a
+    // long-lived session (repeated exports, different time filters) doesn't
+    // accumulate block storage
+    scores.unpersist()
+    log.unpersist()
   }
 }
