@@ -56,11 +56,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     // Two lines, big one first: the driver tail-captures only the last few KB
-    // of the log, so the >3 KB per-query line goes FIRST (informational — its
-    // head may be cut) and the total goes LAST as its own short line that is
-    // always fully inside the capture window and parses on its own. r1–r3 all
-    // had parsed=null because the total sat at the head of one long line.
-    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfName","queries":$qs}""")
+    // of the log, so the >3 KB per-query line goes FIRST (its head may be
+    // cut) and the total goes LAST as its own short line that is always
+    // fully inside the capture window and parses on its own. r1–r3 all had
+    // parsed=null because the total sat at the head of one long line. BOTH
+    // lines carry the full metric/value/unit/queries/sf contract, so a
+    // parser that picks either the first or the last JSON line in the tail
+    // gets a complete record.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
     // the final line keeps the contract's "queries" field but only with the
     // headline TPC-H-ish keys (~300 bytes) so the line as a whole stays short
     val headline = Seq("q1_agg", "q2_correlated_scalar", "q3_shipping", "q4_exists",
