@@ -59,11 +59,12 @@ object Bench {
     // of the log, so the >3 KB per-query line goes FIRST (its head may be
     // cut) and the total goes LAST as its own short line that is always
     // fully inside the capture window and parses on its own. r1–r3 all had
-    // parsed=null because the total sat at the head of one long line. BOTH
-    // lines carry the full metric/value/unit/queries/sf contract, so a
-    // parser that picks either the first or the last JSON line in the tail
-    // gets a complete record.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
+    // parsed=null because the total sat at the head of one long line. The
+    // lines carry DISTINCT metric names (a by-name parser must never see two
+    // "total" records and double-count), but both include value/unit/
+    // queries/sf, so a first-line or last-line parser gets a complete record
+    // either way.
+    println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
     // the final line keeps the contract's "queries" field but only with the
     // headline TPC-H-ish keys (~300 bytes) so the line as a whole stays short
     val headline = Seq("q1_agg", "q2_correlated_scalar", "q3_shipping", "q4_exists",

@@ -51,7 +51,17 @@ object TableRegistry {
     *   (reference cli.py:31 defaults each view to 1) */
   def fromCatalog(spark: SparkSession, db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
-      queryCounts: Map[String, Long] = Map.empty): Seq[ViewMeta] = {
+      queryCounts: Map[String, Long] = Map.empty): Seq[ViewMeta] =
+    fromCatalogResolved(spark, db, nameFilter, queryCounts).map(_._1)
+
+  /** [[fromCatalog]] plus, per view, the FULLY-QUALIFIED identifier that
+    * `spark.table(...)` must be given to read its data. The ViewMeta keeps
+    * the bare name (query texts and usage parsing refer to tables unqualified
+    * — Catalyst's multipartIdentifier.last), but resolution against a
+    * non-current database needs `db.table`; temp views resolve bare. */
+  def fromCatalogResolved(spark: SparkSession, db: Option[String] = None,
+      nameFilter: String => Boolean = _ => true,
+      queryCounts: Map[String, Long] = Map.empty): Seq[(ViewMeta, String)] = {
     val tables = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
       .collect().toSeq
       .filter(t => nameFilter(t.name))
@@ -60,7 +70,8 @@ object TableRegistry {
       val qualified = Option(t.namespace).filter(_.nonEmpty)
         .map(ns => (ns :+ t.name).mkString(".")).getOrElse(t.name)
       val cols = spark.catalog.listColumns(qualified).collect().map(_.name).toSeq
-      ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), viewDdl(t.name))
+      (ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), viewDdl(t.name)),
+        qualified)
     }
   }
 

@@ -19,11 +19,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a near-dup pipeline computes signatures in one pass and every downstream
   * consumer (banding, verification, clustering) reads the materialized
   * sketch instead of re-deriving it from document bodies.
+  *
+  * CONTRACT: the cache key must uniquely identify the INPUT DATA (plus any
+  * parameters not already in the operator's tag) — the memo never inspects
+  * the built plan, so two different inputs under one key would silently
+  * return the first input's result. Fixture call sites key by the corpus
+  * directory. Entries are bounded by distinct (dir × operator × params)
+  * combinations and live until [[clear]]; blocks themselves are evictable
+  * (MEMORY_AND_DISK).
   */
 object DfMemo {
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Unpersist and drop every entry owned by `spark` — for long-lived
+    * sessions that iterate over many corpora/param sets and want the block
+    * storage back. */
+  def clear(spark: SparkSession): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
 
   /** @param persistUnkeyed when true, a key-less call still persists the
     *   built DataFrame (for sketches consumed by several branches of ONE

@@ -199,9 +199,15 @@ object AnalysisPipeline {
       db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
       approxCardinality: Boolean = false, topN: Int = 3): DataFrame = {
-    val vs = TableRegistry.fromCatalog(spark, db, nameFilter)
-    require(vs.nonEmpty, "no catalog tables matched — register temp views or pass a db")
-    val profiles = computeProfiles(spark, vs, spark.table(_), approxCardinality)
+    val resolved = TableRegistry.fromCatalogResolved(spark, db, nameFilter)
+    require(resolved.nonEmpty, "no catalog tables matched — register temp views or pass a db")
+    val vs = resolved.map(_._1)
+    // profile through the FULLY-QUALIFIED identifier: with db set, the bare
+    // name would resolve against temp views / the current database and
+    // profile the wrong (or no) table
+    val qualifiedOf = resolved.map { case (v, q) => v.view -> q }.toMap
+    val profiles = computeProfiles(spark, vs,
+      name => spark.table(qualifiedOf(name)), approxCardinality)
     val workload = computeWorkload(spark, vs, queryLog)
     val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
     Recommender.scripts(spark, ranked, vs.map(_.view))

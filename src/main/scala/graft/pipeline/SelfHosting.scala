@@ -62,10 +62,11 @@ object SelfHosting {
     registerViews(spark, sfDir)
     import spark.implicits._
     val runs = workload.zipWithIndex.map { case (sql, i) =>
+      val startedAt = System.currentTimeMillis() // wall clock — nanoTime has an arbitrary origin
       val t0 = System.nanoTime()
       val ok = try { spark.sql(sql).collect(); true } catch { case _: Exception => false }
       val ms = (System.nanoTime() - t0) / 1000000L
-      (i.toString, if (ok) sql else null, new java.sql.Timestamp(t0 / 1000000L),
+      (i.toString, if (ok) sql else null, new java.sql.Timestamp(startedAt),
         ms, ms, ms, 0L, 0L, 0L)
     }
     val qlog = runs.toDF("query_id", "query", "create_time",

@@ -27,7 +27,10 @@ object ReportExporter {
     val vs = AnalysisPipeline.views(spark, sfDir)
     val log0 = TableRegistry.queryLog(spark, sfDir)
     val log = timeFilter.fold(log0)(f => log0.where(expr(f))).cache()
-
+    // cache() is lazy — declared up front so the finally below can release
+    // both export-scoped caches no matter which write fails
+    val scores = AnalysisPipeline.scores(spark, sfDir).cache()
+    try {
     // global_stats.csv — A1 weighted frequency
     Usage.weightedFrequency(spark, vs, log)
       .coalesce(1).write.mode("overwrite").option("header", "true")
@@ -38,7 +41,6 @@ object ReportExporter {
       .coalesce(1).write.mode("overwrite").json(s"$outDir/view_data")
 
     // column_scores.json + cardinality_stats.json — from the scored profiles
-    val scores = AnalysisPipeline.scores(spark, sfDir).cache()
     scores.select(col("view"), col("column"), round(col("score"), 6).as("score"))
       .coalesce(1).write.mode("overwrite").json(s"$outDir/column_scores")
     scores.select(col("view"), col("column"), col("cardinality"))
@@ -60,11 +62,12 @@ object ReportExporter {
         col("execution_time_ms"), col("cpu_time_ms"),
         col("input_bytes"), col("peak_memory_bytes"))
       .coalesce(1).write.mode("overwrite").json(s"$outDir/query_metrics")
-
-    // the seven artifacts are written; release the export-scoped caches so a
-    // long-lived session (repeated exports, different time filters) doesn't
-    // accumulate block storage
-    scores.unpersist()
-    log.unpersist()
+    } finally {
+      // release the export-scoped caches even when a write fails, so a
+      // long-lived session (repeated exports, different time filters)
+      // doesn't accumulate block storage
+      scores.unpersist()
+      log.unpersist()
+    }
   }
 }

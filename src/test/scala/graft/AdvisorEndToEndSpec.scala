@@ -76,4 +76,33 @@ class AdvisorEndToEndSpec extends SparkSpec {
     // and the workload's hot join key made the cut
     assert(ordersSpec.contains("o_custkey"), s"expected workload-driven o_custkey, got: $ordersSpec")
   }
+
+  test("catalog discovery resolves tables of a NON-current database") {
+    // tables live in advdb while the session stays on default — profiling
+    // must go through the fully-qualified name (a bare spark.table would
+    // throw or hit a same-named temp view)
+    spark.sql("CREATE DATABASE IF NOT EXISTS advdb")
+    spark.sql("DROP TABLE IF EXISTS advdb.adv_supplier")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations survive on disk — clear the leftover so CTAS can recreate
+    val loc = new java.io.File("spark-warehouse/advdb.db/adv_supplier")
+    if (loc.isDirectory)
+      loc.listFiles().foreach(_.delete())
+    loc.delete()
+    try {
+      spark.read.parquet(s"$sfDir/supplier.parquet")
+        .write.mode("overwrite").saveAsTable("advdb.adv_supplier")
+      val log = TableRegistry.queryLog(spark, sfDir).withColumn("query",
+        when(col("query").isNotNull,
+          lit("SELECT s_name FROM adv_supplier WHERE s_acctbal > 0")))
+      val recs = AnalysisPipeline.runFromCatalog(spark, log, db = Some("advdb"),
+        nameFilter = Set("adv_supplier"))
+        .collect().map(r => r.getAs[String]("view") -> r.getAs[String]("partition_spec")).toMap
+      assert(recs.keySet == Set("adv_supplier"), recs.keySet.toString)
+      assert(recs("adv_supplier") != null && recs("adv_supplier").nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS advdb.adv_supplier")
+      spark.sql("DROP DATABASE IF EXISTS advdb")
+    }
+  }
 }
