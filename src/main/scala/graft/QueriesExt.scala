@@ -520,6 +520,67 @@ object QueriesExt {
            |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
       }),
 
+    QSpec("quality_repetition",
+      // Gopher-style duplicate-bigram fraction: flags boilerplate/spam in
+      // one codegen scan pass (no shuffle)
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+          |    / CAST(len(g) AS DOUBLE), 6) AS rep_ratio
+          |FROM (
+          |  SELECT doc_id, CASE WHEN len(sp) < 2 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1]) END AS g
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d) x
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("corpus_curate",
+      // the curation composite: language filter + quality floor + exact
+      // dedup (keep min doc_id per surviving text), all in ONE declarative
+      // plan — predicate work stays in the scan stage, dedup is one shuffle
+      // on 32-byte sha2 keys, the keeper set joins back as a left-semi.
+      // This is the "clean corpus" materialization a training pipeline runs
+      // before packing; every component reuses an already-oracle-checked
+      // operator (lang_id / quality_score / dedup_exact).
+      (s, dir) => {
+        val scored = TextAnalysis.withLangIdIntersect(
+          t(s, dir, "documents"), "text", "lang_pred")
+          .withColumn("quality",
+            TextAnalysis.qualityScore(col("text"), Seq("the", "a")))
+          .where(col("lang_pred") === "en" && col("quality") >= 0.5)
+        val keepers = scored.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        scored.join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val score = TextAnalysis.defaultMarkers.map { case (lang, ws) =>
+          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+        }
+        val Seq(de, en, es, fr, zh) = score.map(_._2)
+        s"""WITH scored AS (
+           |  SELECT doc_id, text,
+           |    ROUND(LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
+           |      + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
+           |      + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
+           |    , 6) AS quality,
+           |    CASE
+           |      WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |      WHEN $fr >= $zh THEN 'fr'
+           |      ELSE 'zh' END AS lang_pred
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d),
+           |pass AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM pass GROUP BY text)
+           |SELECT p.doc_id, p.quality FROM pass p JOIN keep k ON p.doc_id = k.doc_id
+           |ORDER BY p.doc_id""".stripMargin
+      }),
+
     QSpec("doc_fingerprint",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.polyFingerprint(col("text")).as("fingerprint"))

@@ -160,6 +160,16 @@ object TextAnalysis {
       .drop(profiles.map(p => s"__s_${p._1}"): _*)
   }
 
+  /** Duplicate-bigram fraction (Gopher-style repetition signal): 1 −
+    * |distinct bigrams| / |bigrams|. High values flag boilerplate/spam.
+    * One codegen pass per row (array_distinct over the shingle array), no
+    * shuffle — runs in the scan stage at any corpus size. */
+  def repetitionRatio(text: Column): Column = {
+    val grams = Dedup.shingles(text, 2)
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double"), 6)
+  }
+
   /** Sequence packing for training-data assembly: documents are concatenated
     * in doc_id order within each shard and cut into fixed token-budget
     * sequences; a document is assigned to the sequence containing its first
