@@ -136,6 +136,34 @@ class ExtSpec extends SparkSpec {
     arr.foreach { case (k, v) => assert(joined(k) == v.mkString(",")) }
   }
 
+  test("sequence packing invariants: contiguous offsets per shard, bounded sequence starts") {
+    val packed = graft.ext.TextAnalysis.packSequences(docs, "source", 512)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // per shard: offsets are the running sum of preceding token counts and
+    // every doc's sequence id is its start offset / budget
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      var expect = 0L
+      inOrder.foreach { case (_, _, nTok, offset, seqId) =>
+        assert(offset == expect, s"offset $offset != running sum $expect")
+        assert(seqId == offset / 512)
+        expect += nTok
+      }
+    }
+  }
+
+  test("repetition ratio stays in [0, 1) and is 0 for all-distinct bigrams") {
+    import spark.implicits._
+    val ratios = docs.select(graft.ext.TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .as[Double].collect()
+    assert(ratios.forall(r => r >= 0.0 && r < 1.0), ratios.filterNot(r => r >= 0.0 && r < 1.0).take(3).toSeq.toString)
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(d.select(graft.ext.TextAnalysis.repetitionRatio(col("text"))).collect()(0).getDouble(0) == 0.0)
+    val rep = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    // bigrams: "x y","y x","x y","y x","x y" → 2 distinct of 5 → 0.6
+    assert(rep.select(graft.ext.TextAnalysis.repetitionRatio(col("text"))).collect()(0).getDouble(0) == 0.6)
+  }
+
   test("trigram language id is deterministic and total") {
     import spark.implicits._
     val preds = docs.select(graft.ext.TextAnalysis.langIdNgram(col("text")).as("p"))
