@@ -77,6 +77,18 @@ class AdvisorEndToEndSpec extends SparkSpec {
     assert(ordersSpec.contains("o_custkey"), s"expected workload-driven o_custkey, got: $ordersSpec")
   }
 
+  test("advisor degrades gracefully on an empty table (no rows, real schema)") {
+    spark.read.parquet(s"$sfDir/orders.parquet").where(lit(false))
+      .createOrReplaceTempView("empty_orders")
+    val log = TableRegistry.queryLog(spark, sfDir).withColumn("query",
+      when(col("query").isNotNull, lit("SELECT * FROM empty_orders WHERE o_totalprice > 0")))
+    // must not throw (empty aggregates/percentiles are null-tolerant);
+    // recommendations fall back to workload-derived weights
+    val recs = AnalysisPipeline.runFromCatalog(spark, log, nameFilter = Set("empty_orders"))
+      .collect()
+    assert(recs.length == 1 && recs(0).getAs[String]("view") == "empty_orders")
+  }
+
   test("catalog discovery resolves tables of a NON-current database") {
     // tables live in advdb while the session stays on default — profiling
     // must go through the fully-qualified name (a bare spark.table would
