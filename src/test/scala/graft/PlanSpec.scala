@@ -179,6 +179,23 @@ class PlanSpec extends SparkSpec {
     assert(pushes >= 2, s"cap not pushed to both sides ($pushes):\n$plan")
   }
 
+  test("NO declared query key plans an unbounded CartesianProduct") {
+    // the one scale-killer class a declared key must never ship: a cross
+    // product where neither side is broadcast. BroadcastNestedLoopJoin over
+    // a bounded/1-row side (topK's query vector, capped exact join) is
+    // acceptable; CartesianProductExec is not. Sink keys write to tmp dirs
+    // during plan construction — that's their normal contract.
+    val offenders = Queries.allSpecs.flatMap { spec =>
+      try {
+        val plan = planOf(spec.fn(spark, sfDir))
+        if (plan.contains("CartesianProduct")) Some(spec.name) else None
+      } catch {
+        case e: Throwable => Some(s"${spec.name} (failed to plan: ${e.getMessage.take(60)})")
+      }
+    }
+    assert(offenders.isEmpty, s"unbounded cross products in: $offenders")
+  }
+
   test("querylog derivation stays a single scan with no shuffle") {
     val df = TableRegistry.queryLog(spark, sfDir)
     val plan = planOf(df)
