@@ -179,6 +179,14 @@ class PlanSpec extends SparkSpec {
     assert(pushes >= 2, s"cap not pushed to both sides ($pushes):\n$plan")
   }
 
+  test("declared query key names are unique (Map construction would silently shadow)") {
+    val names = Queries.allSpecs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate key names: $dups")
+    // and every oracle belongs to a declared key
+    assert(Queries.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
   test("NO declared query key plans an unbounded CartesianProduct") {
     // the one scale-killer class a declared key must never ship: a cross
     // product where neither side is broadcast. BroadcastNestedLoopJoin over
