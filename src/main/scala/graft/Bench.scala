@@ -61,10 +61,10 @@ object Bench {
     // fully inside the capture window and parses on its own. r1–r3 all had
     // parsed=null because the total sat at the head of one long line. The
     // lines carry DISTINCT metric names (a by-name parser must never see two
-    // "total" records and double-count), but both include value/unit/
-    // queries/sf, so a first-line or last-line parser gets a complete record
-    // either way.
-    println(s"""{"metric":"per_query","value":${fmt(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
+    // "total" records and double-count), and the big line's run total is
+    // named total_sec — NOT value — so a per_query consumer can't misread
+    // the whole-run figure as a per-query one.
+    println(s"""{"metric":"per_query","total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
     // the final line keeps the contract's "queries" field but only with the
     // headline TPC-H-ish keys (~300 bytes) so the line as a whole stays short
     val headline = Seq("q1_agg", "q2_correlated_scalar", "q3_shipping", "q4_exists",

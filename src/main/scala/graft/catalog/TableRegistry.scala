@@ -62,10 +62,26 @@ object TableRegistry {
   def fromCatalogResolved(spark: SparkSession, db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
       queryCounts: Map[String, Long] = Map.empty): Seq[(ViewMeta, String)] = {
-    val tables = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
+    val listed = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
       .collect().toSeq
       .filter(t => nameFilter(t.name))
-      .sortBy(_.name)
+    // listTables(db) ALSO returns temp views: a temp view sharing a bare name
+    // with a db table would otherwise collapse in downstream name-keyed maps
+    // and profile the wrong relation. Dedup by bare name: with a db given,
+    // the db's own table wins (that's what the caller asked to advise on);
+    // without one, the temp view wins (matching spark.table's bare-name
+    // resolution order). Collisions are logged, never silent.
+    val tables = listed.groupBy(_.name).toSeq.sortBy(_._1).map { case (name, ts) =>
+      if (ts.size == 1) ts.head
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"catalog discovery: '$name' names both a temp view and a catalog table; " +
+            (if (db.isDefined) s"using ${db.get}.$name" else "using the temp view"))
+        val namespaced = ts.filter(t => Option(t.namespace).exists(_.nonEmpty))
+        if (db.isDefined) namespaced.headOption.getOrElse(ts.head)
+        else ts.find(t => Option(t.namespace).forall(_.isEmpty)).getOrElse(ts.head)
+      }
+    }
     tables.map { t =>
       val qualified = Option(t.namespace).filter(_.nonEmpty)
         .map(ns => (ns :+ t.name).mkString(".")).getOrElse(t.name)

@@ -210,7 +210,15 @@ object AnalysisPipeline {
       name => spark.table(qualifiedOf(name)), approxCardinality)
     val workload = computeWorkload(spark, vs, queryLog)
     val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
-    Recommender.scripts(spark, ranked, vs.map(_.view))
+    // emit scripts under the FULLY-QUALIFIED names: an `ALTER TABLE bare`
+    // script run from a session on a different current database would hit
+    // the wrong (or no) table — the exact class of bug the profiling-side
+    // qualification above fixes
+    val qmapEntries = resolved.flatMap { case (v, q) => Seq(lit(v.view), lit(q)) }
+    val qualifiedView = coalesce(element_at(map(qmapEntries: _*), col("view")), col("view"))
+    Recommender.scripts(spark,
+      ranked.withColumn("view", qualifiedView),
+      resolved.map(_._2))
   }
 
   /** Full run → one recommendation row per profiled view:

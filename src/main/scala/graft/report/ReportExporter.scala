@@ -25,11 +25,14 @@ object ReportExporter {
     import spark.implicits._
 
     val vs = AnalysisPipeline.views(spark, sfDir)
+    // scores() FIRST: its workload derivation caches-and-unpersists the raw
+    // query-log plan internally, and Spark's CacheManager keys by logical
+    // plan — caching our log before that would get collaterally unpersisted
+    // (timeFilter=None shares the plan). Running scores() eagerly before we
+    // cache anything also means a scoring failure leaks no cache entries.
+    val scores = AnalysisPipeline.scores(spark, sfDir).cache()
     val log0 = TableRegistry.queryLog(spark, sfDir)
     val log = timeFilter.fold(log0)(f => log0.where(expr(f))).cache()
-    // cache() is lazy — declared up front so the finally below can release
-    // both export-scoped caches no matter which write fails
-    val scores = AnalysisPipeline.scores(spark, sfDir).cache()
     try {
     // global_stats.csv — A1 weighted frequency
     Usage.weightedFrequency(spark, vs, log)

@@ -96,11 +96,13 @@ class AdvisorEndToEndSpec extends SparkSpec {
     spark.sql("CREATE DATABASE IF NOT EXISTS advdb")
     spark.sql("DROP TABLE IF EXISTS advdb.adv_supplier")
     // the in-memory catalog forgets tables between JVMs but their managed
-    // locations survive on disk — clear the leftover so CTAS can recreate
-    val loc = new java.io.File("spark-warehouse/advdb.db/adv_supplier")
-    if (loc.isDirectory)
-      loc.listFiles().foreach(_.delete())
-    loc.delete()
+    // locations survive on disk — clear the leftover (recursively: an
+    // interrupted run can leave nested _temporary dirs) so CTAS can recreate
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File("spark-warehouse/advdb.db/adv_supplier"))
     try {
       spark.read.parquet(s"$sfDir/supplier.parquet")
         .write.mode("overwrite").saveAsTable("advdb.adv_supplier")
@@ -109,9 +111,11 @@ class AdvisorEndToEndSpec extends SparkSpec {
           lit("SELECT s_name FROM adv_supplier WHERE s_acctbal > 0")))
       val recs = AnalysisPipeline.runFromCatalog(spark, log, db = Some("advdb"),
         nameFilter = Set("adv_supplier"))
-        .collect().map(r => r.getAs[String]("view") -> r.getAs[String]("partition_spec")).toMap
-      assert(recs.keySet == Set("adv_supplier"), recs.keySet.toString)
-      assert(recs("adv_supplier") != null && recs("adv_supplier").nonEmpty)
+        .collect().map(r => r.getAs[String]("view") -> r.getAs[String]("script")).toMap
+      // recommendations carry the FULLY-QUALIFIED name: the emitted ALTER
+      // TABLE must target advdb even from a session on another database
+      assert(recs.keySet == Set("advdb.adv_supplier"), recs.keySet.toString)
+      assert(recs("advdb.adv_supplier").contains("ALTER TABLE advdb.adv_supplier"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS advdb.adv_supplier")
       spark.sql("DROP DATABASE IF EXISTS advdb")

@@ -183,8 +183,6 @@ class PlanSpec extends SparkSpec {
     val names = Queries.allSpecs.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate key names: $dups")
-    // and every oracle belongs to a declared key
-    assert(Queries.oracleSql.keySet.subsetOf(names.toSet))
   }
 
   test("NO declared query key plans an unbounded CartesianProduct") {
