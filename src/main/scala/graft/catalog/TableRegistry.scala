@@ -122,8 +122,14 @@ object TableRegistry {
     * peak_total_memory_bytes). Every derived column uses floor() (not raw
     * double→bigint casts) so a DuckDB oracle reproduces it bit-for-bit.
     */
-  def queryLog(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = table(spark, sfDir, "events")
+  def queryLog(spark: SparkSession, sfDir: String): DataFrame =
+    queryLogFrom(table(spark, sfDir, "events"))
+
+  /** The same derivation over ANY events-shaped DataFrame (event_id, ts,
+    * value) — including a STREAMING one (it is a pure projection, so it
+    * composes with readStream; graft.streaming.StreamingAdvisor feeds it
+    * micro-batches for continuous re-advising). */
+  def queryLogFrom(ev: DataFrame): DataFrame = {
     val queryCase = cannedQueries.zipWithIndex.foldLeft(lit(null: String)) {
       case (acc, (q, i)) => when(col("event_id") % 5 === i, lit(q)).otherwise(acc)
     }

@@ -277,4 +277,47 @@ class StreamingSpec extends SparkSpec {
       assert(batch1.map(_._1).toSet.intersect(batch2.map(_._1).toSet).nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming advisor re-advises per micro-batch over the accumulated workload") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // advise on one registered table (cheap per-batch profiling)
+    TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val logStream = TableRegistry.queryLogFrom(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val logDir = java.nio.file.Files.createTempDirectory("graft_stream_advisor").toString
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingAdvisor.Snapshot]()
+    val query = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), s"$logDir/log", snaps)
+    try {
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+      val snapshots = {
+        import scala.jdk.CollectionConverters._
+        snaps.asScala.toSeq.sortBy(_.batchId)
+      }
+      assert(snapshots.length == 2, snapshots.map(_.batchId).toString)
+      // every snapshot advises the discovered table
+      snapshots.foreach { s =>
+        assert(s.recs.map(_._1) == Seq("supplier"), s.recs.toString)
+        assert(s.recs.head._2 != null && s.recs.head._2.nonEmpty)
+      }
+      // the final snapshot must equal a direct batch advisor run over the
+      // full accumulated log — streaming adds cadence, not new semantics
+      val direct = graft.pipeline.AnalysisPipeline.runFromCatalog(
+        spark, spark.read.parquet(s"$logDir/log"), nameFilter = Set("supplier"))
+        .collect().map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec"))).toSeq
+      assert(snapshots.last.recs == direct,
+        s"stream ${snapshots.last.recs} vs batch $direct")
+    } finally query.stop()
+  }
 }
