@@ -291,6 +291,24 @@ object QueriesExt {
           |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    QSpec("sink_orc",
+      // S9/S11 family widened to a second columnar format: ORC artifact
+      // round trip (spark-avro isn't on the offline classpath; ORC is
+      // built into Spark SQL). Same write→read→compare contract as the
+      // CSV/JSON sinks.
+      (s, dir) => {
+        val agg = t(s, dir, "part").groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double"), 2).as("total_price"))
+        val out = tmpOut("sink_orc")
+        agg.coalesce(1).write.mode("overwrite").orc(out)
+        s.read.schema(agg.schema).orc(out).orderBy("p_brand")
+      },
+      Some(
+        """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+          |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     QSpec("write_partitioned",
       // T5: materialize the advisor's recommendation — partitioned write by
       // month(l_shipdate), then read back through partition discovery.
