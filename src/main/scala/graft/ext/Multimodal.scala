@@ -102,6 +102,26 @@ object Multimodal {
       col("text").cast("binary").as("media")).as[MediaRecord]
   }
 
+  /** Real ingestion path: a directory of raw media FILES → MediaRecord, via
+    * Spark's built-in `binaryFile` source (how media actually lands in a
+    * lakehouse before it has a table). doc_id is derived from the file name
+    * (`<id>.<ext>`); media_type from the extension. The source is
+    * scan-parallel, supports `pathGlobFilter`, and never materializes a
+    * file on the driver — at 100 TB this is the bulk-ingest scan that
+    * [[extractFeatures]] runs directly on top of. */
+  def mediaFromBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1).cast("long").as("doc_id"),
+        concat(lit("file/"), regexp_extract(col("path"), "\\.([^/.]+)$", 1)).as("media_type"),
+        col("content").as("media"))
+      .as[MediaRecord]
+  }
+
   /** Batch feature extraction: one decoder per partition, media never
     * shuffles. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -179,6 +179,26 @@ class ExtSpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < 8))
   }
 
+  test("binaryFile ingestion: raw files become MediaRecords with intact payloads") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media").toString
+    val payloads = Map(7L -> "fake-jpeg-bytes-7", 42L -> "fake-wav-bytes-42")
+    Files.write(Paths.get(dir, "7.jpg"), payloads(7L).getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "42.wav"), payloads(42L).getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "notes.txt"), "ignored".getBytes("UTF-8"))
+    val media = graft.ext.Multimodal
+      .mediaFromBinaryFiles(spark, dir, glob = "*.{jpg,wav}")
+      .collect().map(r => r.doc_id -> (r.media_type, new String(r.media, "UTF-8"))).toMap
+    assert(media.keySet == Set(7L, 42L), media.keySet.toString)
+    assert(media(7L) == ("file/jpg", payloads(7L)))
+    assert(media(42L) == ("file/wav", payloads(42L)))
+    // and the ingested records run through the real decode plumbing
+    val feats = graft.ext.Multimodal.extractFeatures(
+      graft.ext.Multimodal.mediaFromBinaryFiles(spark, dir, glob = "*.{jpg,wav}"))
+      .collect().map(f => f.doc_id -> f.byte_len).toMap
+    assert(feats == Map(7L -> payloads(7L).length.toLong, 42L -> payloads(42L).length.toLong))
+  }
+
   test("multimodal mapPartitions plumbing: features deterministic, media never null") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(spark, docs)).collect()
