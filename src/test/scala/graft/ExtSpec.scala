@@ -199,6 +199,26 @@ class ExtSpec extends SparkSpec {
     assert(feats == Map(7L -> payloads(7L).length.toLong, 42L -> payloads(42L).length.toLong))
   }
 
+  test("compaction collapses file count and preserves the row multiset") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/t"
+    val src = TableRegistry.table(spark, sfDir, "supplier")
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    val fragFiles = spark.read.parquet(frag).inputFiles.length
+    // AQE may coalesce the 32-way shuffle at this tiny scale — just require
+    // genuine fragmentation
+    assert(fragFiles >= 8, s"expected a fragmented layout, got $fragFiles files")
+    val out = java.nio.file.Files.createTempDirectory("graft_comp").toString + "/t"
+    val compacted = graft.ext.Layout.compact(spark, frag, out, targetBytes = 1L << 20)
+    val outFiles = compacted.inputFiles.length
+    assert(outFiles < fragFiles / 2, s"$outFiles files after compaction (from $fragFiles)")
+    assert(compacted.count() == src.count())
+    // byte-derived sizing: a tiny target forces multiple output files
+    val out2 = java.nio.file.Files.createTempDirectory("graft_comp2").toString + "/t"
+    val many = graft.ext.Layout.compact(spark, frag, out2,
+      targetBytes = math.max(1L, graft.ext.Layout.dirBytes(spark, frag) / 4))
+    assert(many.inputFiles.length >= 4)
+  }
+
   test("multimodal mapPartitions plumbing: features deterministic, media never null") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(spark, docs)).collect()
