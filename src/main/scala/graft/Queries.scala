@@ -776,7 +776,8 @@ object Queries {
   val specs: Seq[QSpec] =
     scanSpecs ++ aggSpecs ++ bonusSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
 
-  def allSpecs: Seq[QSpec] = specs ++ QueriesExt.specs ++ Queries3.specs ++ Queries4.specs
+  def allSpecs: Seq[QSpec] =
+    specs ++ QueriesExt.specs ++ Queries3.specs ++ Queries4.specs ++ Queries5.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(q => q.name -> q.fn).toMap
