@@ -189,6 +189,43 @@ object Queries5 {
           |FROM n, qq WHERE vec_id <> 0
           |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    QSpec("knn_join",
+      // k-NN JOIN: 8 probe vectors each ranked against the disjoint corpus
+      // in one pass — broadcast probes, codegen VectorDot cosines, and the
+      // bounded-heap TopKRows aggregate for per-probe top-3 (map-side
+      // partial heaps; the exchange carries O(probes × partitions × k)
+      // rows, no Sort operator). The oracle replays it with a rank window.
+      (s, dir) => SimSearch.knnJoin(s, t(s, dir, "embeddings"),
+        nQueries = 8, k = 3),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+          |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 8),
+          |p AS (SELECT q_id, vec_id,
+          |  ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i])) / (nrm*qn), 6) AS cos
+          |  FROM c, q),
+          |r AS (SELECT q_id, vec_id, cos, CAST(ROW_NUMBER() OVER (
+          |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM p)
+          |SELECT q_id, rank, vec_id, cos FROM r WHERE rank <= 3
+          |ORDER BY q_id, rank""".stripMargin)),
+
+    QSpec("doc_lm_quality",
+      // Unigram-LM quality scoring (the cheap stand-in for perplexity
+      // filtering): mean corpus probability of each doc's tokens. Integer
+      // sums end-to-end, one final division — bit-reproducible where a
+      // log-space perplexity would drift across libm implementations.
+      (s, dir) => graft.ext.TextAnalysis.unigramLmScore(t(s, dir, "documents")),
+      Some(
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+          |tot AS (SELECT SUM(cnt) AS n FROM tc),
+          |per AS (SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n_tok
+          |  FROM toks JOIN tc USING (tok) GROUP BY doc_id)
+          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          |  ROUND(CAST(s AS DOUBLE) / CAST(n_tok * n AS DOUBLE), 9) AS lm_score
+          |FROM per, tot ORDER BY doc_id""".stripMargin)),
+
     QSpec("join_bucketed_colocated",
       // The storage layout the advisor's scripts exist to produce, driven
       // end-to-end: both fact and dim written as 8-bucket tables on the

@@ -270,6 +270,32 @@ object SimSearch {
       .otherwise(transform(v, x => floor(x / (ma / 127d) + 0.5d)))
   }
 
+  /** k-NN JOIN: every query vector (`vec_id < nQueries`) gets its k nearest
+    * corpus neighbors (`vec_id >= nQueries`) in ONE pass. The query block
+    * broadcasts (query sets are small by construction); per-query top-k runs
+    * as the bounded-heap [[graft.functions.TopKRows]] aggregate — partial
+    * heaps combine map-side, so the exchange carries only
+    * O(queries × partitions × k) rows and NO sort operator appears. At
+    * 100 TB this is the "embed a probe set, rank against the corpus" shape:
+    * linear scan, broadcast dimension, heap-bounded state. */
+  def knnJoin(spark: SparkSession, emb: DataFrame, nQueries: Long,
+      k: Int): DataFrame = {
+    import graft.functions.TopKRows.topKRows
+    val n = withNorm(emb)
+    val q = n.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    n.where(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .groupBy("q_id")
+      .agg(topKRows(struct(col("cos"), col("vec_id")), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id"), col("col.cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Brute-force top-k neighbors by int8-quantized cosine (recall vs the
     * exact [[topK]] is asserted in ExtSpec). */
   def quantizedTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,

@@ -192,6 +192,32 @@ object TextAnalysis {
       .orderBy(shardCol, "doc_id")
   }
 
+  /** Unigram language-model quality score: per doc, the MEAN corpus
+    * probability of its tokens — Σ_t cnt(t) / (n_tok_doc · N) where cnt is
+    * the corpus-wide count of token t and N the total token count. Docs of
+    * rare/atypical tokens score low (the cheap stand-in for LM perplexity
+    * filtering, with no log() — every term is an integer sum, so the single
+    * final division is bit-reproducible across engines where ln() is not;
+    * same rationale as text_tfidf's rational idf).
+    *
+    * Scale shape: the token-count table is vocabulary-sized (≪ corpus —
+    * broadcast it); the per-doc aggregation shuffles on doc_id only. For a
+    * web-scale vocabulary that outgrows a broadcast, the same plan works
+    * with a shuffled token join — still linear. */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tc = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = tc.agg(sum("cnt").as("n"))
+    toks.join(broadcast(tc), "tok")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("s"), count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s").cast("double") / (col("n_tok") * col("n")).cast("double"), 9)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Positional polynomial fingerprint: Σ_i (len(tok_i) · i) mod 1000003 —
     * deterministic, SQL-expressible on any engine (rolling-hash shape
     * without engine-specific hash functions). */

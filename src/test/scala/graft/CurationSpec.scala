@@ -71,6 +71,32 @@ class CurationSpec extends SparkSpec {
     assert(overlap >= 7, s"overlap $overlap of 10 vs exact top-k")
   }
 
+  test("knn join: every probe gets k ranked neighbors, cosines non-increasing") {
+    val emb = TableRegistry.table(spark, sfDir, "embeddings")
+    val rows = SimSearch.knnJoin(spark, emb, nQueries = 8, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length === 24)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"probe $q ranks")
+      val cs = rs.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"probe $q not sorted")
+      assert(rs.forall(_._3 >= 8), s"probe $q matched another probe")
+    }
+    // every probe is present exactly once at rank 1 (full cosine
+    // equivalence is the DuckDB oracle's job)
+    val top1 = rows.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    assert(top1.keySet === (0L until 8L).toSet)
+  }
+
+  test("unigram LM score favors docs made of corpus-common tokens") {
+    val docs = Seq((1L, "a a a"), (2L, "a b q")).toDF("doc_id", "text")
+    // counts: a=4, b=1, q=1, N=6 → doc1 = 12/(3·6) ≈ 0.667, doc2 = 6/18 ≈ 0.333
+    val got = graft.ext.TextAnalysis.unigramLmScore(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(got(1L) - 12.0 / 18) < 1e-9)
+    assert(math.abs(got(2L) - 6.0 / 18) < 1e-9)
+  }
+
   test("length-bucketed batches: every batch is within one bucket and ≤ batch size") {
     val batches = Queries.queries("length_bucket_batches")(spark, sfDir)
     val rows = batches.select("bucket", "batch_id", "n_docs", "max_tok")
