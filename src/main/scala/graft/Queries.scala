@@ -777,7 +777,8 @@ object Queries {
     scanSpecs ++ aggSpecs ++ bonusSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
 
   def allSpecs: Seq[QSpec] =
-    specs ++ QueriesExt.specs ++ Queries3.specs ++ Queries4.specs ++ Queries5.specs
+    specs ++ QueriesExt.specs ++ Queries3.specs ++ Queries4.specs ++ Queries5.specs ++
+      Queries6.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,253 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-6 operator surface — corpus-preparation operators a pretraining
+  * pipeline runs between raw ingestion and sequence packing:
+  *
+  *  - cross-document span (bigram) duplication fraction — the boilerplate
+  *    signal computed ACROSS docs (quality_repetition is within-doc),
+  *  - overlapping fixed-window chunking (RAG / context-window splitting),
+  *  - deterministic domain-mixture sampling (per-source target rates),
+  *  - vocabulary coverage at candidate vocab sizes (tokenizer sizing),
+  *  - incremental dedup of a new shard against an existing corpus index,
+  *  - embedding L2-normalization + head-dim truncation (matryoshka prep),
+  *  - percentile-based document-length outlier trimming.
+  *
+  * Oracle-determinism rules as in Queries.scala: integer arithmetic where
+  * possible, ROUND(…, 6) on any double that crossed a division, stable
+  * ORDER BY on every output.
+  */
+object Queries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("span_dup_fraction",
+      // Cross-doc repeated-span fraction: for each doc, the share of its
+      // distinct 4-token shingles that also occur in at least one OTHER
+      // document — the classic boilerplate/template signal
+      // (quality_repetition is the within-doc counterpart). Scale shape:
+      // per-doc dedup happens BEFORE the explode (array_distinct — no
+      // shuffle), the cross-doc count is ONE count-over-window on a 64-bit
+      // shingle hash (shuffle rows are (long,long), never shingle bodies),
+      // and the per-doc rollup is the only other exchange — all linear in
+      // corpus size, no pairwise comparison, no join.
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(Dedup.shingles(col("text"), 4))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        sh.withColumn("ndocs",
+            count(lit(1)).over(Window.partitionBy("shh")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, sh FROM (
+          |    SELECT doc_id, unnest(CASE WHEN len(sp) < 4 THEN [text]
+          |      ELSE list_transform(range(1, len(sp) - 2),
+          |        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) END) AS sh
+          |    FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d)
+          |), c AS (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY sh)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |  ROUND(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_frac
+          |FROM sh JOIN c USING (sh)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QSpec("chunk_overlap",
+      // Overlapping fixed-window chunking: 32-token windows on a 24-token
+      // stride (8-token overlap) — the RAG / context-window splitter. One
+      // generate-and-explode pass per doc; chunk starts come from
+      // sequence(), so a doc's chunks never leave its partition and the
+      // operator is embarrassingly parallel (no shuffle at all).
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tok", size(col("toks")))
+        d.select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1), col("n_tok"), lit(24))).as("start"))
+          .withColumn("chunk", slice(col("toks"), col("start"), lit(32)))
+          .select(col("doc_id"),
+            expr("(start - 1) div 24").cast("int").as("chunk_idx"),
+            col("start").cast("int").as("start"),
+            size(col("chunk")).as("chunk_tok"),
+            element_at(col("chunk"), 1).as("first_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+          |s AS (SELECT doc_id, sp, unnest(range(1, len(sp) + 1, 24)) AS start FROM d)
+          |SELECT doc_id, CAST((start - 1) // 24 AS INT) AS chunk_idx,
+          |  CAST(start AS INT) AS start,
+          |  CAST(len(list_slice(sp, start, least(start + 31, len(sp)))) AS INT) AS chunk_tok,
+          |  sp[start] AS first_tok
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    QSpec("mixture_sample",
+      // Deterministic domain-mixture sampling: each source gets a target
+      // keep-rate from its numeric suffix ((n % 5 + 1) × 20%), and a doc is
+      // kept iff a Knuth-style integer hash of its id lands under the
+      // per-source threshold. Pure integer arithmetic → the same docs are
+      // selected on any engine and any run; the selection itself is a
+      // stateless map over the scan (no shuffle until the audit rollup).
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
+        .withColumn("thresh", (pmod(col("srcnum"), lit(5)) + 1) * 200)
+        .withColumn("keep",
+          (pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < col("thresh"))
+            .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("keep").as("n_sampled"),
+          round(max(col("thresh")).cast("double") / 1000d, 2).as("target_rate"))
+        .orderBy("source"),
+      Some(
+        """WITH d AS (SELECT source, doc_id,
+          |    ((CAST(substr(source, 4) AS INT) % 5) + 1) * 200 AS thresh
+          |  FROM documents)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+          |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 < thresh
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          |  ROUND(MAX(thresh)::DOUBLE / 1000, 2) AS target_rate
+          |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("vocab_coverage",
+      // Tokenizer sizing: what fraction of all corpus token OCCURRENCES is
+      // covered by the top-{10,25,50} most frequent token types? The
+      // corpus-proportional work is the one token-count aggregation; the
+      // ranking window then runs over the VOCABULARY (type counts, not
+      // occurrences — bounded far below corpus size), so the single-
+      // partition window is metadata-sized by construction.
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val ranked = tc.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+        val total = tc.agg(sum("cnt").as("total"))
+        val levels = Seq(10, 25, 50)
+          .foldLeft(Option.empty[DataFrame]) { (acc, n) =>
+            val one = ranked.sparkSession.range(1).select(lit(n).as("n_vocab"))
+            Some(acc.fold(one)(_.unionAll(one)))
+          }.get
+        ranked.join(broadcast(levels), col("rank") <= col("n_vocab"))
+          .groupBy("n_vocab").agg(sum("cnt").as("covered"))
+          .crossJoin(broadcast(total))
+          .select(col("n_vocab"), col("covered"), col("total"),
+            round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+          .orderBy("n_vocab")
+      },
+      Some(
+        """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |tc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+          |r AS (SELECT tok, cnt,
+          |    ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM tc),
+          |tot AS (SELECT SUM(cnt) AS total FROM tc),
+          |lv AS (SELECT unnest([10, 25, 50]) AS n_vocab)
+          |SELECT CAST(n_vocab AS INT) AS n_vocab,
+          |  CAST(SUM(cnt) AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
+          |  ROUND(SUM(cnt)::DOUBLE / total, 6) AS coverage
+          |FROM r JOIN lv ON rank <= n_vocab, tot
+          |GROUP BY n_vocab, total ORDER BY n_vocab""".stripMargin)),
+
+    QSpec("dedup_incremental",
+      // Incremental dedup: a new shard (doc_id % 10 >= 7) arrives against
+      // an already-ingested corpus index (doc_id % 10 < 7). The content key
+      // is a sha2 digest of the first-8-token head fingerprint (the fixture
+      // corpus has no byte-exact duplicates, but head fingerprints do
+      // collide — same policy a crawler uses against near-identical page
+      // heads). New docs whose fingerprint exists in the index are dropped.
+      // The join runs on 32-byte digests, never bodies — the shuffle
+      // carries hashes, and at real scale the historical index is exactly
+      // the dedup-state table a pipeline persists between ingestion runs.
+      (s, dir) => {
+        val fp = sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 8)), 256)
+        val docs = t(s, dir, "documents")
+        val hist = docs.where(expr("doc_id % 10 < 7"))
+          .select(fp.as("h")).distinct()
+          .withColumn("in_index", lit(1))
+        docs.where(expr("doc_id % 10 >= 7"))
+          .withColumn("h", fp)
+          .join(hist, Seq("h"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_new"),
+            sum(when(col("in_index").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("in_index").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH f AS (SELECT doc_id, source,
+          |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS fp
+          |  FROM documents),
+          |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 7),
+          |nw AS (SELECT * FROM f WHERE doc_id % 10 >= 7)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+          |  CAST(COUNT(*) FILTER (WHERE fp NOT IN (SELECT fp FROM hist)) AS BIGINT) AS n_kept,
+          |  CAST(COUNT(*) FILTER (WHERE fp IN (SELECT fp FROM hist)) AS BIGINT) AS n_dropped
+          |FROM nw GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("embed_normalize",
+      // Embedding L2-normalization + head-dim summary (matryoshka-style
+      // truncation prep): per-vector norm and the sum of the first 8
+      // normalized dims. Stateless map over the scan — no shuffle, no UDF;
+      // the sums are sequential left-folds in BOTH engines (Spark
+      // aggregate() and DuckDB list_sum walk the list in index order), so
+      // ROUND(…, 6) after the single division is bit-stable.
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+        .select(col("vec_id"), round(col("nrm"), 6).as("l2_norm"),
+          round(when(col("nrm") === 0d, lit(0d))
+            .otherwise(expr("aggregate(slice(v, 1, 8), 0D, (a, x) -> a + x)") / col("nrm")), 6)
+            .as("head8_sum"))
+        .orderBy("vec_id"),
+      Some(
+        """WITH e AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v,
+          |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+          |SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+          |  ROUND(CASE WHEN nrm = 0 THEN 0
+          |    ELSE list_sum(list_slice(v, 1, 8)) / nrm END, 6) AS head8_sum
+          |FROM n ORDER BY vec_id""".stripMargin)),
+
+    QSpec("filter_length_outliers",
+      // Percentile-based length trimming: keep docs inside the corpus-wide
+      // [P05, P95] character-length band. The percentile pair is ONE
+      // two-value aggregate broadcast back over the scan (a 1-row
+      // BroadcastNestedLoopJoin, not a data-sized cartesian) — the
+      // length-outlier pass every curation pipeline runs before packing.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docs.agg(expr("percentile(n_chars, 0.05D)").as("p05"),
+          expr("percentile(n_chars, 0.95D)").as("p95"))
+        docs.crossJoin(broadcast(q))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
+              .otherwise(0L)).as("n_kept"),
+            round(avg(when(col("n_chars").between(col("p05"), col("p95")),
+              col("n_chars"))), 2).as("avg_kept_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS p05,
+          |    quantile_cont(n_chars, 0.95) AS p95 FROM documents)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN p05 AND p95) AS BIGINT) AS n_kept,
+          |  ROUND(AVG(n_chars) FILTER (WHERE n_chars BETWEEN p05 AND p95), 2) AS avg_kept_chars
+          |FROM documents, q GROUP BY source ORDER BY source""".stripMargin)))
+}
