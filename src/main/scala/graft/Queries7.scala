@@ -1,0 +1,85 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-7 operator surface — mergeable sketch summaries over the
+  * SQL-reproducible polynomial hash family. Spark's own approximate
+  * aggregates (HLL, approx_percentile) can only be rows-only checked
+  * because their mixing is engine-internal; these two build the sketch
+  * from plain modular arithmetic, so the DuckDB twin replays the sketch
+  * CELL-FOR-CELL and the keys are full hash-compared oracles of the whole
+  * approximate structure — estimates, collisions, false positives and all.
+  */
+object Queries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("cms_token_counts",
+      // Count-min sketch (d=4 rows × w=64 cells) over corpus token
+      // occurrences, reported as (tok, true_cnt, cms_est) for every token
+      // type: est ≥ true always (one-sided error), and at these params the
+      // fixture corpus produces real collisions, so the key verifies the
+      // sketch's estimates AND its characteristic overestimates. Scale
+      // shape: cells are sums → partial aggregation on executors IS the
+      // sketch merge; the shuffled state is the O(d·w) cell table, never
+      // the token stream.
+      (s, dir) => Sketches.cmsTokenCounts(t(s, dir, "documents"), d = 4, w = 64),
+      Some(
+        """WITH tokc AS (SELECT tok, COUNT(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok),
+          |h AS (SELECT tok, cnt, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |    list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+          |    (a, c) -> (a * 131 + c) % 1000000007) AS th FROM tokc),
+          |rb AS (SELECT tok, cnt, i,
+          |    ((((i * 2654435761) % 1000000007) * th
+          |      + (i * 40503 + 17) % 1000000007) % 1000000007) % 64 AS bucket
+          |  FROM h, range(1, 5) t(i)),
+          |sk AS (SELECT i, bucket, SUM(cnt) AS cell FROM rb GROUP BY i, bucket)
+          |SELECT tok, CAST(MAX(cnt) AS BIGINT) AS true_cnt,
+          |  CAST(MIN(cell) AS BIGINT) AS cms_est
+          |FROM rb JOIN sk USING (i, bucket) GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    QSpec("bloom_prefilter",
+      // Bloom-filter dedup prefilter (m=4096 bits, k=3) in front of the
+      // incremental-dedup anti-join: historical head fingerprints set the
+      // bits; a new-shard doc is flagged iff all its k positions are set.
+      // Reports per-source (n_new, n_flagged, n_dup, n_false_pos) — no
+      // false negatives by construction, and the fixture corpus produces
+      // real false positives, so the key verifies the filter's soundness
+      // AND its error behavior. Scale shape: the bit set is an O(m)
+      // broadcast (the filter a pipeline persists between ingestion runs);
+      // only flagged docs — a few % — would proceed to the exact
+      // anti-join of dedup_incremental.
+      (s, dir) => Sketches.bloomPrefilter(t(s, dir, "documents"),
+        histPred = expr("doc_id % 10 < 7"), newPred = expr("doc_id % 10 >= 7"),
+        headTokens = 8, k = 3, m = 4096),
+      Some(
+        """WITH f AS (SELECT doc_id, source,
+          |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS fp
+          |  FROM documents),
+          |h AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |    list_transform(range(1, length(fp)+1), i -> CAST(unicode(fp[i]) AS BIGINT))),
+          |    (a, c) -> (a * 131 + c) % 1000000007) AS th FROM f),
+          |pos AS (SELECT doc_id, source, th, i,
+          |    ((((i * 2654435761) % 1000000007) * th
+          |      + (i * 40503 + 17) % 1000000007) % 1000000007) % 4096 AS p
+          |  FROM h, range(1, 4) t(i)),
+          |bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 10 < 7),
+          |histfp AS (SELECT DISTINCT th FROM h WHERE doc_id % 10 < 7),
+          |nw AS (SELECT doc_id, source, th,
+          |    BOOL_AND(p IN (SELECT p FROM bits)) AS maybe_seen
+          |  FROM pos WHERE doc_id % 10 >= 7 GROUP BY doc_id, source, th)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+          |  CAST(SUM(CASE WHEN maybe_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          |  CAST(SUM(CASE WHEN th IN (SELECT th FROM histfp) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |  CAST(SUM(CASE WHEN maybe_seen AND th NOT IN (SELECT th FROM histfp)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+          |FROM nw GROUP BY source ORDER BY source""".stripMargin)))
+}

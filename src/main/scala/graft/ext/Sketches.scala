@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-summary operators over the SQL-reproducible polynomial hash
+  * family (graft.functions.TextSketch.polyHash — fold(7, h·131+cp) mod
+  * 1e9+7, affine per-seed re-mix a_i·h + b_i mod P). Everything here is
+  * plain modular long arithmetic, so a DuckDB oracle replays the sketch
+  * cell-for-cell — these keys are full hash-compared checks, unlike
+  * engine-native approx aggregates (HLL / approx_percentile) which can
+  * only be rows-only.
+  *
+  * Scale posture: both structures are the textbook mergeable summaries —
+  * count-min cells are sums (map-side partial aggregation IS the sketch
+  * merge), Bloom bit-sets are unions of tiny distinct sets — so at 100 TB
+  * the sketch state stays O(d·w) / O(m) regardless of corpus size.
+  */
+object Sketches {
+
+  private val P = 1000000007L
+
+  /** Affine family (same constants as TextSketch.minhashPoly): seed i ≥ 1. */
+  private def aConst(i: Int): Long = (i * 2654435761L) % P
+  private def bConst(i: Int): Long = (i * 40503L + 17L) % P
+
+  /** polyHash of a single string column (via the codegen array kernel). */
+  def polyHashCol(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    element_at(GraftColumnBridge.column(graft.functions.TokenHashPoly(
+      GraftColumnBridge.expression(array(s)))), 1)
+  }
+
+  /** Bucket of hash `h` under seed `i`, `w` cells: ((a_i·h + b_i) mod P) mod w. */
+  def bucket(h: Column, i: Int, w: Int): Column =
+    (((lit(aConst(i)) * h + lit(bConst(i))) % P) % w).cast("int")
+
+  /** Count-min sketch estimates for every distinct token in `docs.text`:
+    * (tok, true_cnt, cms_est) with cms_est ≥ true_cnt always (one-sided
+    * error). `d` hash rows × `w` cells; the sketch is built from the
+    * per-token exact counts — numerically identical to streaming every
+    * occurrence through the sketch (cells are sums), and exactly the
+    * map-side-combine shape the sketch exists to enable: the shuffled
+    * state is the O(d·w) cell table, never the token stream. */
+  def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    val tokc = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", polyHashCol(col("tok")))
+    val rb = tokc.select(col("tok"), col("cnt"),
+      explode(array((1 to d).map(i =>
+        struct(lit(i).as("i"), bucket(col("th"), i, w).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("cnt"), col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+    val sketch = rb.groupBy("i", "bucket").agg(sum("cnt").as("cell"))
+    rb.join(sketch, Seq("i", "bucket"))
+      .groupBy("tok")
+      .agg(max("cnt").as("true_cnt"), min("cell").as("cms_est"))
+      .orderBy("tok")
+  }
+
+  /** Bloom-filter dedup prefilter: the historical shard's head fingerprints
+    * set `k` bit positions in an `m`-bit filter; a new-shard doc is flagged
+    * "maybe seen" iff ALL its k positions are set. No false negatives, so
+    * flagged ⊇ true dups; the per-source false-positive count is the price
+    * of replacing a corpus-sized anti-join with an O(m) broadcast bit-set
+    * — the at-scale front door to [[graft.Queries6]]'s dedup_incremental.
+    * Returns (source, n_new, n_flagged, n_dup, n_false_pos). */
+  def bloomPrefilter(docs: DataFrame, histPred: Column, newPred: Column,
+      headTokens: Int = 8, k: Int = 3, m: Int = 4096): DataFrame = {
+    val fp = concat_ws(" ", slice(split(col("text"), " "), 1, headTokens))
+    val withH = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("th", polyHashCol(fp))
+    val posArr = array((1 to k).map(i => bucket(col("th"), i, m)): _*)
+    val bits = withH.where(histPred)
+      .select(explode(posArr).as("p")).distinct()
+      .withColumn("bit", lit(1))
+    val histFp = withH.where(histPred).select(col("th")).distinct()
+      .withColumn("is_dup", lit(1))
+    val nw = withH.where(newPred)
+    val flagged = nw.select(col("doc_id"), explode(posArr).as("p"))
+      .join(broadcast(bits), Seq("p"), "left")
+      .groupBy("doc_id")
+      .agg((count(lit(1)) === sum(coalesce(col("bit"), lit(0)))).as("maybe_seen"))
+    nw.join(flagged, "doc_id")
+      .join(broadcast(histFp), Seq("th"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("maybe_seen") && col("is_dup").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .orderBy("source")
+  }
+}

@@ -126,6 +126,21 @@ object TextSketch {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Raw per-token [[polyHash]] values (array<string> → array<long>, each
+    * < 1e9+7) — the input the count-min / Bloom affine bucket families
+    * consume: with h < 2^30 every a·h + b stays < 2^60, so both engines
+    * evaluate the identical exact long arithmetic. */
+  def tokenHashPoly(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) out(j) = polyHash(tokens.getUTF8String(j))
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 63-bit SimHash: bit b of the result is set iff
     * Σ_h (bit b of h ? +1 : −1) > 0. 63 bits keeps the assembled value
     * non-negative under ANSI arithmetic (Dedup.scala contract). */
@@ -246,5 +261,27 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+/** Raw per-token polynomial hashes (array<string> → array<long> mod 1e9+7)
+  * — codegen'd input stage for the count-min / Bloom bucket families. */
+case class TokenHashPoly(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"token_hash_poly needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.tokenHashPoly(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.tokenHashPoly($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashPoly =
     copy(child = newChild)
 }

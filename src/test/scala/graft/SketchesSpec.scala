@@ -1,0 +1,64 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch-family invariants: count-min one-sided error and row
+  * conservation; Bloom no-false-negatives and count identities. */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("count-min estimates are one-sided: est >= true for every token") {
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val rows = Sketches.cmsTokenCounts(docs)
+      .select("true_cnt", "cms_est").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, e) => assert(e >= t) }
+  }
+
+  test("count-min conserves mass: every hash row's cells sum to total tokens") {
+    // rebuild the cell table directly — each of the d rows distributes the
+    // full occurrence count over its w cells
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val tokc = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", Sketches.polyHashCol(col("tok")))
+    val total = tokc.agg(sum("cnt")).as[Long].head()
+    val perRow = tokc.select(col("cnt"),
+        explode(array((1 to 4).map(i =>
+          struct(lit(i).as("i"), Sketches.bucket(col("th"), i, 64).as("b"))): _*)).as("rb"))
+      .groupBy($"rb.i").agg(sum("cnt").as("mass"))
+      .select("mass").as[Long].collect()
+    assert(perRow.length === 4)
+    perRow.foreach(m => assert(m === total))
+  }
+
+  test("bloom prefilter has no false negatives and consistent counts") {
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val rows = Sketches.bloomPrefilter(docs,
+      histPred = expr("doc_id % 10 < 7"), newPred = expr("doc_id % 10 >= 7")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fl, dup, fp) = (r.getAs[Long]("n_new"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("n_false_pos"))
+      assert(dup + fp === fl) //  every dup IS flagged (no false negatives)
+      assert(fl <= n)
+    }
+  }
+
+  test("bloom flags a doc whose head fingerprint is in the index") {
+    val docs = Seq(
+      (0L, "s", "h1 h2 h3 h4 h5 h6 h7 h8 old tail"),
+      (17L, "s", "h1 h2 h3 h4 h5 h6 h7 h8 new tail"), // same head → must flag
+      (27L, "s", "x1 x2 x3 x4 x5 x6 x7 x8 other") //     different head
+    ).toDF("doc_id", "source", "text")
+    val out = Sketches.bloomPrefilter(docs,
+      histPred = expr("doc_id % 10 < 7"), newPred = expr("doc_id % 10 >= 7")).collect()
+    val r = out.head
+    assert(r.getAs[Long]("n_new") === 2)
+    assert(r.getAs[Long]("n_dup") === 1) //    doc 17 found as true dup
+    assert(r.getAs[Long]("n_flagged") >= 1) // and therefore flagged
+  }
+}
