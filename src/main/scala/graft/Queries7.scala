@@ -1,8 +1,9 @@
 package graft
 
 import graft.catalog.TableRegistry
-import graft.ext.Sketches
+import graft.ext.{Dedup, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-7 operator surface — mergeable sketch summaries over the
@@ -81,5 +82,49 @@ object Queries7 {
           |  CAST(SUM(CASE WHEN th IN (SELECT th FROM histfp) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
           |  CAST(SUM(CASE WHEN maybe_seen AND th NOT IN (SELECT th FROM histfp)
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
-          |FROM nw GROUP BY source ORDER BY source""".stripMargin)))
+          |FROM nw GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("chunk_cdc",
+      // Content-defined chunking: a chunk boundary opens wherever the
+      // rolling 4-token shingle hash ≡ 0 (mod 16) — expected chunk ≈ 16
+      // spans, but boundaries depend only on CONTENT, so an insertion
+      // early in a doc shifts chunk ids, not every chunk's bytes (the
+      // property fixed-stride chunk_overlap lacks, and the reason CDC is
+      // the dedup-friendly chunker). Per-doc work stays in one window
+      // partition; the boundary rule is the same replayable poly-hash
+      // family as the sketch keys.
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            Sketches.polyHashArray(Dedup.shingles(col("text"), 4)).as("hl"))
+          .select(col("doc_id"), posexplode(col("hl")).as(Seq("pos", "h")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        d.withColumn("chunk_id",
+            sum(when(col("h") % 16 === 0, 1).otherwise(0)).over(w).cast("int"))
+          .groupBy("doc_id", "chunk_id")
+          .agg(count(lit(1)).as("n_spans"),
+            min("pos").cast("int").as("start_pos"),
+            max("pos").cast("int").as("end_pos"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(
+        """WITH sh AS (
+          |  SELECT doc_id, CASE WHEN len(sp) < 4 THEN [text]
+          |    ELSE list_transform(range(1, len(sp) - 2),
+          |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) END AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d),
+          |hs AS (SELECT doc_id, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (a, c) -> (a * 131 + c) % 1000000007)) AS hl FROM sh),
+          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(hl)+1),
+          |      i -> {'pos': i - 1, 'h': hl[i]})) AS u FROM hs)),
+          |c AS (SELECT doc_id, pos,
+          |    SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id FROM p)
+          |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+          |  CAST(MIN(pos) AS INT) AS start_pos, CAST(MAX(pos) AS INT) AS end_pos
+          |FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin)))
 }

@@ -24,12 +24,15 @@ object Sketches {
   private def aConst(i: Int): Long = (i * 2654435761L) % P
   private def bConst(i: Int): Long = (i * 40503L + 17L) % P
 
-  /** polyHash of a single string column (via the codegen array kernel). */
-  def polyHashCol(s: Column): Column = {
+  /** Per-element polyHash of an array<string> column (codegen kernel). */
+  def polyHashArray(arr: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    element_at(GraftColumnBridge.column(graft.functions.TokenHashPoly(
-      GraftColumnBridge.expression(array(s)))), 1)
+    GraftColumnBridge.column(graft.functions.TokenHashPoly(
+      GraftColumnBridge.expression(arr)))
   }
+
+  /** polyHash of a single string column (via the codegen array kernel). */
+  def polyHashCol(s: Column): Column = element_at(polyHashArray(array(s)), 1)
 
   /** Bucket of hash `h` under seed `i`, `w` cells: ((a_i·h + b_i) mod P) mod w. */
   def bucket(h: Column, i: Int, w: Int): Column =

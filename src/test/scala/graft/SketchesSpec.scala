@@ -48,6 +48,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cdc boundaries are content-defined: a head insertion shifts, not rewrites") {
+    // the property fixed-stride chunking lacks: all original shingles
+    // reappear shifted by the insertion length, so every original boundary
+    // survives at pos+3 — only the 3 new head shingles can add boundaries.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val docs = Seq((1L, base.trim), (2L, ("x y z " + base).trim)).toDF("doc_id", "text")
+    val hl = docs.select(col("doc_id"),
+      graft.ext.Sketches.polyHashArray(graft.ext.Dedup.shingles(col("text"), 4)).as("hl"))
+    val bounds = hl.select(col("doc_id"), posexplode(col("hl")).as(Seq("pos", "h")))
+      .where(col("h") % 16 === 0)
+      .select("doc_id", "pos").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val orig = bounds.getOrElse(1L, Set.empty)
+    val shifted = bounds.getOrElse(2L, Set.empty)
+    assert(orig.map(_ + 3).subsetOf(shifted))
+    // and nothing beyond the head region appears that wasn't in the original
+    assert(shifted.filter(_ >= 3) === orig.map(_ + 3))
+  }
+
   test("bloom flags a doc whose head fingerprint is in the index") {
     val docs = Seq(
       (0L, "s", "h1 h2 h3 h4 h5 h6 h7 h8 old tail"),
