@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.TableRegistry
-import graft.ext.{Dedup, Sketches}
+import graft.ext.{Dedup, Graph, Sketches, SimSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,5 +126,49 @@ object Queries7 {
           |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
           |  CAST(COUNT(*) AS BIGINT) AS n_spans,
           |  CAST(MIN(pos) AS INT) AS start_pos, CAST(MAX(pos) AS INT) AS end_pos
-          |FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin)))
+          |FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    QSpec("graph_pagerank",
+      // PageRank over the ANN similarity graph, in 1e-6 fixed point:
+      // integer ranks make every contribution sum exact and commutative,
+      // so a 5-iteration power method is hash-comparable across engines —
+      // a double-based PageRank never could be (shuffle order would flip
+      // low bits). Answers the dedup keep-policy question "which doc is
+      // most central to its near-dup neighborhood". Scale shape: each
+      // iteration is one shuffle join on the src id + one grouped sum;
+      // rank state is O(nodes) and lives in executors, never the driver.
+      // The edge pairs reuse simjoin_ann's memoized bucket projection.
+      (s, dir) => Graph.pagerankFixedPoint(
+        SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
+          dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
+          .select("a_id", "b_id"),
+        iters = 5),
+      Some {
+        def step(prev: String): String =
+          s"""(SELECT dg.s AS id, dg.deg,
+             |    150000 + (850000 * c.contrib) // 1000000 AS rank
+             |  FROM dg JOIN (SELECT ed.d AS id, SUM(r.rank // r.deg) AS contrib
+             |    FROM ed JOIN $prev r ON ed.s = r.id GROUP BY ed.d) c ON dg.s = c.id)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+           |bk AS (SELECT vec_id, v, nrm,
+           |  CAST(list_sum(list_transform(range(8), p -> CASE WHEN
+           |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + p*40503) % 1000 - 500 AS DOUBLE))) >= 0
+           |    THEN (1 << p) ELSE 0 END)) AS INT) AS bucket FROM n),
+           |pr AS (SELECT a_id, b_id FROM (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / (a.nrm*b.nrm), 6) AS cos
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+           |  WHERE cos >= 0.25),
+           |ed AS (SELECT a_id AS s, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr),
+           |dg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY s),
+           |r0 AS (SELECT s AS id, deg, CAST(1000000 AS BIGINT) AS rank FROM dg),
+           |r1 AS ${step("r0")},
+           |r2 AS ${step("r1")},
+           |r3 AS ${step("r2")},
+           |r4 AS ${step("r3")},
+           |r5 AS ${step("r4")}
+           |SELECT id AS vec_id, CAST(deg AS BIGINT) AS deg, CAST(rank AS BIGINT) AS rank
+           |FROM r5 ORDER BY vec_id""".stripMargin
+      }))
 }

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Companion to
+  * [[Dedup.clusters]] (connected components): where clustering asks "which
+  * docs are the same", centrality asks "which doc should represent the
+  * cluster" — the keep-policy input for dedup at scale.
+  */
+object Graph {
+
+  /** Unnormalized PageRank in 1e-6 fixed point: ranks and contributions are
+    * longs, so every step is exact integer arithmetic — commutative sums,
+    * no float accumulation order to drift across engines or partitionings
+    * (a double-based power iteration could not be hash-compared).
+    *
+    * r0 = 1e6; r'(v) = 0.15e6 + 0.85 · Σ_{u→v} (r(u) div deg(u)).
+    *
+    * `pairs` are undirected (a_id, b_id) rows; isolated nodes don't appear.
+    * Each iteration is one shuffle join on the src id + one grouped sum —
+    * the classic distributed PageRank shape; the rank state is O(nodes),
+    * never materialized on the driver. Returns (vec_id, deg, rank). */
+  def pagerankFixedPoint(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("d"))
+      .unionAll(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("s").as("id"), col("deg"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(rank, edges("s") === rank("id"))
+        .select(col("d"), expr("rank div deg").as("c"))
+        .groupBy("d").agg(sum("c").as("contrib"))
+      // undirected graph: every node with an out-edge has an in-edge, so
+      // the inner join loses nobody and contrib is never null
+      rank = deg.join(contrib, deg("s") === contrib("d"))
+        .select(col("s").as("id"), col("deg"),
+          (lit(150000L) + expr("(850000 * contrib) div 1000000")).as("rank"))
+    }
+    rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
+      .orderBy("vec_id")
+  }
+}

@@ -67,6 +67,22 @@ class SketchesSpec extends SparkSpec {
     assert(shifted.filter(_ >= 3) === orig.map(_ + 3))
   }
 
+  test("fixed-point pagerank: exact hand-computed star graph, partition-invariant") {
+    // star 0–{1,2,3}: deg(0)=3, deg(leaf)=1, r0=1e6.
+    // iter1: r(0) = 150000 + 850000·3e6/1e6 = 2_700_000
+    //        r(leaf) = 150000 + 850000·(1e6 div 3)/1e6 = 433_333
+    // iter2: r(0) = 150000 + (850000·3·433333) div 1e6 = 1_254_999
+    //        r(leaf) = 150000 + (850000·(2700000 div 3)) div 1e6 = 915_000
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val got = graft.ext.Graph.pagerankFixedPoint(pairs, iters = 2)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1254999L, 1L -> 915000L, 2L -> 915000L, 3L -> 915000L))
+    // integer sums are commutative — the result cannot depend on partitioning
+    val re = graft.ext.Graph.pagerankFixedPoint(pairs.repartition(7), iters = 2)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toMap
+    assert(re === got)
+  }
+
   test("bloom flags a doc whose head fingerprint is in the index") {
     val docs = Seq(
       (0L, "s", "h1 h2 h3 h4 h5 h6 h7 h8 old tail"),
