@@ -90,9 +90,14 @@ object Queries7 {
       // spans, but boundaries depend only on CONTENT, so an insertion
       // early in a doc shifts chunk ids, not every chunk's bytes (the
       // property fixed-stride chunk_overlap lacks, and the reason CDC is
-      // the dedup-friendly chunker). Per-doc work stays in one window
-      // partition; the boundary rule is the same replayable poly-hash
-      // family as the sketch keys.
+      // the dedup-friendly chunker). Per-doc spans go through one window
+      // partitioned by doc — the cumulative boundary count IS the chunk id.
+      // (An array-domain HOF rewrite was tried and reverted: Catalyst's
+      // project collapse inlines each derived array column into its
+      // consumers, so the interpreted shingle-hash subtree re-evaluated
+      // per reference — 3.5× slower than this shuffle-bearing form. The
+      // hash array is computed ONCE here precisely because it crosses the
+      // explode boundary before anything references it twice.)
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"),
@@ -137,11 +142,16 @@ object Queries7 {
       // most central to its near-dup neighborhood". Scale shape: each
       // iteration is one shuffle join on the src id + one grouped sum;
       // rank state is O(nodes) and lives in executors, never the driver.
-      // The edge pairs reuse simjoin_ann's memoized bucket projection.
+      // The edge PAIR SET is memoized (DfMemo): the rank recurrence
+      // references the edge list in every iteration's subtree, and without
+      // materialization Catalyst would re-run the ANN join ~2×iters times
+      // inside the one final plan.
       (s, dir) => Graph.pagerankFixedPoint(
-        SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
-          dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
-          .select("a_id", "b_id"),
+        graft.ext.DfMemo.cached(s, Some(dir), "annpairs") {
+          SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
+            dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
+            .select("a_id", "b_id")
+        },
         iters = 5),
       Some {
         def step(prev: String): String =
@@ -170,5 +180,100 @@ object Queries7 {
            |r5 AS ${step("r4")}
            |SELECT id AS vec_id, CAST(deg AS BIGINT) AS deg, CAST(rank AS BIGINT) AS rank
            |FROM r5 ORDER BY vec_id""".stripMargin
-      }))
+      }),
+
+    QSpec("rank_fusion_rrf",
+      // Hybrid-retrieval fusion: reciprocal rank fusion (k=60) of the exact
+      // cosine top-10 and the int8-quantized top-10 for the same query —
+      // the standard way to merge rankings from different retrievers
+      // without score calibration. Ranks are ints, each 1/(60+r) is one
+      // double division, and the two terms add in a fixed order, so the
+      // fused scores hash-match. Both input rankings are 10-row TakeOrdered
+      // results; the fusion itself is metadata-sized.
+      (s, dir) => {
+        val ex = SimSearch.topK(s, t(s, dir, "embeddings"), queryVecId = 0, k = 10)
+          .withColumn("r_exact",
+            row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))))
+          .select("vec_id", "r_exact")
+        val qu = SimSearch.quantizedTopK(s, t(s, dir, "embeddings"), queryVecId = 0, k = 10)
+          .withColumn("r_quant",
+            row_number().over(Window.orderBy(desc("qcos"), asc("vec_id"))))
+          .select("vec_id", "r_quant")
+        ex.join(qu, Seq("vec_id"), "full_outer")
+          .select(col("vec_id"),
+            round(
+              when(col("r_exact").isNotNull, lit(1.0) / (lit(60) + col("r_exact")))
+                .otherwise(lit(0.0)) +
+              when(col("r_quant").isNotNull, lit(1.0) / (lit(60) + col("r_quant")))
+                .otherwise(lit(0.0)), 9).as("rrf"),
+            coalesce(col("r_exact"), lit(0)).as("r_exact"),
+            coalesce(col("r_quant"), lit(0)).as("r_quant"))
+          .orderBy(desc("rrf"), asc("vec_id"))
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |ex AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS r_exact
+          |  FROM (SELECT vec_id, ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i])) /
+          |      (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cos
+          |    FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10)),
+          |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+          |qz AS (SELECT vec_id, CASE WHEN ma = 0 THEN list_transform(v, x -> 0.0)
+          |    ELSE list_transform(v, x -> floor(x / (ma / 127) + 0.5)) END AS q FROM m),
+          |n AS (SELECT vec_id, q, sqrt(list_sum(list_transform(q, x -> x*x))) AS qn FROM qz),
+          |qq AS (SELECT q AS qv, qn AS qvn FROM n WHERE vec_id = 0),
+          |qu AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY qcos DESC, vec_id) AS INT) AS r_quant
+          |  FROM (SELECT vec_id,
+          |      ROUND(list_sum(list_transform(range(1, len(q)+1), i -> q[i]*qv[i])) / (qn*qvn), 6) AS qcos
+          |    FROM n, qq WHERE vec_id <> 0 ORDER BY qcos DESC, vec_id LIMIT 10))
+          |SELECT COALESCE(ex.vec_id, qu.vec_id) AS vec_id,
+          |  ROUND(CASE WHEN r_exact IS NOT NULL THEN CAST(1.0 AS DOUBLE)/(60+r_exact) ELSE 0 END
+          |    + CASE WHEN r_quant IS NOT NULL THEN CAST(1.0 AS DOUBLE)/(60+r_quant) ELSE 0 END, 9) AS rrf,
+          |  COALESCE(r_exact, 0) AS r_exact, COALESCE(r_quant, 0) AS r_quant
+          |FROM ex FULL OUTER JOIN qu ON ex.vec_id = qu.vec_id
+          |ORDER BY rrf DESC, vec_id""".stripMargin)),
+
+    QSpec("token_cooccurrence",
+      // Co-occurrence lift — the association statistic embedding training
+      // starts from (word2vec/GloVe build exactly this matrix). Pair counts
+      // come from a per-doc self-join over DISTINCT tokens (the shuffle key
+      // is doc_id; per-doc pair fan-out is bounded by in-doc vocabulary²,
+      // the standard co-occurrence cost). lift = P(a,b)/(P(a)·P(b)) stays
+      // rational — integer products, ONE final division — so no log/PMI
+      // libm drift; top-50 by lift with a full lexicographic tiebreak.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tokd = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val df_ = tokd.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val pairs = tokd.as("a")
+          .join(tokd.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).as("pair_docs"))
+        pairs
+          .join(df_.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+          .join(df_.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+          .crossJoin(broadcast(nDocs))
+          .where(col("pair_docs") >= 5)
+          .select(col("tok_a"), col("tok_b"), col("pair_docs"),
+            round((col("pair_docs") * col("n_docs")).cast("double") /
+              (col("df_a") * col("df_b")), 6).as("lift"))
+          .orderBy(desc("lift"), asc("tok_a"), asc("tok_b"))
+          .limit(50)
+      },
+      Some(
+        """WITH tokd AS (SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+          |df AS (SELECT tok, COUNT(*) AS df FROM tokd GROUP BY tok),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS pair_docs
+          |  FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          |  GROUP BY a.tok, b.tok)
+          |SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+          |  ROUND(CAST(pair_docs * n_docs AS DOUBLE) / (da.df * db.df), 6) AS lift
+          |FROM p JOIN df da ON p.tok_a = da.tok JOIN df db ON p.tok_b = db.tok, nd
+          |WHERE pair_docs >= 5
+          |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)))
 }
