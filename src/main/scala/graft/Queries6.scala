@@ -39,6 +39,10 @@ object Queries6 {
       // shingle hash (shuffle rows are (long,long), never shingle bodies),
       // and the per-doc rollup is the only other exchange — all linear in
       // corpus size, no pairwise comparison, no join.
+      // (the 30-bit poly-hash kernel is NOT usable here: the distinct and
+      // the cross-doc count are over shingle IDENTITY, and mod-1e9+7 would
+      // merge ~n²/2e9 shingle pairs — xxhash64's 64 bits keep collision
+      // odds negligible, matching the string-identity oracle)
       (s, dir) => {
         val sh = t(s, dir, "documents")
           .select(col("doc_id"),

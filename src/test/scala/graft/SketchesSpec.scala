@@ -67,6 +67,19 @@ class SketchesSpec extends SparkSpec {
     assert(shifted.filter(_ >= 3) === orig.map(_ + 3))
   }
 
+  test("one-pass shingle-hash kernel is bit-equal to shingles()+polyHash") {
+    // includes the edge shapes: short doc (whole-text shingle), repeated
+    // spaces (empty tokens concat_ws keeps), trailing space, unicode
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("text"))
+      .unionAll(Seq("a b", "x  y z  w", "tail space ", "héllo wörld π a b c")
+        .toDF("text"))
+    val cmp = docs.select(
+      graft.ext.Sketches.shingleHashes(col("text"), 4).as("fast"),
+      graft.ext.Sketches.polyHashArray(graft.ext.Dedup.shingles(col("text"), 4)).as("slow"))
+    assert(cmp.where(col("fast") =!= col("slow")).count() === 0)
+  }
+
   test("fixed-point pagerank: exact hand-computed star graph, partition-invariant") {
     // star 0–{1,2,3}: deg(0)=3, deg(leaf)=1, r0=1e6.
     // iter1: r(0) = 150000 + 850000·3e6/1e6 = 2_700_000
