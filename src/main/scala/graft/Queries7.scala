@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.TableRegistry
-import graft.ext.{Dedup, Graph, Sketches, SimSearch}
+import graft.ext.{Dedup, Graph, Sketches, SimSearch, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -269,5 +269,69 @@ object Queries7 {
           |  ROUND(CAST(pair_docs * n_docs AS DOUBLE) / (da.df * db.df), 6) AS lift
           |FROM p JOIN df da ON p.tok_a = da.tok JOIN df db ON p.tok_b = db.tok, nd
           |WHERE pair_docs >= 5
-          |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)))
+          |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
+
+    QSpec("cluster_keep_policy",
+      // The dedup endgame: near-dup clusters (same pairs/labels as
+      // dedup_cluster) each keep their HIGHEST-QUALITY member (quality
+      // argmax, doc_id tiebreak) instead of the naive min-id — at sf0.01
+      // the two policies disagree on 10 of 23 multi-member clusters, so
+      // the key verifies the policy, not just the clustering. One window
+      // over cluster_id after a metadata-sized label join; the heavy
+      // lifting (pair generation, label propagation) reuses the memoized
+      // sketch passes the dedup keys already share.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.exactJaccard(s, docs, shingleW = 3,
+          threshold = 0.2, idCap = 500, cacheKey = Some(dir)).select("a_id", "b_id")
+        val cl = Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+        val q = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(desc("quality"), asc("doc_id"))
+        cl.join(q, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+            col("cluster_size"), col("quality").as("kept_quality"))
+          .orderBy("cluster_id")
+      },
+      Some(
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp
+          |        FROM documents WHERE doc_id < 500) d
+          |), pairs AS (
+          |  SELECT a_id, b_id FROM (
+          |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |      ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+          |    FROM sh a, sh b WHERE a.doc_id < b.doc_id) j
+          |  WHERE jaccard >= 0.2
+          |), edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION ALL SELECT b_id, a_id FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+          |), lab AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+          |), sz AS (
+          |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |  FROM lab GROUP BY cluster_id
+          |), q AS (
+          |  SELECT doc_id, ROUND(
+          |    LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
+          |    + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
+          |    + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
+          |  , 6) AS quality
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
+          |), r AS (
+          |  SELECT lab.cluster_id, lab.doc_id, sz.cluster_size, q.quality,
+          |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_id ORDER BY q.quality DESC, lab.doc_id) AS rn
+          |  FROM lab JOIN sz USING (cluster_id) JOIN q USING (doc_id))
+          |SELECT cluster_id, doc_id AS kept_doc_id, cluster_size, quality AS kept_quality
+          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)))
 }
