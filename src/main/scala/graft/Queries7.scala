@@ -146,7 +146,8 @@ object Queries7 {
       // references the edge list in every iteration's subtree, and without
       // materialization Catalyst would re-run the ANN join ~2×iters times
       // inside the one final plan.
-      (s, dir) => Graph.pagerankFixedPoint(SimSearch.annPairsMemo(s, dir), iters = 5),
+      (s, dir) => Graph.pagerankFixedPoint(s, SimSearch.annPairsMemo(s, dir),
+        iters = 5, cacheKey = Some(dir)),
       Some {
         def step(prev: String): String =
           s"""(SELECT dg.s AS id, dg.deg,
@@ -235,6 +236,10 @@ object Queries7 {
       // the standard co-occurrence cost). lift = P(a,b)/(P(a)·P(b)) stays
       // rational — integer products, ONE final division — so no log/PMI
       // libm drift; top-50 by lift with a full lexicographic tiebreak.
+      // (At real corpus scale the self-join moves to a ±k-token WINDOW —
+      // pairs per token bounded by 2k instead of in-doc vocabulary — same
+      // downstream shape; the fixture's 31-token vocabulary makes the
+      // whole-doc variant the honest declared key here.)
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tokd = docs.select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames. Companion to
@@ -21,10 +21,16 @@ object Graph {
     * Each iteration is one shuffle join on the src id + one grouped sum —
     * the classic distributed PageRank shape; the rank state is O(nodes),
     * never materialized on the driver. Returns (vec_id, deg, rank). */
-  def pagerankFixedPoint(pairs: DataFrame, iters: Int = 5): DataFrame = {
+  def pagerankFixedPoint(spark: SparkSession, pairs: DataFrame, iters: Int = 5,
+      cacheKey: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("a_id").as("s"), col("b_id").as("d"))
       .unionAll(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
-    val deg = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    // the degree table is referenced by every iteration's subtree: without
+    // materialization the lazy chain re-aggregates the edge list per
+    // iteration — 2×iters full passes at scale for a node-sized table
+    val deg = DfMemo.cached(spark, cacheKey, "prdeg") {
+      edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    }
     var rank = deg.select(col("s").as("id"), col("deg"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edges.join(rank, edges("s") === rank("id"))
