@@ -1,0 +1,234 @@
+package graft
+
+import graft.catalog.TableRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-8 — the remaining classic TPC-H join/subquery shapes, adapted to
+  * the fixture's column surface (no partsupp/commitdate/shipmode columns;
+  * each key keeps its namesake's PLAN shape — that is what's being
+  * exercised). Money discipline as everywhere: sum(cast decimal) then one
+  * cast to double, so accumulation order cannot flip low bits.
+  */
+object Queries8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  /** revenue = Σ extendedprice·(1−discount), decimal-exact. */
+  private val rev =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+  private val revSql = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("q7_volume",
+      // Q7 shape: nation-to-nation trade volume through the full
+      // supplier→lineitem→orders→customer chain with BOTH nation dims
+      // joined (broadcast), grouped by the directed nation pair and year.
+      (s, dir) => {
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+        t(s, dir, "supplier")
+          .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where((col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(rev.cast("double"), 4).as("volume"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(
+        s"""SELECT supp_nation, cust_nation, l_year,
+           |  ROUND(CAST($revSql AS DOUBLE), 4) AS volume
+           |FROM (
+           |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |    CAST(year(l_shipdate) AS INT) AS l_year,
+           |    l_extendedprice, l_discount
+           |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           |    JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |  WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+           |     OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')) v
+           |GROUP BY supp_nation, cust_nation, l_year
+           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    QSpec("q8_mktshare",
+      // Q8 shape: market share of one supplier nation inside one customer
+      // region per year — conditional share of a revenue aggregate. The
+      // share is ONE division of two decimal-exact sums per group.
+      (s, dir) => {
+        val nS = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+        val nC = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+          col("n_regionkey").as("c_rk"))
+        val joined = t(s, dir, "supplier")
+          .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(nC), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(t(s, dir, "region")), col("c_rk") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+        joined
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            round((sum(when(col("supp_nation") === "NATION_2",
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+              rev.cast("double")), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(
+        s"""SELECT o_year,
+           |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+           |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+           |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           |    / CAST($revSql AS DOUBLE), 6) AS mkt_share
+           |FROM (
+           |  SELECT n1.n_name AS supp_nation,
+           |    CAST(year(o_orderdate) AS INT) AS o_year,
+           |    l_extendedprice, l_discount
+           |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           |    JOIN orders ON l_orderkey = o_orderkey
+           |    JOIN customer ON o_custkey = c_custkey
+           |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |    JOIN region ON n2.n_regionkey = r_regionkey
+           |  WHERE r_name = 'ASIA') v
+           |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    QSpec("q12_priority_late",
+      // Q12 shape: two-way conditional counts after the orders⋈lineitem
+      // join — here "late" = shipped more than 60 days after the order
+      // date (the fixture has no shipmode/commitdate; the conditional-
+      // count-after-join plan is what Q12 exercises).
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("late_count"),
+          sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("ontime_count"))
+        .orderBy("o_orderpriority"),
+      Some(
+        """SELECT o_orderpriority,
+          |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+          |  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QSpec("q14_promo",
+      // Q14 shape: promo revenue share — conditional-sum ratio over the
+      // lineitem⋈part join restricted to one ship year.
+      (s, dir) => t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1997)
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          (sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0) /
+            rev.cast("double"), 6).as("promo_revenue_pct")),
+      Some(
+        s"""SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+           |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+           |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+           |    / CAST($revSql AS DOUBLE), 6) AS promo_revenue_pct
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE year(l_shipdate) = 1997""".stripMargin)),
+
+    QSpec("q17_small_qty",
+      // Q17 shape: per-part average-quantity correlated aggregate, then
+      // revenue of the lines under 20% of their part's average — the
+      // aggregate joins back as a (partkey-sized) broadcast, never a
+      // correlated re-scan per row.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"))
+        li.join(broadcast(avgQ), col("l_partkey") === col("ap_partkey"))
+          .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("small_qty_revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some(
+        """WITH a AS (SELECT l_partkey AS ap_partkey,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          |  FROM lineitem GROUP BY l_partkey)
+          |SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |    AS small_qty_revenue,
+          |  CAST(COUNT(*) AS BIGINT) AS n_lines
+          |FROM lineitem JOIN a ON l_partkey = ap_partkey
+          |WHERE l_quantity < 0.5 * avg_qty""".stripMargin)),
+
+    QSpec("q19_disjunctive",
+      // Q19 shape: OR-of-ANDs across both join sides — the predicate a
+      // planner must NOT turn into a cross product; Spark pushes the
+      // common l_partkey = p_partkey equi-key and evaluates the
+      // disjunction as a post-join filter.
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(5, 25) &&
+            col("l_quantity").between(5, 25)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(10, 50) &&
+            col("l_quantity").between(10, 35)))
+        .agg(round(rev.cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_lines")),
+      Some(
+        s"""SELECT ROUND(CAST($revSql AS DOUBLE), 4) AS revenue,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           |    AND l_quantity BETWEEN 1 AND 15)
+           |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 25
+           |    AND l_quantity BETWEEN 5 AND 25)
+           |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 50
+           |    AND l_quantity BETWEEN 10 AND 35)""".stripMargin)),
+
+    QSpec("q21_waiting",
+      // Q21 shape: the double-correlated EXISTS / NOT EXISTS — suppliers
+      // who were the ONLY supplier with returned items in a multi-supplier
+      // order. Both engines evaluate it as per-order distinct counts
+      // joined back (the decorrelated plan Q21 forces), so no correlated
+      // re-scan per row anywhere.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey"))
+          .agg(countDistinct("l_suppkey").as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_supp_ret"))
+        li.where(col("l_returnflag") === "R")
+          .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+          .where(col("n_supp") >= 2 && col("n_supp_ret") === 1)
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(countDistinct("l_orderkey").as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+      },
+      Some(
+        """WITH po AS (SELECT l_orderkey AS po_orderkey,
+          |    COUNT(DISTINCT l_suppkey) AS n_supp,
+          |    COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_supp_ret
+          |  FROM lineitem GROUP BY l_orderkey)
+          |SELECT s_name, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait
+          |FROM lineitem JOIN po ON l_orderkey = po_orderkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE l_returnflag = 'R' AND n_supp >= 2 AND n_supp_ret = 1
+          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)))
+}
