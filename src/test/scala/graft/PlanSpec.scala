@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
     assert(pushes >= 2, s"cap not pushed to both sides ($pushes):\n$plan")
   }
 
+  test("q19's OR-of-ANDs plans as an equi-key hash join, disjunction post-join") {
+    // the Q19 trap: a planner that can't extract the common l_partkey =
+    // p_partkey equi-key from the disjunction falls back to a nested-loop
+    // cross product
+    val plan = planOf(Queries.allSpecs.find(_.name == "q19_disjunctive").get
+      .fn(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("declared query key names are unique (Map construction would silently shadow)") {
     val names = Queries.allSpecs.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
