@@ -149,16 +149,17 @@ object Queries8 {
            |WHERE year(l_shipdate) = 1997""".stripMargin)),
 
     QSpec("q17_small_qty",
-      // Q17 shape: per-part average-quantity correlated aggregate, then
-      // revenue of the lines under 20% of their part's average — the
-      // aggregate joins back as a (partkey-sized) broadcast, never a
-      // correlated re-scan per row.
+      // Q17 shape: per-part average-quantity correlated aggregate joined
+      // back — never a correlated re-scan per row. NO broadcast hint on
+      // the aggregate: it is fact-derived (part-cardinality grows with
+      // the corpus), so the join must stay a shuffle join on l_partkey at
+      // scale; AQE broadcasts it at fixture scale on its own.
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
           .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1))).as("avg_qty"))
-        li.join(broadcast(avgQ), col("l_partkey") === col("ap_partkey"))
+        li.join(avgQ, col("l_partkey") === col("ap_partkey"))
           .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double"), 2).as("small_qty_revenue"),

@@ -92,8 +92,12 @@ object Sketches {
       .join(broadcast(bits), Seq("p"), "left")
       .groupBy("doc_id")
       .agg((count(lit(1)) === sum(coalesce(col("bit"), lit(0)))).as("maybe_seen"))
+    // the BIT SET broadcasts (O(m), corpus-independent); the exact
+    // fingerprint set does NOT — it is corpus-sized, so the ground-truth
+    // join stays a shuffle join on the 8-byte hash, exactly like
+    // dedup_incremental's anti-join (which this filter exists to front)
     nw.join(flagged, "doc_id")
-      .join(broadcast(histFp), Seq("th"), "left")
+      .join(histFp, Seq("th"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
