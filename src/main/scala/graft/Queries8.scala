@@ -134,7 +134,7 @@ object Queries8 {
       // lineitem⋈part join restricted to one ship year.
       (s, dir) => t(s, dir, "lineitem")
         .where(year(col("l_shipdate")) === 1997)
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(round(
           (sum(when(col("p_type") === "PROMO",
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
@@ -181,7 +181,7 @@ object Queries8 {
       // common l_partkey = p_partkey equi-key and evaluates the
       // disjunction as a post-join filter.
       (s, dir) => t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .where(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
             col("l_quantity").between(1, 15)) ||
@@ -217,7 +217,7 @@ object Queries8 {
         li.where(col("l_returnflag") === "R")
           .join(perOrder, col("l_orderkey") === col("po_orderkey"))
           .where(col("n_supp") >= 2 && col("n_supp_ret") === 1)
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(countDistinct("l_orderkey").as("numwait"))
           .orderBy(desc("numwait"), asc("s_name"))
