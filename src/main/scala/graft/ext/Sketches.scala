@@ -69,6 +69,23 @@ object Sketches {
       .orderBy("tok")
   }
 
+  /** The raw count-min CELL TABLE from a stream (or batch) of documents:
+    * each token occurrence increments its d cells, so the output is the
+    * (i, bucket, cell) state a STREAMING aggregation maintains
+    * incrementally — cells are associative sums, which is precisely why
+    * the sketch works under micro-batch execution with no recomputation
+    * (StreamingSpec proves stream == batch across micro-batches).
+    * [[cmsTokenCounts]] builds the same cells from pre-aggregated counts;
+    * the totals are identical by associativity. */
+  def cmsCells(docs: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", polyHashCol(col("tok")))
+    toks.select(explode(array((1 to d).map(i =>
+        struct(lit(i).as("i"), bucket(col("th"), i, w).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** Bloom-filter dedup prefilter: the historical shard's head fingerprints
     * set `k` bit positions in an `m`-bit filter; a new-shard doc is flagged
     * "maybe seen" iff ALL its k positions are set. No false negatives, so

@@ -278,6 +278,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min cells == batch sketch, merged across micro-batches") {
+    // cells are associative sums — the defining property that lets a
+    // sketch be maintained incrementally. Feed the corpus in TWO separate
+    // micro-batches and require the final state to equal the one-shot
+    // batch sketch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = TableRegistry.table(spark, sfDir, "documents")
+      .select("text").as[String].collect().toSeq
+    val stream = MemoryStream[String]
+    val streamed = graft.ext.Sketches.cmsCells(stream.toDF().toDF("text"))
+    val qname = s"stream_cms_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("complete").start()
+    try {
+      stream.addData(texts.take(texts.size / 2))
+      query.processAllAvailable()
+      stream.addData(texts.drop(texts.size / 2))
+      query.processAllAvailable()
+      val got = spark.table(qname).orderBy("i", "bucket")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      val want = graft.ext.Sketches.cmsCells(
+          TableRegistry.table(spark, sfDir, "documents"))
+        .orderBy("i", "bucket")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("streaming advisor re-advises per micro-batch over the accumulated workload") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
