@@ -74,6 +74,34 @@ object QueryIntrospector {
   def parseDdl(spark: SparkSession, ddl: String): Option[SqlRefs] =
     extractSelect(ddl).flatMap(parse(spark, _))
 
+  /** Cap on distinct workload texts collected driver-side per analysis —
+    * keeps the driver's footprint metadata-sized against a warehouse-scale
+    * query log (texts beyond the N most frequent are dropped with a
+    * warning). One constant shared by every caller of [[workloadTexts]]. */
+  val maxWorkloadTexts: Int = 10000
+
+  /** The capped heavy-hitter collect of distinct workload texts — THE way
+    * query texts reach the driver. On a warehouse-scale log distinct texts
+    * are not metadata-sized, so the collect is bounded at the `cap` most
+    * frequent texts (the advisor's statistics are frequency-weighted, so the
+    * dropped tail moves them least). TakeOrdered(count desc) ships only the
+    * top-N rows to the driver; anything dropped is logged, never silently
+    * truncated. Returned most-frequent-first, ties broken by text. */
+  def workloadTexts(queryLog: org.apache.spark.sql.DataFrame,
+      cap: Int = maxWorkloadTexts): Seq[String] = {
+    import org.apache.spark.sql.functions.{asc, col, desc}
+    val rows = queryLog.select("query").where(col("query").isNotNull)
+      .groupBy("query").count()
+      .orderBy(desc("count"), asc("query"))
+      .limit(cap + 1)
+      .collect()
+    if (rows.length > cap)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"workload has more than $cap distinct query texts; " +
+          "parsing only the most frequent ones (statistics cover the dominant workload)")
+    rows.take(cap).map(_.getString(0)).toSeq
+  }
+
   /** Parse each distinct text once. The workload's distinct-text set is
     * metadata-sized (never data-proportional), so this is the single
     * driver-side parse pass every downstream derivation (usage frequency,

@@ -77,8 +77,10 @@ object AnalysisPipeline {
 
   /** Cap on distinct workload texts parsed driver-side per analysis — keeps
     * the driver's footprint metadata-sized against a warehouse-scale query
-    * log (texts beyond the N most frequent are dropped with a warning). */
-  val maxWorkloadTexts: Int = 10000
+    * log (texts beyond the N most frequent are dropped with a warning).
+    * One shared constant: [[graft.introspect.QueryIntrospector.maxWorkloadTexts]]. */
+  val maxWorkloadTexts: Int =
+    graft.introspect.QueryIntrospector.maxWorkloadTexts
 
   private def workloadFor(spark: SparkSession, sfDir: String)
       : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) =
@@ -87,66 +89,70 @@ object AnalysisPipeline {
         TableRegistry.queryLog(spark, sfDir))
     })
 
+  /** The per-distinct-text aggregate STATE every log-derived statistic is
+    * linear in: (query, cnt, sum_exec, sum_priority). One scan of the log
+    * produces it; usage frequencies, column weights and view priorities are
+    * all exact functions of it (see the *FromStats derivations in Usage /
+    * Scoring). Because the columns are sums and counts, the state is
+    * MERGEABLE: stats(log₁ ∪ log₂) = re-aggregate(stats(log₁) ∪ stats(log₂))
+    * — the property the incremental streaming advisor is built on, and the
+    * same shape as the count-min cells in [[graft.ext.Sketches.cmsCells]]. */
+  def textStatsOf(queryLog: DataFrame): DataFrame =
+    queryLog.where(col("query").isNotNull)
+      .groupBy("query")
+      .agg(count(lit(1)).as("cnt"),
+        sum("execution_time_ms").as("sum_exec"),
+        sum(when(Scoring.isInteractiveCol, lit(2.0)).otherwise(lit(1.0)))
+          .as("sum_priority"))
+
   /** Workload-stat core over an arbitrary (views, queryLog) pair — shared by
-    * the fixture path ([[workloadFor]]) and the catalog path. */
+    * the fixture path ([[workloadFor]]) and the catalog path. One full scan
+    * of the log (building the per-text state), then metadata-sized work. */
   private def computeWorkload(spark: SparkSession, vs: Seq[ViewMeta],
       rawQueryLog: DataFrame)
+      : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) =
+    computeWorkloadFromStats(spark, vs, textStatsOf(rawQueryLog))
+
+  /** Workload-stat core over per-text aggregate state ([[textStatsOf]]) —
+    * the shared tail of the batch path and the incremental streaming path.
+    *
+    * 100 TB posture: the state DataFrame is one row per distinct text
+    * (distributed, never collected whole); only the maxWorkloadTexts
+    * most-frequent texts ship to the driver for parsing (heavy-hitter
+    * coverage — the advisor's scores are frequency-weighted, so the dropped
+    * tail moves them least), and the three derivations are joins against the
+    * cached state, not rescans of the log. */
+  private[graft] def computeWorkloadFromStats(spark: SparkSession, vs: Seq[ViewMeta],
+      textStats: DataFrame)
       : (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]) = {
-      val queryLog = rawQueryLog.cache()
-      // one driver-side parse of the distinct workload texts, shared by all
-      // three derivations (usage / perf weights / priorities) — the reference
-      // re-parsed the log per analysis stage.
-      //
-      // 100 TB posture: distinct texts of a real warehouse log are NOT
-      // metadata-sized, so the collect is bounded at the maxWorkloadTexts
-      // most-frequent texts (heavy-hitter coverage — the advisor's scores
-      // are frequency-weighted, so the dropped tail moves them least).
-      // TakeOrdered(count desc) ships only the top-N rows to the driver;
-      // anything dropped is logged, never silently truncated.
-      val textsWithCounts = queryLog.select("query").where(col("query").isNotNull)
-        .groupBy("query").count()
-        .orderBy(desc("count"), asc("query"))
+    val stats = textStats.cache()
+    try {
+      // heavy-hitter selection straight off the state (it already carries
+      // per-text counts); anything dropped is logged, never silent
+      val top = stats.select(col("query"), col("cnt"))
+        .orderBy(desc("cnt"), asc("query"))
         .limit(maxWorkloadTexts + 1)
         .collect()
-      if (textsWithCounts.length > maxWorkloadTexts)
+      if (top.length > maxWorkloadTexts)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"workload has more than $maxWorkloadTexts distinct query texts; " +
             "parsing only the most frequent ones (scores cover the dominant workload)")
-      val texts = textsWithCounts.take(maxWorkloadTexts).map(_.getString(0)).toSeq
+      val texts = top.take(maxWorkloadTexts).map(_.getString(0)).toSeq
+      // one driver-side parse of the capped texts, shared by all three
+      // derivations — the reference re-parsed the log per analysis stage
       val parsed = graft.introspect.QueryIntrospector.parseAll(spark, texts)
       val refsDf = Scoring.parsedRefsFrom(spark, parsed).cache()
-      // the three log-derived statistics are independent jobs over the same
-      // cached inputs — submit them concurrently so the scheduler interleaves
-      // them (same posture as the per-table profile jobs in profilesFor)
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
-        val usageF = Future(Usage.weightedFrequency(spark, vs, queryLog, Some(parsed))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
-        val weightsF = Future {
-          val (_, colWeights) = Scoring.performanceMetricsFrom(queryLog, refsDf)
-          colWeights.collect()
-            .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-        }
-        val prioritiesF = Future {
-          val types = Scoring.queryTypes(queryLog)
-          val tblRefs = refsDf.where(col("ref_column").isNull)
-            .select(col("query"), col("ref_table"))
-          types.join(broadcast(tblRefs), Seq("query"))
-            .groupBy(col("ref_table").as("table"))
-            .agg(avg("partition_priority").as("avg_priority"))
-            .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-        }
-        (Await.result(usageF, Duration.Inf),
-          Await.result(weightsF, Duration.Inf),
-          Await.result(prioritiesF, Duration.Inf))
-      } finally {
-        pool.shutdown()
-        refsDf.unpersist()
-        queryLog.unpersist()
-      }
+        val usage = Usage.weightedFrequencyFromStats(spark, vs, stats, parsed)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (_, colWeights) = Scoring.performanceMetricsFromStats(stats, refsDf)
+        val weights = colWeights.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val priorities = Scoring.viewPrioritiesFromStats(stats, refsDf)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        (usage, weights, priorities)
+      } finally refsDf.unpersist()
+    } finally stats.unpersist()
   }
 
   /** Composite partition scores for every (view, column) — all statistics
@@ -198,7 +204,29 @@ object AnalysisPipeline {
   def runFromCatalog(spark: SparkSession, queryLog: DataFrame,
       db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
-      approxCardinality: Boolean = false, topN: Int = 3): DataFrame = {
+      approxCardinality: Boolean = false, topN: Int = 3): DataFrame =
+    runFromCatalogCore(spark, vs => computeWorkload(spark, vs, queryLog),
+      db, nameFilter, approxCardinality, topN)
+
+  /** [[runFromCatalog]] over maintained per-text aggregate state
+    * ([[textStatsOf]] shape) instead of a raw log — the incremental path:
+    * a streaming advisor merges each micro-batch into the state and
+    * re-derives ONLY the scores here, so per-batch work is O(batch + state),
+    * never O(accumulated history). Exact equivalence with the batch path is
+    * by construction: both funnel through [[computeWorkloadFromStats]]. */
+  def runFromCatalogStats(spark: SparkSession, textStats: DataFrame,
+      db: Option[String] = None,
+      nameFilter: String => Boolean = _ => true,
+      approxCardinality: Boolean = false, topN: Int = 3): DataFrame =
+    runFromCatalogCore(spark, vs => computeWorkloadFromStats(spark, vs, textStats),
+      db, nameFilter, approxCardinality, topN)
+
+  private def runFromCatalogCore(spark: SparkSession,
+      workloadOf: Seq[ViewMeta] =>
+        (Seq[(String, Long)], Seq[(String, String, Long)], Seq[(String, Double)]),
+      db: Option[String],
+      nameFilter: String => Boolean,
+      approxCardinality: Boolean, topN: Int): DataFrame = {
     val resolved = TableRegistry.fromCatalogResolved(spark, db, nameFilter)
     require(resolved.nonEmpty, "no catalog tables matched — register temp views or pass a db")
     val vs = resolved.map(_._1)
@@ -208,7 +236,7 @@ object AnalysisPipeline {
     val qualifiedOf = resolved.map { case (v, q) => v.view -> q }.toMap
     val profiles = computeProfiles(spark, vs,
       name => spark.table(qualifiedOf(name)), approxCardinality)
-    val workload = computeWorkload(spark, vs, queryLog)
+    val workload = workloadOf(vs)
     val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
     // emit scripts under the FULLY-QUALIFIED names: an `ALTER TABLE bare`
     // script run from a session on a different current database would hit

@@ -35,26 +35,31 @@ object Scoring {
       .drop("max_exec", "max_cpu", "max_input", "max_mem")
   }
 
-  /** C7: interactive/batch classification — interactive iff the text contains
-    * LIMIT or execution_time_ms < 10000; priority 2.0 else 1.0
-    * (partitioning.py:205-238). */
+  /** C7's per-row classification predicate — interactive iff the text
+    * contains LIMIT or execution_time_ms < 10000 (partitioning.py:205-238).
+    * Shared by [[queryTypes]] and the per-text aggregate state
+    * ([[graft.pipeline.AnalysisPipeline.textStatsOf]]) so the batch and
+    * incremental paths cannot drift. */
+  private[graft] def isInteractiveCol: org.apache.spark.sql.Column =
+    upper(col("query")).contains("LIMIT") ||
+      (col("execution_time_ms").isNotNull && col("execution_time_ms") < 10000)
+
+  /** C7: interactive/batch classification; priority 2.0 else 1.0. */
   def queryTypes(queryLog: DataFrame): DataFrame =
     queryLog
-      .withColumn("is_interactive",
-        upper(col("query")).contains("LIMIT") ||
-          (col("execution_time_ms").isNotNull && col("execution_time_ms") < 10000))
+      .withColumn("is_interactive", isInteractiveCol)
       .withColumn("partition_priority",
         when(col("is_interactive"), lit(2.0)).otherwise(lit(1.0)))
 
   /** Distinct query text → (tables, all referenced columns) parsed once on
-    * the driver; returned as a DataFrame keyed by text for joining back onto
-    * the log. Schema: (query, ref_table, ref_column nullable, col_count). A
-    * row with null ref_column carries the table-level reference. */
-  def parsedRefs(spark: SparkSession, queryLog: DataFrame): DataFrame = {
-    val texts = queryLog.select("query").where(col("query").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
-    parsedRefsFrom(spark, QueryIntrospector.parseAll(spark, texts))
-  }
+    * the driver (capped at the most frequent
+    * [[QueryIntrospector.maxWorkloadTexts]]); returned as a DataFrame keyed
+    * by text for joining back onto the log. Schema: (query, ref_table,
+    * ref_column nullable, col_count). A row with null ref_column carries the
+    * table-level reference. */
+  def parsedRefs(spark: SparkSession, queryLog: DataFrame): DataFrame =
+    parsedRefsFrom(spark,
+      QueryIntrospector.parseAll(spark, QueryIntrospector.workloadTexts(queryLog)))
 
   /** parsedRefs over a pre-parsed (text → refs) map — lets the pipeline parse
     * the distinct workload texts exactly once for all derivations. */
@@ -96,6 +101,37 @@ object Scoring {
       .agg(sum(col("execution_time_ms") * col("col_count")).as("weight"))
     (tableTotals, columnWeights)
   }
+
+  /** [[performanceMetricsFrom]] over per-text aggregate state instead of the
+    * raw log. `textStats` rows are (query, cnt, sum_exec, sum_priority) —
+    * see [[graft.pipeline.AnalysisPipeline.textStatsOf]]. Both statistics
+    * are linear in the per-text partials (Σ_rows exec = Σ_texts sum_exec;
+    * COUNT(*) = Σ_texts cnt; Σ_rows exec·col_count = col_count·sum_exec), so
+    * the results are EXACTLY those of the raw-log path — long sums are
+    * order-independent — which is what lets a streaming advisor maintain the
+    * state incrementally and re-derive per batch without rescanning history. */
+  def performanceMetricsFromStats(textStats: DataFrame, refs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val joined = textStats.join(broadcast(refs), Seq("query"))
+    val tableTotals = joined.where(col("ref_column").isNull)
+      .groupBy(col("ref_table").as("table"))
+      .agg(sum("sum_exec").as("execution_time"),
+        sum("cnt").as("query_count"))
+    val columnWeights = joined.where(col("ref_column").isNotNull)
+      .groupBy(col("ref_table").as("table"), col("ref_column").as("column"))
+      .agg(sum(col("sum_exec") * col("col_count")).as("weight"))
+    (tableTotals, columnWeights)
+  }
+
+  /** Per-view average partition priority from per-text aggregate state:
+    * avg over log rows = Σ sum_priority / Σ cnt per referencing table.
+    * Exact: priorities are 1.0/2.0, so every partial sum is an
+    * integer-valued double (< 2^53) and addition order cannot matter. */
+  def viewPrioritiesFromStats(textStats: DataFrame, refs: DataFrame): DataFrame =
+    textStats.join(broadcast(refs.where(col("ref_column").isNull)
+        .select(col("query"), col("ref_table"))), Seq("query"))
+      .groupBy(col("ref_table").as("table"))
+      .agg((sum("sum_priority") / sum("cnt")).as("avg_priority"))
 
   /** E5 cardinality banding (partitioning.py:305-318). */
   def cardinalityBand(card: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -34,13 +34,12 @@ object Usage {
 
   /** Map of distinct query text → referenced table names (with multiplicity),
     * parsed once on the driver (partitioning.py:87-97 parses per log row;
-    * we parse per distinct text). Unparseable texts contribute nothing. */
-  def tableRefsByQuery(spark: SparkSession, queryLog: DataFrame): Seq[(String, Seq[String])] = {
-    val texts = queryLog.select("query").where(col("query").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
-    QueryIntrospector.parseAll(spark, texts)
+    * we parse per distinct text, capped at the most frequent
+    * [[QueryIntrospector.maxWorkloadTexts]]). Unparseable texts contribute
+    * nothing. */
+  def tableRefsByQuery(spark: SparkSession, queryLog: DataFrame): Seq[(String, Seq[String])] =
+    QueryIntrospector.parseAll(spark, QueryIntrospector.workloadTexts(queryLog))
       .map { case (t, refs) => t -> refs.map(_.tables).getOrElse(Seq.empty) }
-  }
 
   /** A1 weighted frequency: union of all three contribution sources →
     * groupBy(name) sum(weight) → sorted. Output schema:
@@ -69,6 +68,31 @@ object Usage {
     val logDf = queryLog.join(broadcast(refsDf), Seq("query"))
       .select(col("ref_table").as("name"), lit(1L).as("weight"))
 
+    metaDf.unionByName(logDf)
+      .groupBy("name").agg(sum("weight").as("weighted_frequency"))
+      .orderBy(desc("weighted_frequency"), asc("name"))
+  }
+
+  /** [[weightedFrequency]] over per-text aggregate state instead of the raw
+    * log. `textStats` rows are (query, cnt, …) — see
+    * [[graft.pipeline.AnalysisPipeline.textStatsOf]]. Each log row with text
+    * q contributed 1 per referenced-table occurrence, so the total is
+    * Σ_texts cnt(q)·multiplicity — linear in the per-text counts, hence
+    * EXACTLY the raw-log result, which is what lets the streaming advisor
+    * maintain only the per-text state between batches. */
+  def weightedFrequencyFromStats(
+      spark: SparkSession,
+      views: Seq[ViewMeta],
+      textStats: DataFrame,
+      parsed: Seq[(String, Option[QueryIntrospector.SqlRefs])]): DataFrame = {
+    import spark.implicits._
+    val metaDf = viewContributions(spark, views).toDF("name", "weight")
+    val refs = parsed.flatMap { case (q, r) =>
+      r.map(_.tables).getOrElse(Seq.empty).map(q -> _)
+    }
+    val refsDf = refs.toDF("query", "ref_table")
+    val logDf = textStats.join(broadcast(refsDf), Seq("query"))
+      .select(col("ref_table").as("name"), col("cnt").as("weight"))
     metaDf.unionByName(logDf)
       .groupBy("name").agg(sum("weight").as("weighted_frequency"))
       .orderBy(desc("weighted_frequency"), asc("name"))
