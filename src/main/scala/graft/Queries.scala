@@ -297,12 +297,30 @@ object Queries {
           |FROM lineitem""".stripMargin)),
 
     QSpec("agg_approx_distinct",
-      // HLL++ — deterministic for fixed data but not DuckDB-reproducible:
-      // exact twin above is the oracle (SURVEY §5 rule 1).
-      (s, dir) => t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_part"),
-        approx_count_distinct(col("l_orderkey")).as("approx_order")),
-      None),
+      // HLL++ — the sketch estimate itself is deterministic for fixed data
+      // but not DuckDB-reproducible (engine-internal mixing), so the
+      // DRIVER-VISIBLE columns are the exact counts plus a within-5%
+      // ASSERTION of the sketch against them: the key hash-checks that the
+      // approximate structure lands where HLL++'s error bound says it must
+      // (default rsd 5%), not just that it produced a row. The raw
+      // estimates stay out of the hashed surface by design (SURVEY §5
+      // rule 1); ProfilerSpec asserts the same band on the profile path.
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_part"),
+          countDistinct(col("l_orderkey")).as("exact_order"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("exact_part"), col("exact_order"),
+          (abs(col("ap") - col("exact_part")).cast("double") /
+            col("exact_part") <= 0.05).as("part_within_5pct"),
+          (abs(col("ao") - col("exact_order")).cast("double") /
+            col("exact_order") <= 0.05).as("order_within_5pct")),
+      Some(
+        """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_part,
+          |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_order,
+          |  TRUE AS part_within_5pct, TRUE AS order_within_5pct
+          |FROM lineitem""".stripMargin)),
 
     QSpec("agg_percentile_exact",
       (s, dir) => t(s, dir, "lineitem").agg(
@@ -318,10 +336,32 @@ object Queries {
           |FROM lineitem""".stripMargin)),
 
     QSpec("agg_percentile",
-      // approx sketch variant (reference approx_percentile) — no oracle.
-      (s, dir) => t(s, dir, "lineitem").agg(
-        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.5), lit(0.9)), lit(10000)).as("qty_pct")),
-      None),
+      // approx sketch variant (reference approx_percentile). Same
+      // hash-checkable shape as agg_approx_distinct: the driver-visible
+      // columns are the EXACT percentiles plus a within-5% assertion of
+      // the GK sketch against each (the sketch returns a member value, the
+      // exact interpolates — 5% relative covers that gap at any SF; the
+      // raw sketch outputs stay out of the hashed surface by design).
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(
+          percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.5), lit(0.9)), lit(10000)).as("ap"),
+          expr("percentile(l_quantity, array(0.1D, 0.5D, 0.9D))").as("ex"))
+        .select(
+          round(element_at(col("ex"), 1), 6).as("qty_p10"),
+          round(element_at(col("ex"), 2), 6).as("qty_p50"),
+          round(element_at(col("ex"), 3), 6).as("qty_p90"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) /
+            element_at(col("ex"), 1) <= 0.05).as("p10_within_5pct"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) /
+            element_at(col("ex"), 2) <= 0.05).as("p50_within_5pct"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) /
+            element_at(col("ex"), 3) <= 0.05).as("p90_within_5pct")),
+      Some(
+        """SELECT ROUND(quantile_cont(l_quantity, 0.1), 6) AS qty_p10,
+          |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+          |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+          |  TRUE AS p10_within_5pct, TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+          |FROM lineitem""".stripMargin)),
 
     QSpec("agg_min_max_range",
       (s, dir) => t(s, dir, "lineitem").agg(

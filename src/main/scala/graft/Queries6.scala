@@ -107,11 +107,16 @@ object Queries6 {
       // per-source threshold. Pure integer arithmetic → the same docs are
       // selected on any engine and any run; the selection itself is a
       // stateless map over the scan (no shuffle until the audit rollup).
+      // doc_id is pre-reduced mod 1e9+7 BEFORE the Knuth multiply so the
+      // product stays < 2^62 for ANY doc_id: without it, Spark (non-ANSI)
+      // silently wraps past doc_id ≈ 3.4e9 while DuckDB raises a BIGINT
+      // overflow — the engines would diverge exactly at warehouse scale.
       (s, dir) => t(s, dir, "documents")
         .withColumn("srcnum", substring(col("source"), 4, 10).cast("int"))
         .withColumn("thresh", (pmod(col("srcnum"), lit(5)) + 1) * 200)
         .withColumn("keep",
-          (pmod(col("doc_id") * lit(2654435761L), lit(1000L)) < col("thresh"))
+          (pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+            lit(1000L)) < col("thresh"))
             .cast("long"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_total"), sum("keep").as("n_sampled"),
@@ -122,7 +127,7 @@ object Queries6 {
           |    ((CAST(substr(source, 4) AS INT) % 5) + 1) * 200 AS thresh
           |  FROM documents)
           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
-          |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 1000 < thresh
+          |  CAST(SUM(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < thresh
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
           |  ROUND(MAX(thresh)::DOUBLE / 1000, 2) AS target_rate
           |FROM d GROUP BY source ORDER BY source""".stripMargin)),

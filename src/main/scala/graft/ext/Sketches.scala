@@ -96,13 +96,19 @@ object Sketches {
   def bloomPrefilter(docs: DataFrame, histPred: Column, newPred: Column,
       headTokens: Int = 8, k: Int = 3, m: Int = 4096): DataFrame = {
     val fp = concat_ws(" ", slice(split(col("text"), " "), 1, headTokens))
+    // th drives ONLY the k bucket positions (that ~30-bit family is the
+    // filter's replayable semantics); fingerprint IDENTITY for the
+    // ground-truth columns is sha2, like dedup_incremental — a polyHash
+    // identity would birthday-collide at ~10^5 fingerprints and misclassify
+    // distinct heads as dups (r4 ADVICE)
     val withH = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("fpk", sha2(fp, 256))
       .withColumn("th", polyHashCol(fp))
     val posArr = array((1 to k).map(i => bucket(col("th"), i, m)): _*)
     val bits = withH.where(histPred)
       .select(explode(posArr).as("p")).distinct()
       .withColumn("bit", lit(1))
-    val histFp = withH.where(histPred).select(col("th")).distinct()
+    val histFp = withH.where(histPred).select(col("fpk")).distinct()
       .withColumn("is_dup", lit(1))
     val nw = withH.where(newPred)
     val flagged = nw.select(col("doc_id"), explode(posArr).as("p"))
@@ -111,10 +117,10 @@ object Sketches {
       .agg((count(lit(1)) === sum(coalesce(col("bit"), lit(0)))).as("maybe_seen"))
     // the BIT SET broadcasts (O(m), corpus-independent); the exact
     // fingerprint set does NOT — it is corpus-sized, so the ground-truth
-    // join stays a shuffle join on the 8-byte hash, exactly like
+    // join stays a shuffle join on the 32-byte digest, exactly like
     // dedup_incremental's anti-join (which this filter exists to front)
     nw.join(flagged, "doc_id")
-      .join(histFp, Seq("th"), "left")
+      .join(histFp, Seq("fpk"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_new"),
         sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_flagged"),
