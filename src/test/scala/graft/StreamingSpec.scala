@@ -350,4 +350,55 @@ class StreamingSpec extends SparkSpec {
         s"stream ${snapshots.last.recs} vs batch $direct")
     } finally query.stop()
   }
+
+  test("streaming advisor is incremental: deleting the archival log between batches changes nothing") {
+    // the O(stream²) trap the r4 verdict flagged: if any per-batch job read
+    // the ACCUMULATED log back, destroying that log between batches would
+    // change (or crash) the next snapshot. The advisor's only carried state
+    // is the mergeable per-text aggregate, so the final recommendation must
+    // still equal a batch advisor over everything ever streamed.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val logStream = TableRegistry.queryLogFrom(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_incr").toString
+    val logDir = s"$root/log"
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingAdvisor.Snapshot]()
+    val query = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), logDir, snaps)
+    try {
+      stream.addData(batch1)
+      query.processAllAvailable()
+      // destroy the archival sink: anything that re-reads it is now caught
+      def nuke(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(nuke)
+        f.delete(); ()
+      }
+      nuke(new java.io.File(logDir))
+      stream.addData(batch2)
+      query.processAllAvailable()
+      val snapshots = {
+        import scala.jdk.CollectionConverters._
+        snaps.asScala.toSeq.sortBy(_.batchId)
+      }
+      assert(snapshots.length == 2, snapshots.map(_.batchId).toString)
+      // ground truth over EVERYTHING streamed, reconstructed independently
+      // of the (destroyed) archival sink
+      val fullLog = TableRegistry.queryLogFrom(
+        all.toDF("event_id", "ts", "value"))
+      val direct = graft.pipeline.AnalysisPipeline.runFromCatalog(
+        spark, fullLog, nameFilter = Set("supplier"))
+        .collect().map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec"))).toSeq
+      assert(snapshots.last.recs == direct,
+        s"stream ${snapshots.last.recs} vs batch $direct")
+    } finally query.stop()
+  }
 }
