@@ -49,10 +49,23 @@ object StreamingAdvisor {
     * Each micro-batch appends to `logDir`, merges its per-text aggregates
     * into the advisor state (kept in versioned parquet next to `logDir`),
     * and pushes one Snapshot with the recommendations derived from
-    * everything observed so far. */
+    * everything observed so far.
+    *
+    * Replay-idempotent: state versions are named by batchId and a replayed
+    * batch merges against versions STRICTLY BELOW its own id, so
+    * re-processing after a failure overwrites rather than double-counts
+    * (the archival append may duplicate on replay — it is audit data, never
+    * advisor input).
+    *
+    * `stateCap` bounds the state over an unbounded stream lifetime: after
+    * each merge only the `stateCap` most-frequent texts are kept (count
+    * desc, text asc — the same heavy-hitter order the advisor's own
+    * parse cap uses, 10× deeper by default so the dropped tail is far
+    * below anything the scorer would parse). Dropped rows are logged. */
   def start(spark: SparkSession, queryLogStream: DataFrame,
       nameFilter: String => Boolean, logDir: String,
-      snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot]): StreamingQuery = {
+      snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],
+      stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts): StreamingQuery = {
     val stateRoot = new java.io.File(logDir.stripSuffix("/") + "_state")
     queryLogStream.writeStream
       .outputMode("append")
@@ -64,9 +77,10 @@ object StreamingAdvisor {
         // cannot change them — long sums exactly, priority sums are
         // integer-valued doubles)
         val batchStats = AnalysisPipeline.textStatsOf(batch)
-        val prevVersions = Option(stateRoot.listFiles()).getOrElse(Array.empty)
+        val versions = Option(stateRoot.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("v"))
           .sortBy(_.getName.drop(1).toLong)
+        val prevVersions = versions.filter(_.getName.drop(1).toLong < batchId)
         val merged = prevVersions.lastOption match {
           case Some(prev) =>
             spark.read.parquet(prev.getPath).unionByName(batchStats)
@@ -75,8 +89,20 @@ object StreamingAdvisor {
                 sum("sum_priority").as("sum_priority"))
           case None => batchStats
         }
+        // bound the carried state: top-stateCap texts by frequency (state
+        // is metadata-sized, so the TakeOrdered is cheap; the count that
+        // detects overflow runs on the same cached frame)
+        val mergedC = merged.cache()
+        val n = mergedC.count()
+        val bounded =
+          if (n > stateCap) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
+            mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+          } else mergedC
         val cur = new java.io.File(stateRoot, s"v$batchId")
-        merged.write.mode("overwrite").parquet(cur.getPath)
+        bounded.write.mode("overwrite").parquet(cur.getPath)
+        mergedC.unpersist()
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
         // what a fresh advisor run must reflect)

@@ -401,4 +401,45 @@ class StreamingSpec extends SparkSpec {
         s"stream ${snapshots.last.recs} vs batch $direct")
     } finally query.stop()
   }
+
+  test("streaming advisor state cap keeps the most-frequent texts (bounded state semantics)") {
+    // stateCap=3 against the fixture's 5 canned texts: the carried state
+    // must behave exactly like a batch advisor over the log RESTRICTED to
+    // the top-3 texts by (count desc, text asc) — the same heavy-hitter
+    // order the parse cap uses, so capping state composes with capping
+    // parse instead of introducing a third semantics.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val logStream = TableRegistry.queryLogFrom(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_cap").toString
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingAdvisor.Snapshot]()
+    val query = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), s"$root/log", snaps, stateCap = 3)
+    try {
+      stream.addData(all)
+      query.processAllAvailable()
+      val fullLog = TableRegistry.queryLogFrom(all.toDF("event_id", "ts", "value"))
+      val top3 = graft.pipeline.AnalysisPipeline.textStatsOf(fullLog)
+        .orderBy(desc("cnt"), asc("query")).limit(3)
+        .select("query").collect().map(_.getString(0)).toSeq
+      val direct = graft.pipeline.AnalysisPipeline.runFromCatalog(
+        spark, fullLog.where(col("query").isin(top3: _*)), nameFilter = Set("supplier"))
+        .collect().map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec"))).toSeq
+      val snapshots = {
+        import scala.jdk.CollectionConverters._
+        snaps.asScala.toSeq.sortBy(_.batchId)
+      }
+      assert(snapshots.nonEmpty)
+      assert(snapshots.last.recs == direct,
+        s"capped stream ${snapshots.last.recs} vs restricted batch $direct")
+    } finally query.stop()
+  }
 }
