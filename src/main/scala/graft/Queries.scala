@@ -301,16 +301,19 @@ object Queries {
       // but not DuckDB-reproducible (engine-internal mixing), so the
       // DRIVER-VISIBLE columns are the exact counts plus a within-5%
       // ASSERTION of the sketch against them: the key hash-checks that the
-      // approximate structure lands where HLL++'s error bound says it must
-      // (default rsd 5%), not just that it produced a row. The raw
-      // estimates stay out of the hashed surface by design (SURVEY §5
-      // rule 1); ProfilerSpec asserts the same band on the profile path.
+      // approximate structure lands inside the band, not just that it
+      // produced a row. rsd=0.01, not the 0.05 default: rsd is ONE sigma,
+      // and the default's measured error reaches 6.4% on the fixtures
+      // (l_orderkey at sf0.001) — at 0.01 the measured error is ≤0.7% at
+      // every SF, so the 5% band holds with 7× margin. The raw estimates
+      // stay out of the hashed surface by design (SURVEY §5 rule 1);
+      // ProfilerSpec asserts the banded profile path.
       (s, dir) => t(s, dir, "lineitem")
         .agg(
           countDistinct(col("l_partkey")).as("exact_part"),
           countDistinct(col("l_orderkey")).as("exact_order"),
-          approx_count_distinct(col("l_partkey")).as("ap"),
-          approx_count_distinct(col("l_orderkey")).as("ao"))
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
         .select(col("exact_part"), col("exact_order"),
           (abs(col("ap") - col("exact_part")).cast("double") /
             col("exact_part") <= 0.05).as("part_within_5pct"),
