@@ -80,6 +80,52 @@ object Queries5 {
            |FROM documents WHERE doc_id >= 20
            |GROUP BY source ORDER BY source""".stripMargin)),
 
+    QSpec("decontaminate_embedding",
+      // Semantic decontamination — the embedding-space complement of
+      // decontaminate_ngram: a training vector is flagged when its MAX
+      // cosine to ANY held-out eval vector (vec_id < 20) crosses the
+      // threshold. Same scale shape as the n-gram form: the eval side is
+      // tiny by construction, so it BROADCASTS (norms precomputed once)
+      // and the corpus is scanned once — per-row work is |eval| codegen
+      // VectorDots, shuffle only for the per-label rollup; nothing grows
+      // with training-set size. Threshold 0.35 is fixture-calibrated (the
+      // synthetic embeddings have no true near-dups across the eval split
+      // — max observed cos 0.49; real deployments sit at 0.9+): it flags
+      // a discriminating 2–10% per label at both verify SFs, so the
+      // oracle checks the flagging arithmetic, not a constant zero.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val ev = broadcast(emb.where(col("vec_id") < 20)
+          .select(SimSearch.asDouble(col("embedding")).as("ev"))
+          .withColumn("en", SimSearch.norm(col("ev"))))
+        val tr = emb.where(col("vec_id") >= 20)
+          .select(col("vec_id"), col("label"),
+            SimSearch.asDouble(col("embedding")).as("v"))
+          .withColumn("vn", SimSearch.norm(col("v")))
+        tr.crossJoin(ev)
+          .select(col("vec_id"), col("label"),
+            round(SimSearch.dot(col("v"), col("ev")) / (col("vn") * col("en")), 6)
+              .as("cos"))
+          .groupBy("vec_id", "label").agg(max("cos").as("max_cos"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("max_cos") >= 0.35, 1L).otherwise(0L)).as("n_flagged"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |ev AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+          |tr AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+          |mc AS (SELECT tr.vec_id, tr.label,
+          |    MAX(ROUND(list_sum(list_transform(range(1, len(tr.v)+1), i -> tr.v[i]*ev.v[i])) /
+          |      (sqrt(list_sum(list_transform(tr.v, x -> x*x)))
+          |        * sqrt(list_sum(list_transform(ev.v, x -> x*x)))), 6)) AS max_cos
+          |  FROM tr, ev GROUP BY tr.vec_id, tr.label)
+          |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_train,
+          |  CAST(SUM(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+          |FROM mc GROUP BY label ORDER BY label""".stripMargin)),
+
     QSpec("pii_redact",
       // PII scrub: deterministic synthetic PII (emails on doc_id%3=0, phone
       // numbers on doc_id%5=0 — the fixture corpus is a clean word-bag) is
