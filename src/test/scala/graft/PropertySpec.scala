@@ -23,6 +23,30 @@ class PropertySpec extends SparkSpec {
     assert(a.forall(f => f >= 0 && f < 1000003L))
   }
 
+  test("workload text-stats are mergeable: stats(A ∪ B) == re-agg(stats(A) ∪ stats(B)) for any split") {
+    // the algebraic property the incremental streaming advisor rests on —
+    // checked over several arbitrary disjoint splits of the fixture log,
+    // including the degenerate empty/full split
+    import graft.pipeline.AnalysisPipeline.textStatsOf
+    val log = graft.catalog.TableRegistry.queryLog(spark, sfDir).cache()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), Option(r.get(2)), r.getDouble(3))
+    val whole = textStatsOf(log).orderBy("query").collect().map(key).toSeq
+    assert(whole.nonEmpty)
+    for (m <- Seq(2L, 3L, 7L, 1L)) {
+      val a = log.where(expr(s"CAST(query_id AS BIGINT) % $m = 0"))
+      val b = log.where(expr(s"CAST(query_id AS BIGINT) % $m != 0"))
+      val merged = textStatsOf(a).unionByName(textStatsOf(b))
+        .groupBy("query")
+        .agg(sum("cnt").as("cnt"), sum("sum_exec").as("sum_exec"),
+          sum("sum_priority").as("sum_priority"))
+        .orderBy("query").collect().map(key).toSeq
+      assert(merged == whole, s"split mod $m diverged")
+    }
+    log.unpersist()
+    ()
+  }
+
   test("dedup_exact is idempotent (X1 property)") {
     val once = Dedup.exact(docs).cache()
     // feed the survivors back through: every group is now singleton
