@@ -112,7 +112,12 @@ object StreamingAdvisor {
           .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
           .toSeq
         snapshots.add(Snapshot(batchId, recs))
-        prevVersions.foreach(deleteRecursively)
+        // keep the version just merged from: if this batch crashes AFTER
+        // this point but BEFORE the streaming commit, the replay must still
+        // find it (a replay merges against versions < batchId — deleting
+        // the merge source inside its consumer batch would lose all
+        // history in that window). Steady state is two copies on disk.
+        prevVersions.dropRight(1).foreach(deleteRecursively)
         ()
       }
       .start()
