@@ -207,6 +207,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("decontaminate_embedding broadcasts the eval side — corpus side scans once, no shuffle before the rollup") {
+    // the scale contract of the eval-set comparison family (shared with
+    // decontaminate_ngram): the tiny held-out side must BROADCAST so the
+    // per-pair work rides a single corpus scan; the only Exchanges allowed
+    // are the per-vector / per-label aggregations AFTER the pair work
+    val df = Queries.allSpecs.find(_.name == "decontaminate_embedding").get.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // no SortMergeJoin/ShuffledHashJoin anywhere: nothing corpus-sized is
+    // ever shuffled for the comparison itself
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("declared query key names are unique (Map construction would silently shadow)") {
     val names = Queries.allSpecs.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
