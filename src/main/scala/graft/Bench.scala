@@ -51,14 +51,22 @@ object Bench {
     // the length of a whole pass, so a multi-second CPU spike can't cover
     // the same key twice — cancels that noise without hiding real cost.
     val benchRuns = 2
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // each sample is (elapsed, succeeded): min is taken over SUCCESSFUL
+    // samples only, so a key that throws fast in one pass cannot shadow its
+    // real cost from the pass that completed (a fast failure would
+    // otherwise win the min — worse contamination than the noise min-of-2
+    // exists to remove). A key with zero successful passes reports its min
+    // elapsed anyway (the canary spec catches always-failing keys first).
+    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (((System.nanoTime() - t0) / 1e9, ok))
     }
     val passes = (1 to benchRuns).map(_ => timedPass())
     val results = passes.head.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      val samples = passes.map(_(name))
+      val good = samples.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else samples.map(_._1).min)
     }
     // keep the JSON line short (3-decimal times, basename sf): the driver
     // captures only the tail of the sbt log, and a >2 KB line gets truncated

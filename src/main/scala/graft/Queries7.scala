@@ -237,10 +237,14 @@ object Queries7 {
       // fan-out is k×tokens — never in-doc vocabulary², which blows up on a
       // 5k-distinct-token document (12.5M pairs) under the whole-doc form
       // (kept as the fixture-scale twin `token_cooccurrence_doc` below).
-      // lift = pair_cnt·N/(cnt_a·cnt_b) stays rational — integer products,
-      // ONE final division — so no log/PMI libm drift; top-50 by lift with
-      // a full lexicographic tiebreak. Products stay < 2^53: pair_cnt ≤
-      // k·N and the window guarantees nothing quadratic reaches the sums.
+      // lift = pair_cnt·N/(cnt_a·cnt_b) — both factors are cast to DOUBLE
+      // BEFORE multiplying: pair_cnt·n_tok is bounded by k·N² (N = corpus
+      // token count), which overflows long past N ≈ 2e9 where Spark
+      // (non-ANSI) wraps silently and DuckDB raises — the same
+      // engine-divergence class as mixture_sample's Knuth multiply. The
+      // double product is the same IEEE operation on both engines, so the
+      // twin stays hash-exact at every scale; ONE final division, no
+      // log/PMI libm drift; top-50 by lift, full lexicographic tiebreak.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tp = docs.select(col("doc_id"),
@@ -260,8 +264,8 @@ object Queries7 {
           .crossJoin(broadcast(nt))
           .where(col("pair_cnt") >= 5)
           .select(col("tok_a"), col("tok_b"), col("pair_cnt"),
-            round((col("pair_cnt") * col("n_tok")).cast("double") /
-              (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+            round(col("pair_cnt").cast("double") * col("n_tok") /
+              (col("cnt_a").cast("double") * col("cnt_b")), 6).as("lift"))
           .orderBy(desc("lift"), asc("tok_a"), asc("tok_b"))
           .limit(50)
       },
@@ -276,7 +280,7 @@ object Queries7 {
           |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tk)
           |SELECT tok_a, tok_b, pair_cnt,
-          |  ROUND(CAST(pair_cnt * n_tok AS DOUBLE) / (ca.cnt * cb.cnt), 6) AS lift
+          |  ROUND(CAST(pair_cnt AS DOUBLE) * n_tok / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
           |FROM pc JOIN tc ca ON pc.tok_a = ca.tok JOIN tc cb ON pc.tok_b = cb.tok, nt
           |WHERE pair_cnt >= 5
           |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
@@ -305,8 +309,10 @@ object Queries7 {
           .crossJoin(broadcast(nDocs))
           .where(col("pair_docs") >= 5)
           .select(col("tok_a"), col("tok_b"), col("pair_docs"),
-            round((col("pair_docs") * col("n_docs")).cast("double") /
-              (col("df_a") * col("df_b")), 6).as("lift"))
+            // doubles BEFORE the multiply — pair_docs·n_docs overflows long
+            // past ~3e9 docs (same divergence class as the windowed key)
+            round(col("pair_docs").cast("double") * col("n_docs") /
+              (col("df_a").cast("double") * col("df_b")), 6).as("lift"))
           .orderBy(desc("lift"), asc("tok_a"), asc("tok_b"))
           .limit(50)
       },
@@ -319,7 +325,7 @@ object Queries7 {
           |  FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
           |  GROUP BY a.tok, b.tok)
           |SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
-          |  ROUND(CAST(pair_docs * n_docs AS DOUBLE) / (da.df * db.df), 6) AS lift
+          |  ROUND(CAST(pair_docs AS DOUBLE) * n_docs / (CAST(da.df AS DOUBLE) * db.df), 6) AS lift
           |FROM p JOIN df da ON p.tok_a = da.tok JOIN df db ON p.tok_b = db.tok, nd
           |WHERE pair_docs >= 5
           |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),

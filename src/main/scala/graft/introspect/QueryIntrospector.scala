@@ -89,10 +89,23 @@ object QueryIntrospector {
     * truncated. Returned most-frequent-first, ties broken by text. */
   def workloadTexts(queryLog: org.apache.spark.sql.DataFrame,
       cap: Int = maxWorkloadTexts): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    topTextsByCount(
+      queryLog.select("query").where(col("query").isNotNull)
+        .groupBy("query").count()
+        .withColumnRenamed("count", "cnt"), cap)
+  }
+
+  /** Heavy-hitter selection core over a pre-counted (query, cnt) frame —
+    * shared by the raw-log path above and the pipeline's per-text aggregate
+    * state (AnalysisPipeline.textStatsOf), so the batch and incremental
+    * paths select texts by ONE rule (count desc, text asc, warn-on-drop)
+    * and can never drift. */
+  def topTextsByCount(counts: org.apache.spark.sql.DataFrame,
+      cap: Int = maxWorkloadTexts): Seq[String] = {
     import org.apache.spark.sql.functions.{asc, col, desc}
-    val rows = queryLog.select("query").where(col("query").isNotNull)
-      .groupBy("query").count()
-      .orderBy(desc("count"), asc("query"))
+    val rows = counts.select(col("query"), col("cnt"))
+      .orderBy(desc("cnt"), asc("query"))
       .limit(cap + 1)
       .collect()
     if (rows.length > cap)

@@ -128,16 +128,10 @@ object AnalysisPipeline {
     val stats = textStats.cache()
     try {
       // heavy-hitter selection straight off the state (it already carries
-      // per-text counts); anything dropped is logged, never silent
-      val top = stats.select(col("query"), col("cnt"))
-        .orderBy(desc("cnt"), asc("query"))
-        .limit(maxWorkloadTexts + 1)
-        .collect()
-      if (top.length > maxWorkloadTexts)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"workload has more than $maxWorkloadTexts distinct query texts; " +
-            "parsing only the most frequent ones (scores cover the dominant workload)")
-      val texts = top.take(maxWorkloadTexts).map(_.getString(0)).toSeq
+      // per-text counts) through the ONE shared selector — anything dropped
+      // is logged, never silent
+      val texts = graft.introspect.QueryIntrospector.topTextsByCount(
+        stats, maxWorkloadTexts)
       // one driver-side parse of the capped texts, shared by all three
       // derivations — the reference re-parsed the log per analysis stage
       val parsed = graft.introspect.QueryIntrospector.parseAll(spark, texts)

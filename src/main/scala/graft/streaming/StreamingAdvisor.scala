@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.pipeline.AnalysisPipeline
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -29,19 +30,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale posture: the state is one parquet row per distinct query text —
   * workload-metadata-sized, distributed, never collected whole (the
   * advisor's heavy-hitter cap bounds what reaches the driver). Snapshots
-  * are metadata-sized (one row per profiled view). State versions are
-  * written per batch and the previous version deleted, so disk stays
-  * bounded at one state copy.
+  * are metadata-sized (one row per profiled view). State versions live on
+  * whatever filesystem `logDir` resolves to (local, HDFS, S3 — all file
+  * operations go through the Hadoop FileSystem API, the same resolver the
+  * parquet writes use); steady state is two copies (current + the one a
+  * replayed batch would need).
   */
 object StreamingAdvisor {
 
   final case class Snapshot(batchId: Long, recs: Seq[(String, String)])
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
 
   /** Start the re-advising loop over `queryLogStream` (reference log schema;
     * see TableRegistry.queryLogFrom). Tables to advise on are discovered
@@ -55,20 +52,37 @@ object StreamingAdvisor {
     * batch merges against versions STRICTLY BELOW its own id, so
     * re-processing after a failure overwrites rather than double-counts
     * (the archival append may duplicate on replay — it is audit data, never
-    * advisor input).
+    * advisor input). For that to survive a PROCESS restart, batchIds must
+    * continue rather than reset: pass `checkpointDir` (or set
+    * `spark.sql.streaming.checkpointLocation`) in any deployment that
+    * restarts — with the default per-run temp checkpoint, a restarted query
+    * renumbers from batch 0 and starts a fresh state lineage.
     *
     * `stateCap` bounds the state over an unbounded stream lifetime: after
     * each merge only the `stateCap` most-frequent texts are kept (count
-    * desc, text asc — the same heavy-hitter order the advisor's own
-    * parse cap uses, 10× deeper by default so the dropped tail is far
-    * below anything the scorer would parse). Dropped rows are logged. */
+    * desc, text asc — the same heavy-hitter order the advisor's own parse
+    * cap uses, 10× deeper by default so the dropped tail is far below
+    * anything the scorer would parse). Dropped rows are logged. NOTE the
+    * semantics of capping UNDER MERGE: a text pruned in an earlier merge
+    * restarts its counts from zero if it reappears (lossy-counting-style
+    * truncation, per-merge error bounded by the dropped tail's counts) —
+    * exact equality with a batch advisor over the top-cap texts holds when
+    * nothing has been pruned before the final merge (e.g. single-batch, or
+    * state never exceeding the cap). */
   def start(spark: SparkSession, queryLogStream: DataFrame,
       nameFilter: String => Boolean, logDir: String,
       snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],
-      stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts): StreamingQuery = {
-    val stateRoot = new java.io.File(logDir.stripSuffix("/") + "_state")
-    queryLogStream.writeStream
-      .outputMode("append")
+      stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val stateRoot = new Path(logDir.stripSuffix("/") + "_state")
+    // resolve through the Hadoop FS of the state path itself — the SAME
+    // resolver the parquet reads/writes use, so listing/deleting versions
+    // works wherever the data lands (driver-local java.io.File would
+    // silently see nothing on a cluster whose default FS is remote)
+    val fs = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val writer = queryLogStream.writeStream.outputMode("append")
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // archival sink only — never re-read by the advisor loop
         batch.write.mode("append").parquet(logDir)
@@ -77,13 +91,16 @@ object StreamingAdvisor {
         // cannot change them — long sums exactly, priority sums are
         // integer-valued doubles)
         val batchStats = AnalysisPipeline.textStatsOf(batch)
-        val versions = Option(stateRoot.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .sortBy(_.getName.drop(1).toLong)
-        val prevVersions = versions.filter(_.getName.drop(1).toLong < batchId)
+        val versions =
+          if (fs.exists(stateRoot))
+            fs.listStatus(stateRoot)
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+              .sortBy(_.getPath.getName.drop(1).toLong)
+          else Array.empty[org.apache.hadoop.fs.FileStatus]
+        val prevVersions = versions.filter(_.getPath.getName.drop(1).toLong < batchId)
         val merged = prevVersions.lastOption match {
           case Some(prev) =>
-            spark.read.parquet(prev.getPath).unionByName(batchStats)
+            spark.read.parquet(prev.getPath.toString).unionByName(batchStats)
               .groupBy("query")
               .agg(sum("cnt").as("cnt"), sum("sum_exec").as("sum_exec"),
                 sum("sum_priority").as("sum_priority"))
@@ -100,14 +117,14 @@ object StreamingAdvisor {
               s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
             mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
           } else mergedC
-        val cur = new java.io.File(stateRoot, s"v$batchId")
-        bounded.write.mode("overwrite").parquet(cur.getPath)
+        val cur = new Path(stateRoot, s"v$batchId")
+        bounded.write.mode("overwrite").parquet(cur.toString)
         mergedC.unpersist()
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
         // what a fresh advisor run must reflect)
         val recs = AnalysisPipeline.runFromCatalogStats(spark,
-          spark.read.parquet(cur.getPath), nameFilter = nameFilter)
+          spark.read.parquet(cur.toString), nameFilter = nameFilter)
           .collect()
           .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
           .toSeq
@@ -117,7 +134,7 @@ object StreamingAdvisor {
         // find it (a replay merges against versions < batchId — deleting
         // the merge source inside its consumer batch would lose all
         // history in that window). Steady state is two copies on disk.
-        prevVersions.dropRight(1).foreach(deleteRecursively)
+        prevVersions.dropRight(1).foreach(s => fs.delete(s.getPath, true))
         ()
       }
       .start()

@@ -403,11 +403,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming advisor state cap keeps the most-frequent texts (bounded state semantics)") {
-    // stateCap=3 against the fixture's 5 canned texts: the carried state
-    // must behave exactly like a batch advisor over the log RESTRICTED to
-    // the top-3 texts by (count desc, text asc) — the same heavy-hitter
-    // order the parse cap uses, so capping state composes with capping
-    // parse instead of introducing a third semantics.
+    // stateCap=3 against the fixture's 5 canned texts, one batch: with no
+    // PRIOR pruning, the capped state must equal a batch advisor over the
+    // log RESTRICTED to the top-3 texts by (count desc, text asc) — the
+    // same heavy-hitter order the parse cap uses, so capping state
+    // composes with capping parse instead of introducing a third
+    // semantics. (ACROSS merges the cap is lossy-counting-style: a text
+    // pruned earlier restarts its counts if it reappears — documented on
+    // StreamingAdvisor.start; the exact-equality claim here is
+    // deliberately scoped to the no-prior-pruning case.)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
