@@ -59,6 +59,28 @@ object Dedup {
     * hashes; docs sharing any band bucket become candidates; candidates are
     * verified with exact shingle-set Jaccard. Returns
     * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
+  /** LSH band→bucket projection of a signature frame (`doc_id`, `sig`):
+    * one (doc_id, band, bucket) row per band, bucket = xxhash64 of the
+    * band's signature slice. THE banding rule — shared by the batch
+    * candidate join ([[minhashNearDups]]) and the streaming near-dup
+    * flagger (graft.streaming.StreamingUsage), so the two can never use
+    * different bucket families. */
+  def bandedBuckets(sh: DataFrame, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    sh.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))))
+      .select(col("doc_id"), col("col.band"), col("col.bucket"))
+  }
+
+  /** (doc_id, sig) signature frame for [[bandedBuckets]] — the sketch pass
+    * shared with the streaming flagger (no memoization; streaming callers
+    * build it per micro-batch over batch-sized input). */
+  def signatureFrame(docs: DataFrame, shingleW: Int, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"), shingleW)).as("sh"))
+      .withColumn("sig", minhashPolySignature(col("sh"), k))
+
   def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
       k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
       cacheKey: Option[String] = None): DataFrame = {
@@ -71,17 +93,12 @@ object Dedup {
     // sketch pass" step.
     val sh = DfMemo.cached(spark, cacheKey, s"minhash_sh:$shingleW:$k",
       persistUnkeyed = true) {
-      docs.select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
-        .withColumn("sig", minhashPolySignature(col("sh"), k))
+      signatureFrame(docs, shingleW, k)
     }
-    val nBands = k / rows
     // band join carries only (band, bucket, doc_id) — shingle arrays would
     // multiply the shuffle by the document size; they're joined back onto
     // the (small) candidate-pair set for verification instead.
-    val banded = sh.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))))
-      .select(col("doc_id"), col("col.band"), col("col.bucket"))
+    val banded = bandedBuckets(sh, k, rows)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     val candidates = a.join(b, Seq("band", "bucket"))

@@ -251,4 +251,63 @@ object StreamingUsage {
       }
       .toDF("user_id", "event_count", "value_sum")
   }
+
+  final case class BucketVerdict(doc_id: Long, band: Int, flagged: Boolean)
+
+  /** Streaming MinHash near-dup flagging — the NEAR-dup complement of
+    * [[streamingDedupKeys]]'s exact streaming dedup: each arriving doc is
+    * flagged iff any of its LSH band buckets already holds a smaller-id
+    * doc (seen in an earlier micro-batch, via the state store, or earlier
+    * in this one). Banding reuses THE batch rule
+    * ([[graft.ext.Dedup.bandedBuckets]] over
+    * [[graft.ext.Dedup.signatureFrame]]), so stream == batch twin by
+    * construction, proven in StreamingSpec.
+    *
+    * Shape: flatMapGroupsWithState keyed by (band, bucket) with O(1) state
+    * per key — the min doc_id ever seen in that bucket. State size is the
+    * number of DISTINCT occupied buckets (sketch-sized, not corpus-sized);
+    * per-row work is one comparison. Docs are assumed to arrive in id
+    * order (the online-dedup contract: a doc is judged against what has
+    * already arrived; an out-of-order smaller id flags only later docs).
+    * Emits one verdict per (doc, band); the per-doc flag is the OR over
+    * its bands — left to the consumer so the operator itself stays a
+    * single stateful stage. */
+  def nearDupBucketVerdicts(docs: DataFrame, shingleW: Int = 3, k: Int = 20,
+      rows: Int = 4): org.apache.spark.sql.Dataset[BucketVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.ext.Dedup.bandedBuckets(
+        graft.ext.Dedup.signatureFrame(docs, shingleW, k), k, rows)
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, BucketVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rowsIt, state) =>
+          val ids = rowsIt.map(_._1).toArray.sorted
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            val f = minSeen < id
+            if (id < minSeen) minSeen = id
+            BucketVerdict(id, band, f)
+          }
+          state.update(minSeen)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[nearDupBucketVerdicts]]: (doc_id, flagged) where
+    * flagged iff any band bucket of the doc contains a smaller-id doc —
+    * the candidate-level LSH flag (verification, where needed, is the
+    * batch `dedup_minhash` jaccard join downstream of these candidates). */
+  def nearDupFlagsBatch(docs: DataFrame, shingleW: Int = 3, k: Int = 20,
+      rows: Int = 4): DataFrame = {
+    val banded = graft.ext.Dedup.bandedBuckets(
+      graft.ext.Dedup.signatureFrame(docs, shingleW, k), k, rows)
+    val mins = banded.groupBy("band", "bucket").agg(min("doc_id").as("min_id"))
+    banded.join(mins, Seq("band", "bucket"))
+      .groupBy("doc_id")
+      .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
+      .select(col("doc_id"), (col("f") === 1).as("flagged"))
+  }
 }

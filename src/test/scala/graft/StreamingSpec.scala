@@ -402,6 +402,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming minhash near-dup flags == batch LSH candidate flags across micro-batches") {
+    // the near-dup complement of stream_dedup: (band,bucket) state carries
+    // the min doc_id per occupied bucket across micro-batches; a doc is
+    // flagged iff some bucket already held a smaller id. Same banding rule
+    // as the batch side (Dedup.bandedBuckets), so the streamed verdicts
+    // OR-ed per doc must equal the batch flags exactly — and the fixture
+    // must make both classes non-empty for the assert to mean anything.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val all = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (batch1, batch2) = all.splitAt(all.length / 2) // id-ordered arrival
+
+    val stream = MemoryStream[(Long, String)]
+    val verdicts = StreamingUsage.nearDupBucketVerdicts(
+      stream.toDF().toDF("doc_id", "text"))
+    val qname = s"stream_neardup_${System.nanoTime()}"
+    val query = verdicts.writeStream
+      .format("memory").queryName(qname).outputMode("update").start()
+    try {
+      stream.addData(batch1)
+      query.processAllAvailable()
+      stream.addData(batch2)
+      query.processAllAvailable()
+      val got = spark.table(qname)
+        .groupBy("doc_id").agg(max(col("flagged").cast("int")).as("f"))
+        .select(col("doc_id"), (col("f") === 1).as("flagged"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      val want = StreamingUsage.nearDupFlagsBatch(docsDf)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(want.exists(_._2) && want.exists(!_._2), "fixture not discriminating")
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("streaming advisor state cap keeps the most-frequent texts (bounded state semantics)") {
     // stateCap=3 against the fixture's 5 canned texts, one batch: with no
     // PRIOR pruning, the capped state must equal a batch advisor over the
