@@ -73,8 +73,13 @@ object Profiler {
     val distCols: Set[String] =
       fields.take(math.min(distributionCap, fields.length)).filter(f => isNumeric(f.dataType)).map(_.name).toSet
 
+    // rsd 0.02, not the 0.05 default: rsd is ONE sigma (measured error on
+    // the fixtures reaches 6.4% at the default), and the cardinality bands
+    // (10/100/1k/10k) misband within ~rsd of a boundary — 0.02 costs ~4 KB
+    // of sketch state per column and keeps banding errors to the boundary's
+    // immediate neighborhood. Same call as Queries.agg_approx_distinct.
     def card(c: String): Column =
-      if (approxCardinality) approx_count_distinct(col(c)) else countDistinct(col(c))
+      if (approxCardinality) approx_count_distinct(col(c), 0.02) else countDistinct(col(c))
 
     // Distinct counts and everything else are separate passes. Mixing
     // multi-DISTINCT aggregates (which plan as Expand ×(groups+1)) with
