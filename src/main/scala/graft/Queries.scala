@@ -816,7 +816,32 @@ object Queries {
       Some(
         """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_val,
           |  CAST(COUNT(*) AS BIGINT) AS cnt
-          |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin)))
+          |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin)),
+
+    QSpec("json_struct_roundtrip",
+      // Typed JSON columns at scale: to_json(struct(...)) renders one JSON
+      // doc per event, from_json with a DDL SCHEMA parses it back in ONE
+      // pass (JsonToStructs — schema projection; contrast json_extract's
+      // per-field get_json_object, one parse per field). The oracle
+      // verifies from_json ∘ to_json = id by computing the same rollup
+      // straight from the base columns — any parse/render drift (types,
+      // null handling, field order) breaks the hash match.
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val doc = ev.select(to_json(struct(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))).as("doc"))
+        doc.select(from_json(col("doc"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, event_type STRING, k INT")).as("r"))
+          .select(col("r.event_type").as("event_type"), col("r.k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("k").as("k_sum"))
+          .orderBy("event_type")
+      },
+      Some(
+        """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS k_sum
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   val specs: Seq[QSpec] =
     scanSpecs ++ aggSpecs ++ bonusSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
