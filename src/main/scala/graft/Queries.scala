@@ -841,6 +841,49 @@ object Queries {
       Some(
         """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
           |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS BIGINT) AS k_sum
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QSpec("expr_date_arith",
+      // E2 completion: the calendar-arithmetic family (day offsets, month
+      // offsets with end-of-month clamping, day distances) — all
+      // integer-exact, so the engines must agree to the day. Month
+      // arithmetic clamps identically (Mar 31 − 2 months → Jan 31) in
+      // Spark's add_months and DuckDB's INTERVAL subtraction.
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("cnt"),
+          min(date_add(col("l_shipdate").cast("date"), 90)).as("min_plus90"),
+          max(add_months(col("l_shipdate").cast("date"), -2)).as("max_minus2m"),
+          sum(datediff(lit(java.sql.Date.valueOf("1996-06-01")),
+            col("l_shipdate").cast("date"))).as("days_to_ref"))
+        .orderBy("ship_year"),
+      Some(
+        """SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  MIN(CAST(l_shipdate AS DATE) + 90) AS min_plus90,
+          |  MAX(CAST(CAST(l_shipdate AS DATE) - INTERVAL 2 MONTH AS DATE)) AS max_minus2m,
+          |  CAST(SUM(date_diff('day', CAST(l_shipdate AS DATE), DATE '1996-06-01')) AS BIGINT) AS days_to_ref
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QSpec("agg_conditional_family",
+      // Conditional/boolean aggregates (count_if / bool_or / bool_and /
+      // filtered COUNT DISTINCT) — all map-side-combining hash aggregates.
+      // Thresholds (488 / 0.05) are fixture-calibrated to produce MIXED
+      // true/false per group at both verify SFs, so the booleans are real
+      // assertions, not constants.
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("count_if(value > 50)").as("n_high"),
+          expr("bool_or(value > 488)").as("any_extreme"),
+          expr("bool_and(value > 0.05)").as("all_above_floor"),
+          expr("count(DISTINCT CASE WHEN value > 50 THEN user_id END)").as("users_high"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  CAST(count_if(value > 50) AS BIGINT) AS n_high,
+          |  bool_or(value > 488) AS any_extreme,
+          |  bool_and(value > 0.05) AS all_above_floor,
+          |  CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END) AS BIGINT) AS users_high
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   val specs: Seq[QSpec] =
