@@ -884,7 +884,37 @@ object Queries {
           |  bool_or(value > 488) AS any_extreme,
           |  bool_and(value > 0.05) AS all_above_floor,
           |  CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END) AS BIGINT) AS users_high
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QSpec("expr_map_ops",
+      // MAP-typed columns (§2.7 complex types): per-source token→count
+      // built with map_from_arrays(collect_list…), then probed with
+      // element_at / size / an aggregate HOF over map_values. The map is
+      // INTERNAL — the hashed output is scalars, so collect_list's
+      // nondeterministic order cannot leak (map lookups are order-blind
+      // and the value fold is a sum of longs, exact in any order). The
+      // oracle computes the same scalars straight from the token stream —
+      // any drift in Spark's map semantics (dup keys, null lookups via
+      // the coalesce) breaks the hash.
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        toks.groupBy("source")
+          .agg(map_from_arrays(collect_list("tok"), collect_list("cnt")).as("m"))
+          .select(col("source"),
+            coalesce(element_at(col("m"), "the"), lit(0L)).as("the_cnt"),
+            size(col("m")).as("n_distinct_toks"),
+            aggregate(map_values(col("m")), lit(0L), (a, v) => a + v).as("total_toks"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |SELECT source,
+          |  CAST(count_if(tok = 'the') AS BIGINT) AS the_cnt,
+          |  CAST(COUNT(DISTINCT tok) AS INT) AS n_distinct_toks,
+          |  CAST(COUNT(*) AS BIGINT) AS total_toks
+          |FROM tk GROUP BY source ORDER BY source""".stripMargin)))
 
   val specs: Seq[QSpec] =
     scanSpecs ++ aggSpecs ++ bonusSpecs ++ windowSpecs ++ scoreSpecs ++ transformSpecs ++ extSpecs
