@@ -66,4 +66,22 @@ class IntrospectorSpec extends SparkSpec {
       graft.catalog.TableRegistry.viewDdl("lineitem")).get
     assert(refs.joinColumns == Map("l_orderkey" -> 1, "o_orderkey" -> 1))
   }
+
+  test("workloadTexts heavy-hitter selector: frequency order, text tiebreak, cap, null drop") {
+    // THE shared selector (every driver-side text collect funnels through
+    // it): most-frequent first, ties broken by text ascending, nulls
+    // dropped, cap truncates (with a warning, not an error)
+    import spark.implicits._
+    val log = Seq(
+      Some("b"), Some("b"), Some("b"),
+      Some("c"), Some("c"),
+      Some("a"), Some("a"),        // ties c: broken by text → a before c
+      Some("d"),
+      None, None)
+      .toDF("query")
+    val all = QueryIntrospector.workloadTexts(log)
+    assert(all == Seq("b", "a", "c", "d"))
+    val capped = QueryIntrospector.workloadTexts(log, cap = 2)
+    assert(capped == Seq("b", "a"))
+  }
 }
