@@ -55,10 +55,6 @@ object Dedup {
       graft.functions.MinHashPolySig(GraftColumnBridge.expression(sh), k))
   }
 
-  /** Candidate pairs via LSH banding: signature split into bands of `rows`
-    * hashes; docs sharing any band bucket become candidates; candidates are
-    * verified with exact shingle-set Jaccard. Returns
-    * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
   /** LSH band→bucket projection of a signature frame (`doc_id`, `sig`):
     * one (doc_id, band, bucket) row per band, bucket = xxhash64 of the
     * band's signature slice. THE banding rule — shared by the batch
@@ -81,6 +77,10 @@ object Dedup {
       array_distinct(shingles(col("text"), shingleW)).as("sh"))
       .withColumn("sig", minhashPolySignature(col("sh"), k))
 
+  /** Candidate pairs via LSH banding: signature split into bands of `rows`
+    * hashes; docs sharing any band bucket become candidates; candidates are
+    * verified with exact shingle-set Jaccard. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
   def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
       k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
       cacheKey: Option[String] = None): DataFrame = {

@@ -77,7 +77,9 @@ object Profiler {
     // the fixtures reaches 6.4% at the default), and the cardinality bands
     // (10/100/1k/10k) misband within ~rsd of a boundary — 0.02 costs ~4 KB
     // of sketch state per column and keeps banding errors to the boundary's
-    // immediate neighborhood. Same call as Queries.agg_approx_distinct.
+    // immediate neighborhood. (Queries.agg_approx_distinct runs its sketch
+    // even tighter, rsd 0.01, because its within-5% band is HASH-asserted;
+    // here 0.02 suffices for banding and halves the per-column state.)
     def card(c: String): Column =
       if (approxCardinality) approx_count_distinct(col(c), 0.02) else countDistinct(col(c))
 

@@ -304,8 +304,12 @@ object StreamingUsage {
       rows: Int = 4): DataFrame = {
     val banded = graft.ext.Dedup.bandedBuckets(
       graft.ext.Dedup.signatureFrame(docs, shingleW, k), k, rows)
-    val mins = banded.groupBy("band", "bucket").agg(min("doc_id").as("min_id"))
-    banded.join(mins, Seq("band", "bucket"))
+    // per-bucket min via a WINDOW, not a groupBy+self-join: joining banded
+    // back to an aggregate of itself would inline the (unmaterialized)
+    // shingle+MinHash pass into BOTH branches and compute signatures twice
+    // — the exact pitfall minhashNearDups documents (measured 61 s vs 4 s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    banded.withColumn("min_id", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(max((col("min_id") < col("doc_id")).cast("int")).as("f"))
       .select(col("doc_id"), (col("f") === 1).as("flagged"))
