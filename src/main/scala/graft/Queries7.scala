@@ -330,6 +330,77 @@ object Queries7 {
           |WHERE pair_docs >= 5
           |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
 
+    QSpec("lsh_recall_curve",
+      // Sketch CALIBRATION — the audit a 100 TB pipeline runs on a sample
+      // before trusting LSH parameters corpus-wide: exact-Jaccard ground
+      // truth (capped region) vs the banding's candidate set, recall per
+      // threshold. With 5 bands × 4 rows, P(candidate | J) = 1−(1−J⁴)⁵ —
+      // near-0 at J≈0.05, near-1 at J≥0.7 — and the fixture's bimodal pair
+      // distribution makes the curve discriminating (recall ≈0.86 at 0.05,
+      // 1.0 from 0.2 up). Reuses the memoized signature sketch and the
+      // inverted-index exact join; the DuckDB twin replays signatures,
+      // banding AND ground truth, so the whole calibration is hash-exact.
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val ex = Dedup.exactJaccard(s, docs, shingleW = 3, threshold = 0.05,
+          idCap = 500, cacheKey = Some(dir))
+        val banded = Dedup.bandedBuckets(
+          Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
+            .where(col("doc_id") < 500), 20, 4)
+        val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+            Seq("band", "bucket"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .withColumn("is_cand", lit(1L))
+        val ths = Seq(0.05, 0.2, 0.7).toDF("thresh")
+        ex.join(cand, Seq("a_id", "b_id"), "left")
+          .crossJoin(broadcast(ths))
+          .where(col("jaccard") >= col("thresh"))
+          .groupBy("thresh")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("is_cand"), lit(0L))).as("n_hit"))
+          .select(col("thresh"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+          .orderBy("thresh")
+      },
+      Some(
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
+          |), hs AS (
+          |  SELECT doc_id, sh, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, sh, list_transform(range(20), i ->
+          |    list_min(list_transform(hs, h ->
+          |      (((i+1) * 2654435761 % 1000000007) * h + ((i+1) * 40503 + 17) % 1000000007) % 1000000007))) AS sig
+          |  FROM hs
+          |), bands AS (
+          |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key FROM sig, range(5) t(b)
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          |), ex AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |), th AS (SELECT unnest([0.05::DOUBLE, 0.2::DOUBLE, 0.7::DOUBLE]) AS thresh
+          |), jj AS (
+          |  SELECT ex.a_id, ex.b_id, ex.j,
+          |    CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+          |  FROM ex LEFT JOIN cand c ON ex.a_id = c.a_id AND ex.b_id = c.b_id)
+          |SELECT thresh, CAST(COUNT(*) AS BIGINT) AS n_exact,
+          |  CAST(SUM(is_cand) AS BIGINT) AS n_hit,
+          |  ROUND(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS recall
+          |FROM jj, th WHERE jj.j >= thresh GROUP BY thresh ORDER BY thresh""".stripMargin)),
+
     QSpec("cluster_keep_policy",
       // The dedup endgame: near-dup clusters (same pairs/labels as
       // dedup_cluster) each keep their HIGHEST-QUALITY member (quality

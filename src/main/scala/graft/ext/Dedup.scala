@@ -77,6 +77,20 @@ object Dedup {
       array_distinct(shingles(col("text"), shingleW)).as("sh"))
       .withColumn("sig", minhashPolySignature(col("sh"), k))
 
+  /** [[signatureFrame]] materialized through DfMemo: the k-aggregate
+    * signature projection typically feeds several branches (band self-join
+    * sides, verification joins, recall audits); without materialization
+    * Catalyst inlines it into each branch and recomputes it ~10× —
+    * measured 61 s vs 4 s on sf0.1. With a cacheKey, repeated builds over
+    * the same corpus share ONE persisted sketch; at cluster scale this is
+    * the classic "materialize the sketch pass" step. */
+  def memoizedSignatures(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      k: Int, cacheKey: Option[String]): DataFrame =
+    DfMemo.cached(spark, cacheKey, s"minhash_sh:$shingleW:$k",
+      persistUnkeyed = true) {
+      signatureFrame(docs, shingleW, k)
+    }
+
   /** Candidate pairs via LSH banding: signature split into bands of `rows`
     * hashes; docs sharing any band bucket become candidates; candidates are
     * verified with exact shingle-set Jaccard. Returns
@@ -84,17 +98,7 @@ object Dedup {
   def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
       k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
       cacheKey: Option[String] = None): DataFrame = {
-    // materialize the sketch: the k-aggregate signature projection feeds both
-    // sides of the band self-join AND the verification joins; without
-    // materialization Catalyst inlines it into each branch (and into the band
-    // generator) and recomputes it ~10× — measured 61 s vs 4 s on sf0.1. With
-    // a cacheKey, repeated builds over the same corpus share ONE persisted
-    // sketch (DfMemo); at cluster scale this is the classic "materialize the
-    // sketch pass" step.
-    val sh = DfMemo.cached(spark, cacheKey, s"minhash_sh:$shingleW:$k",
-      persistUnkeyed = true) {
-      signatureFrame(docs, shingleW, k)
-    }
+    val sh = memoizedSignatures(spark, docs, shingleW, k, cacheKey)
     // band join carries only (band, bucket, doc_id) — shingle arrays would
     // multiply the shuffle by the document size; they're joined back onto
     // the (small) candidate-pair set for verification instead.
