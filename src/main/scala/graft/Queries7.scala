@@ -401,6 +401,64 @@ object Queries7 {
           |  ROUND(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS recall
           |FROM jj, th WHERE jj.j >= thresh GROUP BY thresh ORDER BY thresh""".stripMargin)),
 
+    QSpec("ann_recall_at_k",
+      // The ANN-family calibration twin of lsh_recall_curve: recall@10 of
+      // the IVF index against brute-force ground truth, as a function of
+      // nProbe — THE accuracy/cost dial an operator tunes before running
+      // IVF over a full corpus (fixture: probing 2 of 16 cells already
+      // recovers 7–10 of the true top-10; 4 cells 9–10). Both retrievers
+      // are independently replayed by the DuckDB twin (same seeding,
+      // argmin tie-breaks, ascending folds as simsearch_ivf/_topk), so
+      // the measured recall itself is hash-exact. Reuses the memoized IVF
+      // index across the two probe settings.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val bruteIds = SimSearch.topK(s, emb, queryVecId = 0, k = 10)
+          .select(col("vec_id")).withColumn("hit", lit(1L))
+        Seq(2, 4).map { p =>
+          SimSearch.ivfTopK(s, emb, queryVecId = 0, k = 10, nCentroids = 16,
+              nProbe = p, cacheKey = Some(dir))
+            .select(lit(p).as("n_probe"), col("vec_id"))
+        }.reduce(_ unionAll _)
+          .join(broadcast(bruteIds), Seq("vec_id"), "left")
+          .groupBy("n_probe")
+          .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("n_probe"), col("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+          .orderBy("n_probe")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv,
+          |         list_sum(list_transform(v, x -> x*x)) AS c2 FROM n ORDER BY vec_id LIMIT 16),
+          |asg AS (
+          |  SELECT vec_id, v, nrm, ci AS cluster FROM (
+          |    SELECT n.vec_id, n.v, n.nrm, cent.ci,
+          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+          |        list_sum(list_transform(range(len(n.v)), i -> n.v[i+1]*cent.cv[i+1])) * -2.0 + cent.c2, cent.ci) AS rk
+          |    FROM n, cent) r WHERE rk = 1),
+          |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+          |pr AS (SELECT unnest([2, 4]) AS n_probe),
+          |ranked AS (
+          |  SELECT cent.ci, row_number() OVER (ORDER BY
+          |    list_sum(list_transform(range(len(qv)), i -> (cent.cv[i+1]-qv[i+1])*(cent.cv[i+1]-qv[i+1]))), cent.ci) AS rk
+          |  FROM cent, q),
+          |probed AS (SELECT pr.n_probe, ranked.ci FROM pr JOIN ranked ON ranked.rk <= pr.n_probe),
+          |cand AS (
+          |  SELECT pb.n_probe, a.vec_id,
+          |    list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*q.qv[i+1])) / (a.nrm*q.qnrm) AS cos
+          |  FROM probed pb JOIN asg a ON a.cluster = pb.ci, q WHERE a.vec_id <> 0),
+          |ivf AS (SELECT n_probe, vec_id FROM (
+          |    SELECT n_probe, vec_id, row_number() OVER (PARTITION BY n_probe ORDER BY cos DESC, vec_id) AS rk
+          |    FROM cand) r WHERE rk <= 10),
+          |brute AS (SELECT n.vec_id FROM n, q WHERE n.vec_id <> 0
+          |  ORDER BY list_sum(list_transform(range(len(n.v)), i -> n.v[i+1]*q.qv[i+1])) / (n.nrm*q.qnrm) DESC, n.vec_id LIMIT 10)
+          |SELECT CAST(n_probe AS INT) AS n_probe, CAST(COUNT(*) AS BIGINT) AS k,
+          |  CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  ROUND(CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+          |FROM ivf GROUP BY n_probe ORDER BY n_probe""".stripMargin)),
+
     QSpec("cluster_keep_policy",
       // The dedup endgame: near-dup clusters (same pairs/labels as
       // dedup_cluster) each keep their HIGHEST-QUALITY member (quality
