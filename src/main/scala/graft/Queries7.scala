@@ -47,6 +47,48 @@ object Queries7 {
           |  CAST(MIN(cell) AS BIGINT) AS cms_est
           |FROM rb JOIN sk USING (i, bucket) GROUP BY tok ORDER BY tok""".stripMargin)),
 
+    QSpec("cms_error_curve",
+      // Third calibration audit (with lsh_recall_curve / ann_recall_at_k):
+      // count-min overestimation as a function of sketch WIDTH — the
+      // memory/accuracy dial. Squeezing the fixture's 31 token types into
+      // 16 cells/row leaves only 10 exactly-estimated types (max over-
+      // estimate ~2.7k); at 64 cells, 26 of 31 are exact. Every number is
+      // replayed cell-for-cell by the twin (same polynomial bucket family
+      // as cms_token_counts), so the error CURVE itself is hash-checked.
+      // Scale shape unchanged: per-width cells are sums — map-side combine
+      // IS the merge.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Seq(16, 64).map { w =>
+          Sketches.cmsTokenCounts(docs, d = 4, w = w)
+            .select(lit(w).as("w"), col("true_cnt"), col("cms_est"))
+        }.reduce(_ unionAll _)
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("cms_est") === col("true_cnt"), 1L).otherwise(0L)).as("n_exact"),
+            max(col("cms_est") - col("true_cnt")).as("max_over"),
+            sum(col("cms_est") - col("true_cnt")).as("total_over"))
+          .orderBy("w")
+      },
+      Some(
+        """WITH tokc AS (SELECT tok, COUNT(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok),
+          |h AS (SELECT tok, cnt, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |    list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+          |    (a, c) -> (a * 131 + c) % 1000000007) AS th FROM tokc),
+          |ws AS (SELECT unnest([16, 64]) AS w),
+          |rb AS (SELECT ws.w, tok, cnt, i,
+          |    ((((i * 2654435761) % 1000000007) * th + (i * 40503 + 17) % 1000000007) % 1000000007) % ws.w AS bucket
+          |  FROM h, range(1, 5) t(i), ws),
+          |sk AS (SELECT w, i, bucket, SUM(cnt) AS cell FROM rb GROUP BY w, i, bucket),
+          |est AS (SELECT w, tok, MAX(cnt) AS true_cnt, MIN(cell) AS cms_est
+          |  FROM rb JOIN sk USING (w, i, bucket) GROUP BY w, tok)
+          |SELECT CAST(w AS INT) AS w, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  CAST(count_if(cms_est = true_cnt) AS BIGINT) AS n_exact,
+          |  CAST(MAX(cms_est - true_cnt) AS BIGINT) AS max_over,
+          |  CAST(SUM(cms_est - true_cnt) AS BIGINT) AS total_over
+          |FROM est GROUP BY w ORDER BY w""".stripMargin)),
+
     QSpec("bloom_prefilter",
       // Bloom-filter dedup prefilter (m=4096 bits, k=3) in front of the
       // incremental-dedup anti-join: historical head fingerprints set the
