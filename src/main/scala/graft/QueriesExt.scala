@@ -650,23 +650,33 @@ object QueriesExt {
           |ORDER BY doc_id""".stripMargin)),
 
     QSpec("multimodal_features",
-      // X-multimodal: binary media column → typed features through the real
-      // mapPartitions decode plumbing (decode itself is a deterministic
-      // stub — no codecs offline). The oracle re-derives the arithmetic
-      // features from byte lengths.
+      // X-multimodal: a REAL image pipeline end to end — deterministic PNG
+      // fixture corpus (one real PNG per document) → `binaryFile` scan →
+      // javax.imageio decode in mapPartitions → decoded raster features.
+      // width/height/channels come from the actual decoded image and
+      // sample_sum is the sum of every raster sample; the oracle recomputes
+      // all four from the generator parameters (PngFixtures scaladoc), so a
+      // wrong decode or a lossy encoder breaks the hash compare.
       (s, dir) => {
         import s.implicits._
+        val docs = t(s, dir, "documents")
+        val fx = Multimodal.PngFixtures.ensure(docs, dir)
         Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
-          .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("channels"))
+          Multimodal.mediaFromBinaryFiles(s, fx, "*.png"))
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            col("checksum").as("sample_sum"))
           .orderBy("doc_id")
       },
       Some(
-        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-          |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-          |  CAST(3 AS INT) AS channels
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        """SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          |  CAST(3 AS INT) AS channels,
+          |  CAST(list_sum(list_transform(range(w*h), k ->
+          |    ((31*doc_id + 7*(k % w) + 13*(k // w)) % 256)
+          |    + (((31*doc_id + 7*(k % w) + 13*(k // w)) % 256) + 85) % 256
+          |    + (((31*doc_id + 7*(k % w) + 13*(k // w)) % 256) + 170) % 256)) AS BIGINT) AS sample_sum
+          |FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h
+          |      FROM documents) d
+          |ORDER BY doc_id""".stripMargin)),
 
     QSpec("lang_id_ngram",
       // n-gram-occurrence language ID (the real n-gram heuristic;
@@ -723,18 +733,28 @@ object QueriesExt {
           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     QSpec("multimodal_resize",
+      // REAL nearest-neighbor pixel resample of the decoded PNG corpus to
+      // 16×16: output pixel (x,y) takes the band-0 sample at source
+      // (x·srcW/16, y·srcH/16) — integer division on both engines, so the
+      // oracle replays the exact source coordinates and pixel values.
       (s, dir) => {
         import s.implicits._
-        Multimodal.resizeAll(
-          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")), 64, 64)
+        val docs = t(s, dir, "documents")
+        val fx = Multimodal.PngFixtures.ensure(docs, dir)
+        Multimodal.resizeStats(
+          Multimodal.mediaFromBinaryFiles(s, fx, "*.png"), 16, 16)
           .select(col("doc_id"), col("width"), col("height"),
-            octet_length(col("thumb")).as("thumb_bytes"))
+            col("thumb_bytes"), col("sample_sum"))
           .orderBy("doc_id")
       },
       Some(
-        """SELECT doc_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-          |  CAST(GREATEST(1, LEAST(octet_length(encode(text)), 64)) AS INT) AS thumb_bytes
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(256 AS INT) AS thumb_bytes,
+          |  CAST(list_sum(list_transform(range(256), k ->
+          |    (31*doc_id + 7*(((k % 16) * w) // 16) + 13*(((k // 16) * h) // 16)) % 256)) AS BIGINT) AS sample_sum
+          |FROM (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h
+          |      FROM documents) d
+          |ORDER BY doc_id""".stripMargin)),
 
     QSpec("multimodal_frames",
       (s, dir) => {

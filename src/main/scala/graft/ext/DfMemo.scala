@@ -51,12 +51,30 @@ object DfMemo {
     *   built DataFrame (for sketches consumed by several branches of ONE
     *   query, where inlining would recompute them per branch — Spark's
     *   CacheManager dedups identical plans, so repeated key-less calls
-    *   share storage rather than stacking it) */
+    *   share storage rather than stacking it)
+    *
+    * RE-ENTRANCY: `build` may itself call [[cached]] (memoized operators
+    * compose — e.g. the ANN pair memo builds on the memoized bucket
+    * projection). That rules out `computeIfAbsent`, whose mapping function
+    * must not touch the map — a nested call whose key lands in the same
+    * hash bin dies with `IllegalStateException("Recursive update")`, and
+    * since bins depend on the session's identity hash the failure is
+    * intermittent across JVMs (observed on `graph_pagerank`). Instead:
+    * get, build OUTSIDE the map, `putIfAbsent`. A concurrent duplicate
+    * build is benign — `persist()` is lazy (no data is computed), and the
+    * putIfAbsent loser unpersists its copy before anything materializes. */
   def cached(spark: SparkSession, cacheKey: Option[String], tag: String,
       persistUnkeyed: Boolean = false)
       (build: => DataFrame): DataFrame = cacheKey match {
-    case Some(k) => memo.computeIfAbsent((spark, s"$tag:$k"), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case Some(k) =>
+      val key = (spark, s"$tag:$k")
+      val existing = memo.get(key)
+      if (existing != null) existing
+      else {
+        val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = memo.putIfAbsent(key, built)
+        if (prev != null) { built.unpersist(); prev } else built
+      }
     case None if persistUnkeyed =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     case None => build

@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, partition-friendly batch decode via mapPartitions.
   *
-  * The decode itself is a STUB (no image/audio codecs in this environment):
-  * [[StubDecoder.decode]] produces deterministic fake features from the
-  * bytes. Everything around it — schema, encoder, per-partition batching,
-  * feature struct — is the real Spark plumbing a production decoder drops
-  * into.
+  * IMAGE decode is REAL since round 6: [[ImageCodec.decode]] parses the
+  * payload with `javax.imageio` (PNG/JPEG/GIF/BMP readers ship in the JDK)
+  * and emits actual raster width/height/band-count plus the sum of all
+  * raster samples; [[ImageCodec.resize]] is a genuine nearest-neighbor
+  * pixel resample. Payloads no registered reader claims (e.g. the
+  * text-bytes fixture adapter, or audio/video containers — no JDK codec)
+  * fall back to [[StubDecoder]], the documented deterministic fake.
   *
   * Scale design: decode runs inside mapPartitions (one decoder instance per
   * partition, amortized init — exactly how a JNI/codec handle would be
-  * held); media bytes never shuffle (features are extracted before any
+  * held; `ImageIO.setUseCache(false)` keeps the JDK reader off temp files);
+  * media bytes never shuffle (features are extracted before any
   * aggregation); partition sizing is the caller's lever via
   * `spark.sql.files.maxPartitionBytes`.
   */
@@ -52,7 +55,66 @@ object Multimodal {
     }
   }
 
-  /** A decoded-and-resized thumbnail record (stub payload). */
+  /** REAL image path: `javax.imageio` decode + nearest-neighbor resize.
+    *
+    * Used by the declared `multimodal_features`/`multimodal_resize` keys over
+    * the deterministic PNG fixture corpus ([[PngFixtures]]) — the decoded
+    * width/height/channels and the raster sample sum are recomputed by the
+    * DuckDB oracle from the generator parameters, so a wrong decode (or a
+    * lossy write) breaks the hash compare. */
+  object ImageCodec {
+
+    /** Decode via the JDK's registered readers; None when no reader claims
+      * the bytes (caller falls back to [[StubDecoder]]). `checksum` carries
+      * the sum of ALL raster samples (every band, every pixel) — a
+      * content-sensitive, bit-exact statistic the oracle can replay. */
+    def decode(r: MediaRecord): Option[MediaFeatures] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, b); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        Some(MediaFeatures(r.doc_id, r.media_type, r.media.length.toLong, w, h, bands, sum))
+      }
+    }
+
+    /** Nearest-neighbor resample to (w × h): output pixel (x, y) takes the
+      * band-0 sample at source (x·srcW/w, y·srcH/h) — integer division, so
+      * the oracle replays the exact source coordinates. Returns one byte per
+      * output pixel. None when the payload doesn't decode. */
+    def resize(r: MediaRecord, w: Int, h: Int): Option[Thumbnail] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = raster.getSample(x * sw / w, y * sh / h, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(Thumbnail(r.doc_id, w, h, out))
+      }
+    }
+  }
+
+  /** A decoded-and-resized thumbnail record. */
   final case class Thumbnail(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
 
   /** A sampled frame from a (fake) video payload. */
@@ -123,12 +185,121 @@ object Multimodal {
   }
 
   /** Batch feature extraction: one decoder per partition, media never
-    * shuffles. */
+    * shuffles. Decode-first: payloads a JDK image reader claims get REAL
+    * raster features ([[ImageCodec.decode]]); everything else falls back to
+    * the deterministic [[StubDecoder]]. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (codec handles, JNI, …)
-      it.map(StubDecoder.decode)
+      // per-partition decoder init: keep ImageIO off disk-backed streams
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(r => ImageCodec.decode(r).getOrElse(StubDecoder.decode(r)))
+    }
+  }
+
+  /** Per-thumbnail stats record for the oracle-checked resize key: byte count
+    * plus the sum of the resized pixel bytes (unsigned). */
+  final case class ThumbStats(doc_id: Long, width: Int, height: Int,
+      thumb_bytes: Int, sample_sum: Long)
+
+  /** Real-resample batch resize with stub fallback, emitting oracle-checkable
+    * stats in the same mapPartitions pass (no second decode). */
+  def resizeStats(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ThumbStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val th = ImageCodec.resize(r, w, h).getOrElse(resizeStub(r, w, h))
+        var sum = 0L
+        var i = 0
+        while (i < th.thumb.length) { sum += th.thumb(i) & 0xFF; i += 1 }
+        ThumbStats(th.doc_id, th.width, th.height, th.thumb.length, sum)
+      }
+    }
+  }
+
+  /** Deterministic PNG fixture corpus: one real PNG per document, pixels a
+    * pure function of (doc_id, x, y), so the DuckDB oracle recomputes every
+    * decoded statistic from the generator parameters alone:
+    *
+    *   width  = 8 + doc_id mod 24          (8‥31)
+    *   height = 8 + (3·doc_id) mod 24      (8‥31)
+    *   R(x,y) = (31·doc_id + 7·x + 13·y) mod 256
+    *   G = (R + 85) mod 256,  B = (R + 170) mod 256
+    *
+    * The three bands differ on purpose: an encoder that silently collapsed
+    * equal channels to a grayscale PNG would change the decoded band count
+    * and sample sum, and the hash compare would catch it.
+    *
+    * Generation is a one-time per-fixture-dir side artifact (same contract
+    * as the bucketed-table layout in Queries5): files are written from
+    * executors via `foreachPartition` into a staging dir, then atomically
+    * renamed into place — a crashed half-write is invisible. Local-FS file
+    * IO is fine here because fixtures are test scaffolding; a cluster
+    * deployment would point the same generator at shared storage through
+    * the Hadoop FS API (as the parquet sinks do). */
+  object PngFixtures {
+    import java.io.File
+
+    def dims(docId: Long): (Int, Int) =
+      ((8 + docId % 24).toInt, (8 + (docId * 3) % 24).toInt)
+
+    def red(docId: Long, x: Int, y: Int): Int =
+      ((31 * docId + 7 * x + 13 * y) % 256).toInt
+
+    /** Render one document's PNG (RGB, lossless). */
+    def render(docId: Long): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = red(docId, x, y)
+          img.setRGB(x, y, (r << 16) | (((r + 85) % 256) << 8) | ((r + 170) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    /** Materialize (once per fixture dir per JVM) the PNG corpus for `docs`
+      * and return its directory — the input to [[mediaFromBinaryFiles]]. */
+    def ensure(docs: DataFrame, fixtureKey: String): String = {
+      val tag = fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")
+      cache.computeIfAbsent(tag, { _ =>
+        val tmpRoot = System.getProperty("java.io.tmpdir")
+        val out = new File(tmpRoot, s"graft_png_$tag")
+        if (!out.isDirectory) {
+          val staging = new File(tmpRoot,
+            s"graft_png_${tag}_staging_${java.util.UUID.randomUUID}")
+          staging.mkdirs()
+          val stagingPath = staging.getAbsolutePath
+          docs.select(col("doc_id")).foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              javax.imageio.ImageIO.setUseCache(false)
+              it.foreach { row =>
+                val id = row.getLong(0)
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(stagingPath, s"$id.png"), render(id))
+              }
+          }
+          // atomic publish; lose the race benignly (same deterministic bytes)
+          if (!staging.renameTo(out)) {
+            // another writer published first (or rename failed): drop staging
+            staging.listFiles().foreach(_.delete()); staging.delete()
+            if (!out.isDirectory)
+              throw new java.io.IOException(s"cannot publish PNG fixtures to $out")
+          }
+        }
+        out.getAbsolutePath
+      })
     }
   }
 }

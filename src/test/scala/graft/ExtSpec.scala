@@ -219,6 +219,61 @@ class ExtSpec extends SparkSpec {
     assert(many.inputFiles.length >= 4)
   }
 
+  test("DfMemo is re-entrant: a memoized build may itself hit the memo") {
+    import graft.ext.DfMemo
+    import spark.implicits._
+    // the old computeIfAbsent form died with "Recursive update" whenever a
+    // nested key landed in the outer key's hash bin (intermittent — bins
+    // depend on the session's identity hash); 64 nested keys make a bin
+    // collision near-certain, so this test is deterministic in practice
+    val out = DfMemo.cached(spark, Some("reentrant-outer"), "memo-test") {
+      val inners = (0 until 64).map { i =>
+        DfMemo.cached(spark, Some(s"reentrant-inner-$i"), "memo-test") {
+          Seq(i).toDF("v")
+        }
+      }
+      inners.reduce(_ unionAll _)
+    }
+    assert(out.count() == 64)
+    // and the memo actually memoizes: same handle back
+    val again = DfMemo.cached(spark, Some("reentrant-outer"), "memo-test") {
+      fail("must not rebuild"); null
+    }
+    assert(again eq out)
+  }
+
+  test("ImageCodec decodes PngFixtures renders bit-exactly (dims, bands, sample sum)") {
+    for (id <- Seq(0L, 7L, 123L, 499L)) {
+      val rec = Multimodal.MediaRecord(id, "file/png", Multimodal.PngFixtures.render(id))
+      val f = Multimodal.ImageCodec.decode(rec).get
+      val (w, h) = Multimodal.PngFixtures.dims(id)
+      assert(f.width == w && f.height == h && f.channels == 3, s"doc $id: $f")
+      val expSum = (for { y <- 0 until h; x <- 0 until w } yield {
+        val r = Multimodal.PngFixtures.red(id, x, y)
+        (r + (r + 85) % 256 + (r + 170) % 256).toLong
+      }).sum
+      assert(f.checksum == expSum, s"doc $id raster sum")
+      // nearest-neighbor resample: band 0 at (x*w/16, y*h/16)
+      val th = Multimodal.ImageCodec.resize(rec, 16, 16).get
+      assert(th.thumb.length == 256)
+      val expThumb = (for { y <- 0 until 16; x <- 0 until 16 }
+        yield Multimodal.PngFixtures.red(id, x * w / 16, y * h / 16).toLong).sum
+      assert(th.thumb.map(b => (b & 0xFF).toLong).sum == expThumb, s"doc $id resample")
+    }
+  }
+
+  test("extractFeatures decode-first: real rasters for PNG payloads, stub fallback otherwise") {
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRecord(3L, "file/png", Multimodal.PngFixtures.render(3L)),
+      Multimodal.MediaRecord(4L, "image/fake", "not an image at all".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractFeatures(mixed).collect().sortBy(_.doc_id)
+    val (w3, h3) = Multimodal.PngFixtures.dims(3L)
+    assert(out(0).width == w3 && out(0).height == h3 && out(0).channels == 3)
+    // undecodable payload → the documented deterministic stub
+    assert(out(1).width == (out(1).byte_len % 640).toInt && out(1).channels == 3)
+  }
+
   test("multimodal mapPartitions plumbing: features deterministic, media never null") {
     val feats = Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(spark, docs)).collect()
