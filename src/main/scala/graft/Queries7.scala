@@ -387,14 +387,9 @@ object Queries7 {
         val docs = t(s, dir, "documents")
         val ex = Dedup.exactJaccard(s, docs, shingleW = 3, threshold = 0.05,
           idCap = 500, cacheKey = Some(dir))
-        val banded = Dedup.bandedBuckets(
-          Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
-            .where(col("doc_id") < 500), 20, 4)
-        val cand = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-          .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
-            Seq("band", "bucket"))
-          .where(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
+        val cand = Dedup.bandCandidates(Dedup.bandedBuckets(
+            Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
+              .where(col("doc_id") < 500), 20, 4))
           .withColumn("is_cand", lit(1L))
         val ths = Seq(0.05, 0.2, 0.7).toDF("thresh")
         ex.join(cand, Seq("a_id", "b_id"), "left")
@@ -442,6 +437,73 @@ object Queries7 {
           |  CAST(SUM(is_cand) AS BIGINT) AS n_hit,
           |  ROUND(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS recall
           |FROM jj, th WHERE jj.j >= thresh GROUP BY thresh ORDER BY thresh""".stripMargin)),
+
+    QSpec("dedup_cluster_lsh",
+      // The 100 TB dedup pipeline END-TO-END as the verified path: minhash
+      // signatures → band-slice candidates → exact-Jaccard verification on
+      // candidates only → star-contraction connected components. This is
+      // `dedup_cluster` with the pair source swapped from the capped
+      // inverted-index exact join to the LSH candidate path — the shape
+      // that scales (pair generation never leaves band buckets). The
+      // DuckDB twin replays every stage: polynomial signature arithmetic,
+      // raw-slice banding, candidate verification, and recursive-CTE
+      // reachability for the components.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
+          .where(col("doc_id") < 500)
+        val pairs = Dedup.bandCandidates(Dedup.bandedBuckets(sh, 20, 4))
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .where(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.2)
+          .select("a_id", "b_id")
+        Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+      },
+      Some(
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
+          |), hs AS (
+          |  SELECT doc_id, sh, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+          |  FROM sh
+          |), sig AS (
+          |  SELECT doc_id, sh, list_transform(range(20), i ->
+          |    list_min(list_transform(hs, h ->
+          |      (((i+1) * 2654435761 % 1000000007) * h + ((i+1) * 40503 + 17) % 1000000007) % 1000000007))) AS sig
+          |  FROM hs
+          |), bands AS (
+          |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key FROM sig, range(5) t(b)
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+          |), pairs AS (
+          |  SELECT a_id, b_id FROM (
+          |    SELECT c.a_id, c.b_id,
+          |      CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+          |    FROM cand c JOIN sig x ON x.doc_id = c.a_id JOIN sig y ON y.doc_id = c.b_id) v
+          |  WHERE jaccard >= 0.2
+          |), edges AS (
+          |  SELECT a_id AS src, b_id AS dst FROM pairs
+          |  UNION ALL SELECT b_id, a_id FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          |  UNION
+          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+          |), lab AS (
+          |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+          |), sz AS (
+          |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |  FROM lab GROUP BY cluster_id
+          |)
+          |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+          |FROM lab JOIN sz USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin)),
 
     QSpec("ann_recall_at_k",
       // The ANN-family calibration twin of lsh_recall_curve: recall@10 of

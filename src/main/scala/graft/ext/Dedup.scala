@@ -56,17 +56,40 @@ object Dedup {
   }
 
   /** LSH band→bucket projection of a signature frame (`doc_id`, `sig`):
-    * one (doc_id, band, bucket) row per band, bucket = xxhash64 of the
-    * band's signature slice. THE banding rule — shared by the batch
-    * candidate join ([[minhashNearDups]]) and the streaming near-dup
-    * flagger (graft.streaming.StreamingUsage), so the two can never use
-    * different bucket families. */
+    * one (doc_id, band, bucket, bslice) row per band, bucket = xxhash64 of
+    * the band's signature slice, `bslice` = the raw slice itself. THE
+    * banding rule — shared by the batch candidate join ([[minhashNearDups]])
+    * and the streaming near-dup flagger (graft.streaming.StreamingUsage),
+    * so the two can never use different bucket families.
+    *
+    * The candidate joins shuffle/equi-join on the 8-byte `bucket` and then
+    * require `bslice` equality on the matched rows: shuffle keys stay
+    * scalar-cheap, while an xxhash64 collision (two different slices, one
+    * bucket) can no longer smuggle in a spurious candidate — candidate
+    * membership is exactly raw-slice equality, which is what the DuckDB
+    * twins replay. (The streaming flagger keys its state by (band, bucket)
+    * alone; it is an approximate early-warning flag and documents the
+    * hash-bucket semantics.) */
   def bandedBuckets(sh: DataFrame, k: Int, rows: Int): DataFrame = {
     val nBands = k / rows
     sh.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket")))))
-      .select(col("doc_id"), col("col.band"), col("col.bucket"))
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"),
+          slice(col("sig"), b * rows + 1, lit(rows)).as("bslice")))))
+      .select(col("doc_id"), col("col.band"), col("col.bucket"), col("col.bslice"))
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) from a [[bandedBuckets]] frame:
+    * equi-join on (band, bucket), then exact raw-slice equality. */
+  def bandCandidates(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("bslice").as("bslice_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("bslice").as("bslice_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id") && col("bslice_a") === col("bslice_b"))
+      .select("a_id", "b_id").distinct()
   }
 
   /** (doc_id, sig) signature frame for [[bandedBuckets]] — the sketch pass
@@ -99,15 +122,10 @@ object Dedup {
       k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
       cacheKey: Option[String] = None): DataFrame = {
     val sh = memoizedSignatures(spark, docs, shingleW, k, cacheKey)
-    // band join carries only (band, bucket, doc_id) — shingle arrays would
-    // multiply the shuffle by the document size; they're joined back onto
-    // the (small) candidate-pair set for verification instead.
-    val banded = bandedBuckets(sh, k, rows)
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // band join carries only (band, bucket, slice, doc_id) — shingle arrays
+    // would multiply the shuffle by the document size; they're joined back
+    // onto the (small) candidate-pair set for verification instead.
+    val candidates = bandCandidates(bandedBuckets(sh, k, rows))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
@@ -170,18 +188,100 @@ object Dedup {
     * component size. Documents in no pair are singleton clusters of
     * themselves.
     *
-    * Algorithm: iterated min-label propagation — each round every node takes
-    * the min of its own label and its neighbors' labels; fixpoint after
-    * O(component diameter) rounds. Near-dup components are overwhelmingly
-    * tiny (pairs/chains), so the diameter bound is small in practice; for
-    * adversarial long-chain graphs at 100 TB swap the propagation step for
-    * the large-star/small-star rounds (O(log n) convergence, same join
-    * shape). Each round is one shuffle (groupBy dst) + one broadcast-or-hash
-    * join; labels persist round to round; the driver sees only the changed
-    * COUNT (metadata), never the labels.
-    */
+    * Algorithm: alternating large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * O(log n) rounds on ANY graph, including the adversarial long chains
+    * where min-label propagation needs O(diameter) rounds (see
+    * [[propagationLabels]], kept as the diameter-bounded comparison point
+    * and proven slower on a chain in ExtSpec). Each round is two
+    * grouped-min aggregations + two equi-joins over the CURRENT edge set
+    * (which only shrinks toward a star forest); edges/labels live in
+    * executors, the driver sees only convergence metadata. */
   def clusters(spark: SparkSession, nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
+    val (labels, _) = starContractionLabels(nodes, pairs, maxIters)
+    // `labels` stays persisted deliberately: the returned plan reads it
+    // twice (sizes join + projection), and unpersisting here would lazily
+    // replay the whole iteration chain at evaluation time. Identical
+    // re-invocations share the entry via Spark's plan-matching CacheManager.
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** One large-star round: every node `u` connects its STRICTLY GREATER
+    * neighbors to m(u) = min(Γ(u) ∪ {u}). Input/output edges are canonical
+    * (lo < hi) distinct pairs. */
+  def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(m, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("m").as("lo"), col("v").as("hi"))
+      .distinct()
+  }
+
+  /** One small-star round: every node `u` (the `hi` side — all its
+    * neighbors here are smaller) connects those neighbors and itself to
+    * m(u) = min of them. Canonical in, canonical out. */
+  def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("hi").agg(min("lo").as("m"))
+    val attach = edges.join(m, Seq("hi"))
+      .where(col("lo") =!= col("m"))
+      .select(col("m").as("lo"), col("lo").as("hi"))
+    val self = m.select(col("m").as("lo"), col("hi"))
+    attach.unionAll(self).distinct()
+  }
+
+  /** Star-contraction driver: returns (labels(id, label), rounds). At the
+    * fixpoint the edge set is a star forest — every edge connects a node
+    * directly to its component's minimum id. Convergence is detected by
+    * exact edge-set equality (count + one-sided except — deterministic,
+    * no checksum-collision caveat). */
+  def starContractionLabels(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val nNext = next.count()
+      converged = nNext == edges.count() && next.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      rounds += 1
+    }
+    // star forest → labels; the groupBy-min keeps labels valid (per-node
+    // deterministic) even on a maxIters bailout before full convergence
+    val lab = edges.select(col("hi").as("id"), col("lo").as("label"))
+    val labels = nodes.select(col("doc_id").as("id"))
+      .join(lab, Seq("id"), "left")
+      .groupBy("id")
+      .agg(min(coalesce(col("label"), col("id"))).as("label"))
+      .persist(MEMORY_AND_DISK)
+    (labels, rounds)
+  }
+
+  /** Min-label propagation (the pre-round-6 `clusters` engine), kept as the
+    * O(component diameter) comparison point: each round every node takes the
+    * min of its own and its neighbors' labels. Returns (labels, rounds
+    * actually run — equals `maxIters` when the fixpoint wasn't reached).
+    * Identical labels to [[starContractionLabels]] once converged; on long
+    * chains it needs Θ(diameter) rounds where star contraction needs
+    * O(log n) (asserted in ExtSpec). */
+  def propagationLabels(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -205,16 +305,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // the final `labels` stays persisted deliberately: the returned plan
-    // reads it twice (sizes join + projection), and unpersisting here would
-    // lazily replay the whole iteration chain at evaluation time. Identical
-    // re-invocations share the entry via Spark's plan-matching CacheManager.
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
-      .select("doc_id", "cluster_id", "cluster_size")
-      .orderBy("doc_id")
+    (labels, iter)
   }
 
   /** SimHash from whitespace tokens: bit b of the signature is the sign of

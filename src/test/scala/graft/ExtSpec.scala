@@ -219,6 +219,37 @@ class ExtSpec extends SparkSpec {
     assert(many.inputFiles.length >= 4)
   }
 
+  test("star contraction converges in O(log n) rounds on a chain where propagation needs O(n)") {
+    import spark.implicits._
+    val n = 200
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    // adversarial worst case for min-label propagation: one long path
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (starLabels, starRounds) = Dedup.starContractionLabels(nodes, chain, maxIters = 50)
+    // correct: one component, min id 0 everywhere
+    val got = starLabels.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.forall(_._2 == 0L), s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    // O(log n): generous 2·log2(n) bound — propagation would need ~n rounds
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt
+    assert(starRounds <= bound, s"star contraction took $starRounds rounds (bound $bound)")
+    val (_, propRounds) = Dedup.propagationLabels(nodes, chain, maxIters = 20)
+    assert(propRounds == 20, s"propagation finished in $propRounds < diameter rounds?!")
+  }
+
+  test("star contraction agrees with propagation on a mixed graph (incl. singletons)") {
+    import spark.implicits._
+    val nodes = (0L until 40L).toDF("doc_id")
+    // two components + many singletons: {0..4} star, {10,11,12} chain
+    val pairs = Seq((0L, 1L), (0L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    val (a, _) = Dedup.starContractionLabels(nodes, pairs, maxIters = 50)
+    val (b, _) = Dedup.propagationLabels(nodes, pairs, maxIters = 50)
+    val am = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bm = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(am == bm)
+    assert(am(4L) == 0L && am(12L) == 10L && am(33L) == 33L)
+  }
+
   test("DfMemo is re-entrant: a memoized build may itself hit the memo") {
     import graft.ext.DfMemo
     import spark.implicits._
