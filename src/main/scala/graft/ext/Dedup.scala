@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup keyed on content hash: keeps min(doc_id) per text. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -199,11 +201,12 @@ object Dedup {
     * executors, the driver sees only convergence metadata. */
   def clusters(spark: SparkSession, nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val (labels, _) = starContractionLabels(nodes, pairs, maxIters)
-    // `labels` stays persisted deliberately: the returned plan reads it
-    // twice (sizes join + projection), and unpersisting here would lazily
-    // replay the whole iteration chain at evaluation time. Identical
-    // re-invocations share the entry via Spark's plan-matching CacheManager.
+    val (labels, rounds, converged) = starContractionLabels(nodes, pairs, maxIters)
+    if (!converged)
+      // labels are still per-node deterministic on a bailout (groupBy-min),
+      // but they may not be component minima — don't let that pass silently
+      log.warn(s"star contraction did NOT converge within $rounds rounds; " +
+        "cluster ids may be component-local, not component minima")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -238,39 +241,62 @@ object Dedup {
     attach.unionAll(self).distinct()
   }
 
-  /** Star-contraction driver: returns (labels(id, label), rounds). At the
-    * fixpoint the edge set is a star forest — every edge connects a node
-    * directly to its component's minimum id. Convergence is detected by
-    * exact edge-set equality (count + one-sided except — deterministic,
-    * no checksum-collision caveat). */
+  /** Star-contraction driver: returns (labels(id, label), rounds,
+    * converged). At the fixpoint the edge set is a star forest — every edge
+    * connects a node directly to its component's minimum id.
+    *
+    * LINEAGE TRUNCATION IS LOAD-BEARING. `largeStar` references the incoming
+    * edge set twice (`sym` = edges ∪ reversed) and joins it against an
+    * aggregate derived from itself, so the *logical plan* of round N embeds
+    * several copies of round N−1's plan — geometric growth with round count.
+    * `persist()` caches data but keeps the whole plan tree; by ~16 rounds
+    * merely rendering the plan string exhausts the driver heap, independent
+    * of data size (a deep dup-chain component at 100 TB kills the driver on
+    * plan metadata alone). `localCheckpoint(eager = true)` materializes the
+    * round AND cuts the plan back to a leaf, so plan depth is O(1) per
+    * round. Prior rounds' checkpoint RDDs become unreferenced when `edges`
+    * is rebound and the ContextCleaner unpersists them — no cache
+    * accumulation across invocations. On a cluster with dynamic allocation
+    * / executor loss, swap in reliable `checkpoint()` (HDFS-backed via
+    * spark.checkpoint.dir): localCheckpoint blocks die with their executor;
+    * the loop shape is identical.
+    *
+    * Convergence probe: star contraction never grows the canonical edge
+    * count, so a round that changed the count certainly changed the set —
+    * the exact (shuffling) `exceptAll` equality check runs only on count
+    * ties, and the count itself is a cheap scan of the just-checkpointed
+    * round. */
   def starContractionLabels(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 50): (DataFrame, Int) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      maxIters: Int = 50): (DataFrame, Int, Boolean) = {
     var edges = pairs
       .select(least(col("a_id"), col("b_id")).as("lo"),
         greatest(col("a_id"), col("b_id")).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    var prevCount = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = prevCount == 0L
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(edges)).persist(MEMORY_AND_DISK)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nNext = next.count()
-      converged = nNext == edges.count() && next.exceptAll(edges).isEmpty
-      edges.unpersist()
+      converged = nNext == prevCount && next.exceptAll(edges).isEmpty
       edges = next
+      prevCount = nNext
       rounds += 1
     }
     // star forest → labels; the groupBy-min keeps labels valid (per-node
-    // deterministic) even on a maxIters bailout before full convergence
+    // deterministic) even on a maxIters bailout before full convergence.
+    // Eagerly checkpointed: callers read labels multiple times (sizes join +
+    // projection), and materializing here drops the last reference to the
+    // final edge round so the cleaner can free it.
     val lab = edges.select(col("hi").as("id"), col("lo").as("label"))
     val labels = nodes.select(col("doc_id").as("id"))
       .join(lab, Seq("id"), "left")
       .groupBy("id")
       .agg(min(coalesce(col("label"), col("id"))).as("label"))
-      .persist(MEMORY_AND_DISK)
-    (labels, rounds)
+      .localCheckpoint(true)
+    (labels, rounds, converged)
   }
 
   /** Min-label propagation (the pre-round-6 `clusters` engine), kept as the
@@ -282,12 +308,15 @@ object Dedup {
     * O(log n) (asserted in ExtSpec). */
   def propagationLabels(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): (DataFrame, Int) = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // same lineage-truncation discipline as [[starContractionLabels]]: each
+    // round's plan references the prior labels twice (via nbrMin and the
+    // left join), so without per-round localCheckpoint the plan tree grows
+    // geometrically with iteration count
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -296,15 +325,13 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = labels.withColumnRenamed("label", "prev")
         .join(next, Seq("id")).where(col("prev") =!= col("label")).count()
       converged = changed == 0
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     (labels, iter)
   }
 

@@ -39,7 +39,7 @@ object Graph {
       edges.groupBy("s").agg(count(lit(1)).as("deg"))
     }
     var rank = deg.select(col("s").as("id"), col("deg"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges.join(rank, edges("s") === rank("id"))
         .select(col("d"), expr("rank div deg").as("c"))
         .groupBy("d").agg(sum("c").as("contrib"))
@@ -48,6 +48,10 @@ object Graph {
       rank = deg.join(contrib, deg("s") === contrib("d"))
         .select(col("s").as("id"), col("deg"),
           (lit(150000L) + expr("(850000 * contrib) div 1000000")).as("rank"))
+      // rank is referenced ONCE per iteration, so plan depth grows only
+      // linearly (fine at the default iters = 5) — but bound it anyway for
+      // long runs by truncating lineage every 8 iterations
+      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
       .orderBy("vec_id")

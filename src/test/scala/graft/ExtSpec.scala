@@ -221,11 +221,16 @@ class ExtSpec extends SparkSpec {
 
   test("star contraction converges in O(log n) rounds on a chain where propagation needs O(n)") {
     import spark.implicits._
-    val n = 200
+    val n = 1024
     val nodes = (0L until n.toLong).toDF("doc_id")
-    // adversarial worst case for min-label propagation: one long path
+    // adversarial worst case for min-label propagation: one long path.
+    // n = 1024 + maxIters = 50 is also the driver-heap regression guard: the
+    // pre-r7 loop (persist, no lineage truncation) OOM'd the driver around
+    // round 16 on exactly this shape, before reading any data
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val (starLabels, starRounds) = Dedup.starContractionLabels(nodes, chain, maxIters = 50)
+    val (starLabels, starRounds, starConverged) =
+      Dedup.starContractionLabels(nodes, chain, maxIters = 50)
+    assert(starConverged, "star contraction hit maxIters without converging")
     // correct: one component, min id 0 everywhere
     val got = starLabels.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.forall(_._2 == 0L), s"bad labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
@@ -242,7 +247,7 @@ class ExtSpec extends SparkSpec {
     // two components + many singletons: {0..4} star, {10,11,12} chain
     val pairs = Seq((0L, 1L), (0L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
       .toDF("a_id", "b_id")
-    val (a, _) = Dedup.starContractionLabels(nodes, pairs, maxIters = 50)
+    val (a, _, _) = Dedup.starContractionLabels(nodes, pairs, maxIters = 50)
     val (b, _) = Dedup.propagationLabels(nodes, pairs, maxIters = 50)
     val am = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val bm = b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
