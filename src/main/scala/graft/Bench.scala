@@ -14,6 +14,15 @@ object Bench {
     // ERROR, not WARN: analysis-time deprecation warnings land immediately
     // before the JSON line in the log the driver tail-captures
     spark.sparkContext.setLogLevel("ERROR")
+    // host-contention hygiene: snapshot /proc/loadavg around the run so a
+    // contended-host artifact (r4: 6× inflation; r6: 1.5–2×) is
+    // self-diagnosing from the bench JSON alone, no rerun needed
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
+    val warmT0 = System.nanoTime()
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query isn't charged ~3 s of session startup
     try {
@@ -44,6 +53,7 @@ object Bench {
     // ran first absorbed the whole one-time build)
     try graft.ext.SimSearch.annPairsMemo(spark, sfDir).count()
     catch { case _: Throwable => }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // Two full timed passes, report per-key MIN. A single pass is at the
     // mercy of transient host contention (r4's driver artifact recorded
     // 358.5 s for a bench that runs 59.6 s on a quiet host, with individual
@@ -89,6 +99,9 @@ object Bench {
     // named total_sec — NOT value — so a per_query consumer can't misread
     // the whole-run figure as a per-query one.
     println(s"""{"metric":"per_query","total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}""")
+    // one-time session cost (JIT + codegen + cache builds), as its own metric
+    // line so it can be tracked round-over-round without polluting the total
+    println(s"""{"metric":"warmup_sec","value":${fmt(warmupSec)},"unit":"sec","sf":"$sfName"}""")
     // the final line keeps the contract's "queries" field but only with the
     // headline TPC-H-ish keys (~300 bytes) so the line as a whole stays short
     val headline = Seq("q1_agg", "q2_correlated_scalar", "q3_shipping", "q4_exists",
@@ -96,7 +109,7 @@ object Bench {
       "dedup_minhash", "simsearch_topk", "score_partition")
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt2(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }

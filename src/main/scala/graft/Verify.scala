@@ -21,9 +21,16 @@ object Verify {
     // dev-loop filter: SPARK_GRAFT_ONLY=k1,k2 restricts the dump to named
     // keys (the driver never sets it, so the gate always runs the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(ks) => SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case Some(ks) =>
+        // make a leaked/typo'd filter loud: a silent restriction could make
+        // a correctness run look complete when it isn't
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY active: ${ks.toSeq.sorted.mkString(",")}")
+        val unknown = ks -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(s"[verify] WARNING: filter names no registered query: ${unknown.toSeq.sorted.mkString(",")}")
+        SparkEntry.queries.filter { case (n, _) => ks(n) }
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

@@ -274,6 +274,15 @@ object Multimodal {
     def ensure(docs: DataFrame, fixtureKey: String): String = {
       val tag = fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")
       cache.computeIfAbsent(tag, { _ =>
+        // executors write into executor-local java.io.tmpdir and the driver
+        // renames the staging dir — correct ONLY when driver and executors
+        // share a filesystem. Guard it: on a non-local master this would
+        // silently publish an empty/partial dir.
+        val master = docs.sparkSession.sparkContext.master
+        require(master.startsWith("local"),
+          s"PngFixtures.ensure requires a local master (driver and executors " +
+          s"must share java.io.tmpdir); got '$master' — write fixtures " +
+          "through the Hadoop FS API to shared storage instead")
         val tmpRoot = System.getProperty("java.io.tmpdir")
         val out = new File(tmpRoot, s"graft_png_$tag")
         if (!out.isDirectory) {
