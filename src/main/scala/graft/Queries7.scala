@@ -450,21 +450,25 @@ object Queries7 {
       // reachability for the components.
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // UNCAPPED (r6 verdict item 5): the whole corpus goes through the
+        // verified path — 500 docs at the sf0.01 verify gate, 5000 at the
+        // sf0.1 bench. Tractable for the DuckDB twin because candidate
+        // generation (banding) bounds the recursive-CTE edge set; only
+        // lsh_recall_curve keeps a cap (its oracle is exact all-pairs).
         val sh = Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
-          .where(col("doc_id") < 500)
         val pairs = Dedup.bandCandidates(Dedup.bandedBuckets(sh, 20, 4))
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .where(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.2)
           .select("a_id", "b_id")
-        Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+        Dedup.clusters(s, docs, pairs)
       },
       Some(
         """WITH RECURSIVE sh AS (
           |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
           |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
-          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d
           |), hs AS (
           |  SELECT doc_id, sh, list_transform(sh, g ->
           |    list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -492,7 +496,7 @@ object Queries7 {
           |  SELECT a_id AS src, b_id AS dst FROM pairs
           |  UNION ALL SELECT b_id, a_id FROM pairs
           |), reach(id, r) AS (
-          |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          |  SELECT doc_id, doc_id FROM documents
           |  UNION
           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
           |), lab AS (

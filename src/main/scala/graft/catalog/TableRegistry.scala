@@ -30,7 +30,24 @@ object TableRegistry {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     dfCache.computeIfAbsent((spark, path(sfDir, name)),
-      { case (s, p) => s.read.parquet(p) })
+      { case (s, p) => normalizeTs(s.read.parquet(p)) })
+
+  /** Boundary normalization of the `events.ts` column to the engine-wide
+    * contract "ts = epoch-NANOS bigint". The fixture generator has shipped
+    * it as parquet timestamp[ns] (read as long via
+    * spark.sql.legacy.parquet.nanosAsLong) and as timestamp[us]
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ); both land here as the
+    * same instant. The NTZ wall time is interpreted in the session time
+    * zone (pinned UTC by every entry point), matching DuckDB's
+    * epoch_ns(ts) treatment of the same naive value — so oracle SQL built
+    * on epoch_ns stays bit-exact across generator versions. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) |
+           Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df
+    }
 
   /** S1/S2 native path: discover views/tables + their columns from the LIVE
     * Spark catalog — the true analog of the reference's `information_schema`
@@ -133,7 +150,7 @@ object TableRegistry {
     val queryCase = cannedQueries.zipWithIndex.foldLeft(lit(null: String)) {
       case (acc, (q, i)) => when(col("event_id") % 5 === i, lit(q)).otherwise(acc)
     }
-    // ts arrives as epoch-nanos bigint (spark.sql.legacy.parquet.nanosAsLong):
+    // ts arrives as epoch-nanos bigint (normalizeTs boundary contract):
     // derive a µs-precision timestamp for engine use; oracle-checked queries
     // only ever use coarse (second-or-worse) derivations of it.
     ev.select(

@@ -71,7 +71,16 @@ object TextSketch {
   /** Polynomial codepoint hash: h = fold(7, h*131 + codepoint) mod 1e9+7.
     * Products stay < 2^60, so plain long arithmetic is exact under ANSI.
     * DuckDB twin: list_reduce(list_prepend(7, codepoints), (a,c) ->
-    * (a*131 + c) % 1000000007). */
+    * (a*131 + c) % 1000000007).
+    *
+    * COLLISION BOUND: ~30-bit range ⇒ birthday collisions from ~√(1e9+7) ≈
+    * 3×10⁴ distinct inputs — guaranteed present in warehouse-scale token /
+    * shingle sets. This family exists for ORACLE REPLAYABILITY (DuckDB can
+    * recompute it bit-for-bit); it is only used where collisions degrade an
+    * approximation one-sidedly (count-min / Bloom bucketing via
+    * [[graft.ext.Sketches.bucket]], minhash folds below), never as an
+    * identity. The 100 TB identity/dedup paths use 64-bit xxhash64
+    * ([[minhash]]/[[minhashStr]]) or 256-bit sha2 fingerprints. */
   final val PolyP = 1000000007L
 
   def polyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -88,7 +97,17 @@ object TextSketch {
 
   /** MinHash signature over the affine family h_i(x) = (a_i·x + b_i) mod P
     * with a_i = (i+1)·2654435761 mod P, b_i = (i+1)·40503 + 17 mod P —
-    * constants chosen so every intermediate fits a long. */
+    * constants chosen so every intermediate fits a long.
+    *
+    * COLLISION BOUND at the signature layer: a [[polyHash]] collision
+    * between two distinct shingles (expected once the corpus-wide shingle
+    * vocabulary passes ~3×10⁴ — see [[polyHash]]) makes those shingles
+    * indistinguishable to ALL k folds, which biases the estimated Jaccard
+    * upward by at most the colliding shingles' weight in the union. Fine
+    * for LSH candidate GENERATION (band slices of these values — a false
+    * candidate is removed by the exact-Jaccard verify stage that every
+    * dedup_cluster_lsh-shaped pipeline runs); for verification-free dedup
+    * at 100 TB use the xxhash64 family ([[minhash]]). */
   def minhashPoly(shingles: ArrayData, k: Int): ArrayData = {
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)

@@ -67,6 +67,61 @@ class IntrospectorSpec extends SparkSpec {
     assert(refs.joinColumns == Map("l_orderkey" -> 1, "o_orderkey" -> 1))
   }
 
+  test("CTE-in-CTE: nested WITH inside a CTE definition is fully traversed") {
+    // allNodes must recurse through innerChildren (CTE defs) at every
+    // depth, not just the top level — sqlglot's find_all does
+    // (reference partitioning.py:87-97).
+    val refs = QueryIntrospector.parse(spark,
+      "WITH outer_cte AS (" +
+        "  WITH inner_cte AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 1000)" +
+        "  SELECT o_custkey FROM inner_cte WHERE o_custkey < 100" +
+        ") SELECT c_name FROM customer JOIN outer_cte ON c_custkey = o_custkey").get
+    assert(refs.tables.contains("orders"), refs.tables.toString)
+    assert(refs.tables.contains("customer"), refs.tables.toString)
+    // both WHERE clauses — one inside the inner CTE, one in the outer def
+    assert(refs.whereColumns == Map("o_totalprice" -> 1, "o_custkey" -> 1),
+      refs.whereColumns.toString)
+    assert(refs.joinColumns.keySet == Set("c_custkey", "o_custkey"))
+  }
+
+  test("LATERAL VIEW explode: table and generator-input columns extracted") {
+    val refs = QueryIntrospector.parse(spark,
+      "SELECT doc_id, tok FROM documents " +
+        "LATERAL VIEW explode(split(text, ' ')) toks AS tok WHERE doc_id > 10").get
+    assert(refs.tables == Seq("documents"))
+    assert(refs.whereColumns == Map("doc_id" -> 1))
+    // the generator input (text) must be counted among all column refs
+    assert(refs.allColumns.contains("text"), refs.allColumns.toString)
+    assert(refs.allColumns.contains("doc_id"))
+  }
+
+  test("UNION inside view DDL: both branches' tables extracted") {
+    val refs = QueryIntrospector.parseDdl(spark,
+      "CREATE VIEW all_keys AS " +
+        "SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0 " +
+        "UNION ALL SELECT s_nationkey AS k FROM supplier").get
+    assert(refs.tables == Seq("customer", "supplier"))
+    assert(refs.whereColumns == Map("c_acctbal" -> 1))
+    assert(refs.allColumns.contains("s_nationkey"))
+  }
+
+  test("quoted identifiers: backtick-quoted names resolve to their raw text") {
+    val refs = QueryIntrospector.parse(spark,
+      "SELECT `weird col` FROM `my table` WHERE `weird col` > 5").get
+    assert(refs.tables == Seq("my table"))
+    assert(refs.whereColumns == Map("weird col" -> 1))
+    assert(refs.allColumns == Map("weird col" -> 2))
+  }
+
+  test("pathological shapes degrade to None, never throw (partitioning.py:36-37)") {
+    // double-quoted idents are string literals in default Spark SQL dialect;
+    // a bare WITH and a dangling LATERAL VIEW must both degrade
+    assert(QueryIntrospector.parse(spark, "WITH x AS (SELECT 1)").isEmpty)
+    assert(QueryIntrospector.parse(spark, "SELECT FROM LATERAL VIEW").isEmpty)
+    assert(QueryIntrospector.parseDdl(spark,
+      "CREATE VIEW v AS SELEKT nope FROMM t").isEmpty)
+  }
+
   test("workloadTexts heavy-hitter selector: frequency order, text tiebreak, cap, null drop") {
     // THE shared selector (every driver-side text collect funnels through
     // it): most-frequent first, ties broken by text ascending, nulls

@@ -402,6 +402,93 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming advisor survives a mid-batch crash: replay after a lost commit is idempotent") {
+    // THE fault StreamingAdvisor.start's version-retention comment
+    // (StreamingAdvisor.scala:131-138) exists for: the batch crashes AFTER
+    // its state version is written but BEFORE the streaming commit lands.
+    // On restart Spark replays the batch; the replay must OVERWRITE the
+    // half-committed state version (merge against versions < batchId), not
+    // merge into it — else every crash double-counts its batch. Simulated
+    // exactly: run batch 0 to completion, stop, delete the checkpoint's
+    // commits/0 (the state write already happened; the commit is "lost"),
+    // restart → Spark re-runs batch 0 → stream batch 1 → prove by
+    // assertion that nothing was counted twice.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val logStream = TableRegistry.queryLogFrom(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_crash").toString
+    val logDir = s"$root/log"
+    val ckpt = s"$root/ckpt"
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingAdvisor.Snapshot]()
+
+    // --- run batch 0, then "crash" between state write and commit ---
+    val q1 = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), logDir, snaps, checkpointDir = Some(ckpt))
+    try {
+      stream.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the state version exists (write happened) …
+    assert(new java.io.File(s"${root}/log_state/v0").isDirectory)
+    // … but the streaming commit is lost in the crash (the checksum
+    // sidecar goes too — a stale .crc makes the local FS refuse the
+    // replay's rename, which Spark misreports as a concurrent writer)
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.isFile, "expected a commit marker for batch 0")
+    assert(commit0.delete())
+    val crc0 = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc0.isFile) assert(crc0.delete())
+
+    // --- restart: Spark replays batch 0, then processes batch 1 ---
+    val q2 = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), logDir, snaps, checkpointDir = Some(ckpt))
+    try {
+      q2.processAllAvailable() // replay of batch 0 (no new data needed)
+      stream.addData(batch2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val batchIds = {
+      import scala.jdk.CollectionConverters._
+      snaps.asScala.toSeq.map(_.batchId).sorted
+    }
+    // the replay really happened — batch 0 ran twice
+    assert(batchIds == Seq(0L, 0L, 1L), batchIds.toString)
+
+    // state-level idempotence: the final merged state must equal the
+    // per-text aggregates of everything streamed ONCE — a double-counted
+    // replay would double batch 1's cnt/sum columns
+    val fullLog = TableRegistry.queryLogFrom(all.toDF("event_id", "ts", "value"))
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query", "cnt", "sum_exec", "sum_priority")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val want = stateRows(graft.pipeline.AnalysisPipeline.textStatsOf(fullLog))
+    val got = stateRows(spark.read.parquet(s"${root}/log_state/v1"))
+    assert(want.nonEmpty)
+    assert(got == want, s"state after crash+replay drifted:\n got=$got\nwant=$want")
+
+    // and the recommendations derived from it equal a direct batch run
+    val direct = graft.pipeline.AnalysisPipeline.runFromCatalog(
+      spark, fullLog, nameFilter = Set("supplier"))
+      .collect().map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec"))).toSeq
+    val lastRecs = {
+      import scala.jdk.CollectionConverters._
+      snaps.asScala.toSeq.maxBy(_.batchId).recs
+    }
+    assert(lastRecs == direct, s"stream $lastRecs vs batch $direct")
+  }
+
   test("streaming minhash near-dup flags == batch LSH candidate flags across micro-batches") {
     // the near-dup complement of stream_dedup: (band,bucket) state carries
     // the min doc_id per occupied bucket across micro-batches; a doc is
