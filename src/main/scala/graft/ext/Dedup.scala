@@ -19,6 +19,33 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-round lineage truncation for iterative loops — materializes the
+    * round AND cuts the logical plan back to a leaf (see
+    * [[starContractionLabels]] for why that is load-bearing).
+    *
+    * Mechanism selection (cluster posture): `localCheckpoint` blocks live
+    * in executor storage and DIE WITH THEIR EXECUTOR — fine on local[n],
+    * fatal mid-loop under dynamic allocation or preemption. When the
+    * context has a reliable checkpoint dir (`sc.setCheckpointDir`, e.g.
+    * HDFS/S3), rounds are written there instead, surviving executor loss
+    * at the cost of a filesystem round-trip per round. Override with
+    * `spark.graft.iterative.reliableCheckpoint = true|false|auto`
+    * (runtime conf; auto = reliable iff a checkpoint dir is set). */
+  private[ext] def truncate(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val dirSet = sess.sparkContext.getCheckpointDir.isDefined
+    val reliable =
+      sess.conf.get("spark.graft.iterative.reliableCheckpoint", "auto") match {
+        case "true"  =>
+          require(dirSet, "spark.graft.iterative.reliableCheckpoint=true " +
+            "requires sparkContext.setCheckpointDir")
+          true
+        case "false" => false
+        case _       => dirSet
+      }
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+  }
+
   /** Exact dedup keyed on content hash: keeps min(doc_id) per text. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(sha2(col("text"), 256).as("text_hash"))
@@ -273,12 +300,12 @@ object Dedup {
         greatest(col("a_id"), col("b_id")).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(truncate)
     var prevCount = edges.count()
     var rounds = 0
     var converged = prevCount == 0L
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = truncate(smallStar(largeStar(edges)))
       val nNext = next.count()
       converged = nNext == prevCount && next.exceptAll(edges).isEmpty
       edges = next
@@ -295,7 +322,7 @@ object Dedup {
       .join(lab, Seq("id"), "left")
       .groupBy("id")
       .agg(min(coalesce(col("label"), col("id"))).as("label"))
-      .localCheckpoint(true)
+      .transform(truncate)
     (labels, rounds, converged)
   }
 
@@ -312,11 +339,11 @@ object Dedup {
     // round's plan references the prior labels twice (via nbrMin and the
     // left join), so without per-round localCheckpoint the plan tree grows
     // geometrically with iteration count
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    val edges = truncate(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var labels = truncate(
+      nodes.select(col("doc_id").as("id"), col("doc_id").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -325,7 +352,7 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .transform(truncate)
       val changed = labels.withColumnRenamed("label", "prev")
         .join(next, Seq("id")).where(col("prev") =!= col("label")).count()
       converged = changed == 0

@@ -51,7 +51,7 @@ object Graph {
       // rank is referenced ONCE per iteration, so plan depth grows only
       // linearly (fine at the default iters = 5) — but bound it anyway for
       // long runs by truncating lineage every 8 iterations
-      if (i % 8 == 0 && i < iters) rank = rank.localCheckpoint(true)
+      if (i % 8 == 0 && i < iters) rank = Dedup.truncate(rank)
     }
     rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
       .orderBy("vec_id")

@@ -241,6 +241,46 @@ class ExtSpec extends SparkSpec {
     assert(propRounds == 20, s"propagation finished in $propRounds < diameter rounds?!")
   }
 
+  test("reliable-checkpoint truncation: same labels, rounds survive via the checkpoint dir") {
+    // cluster posture for the iterative loops: with a reliable checkpoint
+    // dir set (HDFS/S3 on a real cluster), each round is written there
+    // instead of executor-local storage, so executor loss mid-loop cannot
+    // kill the computation. Must be a pure mechanism swap: identical
+    // labels, and the dir must actually receive checkpoint data.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString
+    val nodes = (0L until 64L).toDF("doc_id")
+    val edges = ((0L until 31L).map(i => (i, i + 1)) ++ Seq((40L, 41L), (41L, 42L)))
+      .toDF("a_id", "b_id")
+    val baseline = Dedup.clusters(spark, nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    sc.setCheckpointDir(ckptDir)
+    try {
+      val reliable = Dedup.clusters(spark, nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(reliable == baseline)
+      // the mechanism really switched: checkpoint data landed in the dir
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(c => (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum
+      assert(rddDirs(new java.io.File(ckptDir)) > 0,
+        s"no rdd-* checkpoint dirs under $ckptDir")
+      // explicit override wins over the auto rule
+      spark.conf.set("spark.graft.iterative.reliableCheckpoint", "false")
+      val before = rddDirs(new java.io.File(ckptDir))
+      val local = Dedup.clusters(spark, nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(local == baseline)
+      assert(rddDirs(new java.io.File(ckptDir)) == before,
+        "reliableCheckpoint=false still wrote to the checkpoint dir")
+    } finally {
+      // the SparkContext checkpoint dir cannot be unset; pin the conf so
+      // later suites in the shared JVM keep the fast local mechanism
+      spark.conf.set("spark.graft.iterative.reliableCheckpoint", "false")
+    }
+  }
+
   test("star contraction agrees with propagation on a mixed graph (incl. singletons)") {
     import spark.implicits._
     val nodes = (0L until 40L).toDF("doc_id")
