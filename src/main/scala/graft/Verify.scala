@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.ts is timestamp[ns] parquet; Spark 4 rejects NANOS unless read
       // as epoch-nanos bigint (graft code derives timestamps from it).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

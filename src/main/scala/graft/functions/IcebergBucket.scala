@@ -148,6 +148,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucket.descriptor)
     ext.injectOptimizerRule(_ => VectorDotRewriteRule)
+    ext.injectOptimizerRule(_ => EpochNanosPushdownRule)
   }
 }
 

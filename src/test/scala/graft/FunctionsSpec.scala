@@ -119,4 +119,46 @@ class FunctionsSpec extends SparkSpec {
       assert(approx.contains(k), s"frequent key $k evicted")
     }
   }
+
+  test("EpochNanosPushdownRule: exact on the integer lattice, all ops, both orientations") {
+    // the rewrite must be value-identical to the raw arithmetic for every
+    // comparison op, literal divisibility class, and operand orientation —
+    // including the ceil/floor edges (C = u·1000 ± 1) where an off-by-one
+    // division silently widens or narrows the range
+    import spark.implicits._
+    val micros = Seq(0L, 999L, 1000L, 1001L, 1500L, 2000L, 123456789L)
+    val df = micros.toDF("us")
+      .selectExpr("us", "cast(timestamp_micros(us) as timestamp_ntz) AS ts")
+    val tsNanos = "unix_micros(cast(ts as timestamp)) * 1000"
+    val literals = Seq(999000L, 999999L, 1000000L, 1000001L, 1500000L,
+      1999999L, 2000000L, 2000001L)
+    val ops = Seq(">=", ">", "<=", "<", "=")
+    def expectedNs(op: String, c: Long): Set[Long] = micros.filter { u =>
+      val n = u * 1000L
+      op match {
+        case ">=" => n >= c; case ">" => n > c; case "<=" => n <= c
+        case "<" => n < c; case "=" => n == c
+      }
+    }.toSet
+    for (c <- literals; op <- ops) {
+      val got = df.where(s"$tsNanos $op ${c}L").select("us")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expectedNs(op, c), s"ts_nanos $op $c: got $got")
+      val mirrorOp = op match {
+        case ">=" => "<="; case ">" => "<"; case "<=" => ">="
+        case "<" => ">"; case "=" => "="
+      }
+      val gotM = df.where(s"${c}L $mirrorOp $tsNanos").select("us")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotM == expectedNs(op, c), s"$c $mirrorOp ts_nanos: got $gotM")
+    }
+    // the rewrite actually fires (divisible equality included)
+    val p = df.where(s"$tsNanos >= 1000000L").queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("unix_micros"), p)
+    val pe = df.where(s"$tsNanos = 1000000L").queryExecution.optimizedPlan.toString
+    assert(!pe.toLowerCase.contains("unix_micros"), pe)
+    // non-divisible equality is left alone (a FALSE rewrite would break
+    // null semantics in projection contexts), and matches nothing here
+    assert(df.where(s"$tsNanos = 1000001L").count() == 0L)
+  }
 }

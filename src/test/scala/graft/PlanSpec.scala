@@ -19,6 +19,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
   }
 
+  test("epoch-nanos time predicate pushes down through the normalizeTs boundary") {
+    // normalizeTs makes ts a DERIVED column (unix_micros(cast)·1000), which
+    // by itself strands time predicates above the scan — at 100 TB that
+    // forfeits row-group pruning on the one column event tables are always
+    // filtered by. EpochNanosPushdownRule must rewrite the comparison back
+    // onto the raw TIMESTAMP_NTZ column.
+    val df = TableRegistry.table(spark, sfDir, "events")
+      .where(col("ts") >= lit(1705276800L * 1000000000L))
+      .select("event_type")
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(!plan.toLowerCase.contains("unix_micros"), plan)
+  }
+
   test("column pruning: scan reads only projected columns") {
     val df = TableRegistry.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val plan = planOf(df)
