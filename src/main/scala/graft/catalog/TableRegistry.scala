@@ -40,7 +40,12 @@ object TableRegistry {
     * same instant. The NTZ wall time is interpreted in the session time
     * zone (pinned UTC by every entry point), matching DuckDB's
     * epoch_ns(ts) treatment of the same naive value — so oracle SQL built
-    * on epoch_ns stays bit-exact across generator versions. */
+    * on epoch_ns stays bit-exact across generator versions.
+    *
+    * Contract range: epoch NANOS spans ±year-2262; an instant outside it
+    * overflows the ·1000 multiply (throws under ANSI) rather than
+    * silently wrapping. Far-future sentinels (9999-12-31 style) must be
+    * filtered or re-encoded upstream of this boundary. */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampNTZType) |

@@ -30,7 +30,18 @@ object Dedup {
     * HDFS/S3), rounds are written there instead, surviving executor loss
     * at the cost of a filesystem round-trip per round. Override with
     * `spark.graft.iterative.reliableCheckpoint = true|false|auto`
-    * (runtime conf; auto = reliable iff a checkpoint dir is set). */
+    * (runtime conf; auto = reliable iff a checkpoint dir is set).
+    *
+    * Reliable-mode mechanics: the round is persisted BEFORE
+    * `checkpoint(eager)` — the eager materialization populates the cache
+    * and the checkpoint write then reads from it; unpersisted, Spark runs
+    * the plan twice (once to count, once to write the files). The cache is
+    * dropped right after. CHECKPOINT FILE LIFETIME: Spark only deletes
+    * reliable checkpoint files for garbage-collected RDDs when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a STARTUP
+    * conf, default false) — set it on any cluster running deep clustering
+    * loops, or the ~log₂(n) per-loop round files accumulate in the
+    * checkpoint dir until application exit. */
   private[ext] def truncate(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val dirSet = sess.sparkContext.getCheckpointDir.isDefined
@@ -43,7 +54,10 @@ object Dedup {
         case "false" => false
         case _       => dirSet
       }
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (reliable) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(true) finally { cached.unpersist(); () }
+    } else df.localCheckpoint(true)
   }
 
   /** Exact dedup keyed on content hash: keeps min(doc_id) per text. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 /** Optimizer rule restoring parquet predicate pushdown through the
   * `TableRegistry.normalizeTs` boundary.
   *
-  * normalizeTs presents a TIMESTAMP_NTZ parquet column to the engine as
+  * normalizeTs presents a timestamp parquet column to the engine as
   * `unix_micros(cast(ts as timestamp)) * 1000` (the epoch-nanos contract).
   * A comparison of that derived expression against a literal cannot reach
   * the parquet scan — the scan sees only `IsNotNull(ts)` and every
@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * the one column event tables are always filtered by. The arithmetic is
   * exactly invertible over longs, so this rule rewrites
   *
-  *   unix_micros(cast(ts as timestamp)) * 1000  ⋈  C        (C literal ns)
-  *     ⇒  ts ⋈ Literal(C', TIMESTAMP_NTZ)                    (C' µs)
+  *   unix_micros(…ts…) * 1000  ⋈  C      (C literal nanos)
+  *     ⇒  ts ⋈ Literal(C', <ts's own type>)    (C' micros)
   *
   * with the ceil/floor division that makes each inequality exact on the
   * integer lattice (e.g. `u·1000 ≥ C ⟺ u ≥ ⌈C/1000⌉`). Equality rewrites
@@ -25,67 +25,80 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * replaced by `false` because that would turn a NULL result into FALSE
   * in non-filter contexts.
   *
-  * VALIDITY: `unix_micros(cast(ntz as timestamp))` equals the NTZ column's
-  * stored micros only when the session time zone is UTC (any other zone
-  * makes the cast non-linear across DST transitions), so the rule is a
-  * no-op unless `spark.sql.session.timeZone` is UTC/Etc/UTC — which every
-  * graft entry point pins. Null semantics are preserved: a NULL `ts`
-  * yields NULL before and after.
+  * Matched input shapes (both orientations, five comparison ops):
+  *  - `UnixMicros(Cast(ntz, TimestampType, tz))` — valid ONLY when the
+  *    Cast's OWN embedded time zone is UTC: the zone is baked in at
+  *    analysis time, so checking the session zone at optimization time
+  *    would mis-rewrite a plan analyzed under another zone (e.g. one
+  *    cached by TableRegistry.dfCache before a zone change). Every graft
+  *    entry point pins UTC, so in practice the rule always fires.
+  *  - `UnixMicros(ts: TimestampType)` — the shape left after
+  *    SimplifyCasts removes a no-op cast (e.g. if a generator vintage
+  *    ships isAdjustedToUTC=true micros). unix_micros of a TIMESTAMP is
+  *    instant-based and zone-independent, so no guard is needed.
+  *
+  * Null semantics are preserved: a NULL `ts` yields NULL before and
+  * after. Overflow caveat: for |ts| beyond ±year-2262 the ORIGINAL
+  * `·1000` multiply overflows (throws under ANSI) while the rewritten
+  * bare comparison evaluates cleanly — normalizeTs's contract is that
+  * such instants are unrepresentable in epoch nanos to begin with.
   */
 object EpochNanosPushdownRule extends Rule[LogicalPlan] {
 
-  /** Matches the normalizeTs shape and yields the underlying NTZ column. */
-  private object NanosOfNtz {
-    private def ntzMicros(e: Expression): Option[Expression] = e match {
-      case UnixMicros(Cast(a, TimestampType, _, _))
-          if a.dataType == TimestampNTZType => Some(a)
+  private def utcZone(tz: Option[String]): Boolean =
+    tz.exists(z => java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC)
+
+  /** Matches `unix_micros(…) * 1000` over a column whose stored value IS
+    * the micros unix_micros returns; yields that column (NTZ or TS typed). */
+  private object NanosOfTs {
+    private def micros(e: Expression): Option[Expression] = e match {
+      case UnixMicros(Cast(a, TimestampType, tz, _))
+          if a.dataType == TimestampNTZType && utcZone(tz) => Some(a)
+      case UnixMicros(a) if a.dataType == TimestampType => Some(a)
       case _ => None
     }
     def unapply(e: Expression): Option[Expression] = e match {
-      case Multiply(inner, Literal(1000L, LongType), _) => ntzMicros(inner)
-      case Multiply(Literal(1000L, LongType), inner, _) => ntzMicros(inner)
+      case Multiply(inner, Literal(1000L, LongType), _) => micros(inner)
+      case Multiply(Literal(1000L, LongType), inner, _) => micros(inner)
       case _ => None
     }
   }
 
-  private def utcSession: Boolean =
-    java.time.ZoneId.of(conf.sessionLocalTimeZone).normalized() ==
-      java.time.ZoneOffset.UTC
-
-  // exact integer bounds: both are total on Long except within 1000 of the
-  // extremes (epoch-ns there is year ±292 — reject and leave the plan alone)
-  private def floorDiv1000(c: Long): Option[Long] = Some(Math.floorDiv(c, 1000L))
+  // exact integer bounds. floorDiv is total; ceilDiv is partial within 1000
+  // of Long.MaxValue (epoch-ns there is year ~292 billion — refuse and leave
+  // the plan alone rather than wrap)
+  private def floorDiv1000(c: Long): Long = Math.floorDiv(c, 1000L)
   private def ceilDiv1000(c: Long): Option[Long] =
     if (c > Long.MaxValue - 999L) None
     else Some(Math.floorDiv(c + 999L, 1000L))
 
-  private def ntzLit(us: Long): Literal = Literal(us, TimestampNTZType)
+  /** Literal carrying micros in the COLUMN's own type (NTZ and TS both
+    * store Long micros internally). */
+  private def tsLit(us: Long, a: Expression): Literal = Literal(us, a.dataType)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!utcSession) return plan
+  override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // attr-on-left orientations
-      case GreaterThanOrEqual(NanosOfNtz(a), Literal(c: Long, LongType)) if ceilDiv1000(c).isDefined =>
-        GreaterThanOrEqual(a, ntzLit(ceilDiv1000(c).get))
-      case GreaterThan(NanosOfNtz(a), Literal(c: Long, LongType)) =>
-        GreaterThan(a, ntzLit(floorDiv1000(c).get))
-      case LessThanOrEqual(NanosOfNtz(a), Literal(c: Long, LongType)) =>
-        LessThanOrEqual(a, ntzLit(floorDiv1000(c).get))
-      case LessThan(NanosOfNtz(a), Literal(c: Long, LongType)) if ceilDiv1000(c).isDefined =>
-        LessThan(a, ntzLit(ceilDiv1000(c).get))
-      case EqualTo(NanosOfNtz(a), Literal(c: Long, LongType)) if c % 1000L == 0L =>
-        EqualTo(a, ntzLit(c / 1000L))
+      case GreaterThanOrEqual(NanosOfTs(a), Literal(c: Long, LongType)) if ceilDiv1000(c).isDefined =>
+        GreaterThanOrEqual(a, tsLit(ceilDiv1000(c).get, a))
+      case GreaterThan(NanosOfTs(a), Literal(c: Long, LongType)) =>
+        GreaterThan(a, tsLit(floorDiv1000(c), a))
+      case LessThanOrEqual(NanosOfTs(a), Literal(c: Long, LongType)) =>
+        LessThanOrEqual(a, tsLit(floorDiv1000(c), a))
+      case LessThan(NanosOfTs(a), Literal(c: Long, LongType)) if ceilDiv1000(c).isDefined =>
+        LessThan(a, tsLit(ceilDiv1000(c).get, a))
+      case EqualTo(NanosOfTs(a), Literal(c: Long, LongType)) if c % 1000L == 0L =>
+        EqualTo(a, tsLit(c / 1000L, a))
       // literal-on-left orientations (mirror: C ⋈ u·1000 ⟺ u·1000 ⋈⁻¹ C)
-      case GreaterThanOrEqual(Literal(c: Long, LongType), NanosOfNtz(a)) =>
-        LessThanOrEqual(a, ntzLit(floorDiv1000(c).get))
-      case GreaterThan(Literal(c: Long, LongType), NanosOfNtz(a)) if ceilDiv1000(c).isDefined =>
-        LessThan(a, ntzLit(ceilDiv1000(c).get))
-      case LessThanOrEqual(Literal(c: Long, LongType), NanosOfNtz(a)) if ceilDiv1000(c).isDefined =>
-        GreaterThanOrEqual(a, ntzLit(ceilDiv1000(c).get))
-      case LessThan(Literal(c: Long, LongType), NanosOfNtz(a)) =>
-        GreaterThan(a, ntzLit(floorDiv1000(c).get))
-      case EqualTo(Literal(c: Long, LongType), NanosOfNtz(a)) if c % 1000L == 0L =>
-        EqualTo(a, ntzLit(c / 1000L))
+      case GreaterThanOrEqual(Literal(c: Long, LongType), NanosOfTs(a)) =>
+        LessThanOrEqual(a, tsLit(floorDiv1000(c), a))
+      case GreaterThan(Literal(c: Long, LongType), NanosOfTs(a)) if ceilDiv1000(c).isDefined =>
+        LessThan(a, tsLit(ceilDiv1000(c).get, a))
+      case LessThanOrEqual(Literal(c: Long, LongType), NanosOfTs(a)) if ceilDiv1000(c).isDefined =>
+        GreaterThanOrEqual(a, tsLit(ceilDiv1000(c).get, a))
+      case LessThan(Literal(c: Long, LongType), NanosOfTs(a)) =>
+        GreaterThan(a, tsLit(floorDiv1000(c), a))
+      case EqualTo(Literal(c: Long, LongType), NanosOfTs(a)) if c % 1000L == 0L =>
+        EqualTo(a, tsLit(c / 1000L, a))
     }
-  }
 }

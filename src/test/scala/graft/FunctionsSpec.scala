@@ -160,5 +160,16 @@ class FunctionsSpec extends SparkSpec {
     // non-divisible equality is left alone (a FALSE rewrite would break
     // null semantics in projection contexts), and matches nothing here
     assert(df.where(s"$tsNanos = 1000001L").count() == 0L)
+
+    // the bare-TIMESTAMP shape (what SimplifyCasts leaves when a vintage
+    // ships isAdjustedToUTC=true micros): unix_micros without any cast
+    // must rewrite too — zone-independent, no UTC guard involved
+    val dfTs = micros.toDF("us").selectExpr("us", "timestamp_micros(us) AS ts")
+    val bare = "unix_micros(ts) * 1000"
+    val gotBare = dfTs.where(s"$bare >= 1000001L").select("us")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotBare == expectedNs(">=", 1000001L), gotBare.toString)
+    val pb = dfTs.where(s"$bare >= 1000001L").queryExecution.optimizedPlan.toString
+    assert(!pb.toLowerCase.contains("unix_micros"), pb)
   }
 }
