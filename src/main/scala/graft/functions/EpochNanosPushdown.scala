@@ -100,5 +100,25 @@ object EpochNanosPushdownRule extends Rule[LogicalPlan] {
         GreaterThan(a, tsLit(floorDiv1000(c), a))
       case EqualTo(Literal(c: Long, LongType), NanosOfTs(a)) if c % 1000L == 0L =>
         EqualTo(a, tsLit(c / 1000L, a))
+      // null-safe equality: unlike EqualTo, a non-divisible literal CAN be
+      // folded — <=> never returns NULL, and no nanos value off the
+      // 1000-lattice is reachable, so the result is constant false
+      case EqualNullSafe(NanosOfTs(a), Literal(c: Long, LongType)) =>
+        if (c % 1000L == 0L) EqualNullSafe(a, tsLit(c / 1000L, a))
+        else Literal.FalseLiteral
+      case EqualNullSafe(Literal(c: Long, LongType), NanosOfTs(a)) =>
+        if (c % 1000L == 0L) EqualNullSafe(a, tsLit(c / 1000L, a))
+        else Literal.FalseLiteral
+      // IN over literal nanos: off-lattice values can never match and are
+      // dropped; at least one must survive (`a IN (…)` with a NULL input
+      // yields NULL only while the list is non-empty, so an empty rewrite
+      // would flip NULL→FALSE in projection contexts)
+      case In(NanosOfTs(a), list)
+          if list.nonEmpty && list.forall {
+            case Literal(_: Long, LongType) => true; case _ => false
+          } && list.exists { case Literal(c: Long, LongType) => c % 1000L == 0L } =>
+        In(a, list.collect {
+          case Literal(c: Long, LongType) if c % 1000L == 0L => tsLit(c / 1000L, a)
+        })
     }
 }

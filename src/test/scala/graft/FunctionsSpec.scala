@@ -171,5 +171,24 @@ class FunctionsSpec extends SparkSpec {
     assert(gotBare == expectedNs(">=", 1000001L), gotBare.toString)
     val pb = dfTs.where(s"$bare >= 1000001L").queryExecution.optimizedPlan.toString
     assert(!pb.toLowerCase.contains("unix_micros"), pb)
+
+    // null-safe equality: divisible rewrites, non-divisible folds to
+    // constant false (legal for <=> — it never returns NULL)
+    assert(df.where(s"$tsNanos <=> 1000000L").select("us")
+      .collect().map(_.getLong(0)).toSet == Set(1000L))
+    assert(df.where(s"$tsNanos <=> 1000001L").count() == 0L)
+    val pns = df.where(s"$tsNanos <=> 1000001L").queryExecution.optimizedPlan.toString
+    assert(!pns.toLowerCase.contains("unix_micros"), pns)
+
+    // IN: off-lattice members drop, on-lattice members match; the list
+    // keeps at least one element so NULL-input semantics survive
+    val gotIn = df.where(s"$tsNanos IN (999000L, 1000001L, 123456789000L)")
+      .select("us").collect().map(_.getLong(0)).toSet
+    assert(gotIn == Set(999L, 123456789L), gotIn.toString)
+    val pin = df.where(s"$tsNanos IN (999000L, 1000001L, 123456789000L)")
+      .queryExecution.optimizedPlan.toString
+    assert(!pin.toLowerCase.contains("unix_micros"), pin)
+    // all-off-lattice IN is left alone (no empty-list rewrite)
+    assert(df.where(s"$tsNanos IN (1L, 1001L)").count() == 0L)
   }
 }
