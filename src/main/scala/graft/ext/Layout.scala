@@ -33,11 +33,27 @@ object Layout {
 
   /** Compact `inDir` (parquet) into ~targetBytes output files at `outDir`:
     * n_files = max(1, ceil(bytes / target)). Row multiset is unchanged —
-    * compaction is layout-only. Returns the compacted DataFrame. */
+    * compaction is layout-only. Returns the compacted DataFrame.
+    *
+    * `outDir` must differ from `inDir`: the parquet read is LAZY and
+    * `mode(overwrite)` deletes the destination before executing the scan —
+    * an in-place call would destroy the source before reading it. Compact
+    * to a staging dir and rename, like every table-format maintenance job. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val inP = new org.apache.hadoop.fs.Path(inDir)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    val fs = inP.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.makeQualified(inP) != outP.getFileSystem(
+        spark.sessionState.newHadoopConf()).makeQualified(outP),
+      s"compact would overwrite its own input ('$inDir'): the lazy read " +
+        "executes AFTER mode(overwrite) deletes the directory — write to a " +
+        "staging dir and rename instead")
     val src = spark.read.parquet(inDir)
-    val n = math.max(1L, math.ceil(dirBytes(spark, inDir).toDouble / targetBytes).toLong).toInt
+    val nL = math.max(1L, math.ceil(dirBytes(spark, inDir).toDouble / targetBytes).toLong)
+    // a petabyte input with a tiny target must clamp, not wrap negative
+    val n = math.min(nL, Int.MaxValue.toLong).toInt
     src.repartition(n).write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
   }

@@ -26,10 +26,19 @@ object Sampling {
     * field. Chosen over xxhash64/murmur3 deliberately: the arithmetic is
     * reproducible in any SQL engine (the DuckDB oracle twin), which is what
     * makes cross-engine corpus reproducibility auditable. Knuth multiplier
-    * 2654435761 (golden-ratio scaling of 2^32); modulus 1000003 (prime)
-    * keeps every product within long range under ANSI overflow checking.
-    */
-  def idHash(id: Column): Column = (id * lit(2654435761L) + lit(12345L)) % lit(1000003L)
+    * 2654435761 (golden-ratio scaling of 2^32); modulus 1000003 (prime).
+    *
+    * The id is reduced into the field BEFORE the multiply (pmod also
+    * normalizes negative ids): (id mod P)·2654435761 < 2.7e15 stays far
+    * inside long range for EVERY bigint id — the raw `id · 2654435761`
+    * form overflows past id ≈ 3.47e9 (snowflake/epoch-derived ids), which
+    * under default Spark wraps negative and makes `% 1000` quotas keep
+    * whole id ranges unconditionally, and under ANSI/DuckDB throws.
+    * Identical values to the raw form wherever that form doesn't overflow,
+    * so the DuckDB twins (same pre-reduced expression) are unchanged on
+    * any in-range corpus. */
+  def idHash(id: Column): Column =
+    (pmod(id, lit(1000003L)) * lit(2654435761L) + lit(12345L)) % lit(1000003L)
 
   /** Per-stratum rate sampling: keep a row iff hash(id) mod 1000 falls
     * under the stratum's per-mille quota. `quotaPerMille` is any Column
@@ -41,6 +50,8 @@ object Sampling {
     * each stratum (deterministic "reservoir"); hash ties broken by id. One
     * shuffle on the stratum key. */
   def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "topKPerStratum reserves column name '_rn'; rename it on the input")
     val w = Window.partitionBy(col(stratumCol)).orderBy(idHash(col(idCol)).asc, col(idCol).asc)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

@@ -22,6 +22,11 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       rowTag: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    // withColumn would silently REPLACE a same-named user column and the
+    // final drop would then delete user data — refuse instead
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves column name '__salt'; rename it on the inputs")
     val salted = large.withColumn("__salt", pmod(hash(rowTag), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -34,30 +34,59 @@ object Temporal {
     *
     * Right rows sort before left rows at equal timestamps, so a tie is a
     * match — same as DuckDB `ASOF JOIN ... ON l.t >= r.t` (the oracle twin).
+    *
+    * Semantics hardening (post-review):
+    *  - ALL carried columns come from ONE right row, carried as a single
+    *    struct. The per-column `last(…, ignoreNulls)` formulation silently
+    *    substituted an OLDER row's value when the latest right row held a
+    *    legitimate NULL — and could stitch different carry columns from
+    *    different right rows into a combination existing in no input row.
+    *    A NULL in the latest matching row now comes through as NULL,
+    *    exactly like the DuckDB twin.
+    *  - Right rows with a NULL timestamp are dropped up front: the as-of
+    *    predicate `l.t >= r.t` is never true for them, but ascending sort
+    *    puts NULLs FIRST, so they would otherwise be carried into every
+    *    left row before the first real right row.
+    *  - Right rows tied on (key, ts) are resolved deterministically (max
+    *    carried struct wins — the window tie-breaks by the struct itself),
+    *    so results are stable across partitionings and re-runs. DuckDB's
+    *    ASOF picks an arbitrary tied row; the oracle fixture carries the
+    *    timestamp itself, where tied rows are value-identical.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, carryCols: Seq[String]): DataFrame = {
     val leftPayload = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq
+    val reserved = Seq("_side", "_asof") ++ carryCols.map(c => s"asof_$c")
+    reserved.foreach { r =>
+      require(!left.columns.contains(r),
+        s"asofJoin reserves column name '$r'; rename it on the left input")
+    }
     val rightSchema = right.schema
+    val asofType = org.apache.spark.sql.types.StructType(
+      carryCols.map(c => rightSchema(c).copy(name = c)))
     // Common union schema: keys ++ ts ++ left payload (null on right rows)
-    // ++ side tag ++ carried right columns (null on left rows).
+    // ++ side tag ++ ONE struct of the carried right columns (null on left).
     val lSide = left.select(
       (keyCols :+ tsCol).map(col) ++
         leftPayload.map(col) :+
-        lit(1).as("_side") :++
-        carryCols.map(c => lit(null).cast(rightSchema(c).dataType).as(s"asof_$c")): _*)
-    val rSide = right.select(
+        lit(1).as("_side") :+
+        lit(null).cast(asofType).as("_asof"): _*)
+    val rSide = right.where(col(tsCol).isNotNull).select(
       (keyCols :+ tsCol).map(col) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(0).as("_side") :++
-        carryCols.map(c => col(c).as(s"asof_$c")): _*)
+        lit(0).as("_side") :+
+        struct(carryCols.map(col): _*).as("_asof"): _*)
+    // O(1) running-last state per row; `_asof` in the ordering makes tied
+    // right rows deterministic (left rows all carry NULL there — inert)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_asof").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1).drop("_side")
+    lSide.unionByName(rSide)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select((keyCols :+ tsCol).map(col) ++
+        leftPayload.map(col) ++
+        carryCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Interval (range) join: rows of `fact` whose `tsCol` falls inside
@@ -68,11 +97,21 @@ object Temporal {
     */
   def rangeJoin(fact: DataFrame, intervals: DataFrame, tsCol: String,
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
-    // `div` (integer division), NOT `/`: epoch-nano longs exceed 2^53, so a
-    // double-typed quotient would lose the low bits of the bucket id
-    val bucketed = fact.withColumn("_bkt", expr(s"$tsCol div $bucketWidth"))
+    // width 0 would make the non-ANSI integer divide yield NULL bucket ids
+    // and the join silently return EMPTY ("no events in any window") —
+    // refuse instead of lying
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!fact.columns.contains("_bkt") && !intervals.columns.contains("_bkt"),
+      "rangeJoin reserves column name '_bkt'; rename it on the inputs")
+    // integer division (div), NOT `/`: epoch-nano longs exceed 2^53, so a
+    // double-typed quotient would lose the low bits of the bucket id.
+    // Identifiers are backtick-quoted (with embedded backticks doubled) so
+    // names with spaces/dots/reserved words parse instead of breaking.
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    def bkt(name: String): Column = expr(s"${q(name)} div $bucketWidth")
+    val bucketed = fact.withColumn("_bkt", bkt(tsCol))
     val expanded = intervals.withColumn("_bkt",
-      explode(sequence(expr(s"$loCol div $bucketWidth"), expr(s"$hiCol div $bucketWidth"))))
+      explode(sequence(bkt(loCol), bkt(hiCol))))
     bucketed.join(expanded, Seq("_bkt"))
       .where(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
       .drop("_bkt")

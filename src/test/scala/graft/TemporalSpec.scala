@@ -82,4 +82,80 @@ class TemporalSpec extends SparkSpec {
     assert(counts.length == strata)
     assert(counts.forall(_ <= 3))
   }
+
+  test("asofJoin carries the WHOLE latest row: a legit NULL is not papered over by an older row") {
+    // right = (t=1, v=5, w=1), (t=2, v=NULL, w=2); left event at t=3 must
+    // see the t=2 snapshot: v=NULL, w=2 — the per-column last(ignoreNulls)
+    // formulation returned the superseded v=5 (and could stitch v from one
+    // row with w from another)
+    import spark.implicits._
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq((1L, 1L, Some(5L), 1L), (1L, 2L, None, 2L))
+      .toDF("k", "t", "v", "w")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v", "w"))
+      .select("asof_v", "asof_w").collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(0), s"stale v carried: ${out(0)}")
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("asofJoin ignores NULL-timestamp right rows instead of carrying them everywhere") {
+    // the as-of predicate l.t >= r.t is never true for a NULL r.t, but
+    // ascending sort puts NULLs first — un-filtered they'd be carried into
+    // every left row before the first real right row
+    import spark.implicits._
+    val left = Seq((1L, 50L), (1L, 150L)).toDF("k", "t")
+    val right = Seq((1L, Option.empty[Long], 9L), (1L, Some(100L), 1L))
+      .toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .orderBy("t").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_v")),
+      s"null-ts right row leaked into t=50: ${out(0)}")
+    assert(out(1).getLong(out(1).fieldIndex("asof_v")) == 1L)
+  }
+
+  test("asofJoin is deterministic on tied right timestamps (max carried struct wins)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("k", "t", "v")
+    val a = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .select("asof_v").collect()(0).getLong(0)
+    val b = Temporal.asofJoin(left, right.repartition(7), Seq("k"), "t", Seq("v"))
+      .select("asof_v").collect()(0).getLong(0)
+    assert(a == 2L, s"tie must resolve to the max carried struct, got $a")
+    assert(b == 2L, s"tie nondeterministic under repartition: $b")
+  }
+
+  test("idHash never overflows: snowflake-scale and negative ids hash into [0, P)") {
+    // the raw id·2654435761 form wrapped negative past id ≈ 3.47e9, making
+    // `% 1000 < quota` keep whole id ranges unconditionally
+    import spark.implicits._
+    val ids = Seq(0L, 5000000000L, Long.MaxValue, -17L).toDF("id")
+    val hs = ids.select(Sampling.idHash(col("id")).as("h")).collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < 1000003L), hs.toSeq.toString)
+    // in-range ids keep their historical hash (oracle twins unchanged)
+    val small = Seq(42L).toDF("id")
+      .select(Sampling.idHash(col("id")).as("h")).collect()(0).getLong(0)
+    assert(small == (42L * 2654435761L + 12345L) % 1000003L)
+  }
+
+  test("guards: in-place compact refused, zero-width rangeJoin refused, reserved names refused") {
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    docs.limit(10).write.mode("overwrite").parquet(s"$tmp/t")
+    intercept[IllegalArgumentException] {
+      graft.ext.Layout.compact(spark, s"$tmp/t", s"$tmp/t", 1000000L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Layout.compact(spark, s"$tmp/t", s"$tmp/out", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(docs, docs, "doc_id", "doc_id", "doc_id", 0L)
+    }
+    import spark.implicits._
+    val clash = Seq((1L, 2L)).toDF("k", "__salt")
+    intercept[IllegalArgumentException] {
+      graft.ext.Skew.saltedJoin(clash, clash.select("k"), "k", col("k"), 4)
+    }
+  }
 }
