@@ -35,7 +35,9 @@ object DfMemo {
 
   /** Unpersist and drop every entry owned by `spark` — for long-lived
     * sessions that iterate over many corpora/param sets and want the block
-    * storage back. */
+    * storage back. Driver-side memos keyed by session live elsewhere too:
+    * call [[graft.ext.SimSearch.clear]] (which delegates here) to also drop
+    * the collected centroid matrices. */
   def clear(spark: SparkSession): Unit = {
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
@@ -62,7 +64,8 @@ object DfMemo {
     * intermittent across JVMs (observed on `graph_pagerank`). Instead:
     * get, build OUTSIDE the map, `putIfAbsent`. A concurrent duplicate
     * build is benign — `persist()` is lazy (no data is computed), and the
-    * putIfAbsent loser unpersists its copy before anything materializes. */
+    * putIfAbsent loser simply adopts the winner's frame (see below for why
+    * it must not unpersist). */
   def cached(spark: SparkSession, cacheKey: Option[String], tag: String,
       persistUnkeyed: Boolean = false)
       (build: => DataFrame): DataFrame = cacheKey match {
@@ -73,7 +76,13 @@ object DfMemo {
       else {
         val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prev = memo.putIfAbsent(key, built)
-        if (prev != null) { built.unpersist(); prev } else built
+        // the putIfAbsent loser must NOT unpersist: CacheManager keys cache
+        // entries by LOGICAL PLAN, and the loser's plan is identical to the
+        // winner's — unpersisting would evict the winner's entry too and
+        // leave the memo serving a permanently-uncached frame (every
+        // downstream use then re-runs the full sketch build). The loser's
+        // persist() was a no-op on the already-cached plan; nothing leaks.
+        if (prev != null) prev else built
       }
     case None if persistUnkeyed =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -69,7 +69,12 @@ object Multimodal {
       * the sum of ALL raster samples (every band, every pixel) — a
       * content-sensitive, bit-exact statistic the oracle can replay. */
     def decode(r: MediaRecord): Option[MediaFeatures] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      // a reader can CLAIM bytes (valid magic) and still throw on a
+      // truncated/corrupt body — that must degrade to the stub fallback,
+      // not abort the stage (one bad file in a 100 TB ingest is routine)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) None
       else {
         val raster = img.getRaster
@@ -94,7 +99,9 @@ object Multimodal {
       * the oracle replays the exact source coordinates. Returns one byte per
       * output pixel. None when the payload doesn't decode. */
     def resize(r: MediaRecord, w: Int, h: Int): Option[Thumbnail] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) None
       else {
         val raster = img.getRaster
@@ -123,15 +130,21 @@ object Multimodal {
   /** STUB resize: a real implementation scales pixels; the stub takes a
     * deterministic byte stride so output size tracks the requested dims. */
   def resizeStub(r: MediaRecord, w: Int, h: Int): Thumbnail = {
-    val target = math.max(1, math.min(r.media.length, w * h / 64))
-    val stride = math.max(1, r.media.length / target)
-    val out = Array.tabulate(target)(i => r.media(math.min(i * stride, r.media.length - 1)))
-    Thumbnail(r.doc_id, w, h, out)
+    // empty payload → empty thumb (the old max(1, …) floor indexed media(-1))
+    if (r.media.isEmpty) Thumbnail(r.doc_id, w, h, Array.emptyByteArray)
+    else {
+      val target = math.max(1, math.min(r.media.length, w * h / 64))
+      val stride = math.max(1, r.media.length / target)
+      val out = Array.tabulate(target)(i => r.media(math.min(i * stride, r.media.length - 1)))
+      Thumbnail(r.doc_id, w, h, out)
+    }
   }
 
   /** STUB frame sampling: every `everyN`-th 64-byte block stands in for a
     * decoded video frame (a real impl seeks keyframes in the container). */
   def sampleFramesStub(r: MediaRecord, everyN: Int): Iterator[Frame] = {
+    // everyN <= 0 would make every offset 0 — an INFINITE iterator
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val blockSize = 64
     Iterator.from(0)
       .map(_ * everyN * blockSize)
@@ -177,6 +190,10 @@ object Multimodal {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+      // stray non-conforming files (_SUCCESS, .DS_Store, readme.txt) yield
+      // an empty extraction → NULL doc_id → encoder crash on the primitive
+      // field; skip them instead of killing the ingest
+      .where(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1) =!= "")
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1).cast("long").as("doc_id"),
         concat(lit("file/"), regexp_extract(col("path"), "\\.([^/.]+)$", 1)).as("media_type"),
@@ -270,9 +287,19 @@ object Multimodal {
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     /** Materialize (once per fixture dir per JVM) the PNG corpus for `docs`
-      * and return its directory — the input to [[mediaFromBinaryFiles]]. */
+      * and return its directory — the input to [[mediaFromBinaryFiles]].
+      *
+      * The corpus population (count, min id, max id) is part of the
+      * DIRECTORY NAME: a pre-existing tmpdir corpus from an earlier JVM is
+      * reused only when it was rendered for this exact population — a
+      * regenerated fixture set (the events.ts precedent) lands in a fresh
+      * dir instead of silently joining against a stale corpus. */
     def ensure(docs: DataFrame, fixtureKey: String): String = {
-      val tag = fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")
+      val pop = docs.agg(count(lit(1)),
+          coalesce(min(col("doc_id")), lit(0L)), coalesce(max(col("doc_id")), lit(0L)))
+        .collect()(0)
+      val manifest = s"${pop.getLong(0)}_${pop.getLong(1)}_${pop.getLong(2)}"
+      val tag = s"${fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")}_$manifest"
       cache.computeIfAbsent(tag, { _ =>
         // executors write into executor-local java.io.tmpdir and the driver
         // renames the staging dir — correct ONLY when driver and executors

@@ -33,10 +33,17 @@ object SimSearch {
 
   /** (vec_id, v, nrm) — norms precomputed once per vector so pairwise work
     * is only the dot product (norms in the pair expression would be
-    * recomputed per partner — 3× the flops). */
+    * recomputed per partner — 3× the flops).
+    *
+    * Zero-norm (all-zero) vectors are DROPPED here: their cosine is 0/0 =
+    * NaN, and Spark's NaN-greatest semantics would pass `cos >= threshold`
+    * and rank them FIRST under desc ordering — spurious top matches from
+    * vectors that have no direction. Cosine similarity is undefined for
+    * them; excluding at the one norm site keeps every retriever consistent. */
   private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0)
 
   /** Brute-force top-k cosine neighbors of one query vector. */
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
@@ -121,6 +128,16 @@ object SimSearch {
     * top-n scan per call. */
   private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Array[(Int, Array[Double])]]()
+
+  /** Drop every driver-side memo owned by `spark` — the centroid matrices
+    * here AND the persisted frames in [[DfMemo]] (one call frees both; a
+    * long-lived JVM cycling sessions would otherwise pin stopped sessions
+    * and their n × dim matrices forever). */
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = centroidMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+    DfMemo.clear(spark)
+  }
 
   /** Deterministic seed "centroids": the first n vectors by vec_id,
     * collected as plan-time literals (metadata-sized — n × dim doubles). */

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * a capacity-k bounded heap per group, ordered by the struct child's FIRST
   * field descending, remaining fields ascending (the score-then-tiebreak
   * shape of every per-group ranking in this engine). All fields must be
-  * numeric (long/int/double).
+  * numeric (long/int/double). Rows with a NULL in any ranking field are
+  * SKIPPED (they never displace a real row); NaN orders greatest, like
+  * Spark's sort.
   *
   * Scale rationale: the row_number-window formulation of per-group top-k
   * shuffles and sorts the ENTIRE table into |group| partitions — the
@@ -57,12 +59,18 @@ case class TopKRows(
   // struct type known.
   private lazy val nFields = structType.fields.length
 
-  /** total order: field 0 DESC, fields 1.. ASC. */
+  /** Total order: field 0 DESC, fields 1.. ASC — via Double.compare, so
+    * NaN participates in a TOTAL order (NaN greatest, NaN == NaN), matching
+    * Spark's sort semantics. Raw `!=`/`>` made NaN incomparable (both
+    * better(a,b) and better(b,a) false), which let insertion/merge order
+    * decide the heap contents — nondeterministic under repartitioning. */
   private def better(a: Array[Double], b: Array[Double]): Boolean = {
-    if (a(0) != b(0)) return a(0) > b(0)
+    val c0 = java.lang.Double.compare(a(0), b(0))
+    if (c0 != 0) return c0 > 0
     var i = 1
     while (i < nFields) {
-      if (a(i) != b(i)) return a(i) < b(i)
+      val c = java.lang.Double.compare(a(i), b(i))
+      if (c != 0) return c < 0
       i += 1
     }
     false
@@ -89,15 +97,22 @@ case class TopKRows(
       val r = v.asInstanceOf[InternalRow]
       val arr = new Array[Double](nFields)
       var i = 0
-      while (i < nFields) {
-        arr(i) = structType.fields(i).dataType match {
-          case LongType => r.getLong(i).toDouble
-          case IntegerType => r.getInt(i).toDouble
-          case DoubleType => r.getDouble(i)
+      var anyNull = false
+      while (i < nFields && !anyNull) {
+        // a NULL ranking field must not silently read as 0 and displace a
+        // real row from the top-k: rows with any NULL field are SKIPPED
+        // (documented contract — build the struct from non-null columns)
+        if (r.isNullAt(i)) anyNull = true
+        else {
+          arr(i) = structType.fields(i).dataType match {
+            case LongType => r.getLong(i).toDouble
+            case IntegerType => r.getInt(i).toDouble
+            case DoubleType => r.getDouble(i)
+          }
         }
         i += 1
       }
-      insert(buf, arr)
+      if (!anyNull) insert(buf, arr)
     }
     buf
   }

@@ -359,4 +359,73 @@ class ExtSpec extends SparkSpec {
       Multimodal.mediaFromDocuments(spark, docs)).collect()
     assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
   }
+
+  test("multimodal robustness: corrupt-but-claimed payloads, stray files, empty media, bad everyN") {
+    import spark.implicits._
+    // a TRUNCATED PNG: valid magic (a reader claims it) but the body is cut —
+    // ImageIO.read throws; must degrade to the stub, not abort the stage
+    val png = Multimodal.PngFixtures.render(5L)
+    val truncated = png.take(40)
+    val out = Multimodal.extractFeatures(
+        Seq(Multimodal.MediaRecord(5L, "file/png", truncated)).toDS())
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).width == (truncated.length % 640).toInt, "stub fallback expected")
+
+    // stray files without trailing digits must be skipped, not crash the
+    // encoder on a NULL doc_id
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_media_stray").toString
+    Files.write(Paths.get(dir, "12.bin"), "payload".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(dir, "readme.txt"), "hello".getBytes("UTF-8"))
+    val ids = Multimodal.mediaFromBinaryFiles(spark, dir).collect().map(_.doc_id).toSet
+    assert(ids == Set(12L), ids.toString)
+
+    // empty payload: resizeStub must not index media(-1)
+    val empty = Multimodal.resizeStub(
+      Multimodal.MediaRecord(9L, "file/bin", Array.emptyByteArray), 8, 8)
+    assert(empty.thumb.isEmpty)
+
+    // everyN <= 0 would be an infinite iterator — refused
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFramesStub(
+        Multimodal.MediaRecord(9L, "file/bin", "0123456789".getBytes), 0)
+    }
+  }
+
+  test("TopKRows: NULL ranking fields never displace real rows; NaN orders deterministically") {
+    import spark.implicits._
+    import graft.functions.TopKRows.topKRows
+    // null score must be SKIPPED, not read as 0 (it would outrank -5.0)
+    val withNull = Seq((Some(1.0), 1L), (None, 2L), (Some(-5.0), 3L))
+      .toDF("score", "id")
+    val top = withNull.agg(topKRows(struct(col("score"), col("id")), 2).as("t"))
+      .select(explode(col("t")).as("r")).select("r.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L), s"null row leaked into top-k: $top")
+    // NaN: greatest (like Spark's sort) and stable under repartitioning
+    val withNaN = Seq((Double.NaN, 7L), (2.0, 8L), (1.0, 9L)).toDF("score", "id")
+    def topOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(topKRows(struct(col("score"), col("id")), 2).as("t"))
+        .select(explode(col("t")).as("r")).select("r.id")
+        .collect().map(_.getLong(0)).toSeq
+    assert(topOf(withNaN) == Seq(7L, 8L))
+    assert(topOf(withNaN.repartition(5)) == Seq(7L, 8L))
+  }
+
+  test("zero-norm embeddings are excluded from similarity, not ranked first as NaN") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = graft.ext.SimSearch.topK(spark, emb, queryVecId = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the zero vector must not appear (its cosine is 0/0 = NaN, which
+    // Spark's NaN-greatest desc sort would otherwise rank FIRST)
+    assert(!top.map(_._1).contains(2L), top.toSeq.toString)
+    assert(top.head._1 == 1L)
+    assert(top.forall(t => !t._2.isNaN))
+  }
 }
