@@ -193,7 +193,7 @@ object Queries7 {
       Some {
         def step(prev: String): String =
           s"""(SELECT dg.s AS id, dg.deg,
-             |    150000 + (850000 * c.contrib) // 1000000 AS rank
+             |    150000 + (850 * c.contrib) // 1000 AS rank
              |  FROM dg JOIN (SELECT ed.d AS id, SUM(r.rank // r.deg) AS contrib
              |    FROM ed JOIN $prev r ON ed.s = r.id GROUP BY ed.d) c ON dg.s = c.id)""".stripMargin
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -789,7 +789,7 @@ object QueriesExt {
     QSpec("stream_usage_window",
       // X5 batch twin of the streaming hourly usage windows (streaming path
       // itself is exercised in StreamingSpec with a memory source).
-      (s, dir) => StreamingUsage.batchTwin(s, t(s, dir, "events")),
+      (s, dir) => StreamingUsage.batchTwin(t(s, dir, "events")),
       Some(
         """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS window_start,
           |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -800,7 +800,7 @@ object QueriesExt {
       // event in 4 overlapping windows). The oracle replays Spark's window
       // replication as an explicit slide-index cross join over epoch-µs
       // integer arithmetic.
-      (s, dir) => StreamingUsage.slidingBatchTwin(s, t(s, dir, "events")),
+      (s, dir) => StreamingUsage.slidingBatchTwin(t(s, dir, "events")),
       Some(
         """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus FROM events),
           |w AS (SELECT event_type,

@@ -35,7 +35,8 @@ object Graph {
     // the degree table is referenced by every iteration's subtree: without
     // materialization the lazy chain re-aggregates the edge list per
     // iteration — 2×iters full passes at scale for a node-sized table
-    val deg = DfMemo.cached(spark, cacheKey, s"prdeg$pairsTag") {
+    val deg = DfMemo.cached(spark, cacheKey, s"prdeg$pairsTag",
+        persistUnkeyed = true) {
       edges.groupBy("s").agg(count(lit(1)).as("deg"))
     }
     var rank = deg.select(col("s").as("id"), col("deg"), lit(1000000L).as("rank"))
@@ -47,7 +48,11 @@ object Graph {
       // the inner join loses nobody and contrib is never null
       rank = deg.join(contrib, deg("s") === contrib("d"))
         .select(col("s").as("id"), col("deg"),
-          (lit(150000L) + expr("(850000 * contrib) div 1000000")).as("rank"))
+          // (850·c) div 1000 == (850000·c) div 1000000 for every integer c
+          // (equal reduced fractions), but with 1000× the overflow
+          // headroom: the old form overflowed Long at contrib ≈ 1.08e13 —
+          // a ~10M-neighbor hub — throwing under ANSI, wrapping otherwise
+          (lit(150000L) + expr("(850 * contrib) div 1000")).as("rank"))
       // rank is referenced ONCE per iteration, so plan depth grows only
       // linearly (fine at the default iters = 5) — but bound it anyway for
       // long runs by truncating lineage every 8 iterations

@@ -97,7 +97,13 @@ object Profiler {
         plainAggs += min(col(c)).cast("double").as(s"${c}__min")
         plainAggs += max(col(c)).cast("double").as(s"${c}__max")
         if (distCols(c)) {
-          plainAggs += expr(s"percentile($c, array(0.1D, 0.5D, 0.9D))").as(s"${c}__pct")
+          // backtick-quote (escaping embedded backticks): runFromCatalog
+          // profiles arbitrary user tables, and a column named 'unit price'
+          // or an ANSI-reserved word would otherwise kill the whole run at
+          // parse time — every other aggregate here goes through col(c)
+          plainAggs += expr(
+            s"percentile(`${c.replace("`", "``")}`, array(0.1D, 0.5D, 0.9D))")
+            .as(s"${c}__pct")
         }
       }
     }

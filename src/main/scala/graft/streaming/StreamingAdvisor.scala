@@ -73,7 +73,8 @@ object StreamingAdvisor {
       nameFilter: String => Boolean, logDir: String,
       snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],
       stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      approxCardinality: Boolean = false): StreamingQuery = {
     val stateRoot = new Path(logDir.stripSuffix("/") + "_state")
     // resolve through the Hadoop FS of the state path itself — the SAME
     // resolver the parquet reads/writes use, so listing/deleting versions
@@ -91,6 +92,16 @@ object StreamingAdvisor {
         // cannot change them — long sums exactly, priority sums are
         // integer-valued doubles)
         val batchStats = AnalysisPipeline.textStatsOf(batch)
+        // FRESH LINEAGE on batch 0: a restart WITHOUT a checkpoint renumbers
+        // batches from 0 while the previous run's state versions survive on
+        // disk — left in place they'd re-enter prevVersions once this run's
+        // ids pass theirs, silently merging a dead lineage's aggregates
+        // (double-counted history). A checkpointed replay of batch 0 hits
+        // this too, harmlessly: it recomputes v0 from scratch anyway.
+        if (batchId == 0L && fs.exists(stateRoot))
+          fs.listStatus(stateRoot)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+            .foreach(st => fs.delete(st.getPath, true))
         val versions =
           if (fs.exists(stateRoot))
             fs.listStatus(stateRoot)
@@ -123,8 +134,14 @@ object StreamingAdvisor {
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
         // what a fresh advisor run must reflect)
+        // NOTE the per-batch profiling cost: every advised table is
+        // re-profiled each micro-batch (table contents may change between
+        // batches — profiles are intentionally not carried). At production
+        // table sizes pass approxCardinality = true (the HLL/approx-
+        // percentile path) or the per-batch scans will outrun the trigger.
         val recs = AnalysisPipeline.runFromCatalogStats(spark,
-          spark.read.parquet(cur.toString), nameFilter = nameFilter)
+          spark.read.parquet(cur.toString), nameFilter = nameFilter,
+          approxCardinality = approxCardinality)
           .collect()
           .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
           .toSeq

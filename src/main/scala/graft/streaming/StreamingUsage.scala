@@ -25,7 +25,7 @@ object StreamingUsage {
   }
 
   /** Batch twin (oracle-checkable). */
-  def batchTwin(spark: SparkSession, events: DataFrame): DataFrame =
+  def batchTwin(events: DataFrame): DataFrame =
     windowedCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
 
@@ -46,7 +46,7 @@ object StreamingUsage {
   }
 
   /** Batch twin of [[slidingCounts]] (oracle-checkable). */
-  def slidingBatchTwin(spark: SparkSession, events: DataFrame): DataFrame =
+  def slidingBatchTwin(events: DataFrame): DataFrame =
     slidingCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
 
@@ -91,12 +91,17 @@ object StreamingUsage {
   def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val gapMs = gapMinutes * 60L * 1000L
+    // gap math in MICROSECONDS on the raw ts, not Timestamp.getTime (which
+    // truncates to ms): the batch twin compares at µs resolution, and a
+    // boundary event within 1 ms of the gap would split differently
+    val gapUs = gapMinutes * 60L * 1000000L
     val withTime = events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "10 minutes")
-    withTime.select(col("user_id"), col("event_time"))
-      .as[(Long, java.sql.Timestamp)]
+    // event_time stays in the projection (unused in the lambda) — the
+    // watermark rides on that column, and EventTimeTimeout needs it
+    withTime.select(col("user_id"), expr("ts div 1000").as("tus"), col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -104,22 +109,29 @@ object StreamingUsage {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(uid, s.start / 1000, s.end / 1000, s.n))
+            Iterator(SessionOut(uid, s.start / 1000000, s.end / 1000000, s.n))
           } else {
-            val times = rows.map(_._2.getTime).toArray.sorted // epoch ms
+            val times = rows.map(_._2).toArray.sorted // epoch µs
             var acc = state.getOption.orNull
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
             times.foreach { t =>
               acc match {
                 case null => acc = SessionAcc(t, t, 1)
-                case a if t - a.end > gapMs =>
-                  closed += SessionOut(uid, a.start / 1000, a.end / 1000, a.n)
+                case a if t - a.end > gapUs =>
+                  closed += SessionOut(uid, a.start / 1000000, a.end / 1000000, a.n)
                   acc = SessionAcc(t, t, 1)
-                case a => acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1)
+                // min(): an in-watermark late event EARLIER than the open
+                // session's start must extend it backwards (the batch twin
+                // computes min(tus) per session); keeping a.start silently
+                // diverged. A late event gap-separated BEFORE the start
+                // still merges (splitting retroactively would need the full
+                // event buffer in state) — documented approximation.
+                case a => acc = SessionAcc(math.min(a.start, t), math.max(a.end, t), a.n + 1)
               }
             }
             state.update(acc)
-            state.setTimeoutTimestamp(acc.end + gapMs + 1)
+            // timeout API is ms-based
+            state.setTimeoutTimestamp(acc.end / 1000 + gapMinutes * 60L * 1000L + 1)
             closed.iterator
           }
       }
@@ -127,19 +139,31 @@ object StreamingUsage {
   }
 
   /** Streaming exact dedup: watermarked `dropDuplicates` over the key
-    * columns — the streaming face of `dedup_exact`. State holds one entry
-    * per distinct key inside the watermark horizon (the 100 TB posture:
-    * state is bounded by the horizon's key cardinality, not the stream
-    * length; late duplicates beyond the watermark are dropped by
-    * construction). Emits each key once, projected to the key columns so
-    * the result is order/arrival agnostic. Batch twin: [[batchDedupTwin]].
-    * Input needs an epoch-nanos `ts` long. */
-  def streamingDedupKeys(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * columns — the streaming face of `dedup_exact`. Emits each key once,
+    * projected to the key columns so the result is order/arrival agnostic.
+    * Batch twin: [[batchDedupTwin]]. Input needs an epoch-nanos `ts` long.
+    *
+    * STATE CONTRACT (be honest about it): with `withinWatermark = false`
+    * (exact global dedup, equal to the batch twin) Spark keeps one state
+    * entry per distinct key EVER SEEN — the watermark does NOT evict
+    * dropDuplicates state unless the event-time column is part of the key.
+    * That is fine when key cardinality is bounded (content hashes of a
+    * governed corpus), and unbounded-state suicide on an open-domain key
+    * stream. For the latter set `withinWatermark = true`:
+    * `dropDuplicatesWithinWatermark` guarantees dedup only for duplicates
+    * arriving within the watermark delay of each other and EVICTS state as
+    * the watermark advances — state ∝ keys per horizon, the 100 TB
+    * posture, at the cost of re-emitting a key that recurs later than the
+    * delay (no longer equal to the batch twin). */
+  def streamingDedupKeys(events: DataFrame, keyCols: Seq[String],
+      withinWatermark: Boolean = false): DataFrame = {
     val withTime = events.withColumn("event_time",
       timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "10 minutes")
-    withTime.dropDuplicates(keyCols)
-      .select(keyCols.map(col): _*)
+    val deduped =
+      if (withinWatermark) withTime.dropDuplicatesWithinWatermark(keyCols)
+      else withTime.dropDuplicates(keyCols)
+    deduped.select(keyCols.map(col): _*)
   }
 
   /** Batch twin of [[streamingDedupKeys]] with first-seen time (the

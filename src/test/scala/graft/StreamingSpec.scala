@@ -30,7 +30,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table(qname)
         .orderBy("window_start", "event_type")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-      val want = StreamingUsage.batchTwin(spark, TableRegistry.table(spark, sfDir, "events"))
+      val want = StreamingUsage.batchTwin(TableRegistry.table(spark, sfDir, "events"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(got == want)
       assert(want.nonEmpty)
@@ -59,7 +59,7 @@ class StreamingSpec extends SparkSpec {
         .orderBy("window_start", "event_type")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       val want = StreamingUsage.slidingBatchTwin(
-        spark, TableRegistry.table(spark, sfDir, "events"))
+        TableRegistry.table(spark, sfDir, "events"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(got == want)
       // overlap sanity: each event lands in window/slide = 4 windows
@@ -132,6 +132,78 @@ class StreamingSpec extends SparkSpec {
       assert(got == want,
         s"missing=${want.diff(got).take(3)} extra=${got.diff(want).take(3)}")
     } finally query.stop()
+  }
+
+  test("sessionization extends an open session BACKWARDS for an in-watermark late event") {
+    // state holds [t0, t0+5min]; the next micro-batch delivers t0-2min —
+    // late but inside both the 10-min watermark and the 30-min gap. The
+    // batch twin computes session_start = min(t) = t0-2min; the stream
+    // must match (the old merge kept a.start, silently diverging).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L * 1000000000L // epoch ns
+    val min5 = 5L * 60 * 1000000000L
+    val min2 = 2L * 60 * 1000000000L
+    val stream = MemoryStream[(Long, Long)]
+    val streamed = StreamingUsage.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val qname = s"sessions_late_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, t0), (1L, t0 + min5)))
+      query.processAllAvailable()
+      stream.addData(Seq((1L, t0 - min2))) // late arrival
+      query.processAllAvailable()
+      // sentinel advances the watermark far enough to flush via timeout
+      stream.addData(Seq((-1L, t0 + 100L * 3600 * 1000000000L)))
+      query.processAllAvailable()
+      stream.addData(Seq.empty[(Long, Long)])
+      query.processAllAvailable()
+      val got = spark.table(qname).where(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(((t0 - min2) / 1000000000L, (t0 + min5) / 1000000000L, 3L)),
+        got.toString)
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark variant: horizon-bounded state re-emits a recurring key") {
+    // exact mode keeps one state entry per key EVER (equal to batch
+    // distinct, state ∝ key cardinality); the withinWatermark variant
+    // evicts state as the watermark advances — a key recurring later than
+    // the 10-min delay is re-emitted. Both contracts pinned here.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L * 1000000000L
+    def min(n: Long) = n * 60 * 1000000000L
+    def run(withinWatermark: Boolean): Seq[Long] = {
+      val stream = MemoryStream[(Long, Long)]
+      val streamed = StreamingUsage.streamingDedupKeys(
+        stream.toDF().toDF("ts", "user_id"), Seq("user_id"),
+        withinWatermark = withinWatermark)
+      val qname = s"dedup_ww_${withinWatermark}_${System.nanoTime()}"
+      val query = streamed.writeStream
+        .format("memory").queryName(qname).outputMode("append").start()
+      try {
+        stream.addData(Seq((t0, 1L), (t0 + min(1), 1L), (t0, 2L)))
+        query.processAllAvailable()
+        // advance the watermark past t0 + 10min so key 1's state expires
+        // in the withinWatermark variant
+        stream.addData(Seq((t0 + min(21), 3L)))
+        query.processAllAvailable()
+        stream.addData(Seq((t0 + min(30), 1L))) // key 1 recurs beyond horizon
+        query.processAllAvailable()
+        spark.table(qname).collect().map(_.getLong(0)).toSeq
+      } finally query.stop()
+    }
+    val exact = run(withinWatermark = false)
+    assert(exact.count(_ == 1L) == 1, s"exact mode re-emitted: $exact")
+    assert(exact.toSet == Set(1L, 2L, 3L))
+    val horizon = run(withinWatermark = true)
+    assert(horizon.count(_ == 1L) == 2,
+      s"horizon mode should re-emit the beyond-horizon recurrence: $horizon")
+    assert(horizon.toSet == Set(1L, 2L, 3L))
   }
 
   test("watermarked stream-stream interval join == batch pairs on the same events") {
