@@ -32,6 +32,14 @@ object TableRegistry {
     dfCache.computeIfAbsent((spark, path(sfDir, name)),
       { case (s, p) => normalizeTs(s.read.parquet(p)) })
 
+  /** Drop this session's cached frames — long-lived JVMs cycling sessions
+    * would otherwise pin stopped sessions (and their plans) forever via the
+    * map's strong references. Mirrors DfMemo.clear / SimSearch.clear. */
+  def clear(spark: SparkSession): Unit = {
+    val it = dfCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
+
   /** Boundary normalization of the `events.ts` column to the engine-wide
     * contract "ts = epoch-NANOS bigint". The fixture generator has shipped
     * it as parquet timestamp[ns] (read as long via
@@ -83,7 +91,8 @@ object TableRegistry {
     * non-current database needs `db.table`; temp views resolve bare. */
   def fromCatalogResolved(spark: SparkSession, db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
-      queryCounts: Map[String, Long] = Map.empty): Seq[(ViewMeta, String)] = {
+      queryCounts: Map[String, Long] = Map.empty,
+      ddlFor: String => String = viewDdl): Seq[(ViewMeta, String)] = {
     val listed = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
       .collect().toSeq
       .filter(t => nameFilter(t.name))
@@ -104,11 +113,27 @@ object TableRegistry {
         else ts.find(t => Option(t.namespace).forall(_.isEmpty)).getOrElse(ts.head)
       }
     }
+    // backtick-quote identifier parts WHERE THEY ARE PARSED (listColumns):
+    // a db or table name with a dot/dash/space/reserved word would
+    // otherwise fail the identifier parse and abort the whole discovery
+    // (the Profiler quotes column names for the same reason). The RETURNED
+    // qualified string stays unquoted — callers use it as the view label
+    // in scripts and reports, where backticks would corrupt output; quote
+    // it again at any parse site (spark.table) that receives odd names.
+    def q(part: String): String = "`" + part.replace("`", "``") + "`"
     tables.map { t =>
-      val qualified = Option(t.namespace).filter(_.nonEmpty)
-        .map(ns => (ns :+ t.name).mkString(".")).getOrElse(t.name)
-      val cols = spark.catalog.listColumns(qualified).collect().map(_.name).toSeq
-      (ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), viewDdl(t.name)),
+      val parts = Option(t.namespace).filter(_.nonEmpty)
+        .map(_.toSeq :+ t.name).getOrElse(Seq(t.name))
+      val qualified = parts.mkString(".")
+      val cols = spark.catalog.listColumns(parts.map(q).mkString("."))
+        .collect().map(_.name).toSeq
+      // ddlFor defaults to the fixture registry: exact join-column usage
+      // for the baked-in test tables, the neutral `SELECT * FROM <v>_src`
+      // shape for anything else. A REAL warehouse whose table happens to
+      // share a fixture name ('orders', 'customer') should inject its own
+      // DDL source (e.g. SHOW CREATE TABLE) here rather than inherit the
+      // fixture join columns.
+      (ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), ddlFor(t.name)),
         qualified)
     }
   }

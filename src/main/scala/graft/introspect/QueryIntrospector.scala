@@ -24,11 +24,16 @@ object QueryIntrospector {
       whereColumns: Map[String, Int],
       allColumns: Map[String, Int])
 
-  /** `" AS "` DDL→SELECT extraction (reference partitioning.py:9-20). */
+  /** `" AS "` DDL→SELECT extraction (reference partitioning.py:9-20).
+    * Case-insensitive REGEX on the original string — an index computed on
+    * `toUpperCase` can shift when Unicode uppercasing changes the string
+    * length (e.g. ß → SS before the marker), slicing mid-keyword. */
+  private val asMarker = java.util.regex.Pattern.compile(" AS ",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
   def extractSelect(ddl: String): Option[String] = {
-    val idx = ddl.toUpperCase.indexOf(" AS ")
-    if (idx < 0) None
-    else Some(ddl.substring(idx + 4).trim.stripSuffix(";").trim)
+    val m = asMarker.matcher(ddl)
+    if (m.find()) Some(ddl.substring(m.end()).trim.stripSuffix(";").trim)
+    else None
   }
 
   private def attrNames(e: Expression): Seq[String] =

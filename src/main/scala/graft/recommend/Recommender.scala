@@ -30,7 +30,11 @@ object Recommender {
         x => x.getField("spec")), ",\n    ").as("partition_spec"),
       array_join(transform(sort_array(collect_list(struct(col("rank"), col("column"), col("score")))),
         x => concat(lit("('"), x.getField("column"), lit("', "),
-          format_number(x.getField("score"), 2), lit(")"))), ", ").as("score_list"))
+          // format_string, NOT format_number: the latter inserts
+          // thousands-separator commas ("1,234.57") into the tuple list
+          // for scores >= 1000, corrupting the script comment (the
+          // reference renders plain f"{score:.2f}")
+          format_string("%.2f", x.getField("score")), lit(")"))), ", ").as("score_list"))
     val scripted = agg.select(
       col("view"),
       col("partition_spec"),

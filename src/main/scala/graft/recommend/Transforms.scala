@@ -42,10 +42,15 @@ final case class BucketTransform(n: Int) extends PartitionTransform {
   }
 }
 
-/** Iceberg integer truncate-width semantics: floor(c/w)*w. */
+/** Iceberg integer truncate-width semantics: floor(c/w)*w, computed as
+  * `c - pmod(c, w)` — EXACT integer arithmetic. The floor(c/w)*w form goes
+  * through double division, which rounds at 2^53: a snowflake-scale bigint
+  * would land in the WRONG partition (off by up to ~128 at 1.2e18), and
+  * disagree with Iceberg's exact truncate. Identical values wherever the
+  * double form was exact. */
 final case class TruncateTransform(width: Int) extends PartitionTransform {
   def render(column: String): String = s"truncate($column, $width)"
-  def apply(c: Column): Column = floor(c / width) * width
+  def apply(c: Column): Column = c - pmod(c, lit(width))
 }
 
 object Transforms {
@@ -71,7 +76,10 @@ object Transforms {
       if (stats.cardinality > 10000) BucketTransform(16) else IdentityTransform
     case _: IntegerType | _: LongType =>
       if (stats.cardinality > 1000) {
-        val n = math.min(math.max((stats.cardinality / 500).toInt, 4), 32)
+        // clamp on LONG before narrowing: (card/500).toInt wraps negative
+        // past card ~ 1.07e12, silently selecting bucket(4) instead of the
+        // intended clamp-to-32
+        val n = math.min(math.max(stats.cardinality / 500L, 4L), 32L).toInt
         BucketTransform(n)
       } else if (stats.valueRange.exists(_ > 10000)) TruncateTransform(100)
       else IdentityTransform
@@ -84,7 +92,9 @@ object Transforms {
     * used where selection must stay distributed (and by the DuckDB oracle,
     * which mirrors this CASE shape). */
   def selectExpr(dataType: Column, column: Column, card: Column, range: Column, gran: Column): Column = {
-    val bucketN = least(greatest((card / 500).cast("int"), lit(4)), lit(32))
+    // clamp as LONG, cast int only after: the int cast of card/500
+    // overflows under ANSI (run killed) for warehouse-scale cardinalities
+    val bucketN = least(greatest((card.cast("long") / 500).cast("long"), lit(4L)), lit(32L)).cast("int")
     when(dataType.isin("date", "timestamp", "timestamp_ntz"),
       concat(coalesce(gran, lit("month")), lit("("), column, lit(")")))
       .when(dataType === "string",

@@ -92,13 +92,16 @@ object Scoring {
   /** performanceMetrics over a pre-built parsedRefs frame (parse-once path). */
   def performanceMetricsFrom(queryLog: DataFrame, refs: DataFrame): (DataFrame, DataFrame) = {
     val joined = queryLog.join(broadcast(refs), Seq("query"))
+    // coalesce: a query text whose every log row has NULL execution time
+    // yields sum = NULL, and the pipeline's typed collect (getLong) would
+    // NPE on it — an all-null exec group means zero observed cost
     val tableTotals = joined.where(col("ref_column").isNull)
       .groupBy(col("ref_table").as("table"))
-      .agg(sum("execution_time_ms").as("execution_time"),
+      .agg(coalesce(sum("execution_time_ms"), lit(0L)).as("execution_time"),
         count(lit(1)).as("query_count"))
     val columnWeights = joined.where(col("ref_column").isNotNull)
       .groupBy(col("ref_table").as("table"), col("ref_column").as("column"))
-      .agg(sum(col("execution_time_ms") * col("col_count")).as("weight"))
+      .agg(coalesce(sum(col("execution_time_ms") * col("col_count")), lit(0L)).as("weight"))
     (tableTotals, columnWeights)
   }
 
@@ -113,13 +116,14 @@ object Scoring {
   def performanceMetricsFromStats(textStats: DataFrame, refs: DataFrame)
       : (DataFrame, DataFrame) = {
     val joined = textStats.join(broadcast(refs), Seq("query"))
+    // same null-safety as the raw-log path (all-null sum_exec → 0, not NULL)
     val tableTotals = joined.where(col("ref_column").isNull)
       .groupBy(col("ref_table").as("table"))
-      .agg(sum("sum_exec").as("execution_time"),
+      .agg(coalesce(sum("sum_exec"), lit(0L)).as("execution_time"),
         sum("cnt").as("query_count"))
     val columnWeights = joined.where(col("ref_column").isNotNull)
       .groupBy(col("ref_table").as("table"), col("ref_column").as("column"))
-      .agg(sum(col("sum_exec") * col("col_count")).as("weight"))
+      .agg(coalesce(sum(col("sum_exec") * col("col_count")), lit(0L)).as("weight"))
     (tableTotals, columnWeights)
   }
 
