@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Third-engine oracle audit (r8 review rotation): re-derive a sample of
+query keys in pure Python/pandas from the raw fixture parquet and compare
+to the engine dumps in <voutDir>. Independent of BOTH Spark and DuckDB —
+catches the one correctness risk the main gate cannot see (a subtly-wrong
+oracle that agrees with a subtly-wrong engine).
+
+Usage: python3 scripts/third_engine_check.py /root/testdata/sf0.01 /tmp/vout
+"""
+import sys, math, re
+from decimal import Decimal, ROUND_HALF_UP
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+sf, vout = sys.argv[1], sys.argv[2]
+
+def t(name):
+    return pq.read_table(f"{sf}/{name}.parquet").to_pandas()
+
+def dump(key):
+    return pq.read_table(f"{vout}/{key}").to_pandas()
+
+results = []
+
+def check(key, expected: pd.DataFrame):
+    got = dump(key).reset_index(drop=True)
+    exp = expected.reset_index(drop=True)
+    ok = True
+    msg = ""
+    if list(got.columns) != list(exp.columns):
+        ok, msg = False, f"columns {list(got.columns)} vs {list(exp.columns)}"
+    elif len(got) != len(exp):
+        ok, msg = False, f"rows {len(got)} vs {len(exp)}"
+    else:
+        for c in exp.columns:
+            g, e = got[c], exp[c]
+            if g.dtype.kind == "f" or e.dtype.kind == "f":
+                same = np.allclose(g.astype(float), e.astype(float),
+                                   rtol=0, atol=1e-9, equal_nan=True)
+            elif g.dtype == object or e.dtype == object:
+                same = (g.fillna("\0nan") == e.fillna("\0nan")).all()
+            else:
+                # integer family: compare values (and NA positions), not dtype
+                # flavors (int32 vs nullable Int32 read back from parquet)
+                same = len(g) == len(e) and \
+                    (pd.isna(g).values == pd.isna(e).values).all() and \
+                    (g.dropna().astype("int64").values ==
+                     e.dropna().astype("int64").values).all()
+            if not same:
+                bad = None
+                for i in range(len(g)):
+                    gv, ev = g.iloc[i], e.iloc[i]
+                    if (pd.isna(gv) and pd.isna(ev)):
+                        continue
+                    if gv != ev and not (isinstance(gv, float) and abs(gv - ev) <= 1e-9):
+                        bad = (i, gv, ev)
+                        break
+                ok, msg = False, f"col {c} first diff {bad}"
+                break
+    results.append((key, ok, msg))
+
+ev = t("events")
+li = t("lineitem")
+od = t("orders")
+dc = t("documents")
+
+# filter_time_range: ts >= 2024-01-15 00:00:00 (naive wall == UTC contract)
+cut = np.datetime64("2024-01-15T00:00:00")
+f = ev[ev.ts >= cut].groupby("event_type").size().reset_index(name="cnt") \
+    .sort_values("event_type")
+f["cnt"] = f["cnt"].astype("int64")
+check("filter_time_range", f)
+
+# agg_value_counts
+f = ev.groupby("event_type").size().reset_index(name="cnt").sort_values("event_type")
+f["cnt"] = f["cnt"].astype("int64")
+check("agg_value_counts", f)
+
+# agg_histogram: floor(o_totalprice/10000)
+b = np.floor(od.o_totalprice / 10000).astype("int64")
+f = pd.DataFrame({"bucket": b}).groupby("bucket").size().reset_index(name="cnt") \
+    .sort_values("bucket")
+f["cnt"] = f["cnt"].astype("int64")
+check("agg_histogram", f)
+
+# agg_date_granularity
+sd = pd.DatetimeIndex(li.l_shipdate)
+f = pd.DataFrame({
+    "day_count": [np.int64(len(set(sd.day)))],
+    "month_count": [np.int64(len(set(sd.month)))],
+    "year_count": [np.int64(len(set(sd.year)))]})
+check("agg_date_granularity", f)
+
+# agg_median_by_group: linear-interpolated median per o_orderstatus
+rows = []
+for st, grp in od.groupby("o_orderstatus"):
+    rows.append({"o_orderstatus": st,
+                 "median_price": round(float(np.percentile(grp.o_totalprice, 50,
+                                                           method="linear")), 2),
+                 "n": np.int64(len(grp))})
+check("agg_median_by_group", pd.DataFrame(rows).sort_values("o_orderstatus"))
+
+# agg_percentile_exact
+f = pd.DataFrame({
+    "qty_p10": [round(float(np.percentile(li.l_quantity, 10, method="linear")), 6)],
+    "qty_p50": [round(float(np.percentile(li.l_quantity, 50, method="linear")), 6)],
+    "qty_p90": [round(float(np.percentile(li.l_quantity, 90, method="linear")), 6)],
+    "tax_p50": [round(float(np.percentile(li.l_tax, 50, method="linear")), 6)]})
+check("agg_percentile_exact", f)
+
+# text_tokens: split on single space, empties kept
+toks = {}
+for s in dc.text:
+    for tok in s.split(" "):
+        toks[tok] = toks.get(tok, 0) + 1
+f = pd.DataFrame(sorted(toks.items()), columns=["token", "cnt"])
+f["cnt"] = f["cnt"].astype("int64")
+check("text_tokens", f)
+
+# token_count
+f = pd.DataFrame({"doc_id": dc.doc_id,
+                  "n_tokens": [np.int32(len(s.split(" "))) for s in dc.text]}) \
+    .sort_values("doc_id")
+f["n_tokens"] = f["n_tokens"].astype("int32")
+check("token_count", f)
+
+# sample_stratified: pmod hash vs per-source quota
+keep = []
+for _, r in dc.iterrows():
+    h = ((int(r.doc_id) % 1000003) * 2654435761 + 12345) % 1000003 % 1000
+    quota = (len(r.source) * 37) % 300 + 100
+    if h < quota:
+        keep.append({"doc_id": r.doc_id, "source": r.source})
+check("sample_stratified", pd.DataFrame(keep).sort_values("doc_id"))
+
+# json_extract: parse props k via regex, group (incl. null)
+kv = []
+for p in ev.props:
+    m = re.search(r'"k":\s*([0-9]+)', p) if isinstance(p, str) else None
+    kv.append(int(m.group(1)) if m else None)
+f = pd.DataFrame({"k_val": pd.array(kv, dtype="Int32")})
+f = f.groupby("k_val", dropna=False).size().reset_index(name="cnt") \
+    .sort_values("k_val", na_position="last")
+f["cnt"] = f["cnt"].astype("int64")
+check("json_extract", f)
+
+# window_running_sum: per-status cumulative DECIMAL(18,2) sum, keys < 300
+o = od.sort_values(["o_orderstatus", "o_orderkey"]).copy()
+cents = [Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) for v in o.o_totalprice]
+o["p"] = cents
+run, acc = [], {}
+for st, p in zip(o.o_orderstatus, o.p):
+    acc[st] = acc.get(st, Decimal(0)) + p
+    run.append(float(acc[st]))
+o["running"] = [round(v, 2) for v in run]
+f = o[o.o_orderkey < 300][["o_orderstatus", "o_orderkey", "running"]] \
+    .sort_values(["o_orderstatus", "o_orderkey"])
+check("window_running_sum", f)
+
+# stream_dedup: first event micros per (user_id, event_type)
+us = ev.ts.values.astype("datetime64[us]").astype("int64")
+f = pd.DataFrame({"user_id": ev.user_id, "event_type": ev.event_type, "us": us}) \
+    .groupby(["user_id", "event_type"], as_index=False)["us"].min() \
+    .rename(columns={"us": "first_us"}) \
+    .sort_values(["user_id", "event_type"])
+f["first_us"] = f["first_us"].astype("int64")
+check("stream_dedup", f)
+
+# quality_repetition: duplicate-bigram fraction (docs with <2 tokens: [text])
+rows = []
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    g = [r.text] if len(sp) < 2 else [f"{sp[i]} {sp[i+1]}" for i in range(len(sp) - 1)]
+    rows.append({"doc_id": r.doc_id,
+                 "rep_ratio": round(1.0 - len(set(g)) / len(g), 6)})
+check("quality_repetition", pd.DataFrame(rows).sort_values("doc_id"))
+
+# token_count_bpe: sum over tokens of 1 + floor(max(len-1,0)/4)
+rows = [{"doc_id": r.doc_id,
+         "n_units": np.int32(sum(1 + max(len(tk) - 1, 0) // 4
+                                 for tk in r.text.split(" ")))}
+        for _, r in dc.iterrows()]
+f = pd.DataFrame(rows).sort_values("doc_id")
+f["n_units"] = f["n_units"].astype("int32")
+check("token_count_bpe", f)
+
+# pack_sequences: per-source doc_id-ordered exclusive running token sum
+d = dc.copy()
+d["n_tok"] = [np.int32(len(s.split(" "))) for s in d.text]
+d = d.sort_values(["source", "doc_id"])
+offs, acc = [], {}
+for src, n in zip(d.source, d.n_tok):
+    offs.append(acc.get(src, 0))
+    acc[src] = acc.get(src, 0) + int(n)
+d["offset"] = np.array(offs, dtype="int64")
+d["seq_id"] = d["offset"] // 512
+f = d[["doc_id", "source", "n_tok", "offset", "seq_id"]]
+f["n_tok"] = f["n_tok"].astype("int32")
+check("pack_sequences", f)
+
+# span_dup_fraction: per-doc distinct 4-token shingles shared with >=1 other doc
+doc_sh = {}
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    sh = {r.text} if len(sp) < 4 else \
+        {" ".join(sp[i:i + 4]) for i in range(len(sp) - 3)}
+    doc_sh[r.doc_id] = sh
+cnt = {}
+for sh in doc_sh.values():
+    for x in sh:
+        cnt[x] = cnt.get(x, 0) + 1
+rows = []
+for did in sorted(doc_sh):
+    sh = doc_sh[did]
+    shared = sum(1 for x in sh if cnt[x] > 1)
+    rows.append({"doc_id": did, "n_shingles": np.int64(len(sh)),
+                 "n_shared": np.int64(shared),
+                 "dup_frac": round(shared / len(sh), 6)})
+check("span_dup_fraction", pd.DataFrame(rows))
+
+fails = [r for r in results if not r[1]]
+for key, ok, msg in results:
+    print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
+print(f"\n{len(results) - len(fails)} ok, {len(fails)} failed")
+sys.exit(1 if fails else 0)

@@ -137,7 +137,7 @@ object Queries3 {
       },
       Some(
         """SELECT doc_id, source FROM documents
-          |WHERE ((doc_id % 1000003 * 2654435761 + 12345) % 1000003) % 1000
+          |WHERE (((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761 + 12345) % 1000003) % 1000
           |      < ((length(source) * 37) % 300) + 100
           |ORDER BY doc_id""".stripMargin)),
 

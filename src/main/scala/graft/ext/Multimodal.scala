@@ -286,6 +286,16 @@ object Multimodal {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+    /** Per-(fixtureKey, docs plan) memo of the population manifest, so a
+      * cache-hit `ensure` call runs no Spark job at all (pre-r8 it re-ran
+      * the count/min/max aggregation on every call just to build the tag).
+      * Keyed by the analyzed plan's semantic hash — two Datasets reading
+      * the same fixture produce the same key; a different source (or a
+      * filtered subset) misses and re-counts. Within one JVM the backing
+      * parquet is immutable (the driver regenerates fixtures only across
+      * rounds = across JVMs), so the memoized population cannot go stale. */
+    private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
     /** Materialize (once per fixture dir per JVM) the PNG corpus for `docs`
       * and return its directory — the input to [[mediaFromBinaryFiles]].
       *
@@ -295,10 +305,13 @@ object Multimodal {
       * regenerated fixture set (the events.ts precedent) lands in a fresh
       * dir instead of silently joining against a stale corpus. */
     def ensure(docs: DataFrame, fixtureKey: String): String = {
-      val pop = docs.agg(count(lit(1)),
-          coalesce(min(col("doc_id")), lit(0L)), coalesce(max(col("doc_id")), lit(0L)))
-        .collect()(0)
-      val manifest = s"${pop.getLong(0)}_${pop.getLong(1)}_${pop.getLong(2)}"
+      val manifestKey = s"$fixtureKey#${docs.queryExecution.analyzed.semanticHash()}"
+      val manifest = manifestCache.computeIfAbsent(manifestKey, { _ =>
+        val pop = docs.agg(count(lit(1)),
+            coalesce(min(col("doc_id")), lit(0L)), coalesce(max(col("doc_id")), lit(0L)))
+          .collect()(0)
+        s"${pop.getLong(0)}_${pop.getLong(1)}_${pop.getLong(2)}"
+      })
       val tag = s"${fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")}_$manifest"
       cache.computeIfAbsent(tag, { _ =>
         // executors write into executor-local java.io.tmpdir and the driver

@@ -52,6 +52,12 @@ object Temporal {
     *    so results are stable across partitionings and re-runs. DuckDB's
     *    ASOF picks an arbitrary tied row; the oracle fixture carries the
     *    timestamp itself, where tied rows are value-identical.
+    *
+    * Contract: every `carryCols` type must be ORDERABLE (the tie-break
+    * orders the window by the carried struct) — atomic types, and
+    * structs/arrays of them, qualify; a MapType carry column fails at
+    * analysis time. To carry a map, wrap it (e.g. `map_entries` it into an
+    * array<struct> and rebuild after the join).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, carryCols: Seq[String]): DataFrame = {

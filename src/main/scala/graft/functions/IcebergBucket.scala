@@ -101,6 +101,11 @@ case class IcebergBucket(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     if (!left.foldable || left.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("numBuckets must be an int literal")
+    // reject n ≤ 0 (and NULL, which would unbox to 0) at ANALYSIS time:
+    // the Iceberg spec requires a positive bucket count, and `% 0` would
+    // otherwise surface as a runtime ArithmeticException mid-job
+    else if (left.eval() == null || left.eval().asInstanceOf[Int] <= 0)
+      TypeCheckResult.TypeCheckFailure("numBuckets must be a positive int literal")
     else right.dataType match {
       case _: IntegerType | _: LongType | _: ShortType | _: TimestampType |
           _: TimestampNTZType | _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -147,8 +152,16 @@ object IcebergBucket {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(IcebergBucket.descriptor)
-    ext.injectOptimizerRule(_ => VectorDotRewriteRule)
-    ext.injectOptimizerRule(_ => EpochNanosPushdownRule)
+    // Pre-CBO, NOT injectOptimizerRule: operator-optimization extensions run
+    // inside two FixedPoint batches (≥2 full-tree passes per plan even when
+    // converged), taxing every query in the session. Both rules are
+    // single-shot rewrites with no interplay with other operator rules, and
+    // pre-CBO still precedes scan pushdown (V1 parquet filters are derived
+    // from the optimized logical Filter at physical planning; DSv2/early
+    // pushdown runs after the Pre CBO batch) — PlanSpec asserts the events
+    // time predicate still reaches PushedFilters under this placement.
+    ext.injectPreCBORule(_ => VectorDotRewriteRule)
+    ext.injectPreCBORule(_ => EpochNanosPushdownRule)
   }
 }
 

@@ -14,6 +14,15 @@ import org.apache.spark.sql.types._
   * keeps similarity joins inside whole-stage codegen. Summation order is
   * ascending-index, identical to the sequential fold, so results are
   * bit-identical to the HOF form (and to the DuckDB oracle).
+  *
+  * Null-element contract: a position where EITHER side is a null element is
+  * SKIPPED — it contributes nothing to the sum. This matches SQL aggregate
+  * semantics (`x * NULL` is NULL and `SUM` skips NULL terms), i.e. the
+  * DuckDB unnest-multiply-SUM oracle formulation, and the HOF form above
+  * once its lambda null-propagates. Before r8 this kernel read null
+  * elements as 0.0 via `getDouble` without `isNullAt` — coincidentally the
+  * same sum, but by reading undefined slot bytes rather than by contract;
+  * the skip is now explicit in both the interpreted and codegen paths.
   */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -33,7 +42,10 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -46,7 +58,9 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

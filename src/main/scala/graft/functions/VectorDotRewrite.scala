@@ -27,7 +27,12 @@ object VectorDotRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // early bail (same rationale as EpochNanosPushdownRule): only plans that
+    // actually contain an aggregate() HOF can match — skip the transform
+    // machinery everywhere else
+    if (!plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[ArrayAggregate]))))
+      return plan
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
@@ -44,4 +49,5 @@ object VectorDotRewriteRule extends Rule[LogicalPlan] {
             isVar(fin, fa) =>
         VectorDot(a, b)
     }
+  }
 }

@@ -49,7 +49,11 @@ object AnalysisPipeline {
     if (spark.sparkContext.defaultParallelism >= 16 && vs.size > 1) {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(vs.size)
+      // cap the submission pool: threads mostly block on job completion, but
+      // one-per-table is unbounded against a warehouse-scale catalog (500
+      // tables = 500 driver threads); 32 in-flight jobs saturates any
+      // scheduler while keeping the driver's thread count fixed
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(vs.size, 32))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
         val fs = vs.map(v => Future(Profiler.profile(spark, v.view,

@@ -22,16 +22,25 @@ object SelfHosting {
       TableRegistry.table(spark, sfDir, n).createOrReplaceTempView(n)
     }
 
-  /** Run each SQL text (collecting results), capturing usage via the
-    * listener; returns the observed usage DataFrame
-    * (kind, name, weighted_frequency) where weight = times referenced. */
+  /** Force full execution of a query WITHOUT materializing its result on
+    * the driver: rows are consumed (and discarded) on the executors. The
+    * observed workload is arbitrary user SQL — a `SELECT * FROM lineitem`
+    * must not OOM the advisor's driver the way a driver-side collect would, while
+    * the listener still sees a complete, timed execution. */
+  private def forceExecute(spark: SparkSession, sql: String): Unit =
+    spark.sql(sql).foreach(_ => ())
+
+  /** Run each SQL text (executor-side execution force, never collecting
+    * results to the driver), capturing usage via the listener; returns the
+    * observed usage DataFrame (kind, name, weighted_frequency) where
+    * weight = times referenced. */
   def observeWorkload(spark: SparkSession, sfDir: String,
       workload: Seq[String]): DataFrame = {
     registerViews(spark, sfDir)
     val rec = UsageListener.install(spark)
     try {
       workload.foreach { sql =>
-        try spark.sql(sql).collect()
+        try forceExecute(spark, sql)
         catch { case _: Exception => () } // malformed queries degrade to no usage
       }
       // listener callbacks are async
@@ -39,9 +48,8 @@ object SelfHosting {
       while (rec.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       Thread.sleep(200)
       import spark.implicits._
-      rec.snapshot.map(e => (e.kind, e.name))
-        .groupBy(identity).map { case ((k, n), v) => (k, n, v.size.toLong) }
-        .toSeq.toDF("kind", "name", "weighted_frequency")
+      rec.snapshot.map(s => (s.kind, s.name, s.count))
+        .toDF("kind", "name", "weighted_frequency")
         .orderBy("kind", "name")
     } finally spark.listenerManager.unregister(rec)
   }
@@ -64,7 +72,7 @@ object SelfHosting {
     val runs = workload.zipWithIndex.map { case (sql, i) =>
       val startedAt = System.currentTimeMillis() // wall clock — nanoTime has an arbitrary origin
       val t0 = System.nanoTime()
-      val ok = try { spark.sql(sql).collect(); true } catch { case _: Exception => false }
+      val ok = try { forceExecute(spark, sql); true } catch { case _: Exception => false }
       val ms = (System.nanoTime() - t0) / 1000000L
       (i.toString, if (ok) sql else null, new java.sql.Timestamp(startedAt),
         ms, ms, ms, 0L, 0L, 0L)

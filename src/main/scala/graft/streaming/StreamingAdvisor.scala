@@ -68,7 +68,13 @@ object StreamingAdvisor {
     * truncation, per-merge error bounded by the dropped tail's counts) —
     * exact equality with a batch advisor over the top-cap texts holds when
     * nothing has been pruned before the final merge (e.g. single-batch, or
-    * state never exceeding the cap). */
+    * state never exceeding the cap).
+    *
+    * ONE ADVISOR PER logDir: the versioned state root lives next to
+    * `logDir` and batch 0's fresh-lineage sweep deletes EVERY v* directory
+    * under it — two advisor queries sharing a logDir would destroy each
+    * other's live state on restart. Give each advisor its own logDir
+    * (and checkpointDir); there is no cross-query fencing. */
   def start(spark: SparkSession, queryLogStream: DataFrame,
       nameFilter: String => Boolean, logDir: String,
       snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],

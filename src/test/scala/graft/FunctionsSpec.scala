@@ -26,6 +26,23 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 34L).get.getInt(1) == (2017239379 & Int.MaxValue) % 16)
   }
 
+  test("iceberg_bucket rejects non-positive bucket counts at analysis time") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    // pre-r8 these surfaced as runtime ArithmeticException (% 0) or negative
+    // bucket ids mid-job; the type check now rejects them at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("iceberg_bucket(0, v)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("iceberg_bucket(-4, v)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("iceberg_bucket(cast(null as int), v)").collect()
+    }
+  }
+
   test("iceberg_bucket over strings and a real column") {
     GraftFunctions.register(spark)
     val df = graft.catalog.TableRegistry.table(spark, sfDir, "customer")
@@ -53,6 +70,28 @@ class FunctionsSpec extends SparkSpec {
       graft.ext.SimSearch.dot(col("v"), col("v")).as("d"))
       .orderBy("vec_id").collect().map(_.getDouble(1))
     assert(viaRule.sameElements(direct))
+  }
+
+  test("VectorDot skips null elements (SQL SUM semantics) in codegen and interpreted paths") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // interpreted path: eval over literal arrays with null elements
+    val lit = (vs: Array[Any]) => Literal.create(vs, ArrayType(DoubleType, containsNull = true))
+    val expr = graft.functions.VectorDot(
+      lit(Array[Any](1.0, null, 3.0, 4.0)), lit(Array[Any](2.0, 5.0, null, 10.0)))
+    assert(expr.eval(null) == 42.0) // 1*2 + 4*10; null positions skipped
+    // codegen path through a DataFrame, checked against Spark's own
+    // null-propagate-then-SUM formulation (the oracle's shape: x*NULL is
+    // NULL and SUM skips NULL terms)
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D, 4.0D) AS a, " +
+        "array(2.0D, 5.0D, CAST(NULL AS DOUBLE), 10.0D) AS b")
+    val viaKernel = df.select(graft.ext.SimSearch.dot(col("a"), col("b")).as("d"))
+      .collect()(0).getDouble(0)
+    val viaSum = df.selectExpr(
+      "aggregate(filter(zip_with(a, b, (x, y) -> x * y), p -> p IS NOT NULL), 0D, (acc, e) -> acc + e) AS d")
+      .collect()(0).getDouble(0)
+    assert(viaKernel == 42.0 && viaSum == 42.0, s"kernel $viaKernel sum $viaSum")
   }
 
   test("interpreted and codegen paths agree") {

@@ -42,6 +42,42 @@ class ListenerSpec extends SparkSpec {
     assert(wheres.contains("o_totalprice"), wheres.toString)
   }
 
+  test("recorder state is bounded by stateCap; overflow counted, existing keys still aggregate") {
+    val rec = new UsageListener.Recorder(stateCap = 8)
+    (0 until 1000).foreach(i => rec.record("where_col", s"c$i", 1000L))
+    assert(rec.snapshot.size == 8, s"size ${rec.snapshot.size}")
+    assert(rec.droppedRefs == 992L, s"dropped ${rec.droppedRefs}")
+    // keys admitted before saturation keep aggregating in place
+    rec.record("where_col", "c0", 500L)
+    val c0 = rec.snapshot.find(_.name == "c0").get
+    assert(c0.count == 2L && c0.totalDurationNs == 1500L, c0.toString)
+    assert(rec.droppedRefs == 992L) // aggregation of a live key is not a drop
+  }
+
+  test("grep gate: no data-proportional driver collect in src/main") {
+    // Every .collect() in src/main must be in this audited allowlist, where
+    // each site is metadata-bounded (catalog listings, scalar aggregates,
+    // k centroids, capped workload texts, bounded advisor state). A new
+    // file appearing here means a new collect site needs auditing; notably
+    // SelfHosting must stay collect-free (r7 verdict: workload results are
+    // arbitrary user SQL and must never materialize on the driver).
+    val audited = Set(
+      "Probe.scala", "Profiler.scala", "StreamingAdvisor.scala",
+      "SimSearch.scala", "Multimodal.scala", "TableRegistry.scala",
+      "QueryIntrospector.scala", "Main.scala", "AnalysisPipeline.scala")
+    val root = new java.io.File("src/main/scala")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    assume(root.isDirectory, "run from repo root")
+    val offenders = walk(root).filter { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      src.contains(".collect()")
+    }.map(_.getName).toSet
+    assert((offenders -- audited).isEmpty,
+      s"unaudited .collect() sites: ${offenders -- audited}")
+  }
+
   test("self-hosted advisor: session serves the workload, then advises on it") {
     val recs = graft.pipeline.SelfHosting.adviseFromObservedWorkload(
       spark, sfDir, graft.catalog.TableRegistry.cannedQueries)

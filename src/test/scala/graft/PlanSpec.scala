@@ -33,6 +33,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("unix_micros"), plan)
   }
 
+  test("normalizeTs projection does not defeat events column pruning") {
+    // ts is a derived column (Project over the scan); a query not touching
+    // it must not drag the raw timestamp through the scan
+    val df = TableRegistry.table(spark, sfDir, "events").select("event_type")
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
+  }
+
   test("column pruning: scan reads only projected columns") {
     val df = TableRegistry.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val plan = planOf(df)
