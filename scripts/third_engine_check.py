@@ -220,6 +220,87 @@ for did in sorted(doc_sh):
                  "dup_frac": round(shared / len(sh), 6)})
 check("span_dup_fraction", pd.DataFrame(rows))
 
+P = 1000000007
+
+def poly_hash(s):
+    h = 7
+    for ch in s:  # Python strings are codepoint sequences, like codePointAt
+        h = (h * 131 + ord(ch)) % P
+    return h
+
+# chunk_overlap: 32-token windows, stride 24 (1-based starts)
+rows = []
+for _, r in dc.iterrows():
+    toks = r.text.split(" ")
+    for start in range(1, len(toks) + 1, 24):
+        chunk = toks[start - 1:start - 1 + 32]
+        rows.append({"doc_id": r.doc_id, "chunk_idx": np.int32((start - 1) // 24),
+                     "start": np.int32(start), "chunk_tok": np.int32(len(chunk)),
+                     "first_tok": chunk[0]})
+f = pd.DataFrame(rows).sort_values(["doc_id", "chunk_idx"])
+for c in ("chunk_idx", "start", "chunk_tok"):
+    f[c] = f[c].astype("int32")
+check("chunk_overlap", f)
+
+# mixture_sample: per-source keep rate from source suffix, Knuth hash on id
+rows = {}
+for _, r in dc.iterrows():
+    thresh = (int(r.source[3:]) % 5 + 1) * 200
+    keep = ((int(r.doc_id) % P) * 2654435761) % 1000 < thresh
+    tot, smp = rows.get(r.source, (0, 0))
+    rows[r.source] = (tot + 1, smp + (1 if keep else 0))
+f = pd.DataFrame([{"source": s, "n_total": np.int64(t_), "n_sampled": np.int64(k),
+                   "target_rate": round((int(s[3:]) % 5 + 1) * 200 / 1000, 2)}
+                  for s, (t_, k) in sorted(rows.items())])
+check("mixture_sample", f)
+
+# chunk_cdc: boundary where rolling 4-token shingle poly-hash % 16 == 0
+rows = []
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    sh = [r.text] if len(sp) < 4 else \
+        [" ".join(sp[i:i + 4]) for i in range(len(sp) - 3)]
+    cid = 0
+    spans = {}
+    for pos, g in enumerate(sh):
+        if poly_hash(g) % 16 == 0:
+            cid += 1
+        lo, hi, n = spans.get(cid, (pos, pos, 0))
+        spans[cid] = (min(lo, pos), max(hi, pos), n + 1)
+    for cid2, (lo, hi, n) in sorted(spans.items()):
+        rows.append({"doc_id": r.doc_id, "chunk_id": np.int32(cid2),
+                     "n_spans": np.int64(n), "start_pos": np.int32(lo),
+                     "end_pos": np.int32(hi)})
+f = pd.DataFrame(rows).sort_values(["doc_id", "chunk_id"])
+for c, dt in (("chunk_id", "int32"), ("n_spans", "int64"),
+              ("start_pos", "int32"), ("end_pos", "int32")):
+    f[c] = f[c].astype(dt)
+check("chunk_cdc", f)
+
+# bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
+fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
+def positions(th):
+    return [((((i * 2654435761) % P) * th + (i * 40503 + 17) % P) % P) % 4096
+            for i in (1, 2, 3)]
+bits, histfp = set(), set()
+for did, f_ in fp.items():
+    if did % 10 < 7:
+        bits.update(positions(poly_hash(f_)))
+        histfp.add(f_)
+agg = {}
+for _, r in dc.iterrows():
+    if r.doc_id % 10 < 7:
+        continue
+    f_ = fp[r.doc_id]
+    flagged = all(p in bits for p in positions(poly_hash(f_)))
+    dup = f_ in histfp
+    n, fl, du, fpn = agg.get(r.source, (0, 0, 0, 0))
+    agg[r.source] = (n + 1, fl + flagged, du + dup, fpn + (flagged and not dup))
+f = pd.DataFrame([{"source": s, "n_new": np.int64(n), "n_flagged": np.int64(fl),
+                   "n_dup": np.int64(du), "n_false_pos": np.int64(fpn)}
+                  for s, (n, fl, du, fpn) in sorted(agg.items())])
+check("bloom_prefilter", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

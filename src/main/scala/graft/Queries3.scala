@@ -296,7 +296,7 @@ object Queries3 {
         """SELECT doc_id, source FROM (
           |  SELECT doc_id, source, row_number() OVER (
           |    PARTITION BY source
-          |    ORDER BY (doc_id % 1000003 * 2654435761 + 12345) % 1000003 ASC, doc_id ASC) AS rn
+          |    ORDER BY (((doc_id % 1000003) + 1000003) % 1000003 * 2654435761 + 12345) % 1000003 ASC, doc_id ASC) AS rn
           |  FROM documents) r
           |WHERE rn <= 5 ORDER BY doc_id""".stripMargin)))
 }

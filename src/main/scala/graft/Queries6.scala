@@ -127,7 +127,7 @@ object Queries6 {
           |    ((CAST(substr(source, 4) AS INT) % 5) + 1) * 200 AS thresh
           |  FROM documents)
           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
-          |  CAST(SUM(CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < thresh
+          |  CAST(SUM(CASE WHEN ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 2654435761) % 1000 < thresh
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
           |  ROUND(MAX(thresh)::DOUBLE / 1000, 2) AS target_rate
           |FROM d GROUP BY source ORDER BY source""".stripMargin)),

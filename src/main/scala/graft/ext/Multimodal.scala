@@ -286,15 +286,33 @@ object Multimodal {
 
     private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-    /** Per-(fixtureKey, docs plan) memo of the population manifest, so a
-      * cache-hit `ensure` call runs no Spark job at all (pre-r8 it re-ran
-      * the count/min/max aggregation on every call just to build the tag).
-      * Keyed by the analyzed plan's semantic hash — two Datasets reading
-      * the same fixture produce the same key; a different source (or a
-      * filtered subset) misses and re-counts. Within one JVM the backing
-      * parquet is immutable (the driver regenerates fixtures only across
-      * rounds = across JVMs), so the memoized population cannot go stale. */
+    /** Per-(fixtureKey, docs plan, input-file signature) memo of the
+      * population manifest, so a cache-hit `ensure` call runs no Spark job
+      * at all (pre-r8 it re-ran the count/min/max aggregation on every call
+      * just to build the tag). The key combines the analyzed plan's
+      * semantic hash with each input file's (path, length, mtime): a
+      * fixture REGENERATED AT THE SAME PATH within one JVM changes the
+      * signature and misses the memo — preserving the stale-corpus guard
+      * the manifest exists for (the events.ts precedent), which a
+      * plan-hash-only key would have silently defeated (r8 review
+      * finding). Plans with no resolvable input files (in-memory frames)
+      * skip the memo and always re-count. */
     private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    private def inputSignature(docs: DataFrame): Option[String] = {
+      val files = docs.inputFiles
+      if (files.isEmpty) None
+      else Some {
+        val conf = docs.sparkSession.sessionState.newHadoopConf()
+        files.sorted.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try {
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            s"$f:${st.getLen}:${st.getModificationTime}"
+          } catch { case _: java.io.IOException => s"$f:?" }
+        }.mkString("|").hashCode.toString
+      }
+    }
 
     /** Materialize (once per fixture dir per JVM) the PNG corpus for `docs`
       * and return its directory — the input to [[mediaFromBinaryFiles]].
@@ -305,13 +323,19 @@ object Multimodal {
       * regenerated fixture set (the events.ts precedent) lands in a fresh
       * dir instead of silently joining against a stale corpus. */
     def ensure(docs: DataFrame, fixtureKey: String): String = {
-      val manifestKey = s"$fixtureKey#${docs.queryExecution.analyzed.semanticHash()}"
-      val manifest = manifestCache.computeIfAbsent(manifestKey, { _ =>
+      def computeManifest(): String = {
         val pop = docs.agg(count(lit(1)),
             coalesce(min(col("doc_id")), lit(0L)), coalesce(max(col("doc_id")), lit(0L)))
           .collect()(0)
         s"${pop.getLong(0)}_${pop.getLong(1)}_${pop.getLong(2)}"
-      })
+      }
+      val manifest = inputSignature(docs) match {
+        case Some(sig) =>
+          val manifestKey =
+            s"$fixtureKey#${docs.queryExecution.analyzed.semanticHash()}#$sig"
+          manifestCache.computeIfAbsent(manifestKey, _ => computeManifest())
+        case None => computeManifest()
+      }
       val tag = s"${fixtureKey.replaceAll("[^A-Za-z0-9._-]", "_")}_$manifest"
       cache.computeIfAbsent(tag, { _ =>
         // executors write into executor-local java.io.tmpdir and the driver

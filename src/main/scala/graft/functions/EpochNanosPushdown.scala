@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -92,7 +92,8 @@ object EpochNanosPushdownRule extends Rule[LogicalPlan] {
     // slice of a broad ~10% bench drift.)
     if (!plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[UnixMicros]))))
       return plan
-    plan.transformAllExpressions {
+    var introducedFalse = false
+    val rewritten = plan.transformAllExpressions {
       // attr-on-left orientations
       case GreaterThanOrEqual(NanosOfTs(a), Literal(c: Long, LongType)) if ceilDiv1000(c).isDefined =>
         GreaterThanOrEqual(a, tsLit(ceilDiv1000(c).get, a))
@@ -120,10 +121,10 @@ object EpochNanosPushdownRule extends Rule[LogicalPlan] {
       // 1000-lattice is reachable, so the result is constant false
       case EqualNullSafe(NanosOfTs(a), Literal(c: Long, LongType)) =>
         if (c % 1000L == 0L) EqualNullSafe(a, tsLit(c / 1000L, a))
-        else Literal.FalseLiteral
+        else { introducedFalse = true; Literal.FalseLiteral }
       case EqualNullSafe(Literal(c: Long, LongType), NanosOfTs(a)) =>
         if (c % 1000L == 0L) EqualNullSafe(a, tsLit(c / 1000L, a))
-        else Literal.FalseLiteral
+        else { introducedFalse = true; Literal.FalseLiteral }
       // IN over literal nanos: off-lattice values can never match and are
       // dropped; at least one must survive (`a IN (…)` with a NULL input
       // yields NULL only while the list is non-empty, so an empty rewrite
@@ -135,6 +136,16 @@ object EpochNanosPushdownRule extends Rule[LogicalPlan] {
         In(a, list.collect {
           case Literal(c: Long, LongType) if c % 1000L == 0L => tsLit(c / 1000L, a)
         })
+    }
+    // At pre-CBO, PruneFilters has already run, so a FalseLiteral this rule
+    // just introduced would survive as FilterExec(false) over a full scan
+    // (r8 review finding). Collapse it here, exactly as PruneFilters would
+    // have: Filter(false) over a non-streaming child → empty relation.
+    if (!introducedFalse) rewritten
+    else rewritten.transform {
+      case Filter(Literal(false, org.apache.spark.sql.types.BooleanType), child)
+          if !child.isStreaming =>
+        LocalRelation(child.output, data = Seq.empty, isStreaming = false)
     }
   }
 }

@@ -15,18 +15,33 @@ import org.apache.spark.sql.types._
   * ascending-index, identical to the sequential fold, so results are
   * bit-identical to the HOF form (and to the DuckDB oracle).
   *
-  * Null-element contract: a position where EITHER side is a null element is
-  * SKIPPED — it contributes nothing to the sum. This matches SQL aggregate
-  * semantics (`x * NULL` is NULL and `SUM` skips NULL terms), i.e. the
-  * DuckDB unnest-multiply-SUM oracle formulation, and the HOF form above
-  * once its lambda null-propagates. Before r8 this kernel read null
-  * elements as 0.0 via `getDouble` without `isNullAt` — coincidentally the
-  * same sum, but by reading undefined slot bytes rather than by contract;
-  * the skip is now explicit in both the interpreted and codegen paths.
+  * Null-element contract — TWO modes, because the engine's own kernels and
+  * the user-facing HOF rewrite need different semantics:
+  *
+  *  - `nullAsNull = false` (default; SimSearch and every graft kernel): a
+  *    position where EITHER side is a null element is SKIPPED — it
+  *    contributes nothing to the sum. This matches SQL aggregate semantics
+  *    (`x * NULL` is NULL and `SUM` skips NULL terms), i.e. the DuckDB
+  *    unnest-multiply-SUM oracle formulation. Before r8 this kernel read
+  *    null elements as 0.0 via `getDouble` without `isNullAt` —
+  *    coincidentally the same sum, but by reading undefined slot bytes
+  *    rather than by contract.
+  *
+  *  - `nullAsNull = true` ([[VectorDotRewriteRule]] only): bit-exact
+  *    `aggregate(zip_with(...))` FOLD semantics. zip_with pads the shorter
+  *    array with nulls to max length, x*NULL is NULL, and `acc + NULL`
+  *    poisons the whole fold — so the result is NULL iff the lengths
+  *    differ OR any position in the common range holds a null element.
+  *    The optimizer rewrite must not change query results, and the plain
+  *    skip mode would (it returns a partial sum where the HOF returns
+  *    NULL — an r8 review finding).
   */
-case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VectorDot(left: Expression, right: Expression,
+    nullAsNull: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = nullAsNull || left.nullable || right.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -39,11 +54,14 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (nullAsNull && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) {
+        if (nullAsNull) return null
+      } else acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
@@ -54,15 +72,24 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val lenGuard =
+        if (nullAsNull)
+          s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }"
+        else ""
+      val nullElem =
+        if (nullAsNull) s"{ ${ev.isNull} = true; break; }"
+        else "{ /* skip null positions (SUM semantics) */ }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |$lenGuard
+         |if (!${ev.isNull}) {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) $nullElem
+         |    else { $acc += $a.getDouble($i) * $b.getDouble($i); }
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -9,10 +9,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   *   aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
   *
-  * into the codegen [[VectorDot]] expression (identical semantics and
-  * summation order, ~100× cheaper per row — see VectorDot). Users who write
-  * the idiomatic declarative form get the fast path transparently; injected
-  * via [[GraftExtensions]] (`spark.sql.extensions`) or
+  * into the codegen [[VectorDot]] expression in its `nullAsNull` mode —
+  * bit-exact HOF semantics including the null cases (length mismatch or a
+  * null element poisons the fold to NULL), ~100× cheaper per row. An
+  * optimizer rewrite must never change results: the default skip-mode
+  * VectorDot would return a partial sum where the fold returns NULL (r8
+  * review finding), so this rule deliberately does NOT use it. Users who
+  * write the idiomatic declarative form get the fast path transparently;
+  * injected via [[GraftExtensions]] (`spark.sql.extensions`) or
   * `spark.experimental.extraOptimizations`.
   */
 object VectorDotRewriteRule extends Rule[LogicalPlan] {
@@ -47,7 +51,7 @@ object VectorDotRewriteRule extends Rule[LogicalPlan] {
             ((isVar(al, acc) && isVar(ar, el)) || (isVar(al, el) && isVar(ar, acc))) &&
             // finish is identity
             isVar(fin, fa) =>
-        VectorDot(a, b)
+        VectorDot(a, b, nullAsNull = true)
     }
   }
 }

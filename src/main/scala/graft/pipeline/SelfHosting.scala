@@ -33,11 +33,17 @@ object SelfHosting {
   /** Run each SQL text (executor-side execution force, never collecting
     * results to the driver), capturing usage via the listener; returns the
     * observed usage DataFrame (kind, name, weighted_frequency) where
-    * weight = times referenced. */
+    * weight = times referenced.
+    *
+    * `stateCap` bounds the recorder's distinct (kind, name) keys; if the
+    * workload saturates it, the truncation is WARNED with the drop count
+    * (r8 review finding: a bounded recorder whose saturation no call site
+    * surfaces is silent truncation all over again) — raise the cap for
+    * catalogs wider than ~4k referenced names. */
   def observeWorkload(spark: SparkSession, sfDir: String,
-      workload: Seq[String]): DataFrame = {
+      workload: Seq[String], stateCap: Int = 4096): DataFrame = {
     registerViews(spark, sfDir)
-    val rec = UsageListener.install(spark)
+    val rec = UsageListener.install(spark, stateCap)
     try {
       workload.foreach { sql =>
         try forceExecute(spark, sql)
@@ -47,6 +53,11 @@ object SelfHosting {
       val deadline = System.nanoTime() + 30e9.toLong
       while (rec.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       Thread.sleep(200)
+      if (rec.droppedRefs > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"usage recorder saturated: ${rec.droppedRefs} references beyond " +
+            s"stateCap=$stateCap dropped — the usage profile is truncated; " +
+            "pass a larger stateCap to observeWorkload")
       import spark.implicits._
       rec.snapshot.map(s => (s.kind, s.name, s.count))
         .toDF("kind", "name", "weighted_frequency")

@@ -72,6 +72,34 @@ class FunctionsSpec extends SparkSpec {
     assert(viaRule.sameElements(direct))
   }
 
+  test("VectorDotRewriteRule preserves HOF null semantics (fold poisons to NULL)") {
+    import graft.functions.VectorDotRewriteRule
+    if (!spark.experimental.extraOptimizations.contains(VectorDotRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VectorDotRewriteRule
+    // null element in range AND a length mismatch: the aggregate/zip_with
+    // fold returns NULL for both; the rewritten plan must agree (the skip-
+    // mode kernel would return a partial sum — r8 review finding). Built
+    // over a real scan column: an all-literal VALUES relation gets
+    // evaluated away by ConvertToLocalRelation before the rewrite can show.
+    val df = graft.catalog.TableRegistry.table(spark, sfDir, "documents")
+      .where(col("doc_id") < 3)
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id = 0 THEN array(1.0D, CAST(NULL AS DOUBLE)) " +
+          "ELSE array(1.0D, 2.0D) END AS a",
+        "CASE WHEN doc_id = 0 THEN array(2.0D, 3.0D) " +
+          "WHEN doc_id = 1 THEN array(5.0D) ELSE array(3.0D, 4.0D) END AS b")
+    val hof = df.selectExpr("doc_id",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, e) -> acc + e) AS d")
+      .orderBy("doc_id")
+    assert(hof.queryExecution.optimizedPlan.toString.contains("vectordot"),
+      hof.queryExecution.optimizedPlan.toString)
+    val rows = hof.collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    // doc 0: null element → NULL; doc 1: length mismatch (zip_with pads,
+    // x*NULL poisons) → NULL; doc 2: 1*3 + 2*4 = 11
+    assert(rows.toSeq == Seq(None, None, Some(11.0)), rows.mkString(","))
+  }
+
   test("VectorDot skips null elements (SQL SUM semantics) in codegen and interpreted paths") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
