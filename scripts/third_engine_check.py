@@ -301,6 +301,101 @@ f = pd.DataFrame([{"source": s, "n_new": np.int64(n), "n_flagged": np.int64(fl),
                   for s, (n, fl, du, fpn) in sorted(agg.items())])
 check("bloom_prefilter", f)
 
+# lang_id: distinct-marker-match scoring, earliest-argmax tie-break
+MARKERS = [("de", {"der", "und", "die"}), ("en", {"the", "a", "of"}),
+           ("es", {"el", "la", "de"}), ("fr", {"le", "la", "et"}),
+           ("zh", {"的", "是", "了"})]
+cnt = {}
+for s in dc.text:
+    toks = set(s.split(" "))
+    scores = [len(toks & ws) for _, ws in MARKERS]
+    pick = next(lang for i, (lang, _) in enumerate(MARKERS)
+                if scores[i] >= max(scores[i + 1:], default=-1))
+    cnt[pick] = cnt.get(pick, 0) + 1
+f = pd.DataFrame(sorted(cnt.items()), columns=["lang_pred", "cnt"])
+f["cnt"] = f["cnt"].astype("int64")
+check("lang_id", f)
+
+# doc_fingerprint: sum_i (len(tok_i) * i) % 1000003, i 1-based, summed mod p
+rows = []
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    fpv = sum((len(tk) * i) % 1000003 for i, tk in enumerate(sp, 1)) % 1000003
+    rows.append({"doc_id": r.doc_id, "fingerprint": np.int64(fpv)})
+f = pd.DataFrame(rows).sort_values("doc_id")
+f["fingerprint"] = f["fingerprint"].astype("int64")
+check("doc_fingerprint", f)
+
+# funnel_stages: first view -> first later click -> first later purchase
+ms = ev.ts.values.astype("datetime64[us]").astype("int64") // 1000
+e = pd.DataFrame({"user_id": ev.user_id, "event_type": ev.event_type, "ms": ms})
+t1 = e[e.event_type == "view"].groupby("user_id")["ms"].min()
+c = e[e.event_type == "click"].merge(t1.rename("t1"), on="user_id")
+t2 = c[c.ms > c.t1].groupby("user_id")["ms"].min()
+p = e[e.event_type == "purchase"].merge(t2.rename("t2"), on="user_id")
+t3 = p[p.ms > p.t2].groupby("user_id")["ms"].min()
+f = pd.DataFrame({"stage": np.array([1, 2, 3], dtype="int32"),
+                  "users": np.array([len(t1), len(t2), len(t3)], dtype="int64")})
+got_cols = list(dump("funnel_stages").columns)
+f = f[got_cols] if set(got_cols) == {"stage", "users"} else f
+f["stage"] = f["stage"].astype(dump("funnel_stages").stage.dtype)
+check("funnel_stages", f)
+
+# window_lag_lead: per-user lag delta + 3-row moving average over (us, id)
+tus = ev.ts.values.astype("datetime64[us]").astype("int64")
+w = pd.DataFrame({"user_id": ev.user_id, "event_id": ev.event_id,
+                  "tus": tus, "value": ev.value}).sort_values(["user_id", "tus", "event_id"])
+deltas, mavgs = [], []
+for _, grp in w.groupby("user_id", sort=False):
+    v = grp.value.values
+    deltas.extend([None] + [round(v[i] - v[i - 1], 6) for i in range(1, len(v))])
+    mavgs.extend(round(float(np.mean(v[max(0, i - 2):i + 1])), 6) for i in range(len(v)))
+w["delta"], w["mavg"] = deltas, mavgs
+f = w[["user_id", "event_id", "delta", "mavg"]].sort_values(["user_id", "event_id"])
+f["delta"] = f["delta"].astype(float)
+check("window_lag_lead", f)
+
+# gapfill_locf: dense (status, day) spine with zero counts + LOCF revenue
+o = od.copy()
+o["day"] = pd.DatetimeIndex(o.o_orderdate).normalize()
+cents = [Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) for v in o.o_totalprice]
+o["price"] = cents
+daily = {}
+for st, day, pr in zip(o.o_orderstatus, o.day, o.price):
+    n, s = daily.get((st, day), (0, Decimal(0)))
+    daily[(st, day)] = (n + 1, s + pr)
+days = pd.date_range(o.day.min(), o.day.max(), freq="D")
+rows = []
+for st in sorted(o.o_orderstatus.unique()):
+    last = None
+    for day in days:
+        n, s = daily.get((st, day), (0, None))
+        if s is not None:
+            last = s
+        rows.append({"status": st, "day": day.date(),
+                     "cnt": np.int64(n),
+                     "locf_rev": float(last) if last is not None else None})
+f = pd.DataFrame(rows)
+g = dump("gapfill_locf")
+f["day"] = f["day"].astype(g["day"].dtype) if g["day"].dtype != object else f["day"]
+check("gapfill_locf", f)
+
+# vocab_coverage: occurrence share of top-{10,25,50} token types
+tc = {}
+for s in dc.text:
+    for tk in s.split(" "):
+        tc[tk] = tc.get(tk, 0) + 1
+ranked = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+total = sum(tc.values())
+rows = []
+for nv in (10, 25, 50):
+    cov = sum(c for _, c in ranked[:nv])
+    rows.append({"n_vocab": np.int32(nv), "covered": np.int64(cov),
+                 "total": np.int64(total), "coverage": round(cov / total, 6)})
+f = pd.DataFrame(rows)
+f["n_vocab"] = f["n_vocab"].astype("int32")
+check("vocab_coverage", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
