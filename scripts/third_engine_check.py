@@ -396,6 +396,96 @@ f = pd.DataFrame(rows)
 f["n_vocab"] = f["n_vocab"].astype("int32")
 check("vocab_coverage", f)
 
+# dedup_exact: min-doc_id winner per identical text
+grp = {}
+for did, txt in zip(dc.doc_id, dc.text):
+    lo, n = grp.get(txt, (did, 0))
+    grp[txt] = (min(lo, did), n + 1)
+f = pd.DataFrame([{"doc_id": lo, "dup_count": np.int64(n)}
+                  for lo, n in grp.values()]).sort_values("doc_id")
+check("dedup_exact", f)
+
+# agg_conditional_family: count_if / bool_or / bool_and / filtered distinct
+rows = []
+for et, g in ev.groupby("event_type"):
+    v = g.value.dropna()
+    rows.append({
+        "event_type": et,
+        "n_high": np.int64((v > 50).sum()),
+        "any_extreme": bool((v > 488).any()) if len(v) else None,
+        "all_above_floor": bool((v > 0.05).all()) if len(v) else None,
+        "users_high": np.int64(g[g.value > 50].user_id.nunique())})
+check("agg_conditional_family", pd.DataFrame(rows).sort_values("event_type"))
+
+# event_pair_join: click->purchase pairs per user within +/-30 min
+ems = ev.ts.values.astype("datetime64[us]").astype("int64") // 1000
+epj = pd.DataFrame({"user_id": ev.user_id, "event_type": ev.event_type, "ms": ems})
+clicks = epj[epj.event_type == "click"][["user_id", "ms"]].rename(columns={"ms": "c_ms"})
+purch = epj[epj.event_type == "purchase"][["user_id", "ms"]].rename(columns={"ms": "p_ms"})
+j = clicks.merge(purch, on="user_id")
+j = j[(j.p_ms >= j.c_ms - 1800000) & (j.p_ms <= j.c_ms + 1800000)]
+f = j.assign(gap=(j.p_ms - j.c_ms).abs()).groupby("user_id", as_index=False) \
+    .agg(pairs=("gap", "size"), min_gap_ms=("gap", "min")).sort_values("user_id")
+f["pairs"] = f["pairs"].astype("int64")
+f["min_gap_ms"] = f["min_gap_ms"].astype("int64")
+check("event_pair_join", f)
+
+# text_tfidf: top-3 BM25-ish scored terms per doc (doc_id < 50)
+tf, dlen = {}, {}
+for did, txt in zip(dc.doc_id, dc.text):
+    sp = txt.split(" ")
+    dlen[did] = len(sp)
+    for tk in sp:
+        tf[(did, tk)] = tf.get((did, tk), 0) + 1
+dfreq = {}
+for (_, tk) in tf:
+    dfreq[tk] = dfreq.get(tk, 0) + 1
+ndocs = len(dc)
+rows = []
+for did in sorted(dlen):
+    if did >= 50:
+        continue
+    scored = [(tk, (c / dlen[did]) * ((ndocs - dfreq[tk] + 0.5) / (dfreq[tk] + 0.5)))
+              for (d2, tk), c in tf.items() if d2 == did]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    for rank, (tk, sc) in enumerate(scored[:3], 1):
+        rows.append({"doc_id": did, "rank": np.int32(rank), "token": tk,
+                     "tfidf": round(sc, 6)})
+f = pd.DataFrame(rows).sort_values(["doc_id", "rank"])
+f["rank"] = f["rank"].astype("int32")
+check("text_tfidf", f)
+
+# corpus_curate: en-only + quality>=0.5 + exact-dedup (min doc_id wins)
+def r6(x):
+    # Spark round(double, 6) is BigDecimal.valueOf(x).setScale(6, HALF_UP),
+    # i.e. HALF_UP on the shortest decimal repr — python round() is
+    # banker's and diverges exactly at the .5 boundary (found live: a
+    # quality of 0.5286875 rounded to ...87 vs the engines' ...88)
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+def quality(txt):
+    sp = txt.split(" ")
+    n = len(sp)
+    stop = sum(1 for tk in sp if tk in ("the", "a"))
+    avg_len = sum(len(tk) for tk in sp) / n
+    return r6(min(n / 100.0, 1.0) * 0.4 + (stop / n) * 0.3 +
+              min(avg_len / 10.0, 1.0) * 0.3)
+def lang_pred(txt):
+    toks = set(txt.split(" "))
+    scores = [len(toks & ws) for _, ws in MARKERS]
+    return next(lang for i, (lang, _) in enumerate(MARKERS)
+                if scores[i] >= max(scores[i + 1:], default=-1))
+surv = [(did, txt, quality(txt)) for did, txt in zip(dc.doc_id, dc.text)
+        if lang_pred(txt) == "en" and quality(txt) >= 0.5]
+winner = {}
+for did, txt, q in surv:
+    winner[txt] = min(winner.get(txt, did), did)
+keep = set(winner.values())
+f = pd.DataFrame([{"doc_id": did, "quality": q} for did, txt, q in surv
+                  if did in keep]).sort_values("doc_id")
+check("corpus_curate", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

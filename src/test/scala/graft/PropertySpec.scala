@@ -47,6 +47,37 @@ class PropertySpec extends SparkSpec {
     ()
   }
 
+  test("VectorDot dual-mode matches its reference model on random null-bearing arrays") {
+    // eval-level property check of both null contracts against a direct
+    // Scala model: skip mode == SUM-over-non-null-pairs; nullAsNull mode ==
+    // the aggregate(zip_with) fold (NULL iff lengths differ or any common
+    // position is null). Seeded RNG — failures reproduce.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(20260814L)
+    def arr(): Array[Any] = Array.fill[Any](rnd.nextInt(6)) {
+      if (rnd.nextInt(5) == 0) null else rnd.nextInt(100) / 10.0
+    }
+    val tpe = ArrayType(DoubleType, containsNull = true)
+    (1 to 500).foreach { _ =>
+      val (a, b) = (arr(), arr())
+      val skipGot = graft.functions.VectorDot(
+        Literal.create(a, tpe), Literal.create(b, tpe)).eval(null)
+      val foldGot = graft.functions.VectorDot(
+        Literal.create(a, tpe), Literal.create(b, tpe), nullAsNull = true).eval(null)
+      val n = math.min(a.length, b.length)
+      val pairs = (0 until n).map(i => (a(i), b(i)))
+      val skipExp: Any = pairs.collect {
+        case (x: Double, y: Double) => x * y
+      }.foldLeft(0.0)(_ + _)
+      val foldExp: Any =
+        if (a.length != b.length || pairs.exists(p => p._1 == null || p._2 == null)) null
+        else skipExp
+      assert(skipGot == skipExp, s"skip: ${a.toSeq} · ${b.toSeq}")
+      assert(foldGot == foldExp, s"fold: ${a.toSeq} · ${b.toSeq}")
+    }
+  }
+
   test("dedup_exact is idempotent (X1 property)") {
     val once = Dedup.exact(docs).cache()
     // feed the survivors back through: every group is now singleton
