@@ -33,6 +33,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("unix_micros"), plan)
   }
 
+  test("off-lattice null-safe time equality collapses to an empty relation, not a scan") {
+    // ts <=> (non-1000-divisible literal) is constant-false; at pre-CBO
+    // PruneFilters has already run, so the rule must do its own collapse
+    // or the physical plan keeps a full parquet scan under Filter(false)
+    val df = TableRegistry.table(spark, sfDir, "events")
+      .where(col("ts") <=> lit(1705276800L * 1000000000L + 1L))
+      .select("event_type")
+    val plan = planOf(df)
+    assert(!plan.contains("FileScan"), plan)
+    assert(plan.contains("LocalTableScan") || plan.contains("EmptyRelation"), plan)
+    assert(df.count() == 0)
+  }
+
   test("normalizeTs projection does not defeat events column pruning") {
     // ts is a derived column (Project over the scan); a query not touching
     // it must not drag the raw timestamp through the scan
