@@ -486,6 +486,64 @@ f = pd.DataFrame([{"doc_id": did, "quality": q} for did, txt, q in surv
                   if did in keep]).sort_values("doc_id")
 check("corpus_curate", f)
 
+# --- reference-core scoring family, over the synthesized query log -----
+# qlog derivation (TableRegistry.queryLogFrom): one row per event;
+# metrics are floor(value * k) so every engine reproduces them exactly
+CANNED = [
+    "SELECT l_returnflag, sum(l_quantity) FROM lineitem WHERE l_shipdate >= DATE '1995-01-01' GROUP BY l_returnflag LIMIT 10",
+    "SELECT o_orderkey, l_quantity FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_totalprice > 150000.0",
+    "SELECT c_mktsegment, count(*) FROM customer GROUP BY c_mktsegment",
+    "SELECT * FROM orders WHERE o_orderdate >= DATE '1996-01-01' AND o_orderstatus = 'F'",
+    "SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'FRANCE' LIMIT 5"]
+ql = pd.DataFrame({
+    "query_id": ev.event_id.astype("int64"),
+    "query": [CANNED[i % 5] for i in ev.event_id],
+    "exec_ms": np.floor(ev.value * 100).astype("int64"),
+    "cpu_ms": np.floor(ev.value * 60).astype("int64"),
+    "in_b": np.floor(ev.value * 1e6).astype("int64"),
+    "peak_b": np.floor(ev.value * 5e5).astype("int64")})
+
+# score_resource: 40/30/15/15 normalization against column maxima
+mx = {c: max(ql[c].max(), 1) for c in ("exec_ms", "cpu_ms", "in_b", "peak_b")}
+f = pd.DataFrame({
+    "query_id": ql.query_id,
+    "resource_score": [r6(e / mx["exec_ms"] * 40.0 + c / mx["cpu_ms"] * 30.0 +
+                          i / mx["in_b"] * 15.0 + p / mx["peak_b"] * 15.0)
+                       for e, c, i, p in zip(ql.exec_ms, ql.cpu_ms, ql.in_b, ql.peak_b)]
+}).sort_values("query_id")
+check("score_resource", f)
+
+# score_query_type: interactive iff LIMIT present or exec < 10 s
+inter = [("LIMIT" in q.upper()) or (e < 10000)
+         for q, e in zip(ql["query"], ql.exec_ms)]
+f = pd.DataFrame({
+    "query_id": ql.query_id,
+    "is_interactive": inter,
+    "partition_priority": [2.0 if b else 1.0 for b in inter]}).sort_values("query_id")
+check("score_query_type", f)
+
+# score_distribution: skew p90/p10 (guarded) + density over lineitem numerics
+rows = []
+for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"):
+    v = li[c].astype(float)
+    p10 = float(np.percentile(v, 10, method="linear"))
+    p90 = float(np.percentile(v, 90, method="linear"))
+    skew = p90 / p10 if (p10 != p90 and p10 != 0) else 1.0
+    rows.append({"column": c, "skew_ratio": r6(skew),
+                 "density": r6(li[c].nunique() / len(li))})
+check("score_distribution", pd.DataFrame(rows).sort_values("column"))
+
+# transform_date: month-truncation rollup of l_shipdate
+months = pd.DatetimeIndex(li.l_shipdate).to_period("M").to_timestamp()
+f = pd.DataFrame({"month_start": months}).groupby("month_start").size() \
+    .reset_index(name="cnt").sort_values("month_start")
+f["month_start"] = f["month_start"].dt.date
+g = dump("transform_date")
+f["month_start"] = f["month_start"].astype(g["month_start"].dtype) \
+    if g["month_start"].dtype != object else f["month_start"]
+f["cnt"] = f["cnt"].astype("int64")
+check("transform_date", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
