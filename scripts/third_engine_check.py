@@ -544,6 +544,93 @@ f["month_start"] = f["month_start"].astype(g["month_start"].dtype) \
 f["cnt"] = f["cnt"].astype("int64")
 check("transform_date", f)
 
+# --- TPC-H headline shapes (decimal-exact money arithmetic) ------------
+cu = t("customer")
+su = t("supplier")
+na = t("nation")
+rg = t("region")
+
+def dq(x, places):
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP)
+
+def rN(x, places):
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP))
+
+# q1_agg: per (flag, status) decimal sums + derived average
+g = {}
+for fl, st, q, p in zip(li.l_returnflag, li.l_linestatus, li.l_quantity, li.l_extendedprice):
+    sq, sp_, n = g.get((fl, st), (Decimal(0), Decimal(0), 0))
+    g[(fl, st)] = (sq + dq(q, 2), sp_ + dq(p, 2), n + 1)
+f = pd.DataFrame([{"l_returnflag": fl, "l_linestatus": st,
+                   "sum_qty": rN(float(sq), 2), "sum_price": rN(float(sp_), 2),
+                   "avg_qty": rN(float(sq) / n, 6), "cnt": np.int64(n)}
+                  for (fl, st), (sq, sp_, n) in sorted(g.items())])
+check("q1_agg", f)
+
+def revenue_groups(rows_iter, keyf, valf):
+    acc = {}
+    for row in rows_iter:
+        k = keyf(row)
+        acc[k] = acc.get(k, Decimal(0)) + valf(row)
+    return acc
+
+# q3_shipping: BUILDING customers x orders x post-1996 lineitems, top 20
+cust_b = set(cu[cu.c_mktsegment == "BUILDING"].c_custkey)
+ok_orders = set(od[od.o_custkey.isin(cust_b)].o_orderkey)
+okmap = {}
+cut96 = np.datetime64("1996-01-01T00:00:00")
+li3 = li[(li.l_shipdate.values >= cut96) & (li.l_orderkey.isin(ok_orders))]
+for okey, p, d in zip(li3.l_orderkey, li3.l_extendedprice, li3.l_discount):
+    s_, n = okmap.get(okey, (Decimal(0), 0))
+    okmap[okey] = (s_ + dq(p * (1 - d), 4), n + 1)
+rows = [{"o_orderkey": k, "revenue": rN(float(s_), 4), "n_items": np.int64(n)}
+        for k, (s_, n) in okmap.items()]
+rows.sort(key=lambda r: (-r["revenue"], r["o_orderkey"]))
+check("q3_shipping", pd.DataFrame(rows[:20]))
+
+# q5_region: ASIA dimension chain, revenue per nation
+asia = set(rg[rg.r_name == "ASIA"].r_regionkey)
+nat_asia = na[na.n_regionkey.isin(asia)][["n_nationkey", "n_name"]]
+nk2name = dict(zip(nat_asia.n_nationkey, nat_asia.n_name))
+sup_nat = dict(zip(su.s_suppkey, su.s_nationkey))
+o2c = dict(zip(od.o_orderkey, od.o_custkey))
+acc = {}
+for okey, sk, p, d in zip(li.l_orderkey, li.l_suppkey, li.l_extendedprice, li.l_discount):
+    if okey not in o2c:
+        continue
+    nk = sup_nat.get(sk)
+    if nk not in nk2name:
+        continue
+    nm = nk2name[nk]
+    acc[nm] = acc.get(nm, Decimal(0)) + dq(p * (1 - d), 4)
+f = pd.DataFrame([{"n_name": nm, "revenue": rN(float(v), 4)}
+                  for nm, v in sorted(acc.items())])
+check("q5_region", f)
+
+# q6_forecast: scan-filter decimal revenue
+cut97 = np.datetime64("1997-01-01T00:00:00")
+m = (li.l_shipdate.values >= cut96) & (li.l_shipdate.values < cut97) & \
+    (li.l_discount >= 0.04) & (li.l_discount <= 0.06) & (li.l_quantity < 24)
+rev = sum((dq(p * d, 4) for p, d in zip(li[m].l_extendedprice, li[m].l_discount)),
+          Decimal(0))
+check("q6_forecast", pd.DataFrame([{"revenue": rN(float(rev), 4)}]))
+
+# q18_large_orders: orders whose total quantity exceeds 250, top 100
+qty = {}
+for okey, q in zip(li.l_orderkey, li.l_quantity):
+    qty[okey] = qty.get(okey, 0.0) + q
+big = {k: v for k, v in qty.items() if v > 250}
+c2name = dict(zip(cu.c_custkey, cu.c_name))
+odate = dict(zip(od.o_orderkey, pd.DatetimeIndex(od.o_orderdate).date))
+rows = [{"c_name": c2name[o2c[k]], "o_orderkey": k, "o_date": odate[k],
+         "total_qty": v} for k, v in big.items() if k in o2c]
+rows.sort(key=lambda r: (-r["total_qty"], r["o_orderkey"]))
+f = pd.DataFrame(rows[:100])
+g18 = dump("q18_large_orders")
+f["o_date"] = f["o_date"].astype(g18["o_date"].dtype) \
+    if g18["o_date"].dtype != object else f["o_date"]
+check("q18_large_orders", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
