@@ -631,6 +631,63 @@ f["o_date"] = f["o_date"].astype(g18["o_date"].dtype) \
     if g18["o_date"].dtype != object else f["o_date"]
 check("q18_large_orders", f)
 
+# sort_limit_topk: top 10 events by rounded value, id tie-break
+f = pd.DataFrame({"event_id": ev.event_id,
+                  "value": [rN(v, 2) for v in ev.value]})
+f = f.sort_values(["value", "event_id"], ascending=[False, True]).head(10)
+check("sort_limit_topk", f)
+
+# agg_heavy_hitters: exact at capacity >= distinct — plain top-10 counts
+f = ev.groupby("user_id").size().reset_index(name="cnt")
+f = f.sort_values(["cnt", "user_id"], ascending=[False, True]).head(10)
+f["cnt"] = f["cnt"].astype("int64")
+check("agg_heavy_hitters", f)
+
+# text_clean: lowercase, strip non-alphanumerics, collapse spaces, trim
+f = pd.DataFrame({
+    "doc_id": dc.doc_id,
+    "clean": [re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+              for s in dc.text]}).sort_values("doc_id")
+check("text_clean", f)
+
+# q4_exists: orders with any lineitem shipped >90 days after order date
+ship_by_order = {}
+for okey, sd_ in zip(li.l_orderkey, li.l_shipdate.values):
+    ship_by_order.setdefault(okey, []).append(sd_)
+ninety = np.timedelta64(90, "D")
+cnt = {}
+for okey, odate_, pri in zip(od.o_orderkey, od.o_orderdate.values, od.o_orderpriority):
+    if any(sd_ > odate_ + ninety for sd_ in ship_by_order.get(okey, ())):
+        cnt[pri] = cnt.get(pri, 0) + 1
+f = pd.DataFrame(sorted(cnt.items()), columns=["o_orderpriority", "order_count"])
+f["order_count"] = f["order_count"].astype("int64")
+check("q4_exists", f)
+
+# q22_no_orders: customers with no urgent order, per segment
+urgent = set(od[od.o_orderpriority == "1-URGENT"].o_custkey)
+qual = cu[~cu.c_custkey.isin(urgent)]
+f = qual.groupby("c_mktsegment").agg(
+    n_customers=("c_custkey", "size"), min_key=("c_custkey", "min")) \
+    .reset_index().sort_values("c_mktsegment")
+f["n_customers"] = f["n_customers"].astype("int64")
+f["min_key"] = f["min_key"].astype("int64")
+check("q22_no_orders", f)
+
+# q14_promo: promo revenue share over the 1997 lineitem x part join
+pt = t("part")
+ptype = dict(zip(pt.p_partkey, pt.p_type))
+y97 = pd.DatetimeIndex(li.l_shipdate).year == 1997
+promo, tot = Decimal(0), Decimal(0)
+for pk, p, d in zip(li[y97].l_partkey, li[y97].l_extendedprice, li[y97].l_discount):
+    if pk not in ptype:
+        continue
+    v = dq(p * (1 - d), 4)
+    tot += v
+    if ptype[pk] == "PROMO":
+        promo += v
+check("q14_promo",
+      pd.DataFrame([{"promo_revenue_pct": rN(float(promo) * 100.0 / float(tot), 6)}]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
