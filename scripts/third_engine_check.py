@@ -688,6 +688,128 @@ for pk, p, d in zip(li[y97].l_partkey, li[y97].l_extendedprice, li[y97].l_discou
 check("q14_promo",
       pd.DataFrame([{"promo_revenue_pct": rN(float(promo) * 100.0 / float(tot), 6)}]))
 
+# join_semi: customers with any order over 150k
+big_cust = set(od[od.o_totalprice > 150000].o_custkey)
+f = cu[cu.c_custkey.isin(big_cust)][["c_custkey", "c_name"]].sort_values("c_custkey")
+check("join_semi", f)
+
+# join_equi_inner: decimal qty sum per order status over the join
+st_of = dict(zip(od.o_orderkey, od.o_orderstatus))
+acc = {}
+for okey, q in zip(li.l_orderkey, li.l_quantity):
+    st = st_of.get(okey)
+    if st is None:
+        continue
+    s_, n = acc.get(st, (Decimal(0), 0))
+    acc[st] = (s_ + dq(q, 2), n + 1)
+f = pd.DataFrame([{"o_orderstatus": st, "sum_qty": rN(float(s_), 2),
+                   "cnt": np.int64(n)} for st, (s_, n) in sorted(acc.items())])
+check("join_equi_inner", f)
+
+# join_explode_agg: stopword token stats weighted by doc n_chars
+STOP = {"the", "a", "data", "join", "merge", "spark"}
+acc = {}
+for nch, txt in zip(dc.n_chars, dc.text):
+    for tk in txt.split(" "):
+        if tk in STOP:
+            s_, n = acc.get(tk, (0, 0))
+            acc[tk] = (s_ + int(nch), n + 1)
+f = pd.DataFrame([{"token": tk, "cnt": np.int64(n), "avg_chars": rN(s_ / n, 6)}
+                  for tk, (s_, n) in sorted(acc.items())])
+check("join_explode_agg", f)
+
+# setop_union_all: nation-key counts across both sides
+nk = list(cu.c_nationkey) + list(su.s_nationkey)
+f = pd.Series(nk).value_counts().rename_axis("nationkey").reset_index(name="cnt") \
+    .sort_values("nationkey")
+f["nationkey"] = f["nationkey"].astype("int32")
+f["cnt"] = f["cnt"].astype("int64")
+check("setop_union_all", f)
+
+# agg_rollup: (flag,status), (flag), () subtotals with 'ALL' coalescing
+lvl = {}
+for fl, st, q in zip(li.l_returnflag, li.l_linestatus, li.l_quantity):
+    for k in ((fl, st), (fl, "ALL"), ("ALL", "ALL")):
+        s_, n = lvl.get(k, (Decimal(0), 0))
+        lvl[k] = (s_ + dq(q, 2), n + 1)
+f = pd.DataFrame([{"flag": fl, "status": st, "cnt": np.int64(n),
+                   "sum_qty": rN(float(s_), 2)}
+                  for (fl, st), (s_, n) in sorted(lvl.items())])
+check("agg_rollup", f)
+
+# window_topn_per_view: top-3 (price desc, orderkey, linenumber) per flag
+byflag = {}
+for fl, okey, ln, p in zip(li.l_returnflag, li.l_orderkey, li.l_linenumber,
+                           li.l_extendedprice):
+    byflag.setdefault(fl, []).append((-rN(p, 2), okey, ln))
+rows = []
+for fl in sorted(byflag):
+    for rank, (np_, okey, ln) in enumerate(sorted(byflag[fl])[:3], 1):
+        rows.append({"l_returnflag": fl, "l_orderkey": okey,
+                     "l_linenumber": np.int32(ln), "price": -np_,
+                     "rank": np.int32(rank)})
+f = pd.DataFrame(rows)
+f["l_linenumber"] = f["l_linenumber"].astype("int32")
+f["rank"] = f["rank"].astype("int32")
+check("window_topn_per_view", f)
+
+# transform_truncate: floor(p_size/10)*10 histogram
+f = pd.DataFrame({"trunc_size": (pt.p_size // 10 * 10).astype("int64")}) \
+    .groupby("trunc_size").size().reset_index(name="cnt").sort_values("trunc_size")
+f["cnt"] = f["cnt"].astype("int64")
+check("transform_truncate", f)
+
+# transform_bucket / transform_bucket_iceberg: murmur3_x86_32 over the
+# 8-byte little-endian long (identical to Spark's two-int-block hashLong)
+def _mix_k1(k1):
+    k1 = (k1 * 0xcc9e2d51) & 0xffffffff
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xffffffff
+    return (k1 * 0x1b873593) & 0xffffffff
+
+def murmur_long(v, seed):
+    h1 = seed & 0xffffffff
+    for blk in (v & 0xffffffff, (v >> 32) & 0xffffffff):
+        h1 ^= _mix_k1(blk)
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xffffffff
+        h1 = (h1 * 5 + 0xe6546b64) & 0xffffffff
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85ebca6b) & 0xffffffff
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xc2b2ae35) & 0xffffffff
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 >= 0x80000000 else h1  # as signed int32
+
+b42 = [((murmur_long(int(v), 42) % 8) + 8) % 8 for v in li.l_suppkey]
+f = pd.DataFrame({"bucket": b42}).groupby("bucket").size() \
+    .reset_index(name="cnt").sort_values("bucket")
+f["bucket"] = f["bucket"].astype("int32")
+f["cnt"] = f["cnt"].astype("int64")
+check("transform_bucket", f)
+
+b0 = [(murmur_long(int(v), 0) & 0x7fffffff) % 8 for v in li.l_suppkey]
+f = pd.DataFrame({"bucket": b0}).groupby("bucket").size() \
+    .reset_index(name="cnt").sort_values("bucket")
+f["bucket"] = f["bucket"].astype("int32")
+f["cnt"] = f["cnt"].astype("int64")
+check("transform_bucket_iceberg", f)
+
+# q21_waiting: sole returning supplier in multi-supplier orders
+supp_of, rsupp_of = {}, {}
+for okey, sk, fl in zip(li.l_orderkey, li.l_suppkey, li.l_returnflag):
+    supp_of.setdefault(okey, set()).add(sk)
+    if fl == "R":
+        rsupp_of.setdefault(okey, set()).add(sk)
+sname = dict(zip(su.s_suppkey, su.s_name))
+wait = {}
+for okey, rs in rsupp_of.items():
+    if len(supp_of[okey]) >= 2 and len(rs) == 1:
+        sk = next(iter(rs))
+        wait.setdefault(sname[sk], set()).add(okey)
+rows = [{"s_name": nm, "numwait": np.int64(len(ok))} for nm, ok in wait.items()]
+rows.sort(key=lambda r: (-r["numwait"], r["s_name"]))
+check("q21_waiting", pd.DataFrame(rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
