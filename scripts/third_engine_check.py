@@ -810,6 +810,72 @@ rows = [{"s_name": nm, "numwait": np.int64(len(ok))} for nm, ok in wait.items()]
 rows.sort(key=lambda r: (-r["numwait"], r["s_name"]))
 check("q21_waiting", pd.DataFrame(rows))
 
+# limit_probe: lowest-key region row
+f = rg.sort_values("r_regionkey").head(1).reset_index(drop=True)
+check("limit_probe", f[list(dump("limit_probe").columns)])
+
+# filter_conjunctive / filter_point / filter_isin / filter_like
+f = li[(li.l_returnflag == "R") & (li.l_linestatus == "F")] \
+    [["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]] \
+    .sort_values(["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+check("filter_conjunctive", f)
+
+f = ev[ev.event_id == 42][["event_id", "user_id", "event_type", "value"]].copy()
+f["value"] = [rN(v, 2) for v in f.value]
+check("filter_point", f)
+
+f = na[na.n_name.isin(["NATION_3", "NATION_7", "NATION_12"])] \
+    [["n_nationkey", "n_name", "n_regionkey"]].sort_values("n_nationkey")
+check("filter_isin", f)
+
+f = pt[pt.p_name.str.contains("widget")].groupby("p_brand").size() \
+    .reset_index(name="cnt").sort_values("p_brand")
+f["cnt"] = f["cnt"].astype("int64")
+check("filter_like", f)
+
+# agg_cube: all four grouping levels with 'ALL' coalescing
+lvl = {}
+for fl, st, q in zip(li.l_returnflag, li.l_linestatus, li.l_quantity):
+    for k in ((fl, st), (fl, "ALL"), ("ALL", st), ("ALL", "ALL")):
+        s_, n = lvl.get(k, (Decimal(0), 0))
+        lvl[k] = (s_ + dq(q, 2), n + 1)
+f = pd.DataFrame([{"flag": fl, "status": st, "cnt": np.int64(n),
+                   "sum_qty": rN(float(s_), 2)}
+                  for (fl, st), (s_, n) in sorted(lvl.items())])
+check("agg_cube", f)
+
+# agg_collect_sorted: sorted distinct statuses per flag
+f = li.groupby("l_returnflag").agg(
+    statuses=("l_linestatus", lambda s: ",".join(sorted(set(s)))),
+    n=("l_linestatus", "nunique")).reset_index().sort_values("l_returnflag")
+f["n"] = f["n"].astype("int64")
+check("agg_collect_sorted", f)
+
+# q2_correlated_scalar: each customer's cheapest order (custkey < 300)
+omin = od.groupby("o_custkey")["o_totalprice"].min()
+q2 = od[(od.o_custkey < 300) &
+        (od.o_totalprice == od.o_custkey.map(omin))].copy()
+f = pd.DataFrame({"o_custkey": q2.o_custkey, "o_orderkey": q2.o_orderkey,
+                  "price": [rN(v, 2) for v in q2.o_totalprice]}) \
+    .sort_values(["o_custkey", "o_orderkey"])
+check("q2_correlated_scalar", f)
+
+# q10_returns: returned-item revenue per customer in 1996H1, top 20
+h1 = (od.o_orderdate.values >= cut96) & \
+    (od.o_orderdate.values < np.datetime64("1996-07-01T00:00:00"))
+ok96 = dict(zip(od[h1].o_orderkey, od[h1].o_custkey))
+acc = {}
+for okey, fl, p, d in zip(li.l_orderkey, li.l_returnflag,
+                          li.l_extendedprice, li.l_discount):
+    if fl != "R" or okey not in ok96:
+        continue
+    ck = ok96[okey]
+    acc[ck] = acc.get(ck, Decimal(0)) + dq(p * (1 - d), 4)
+rows = [{"c_custkey": ck, "c_name": c2name[ck], "revenue": rN(float(v), 4)}
+        for ck, v in acc.items()]
+rows.sort(key=lambda r: (-r["revenue"], r["c_custkey"]))
+check("q10_returns", pd.DataFrame(rows[:20]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
