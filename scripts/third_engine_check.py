@@ -876,6 +876,68 @@ rows = [{"c_custkey": ck, "c_name": c2name[ck], "revenue": rN(float(v), 4)}
 rows.sort(key=lambda r: (-r["revenue"], r["c_custkey"]))
 check("q10_returns", pd.DataFrame(rows[:20]))
 
+# --- LSH dedup pipeline (the 100 TB path), end to end ------------------
+def shingle_set(txt, w=3):
+    sp = txt.split(" ")
+    if len(sp) < w:
+        return {txt}
+    return {" ".join(sp[i:i + w]) for i in range(len(sp) - w + 1)}
+
+def minhash_sig(hashes, k=20):
+    sig = []
+    for i in range(k):
+        a = ((i + 1) * 2654435761) % P
+        b = ((i + 1) * 40503 + 17) % P
+        sig.append(min((a * h + b) % P for h in hashes))
+    return sig
+
+doc_shset = {did: shingle_set(txt) for did, txt in zip(dc.doc_id, dc.text)}
+doc_sig = {did: minhash_sig([poly_hash(g) for g in sh])
+           for did, sh in doc_shset.items()}
+
+# banding: 5 bands of 4 signature slots; candidates share a raw band slice
+buckets = {}
+for did, sig in doc_sig.items():
+    for b in range(5):
+        buckets.setdefault((b, tuple(sig[b * 4:b * 4 + 4])), []).append(did)
+cands = set()
+for ids in buckets.values():
+    ids = sorted(ids)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            cands.add((ids[i], ids[j]))
+
+def jaccard(a, b):
+    inter = len(doc_shset[a] & doc_shset[b])
+    return inter / (len(doc_shset[a]) + len(doc_shset[b]) - inter)
+
+# dedup_minhash: verified near-dup pairs at rounded jaccard >= 0.7
+rows = [{"a_id": a, "b_id": b, "jaccard": rN(jaccard(a, b), 6)}
+        for a, b in sorted(cands) if rN(jaccard(a, b), 6) >= 0.7]
+check("dedup_minhash", pd.DataFrame(rows,
+      columns=["a_id", "b_id", "jaccard"]))
+
+# dedup_cluster_lsh: components over candidates verified at jaccard >= 0.2
+parent = {did: did for did in doc_shset}
+def find(x):
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+for a, b in cands:
+    if jaccard(a, b) >= 0.2:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+labels = {did: find(did) for did in doc_shset}
+sizes = {}
+for lab_ in labels.values():
+    sizes[lab_] = sizes.get(lab_, 0) + 1
+f = pd.DataFrame([{"doc_id": did, "cluster_id": lab_,
+                   "cluster_size": np.int64(sizes[lab_])}
+                  for did, lab_ in sorted(labels.items())])
+check("dedup_cluster_lsh", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
