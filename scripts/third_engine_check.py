@@ -938,6 +938,74 @@ f = pd.DataFrame([{"doc_id": did, "cluster_id": lab_,
                   for did, lab_ in sorted(labels.items())])
 check("dedup_cluster_lsh", f)
 
+# cms_token_counts: d=4 x w=64 count-min over token occurrences
+tokc = {}
+for s in dc.text:
+    for tk in s.split(" "):
+        tokc[tk] = tokc.get(tk, 0) + 1
+cells = [{} for _ in range(5)]
+buck = {}
+for tk, cnt_ in tokc.items():
+    th = poly_hash(tk)
+    for i in (1, 2, 3, 4):
+        bkt = ((((i * 2654435761) % P) * th + (i * 40503 + 17) % P) % P) % 64
+        buck[(tk, i)] = bkt
+        cells[i][bkt] = cells[i].get(bkt, 0) + cnt_
+rows = [{"tok": tk, "true_cnt": np.int64(cnt_),
+         "cms_est": np.int64(min(cells[i][buck[(tk, i)]] for i in (1, 2, 3, 4)))}
+        for tk, cnt_ in sorted(tokc.items())]
+check("cms_token_counts", pd.DataFrame(rows))
+
+# q7_volume: directed nation-pair trade volume per ship year
+nname = dict(zip(na.n_nationkey, na.n_name))
+cust_nat = dict(zip(cu.c_custkey, cu.c_nationkey))
+years = pd.DatetimeIndex(li.l_shipdate).year
+acc = {}
+for okey, sk, p, d, yr in zip(li.l_orderkey, li.l_suppkey,
+                              li.l_extendedprice, li.l_discount, years):
+    if okey not in o2c:
+        continue
+    sn = nname.get(sup_nat.get(sk))
+    cn = nname.get(cust_nat.get(o2c[okey]))
+    if (sn, cn) in (("NATION_0", "NATION_1"), ("NATION_1", "NATION_0")):
+        k = (sn, cn, int(yr))
+        acc[k] = acc.get(k, Decimal(0)) + dq(p * (1 - d), 4)
+f = pd.DataFrame([{"supp_nation": sn, "cust_nation": cn, "l_year": np.int32(yr),
+                   "volume": rN(float(v), 4)}
+                  for (sn, cn, yr), v in sorted(acc.items())])
+f["l_year"] = f["l_year"].astype(dump("q7_volume").l_year.dtype)
+check("q7_volume", f)
+
+# q12_priority_late: late/on-time split at order date + 60 days
+pri_of = dict(zip(od.o_orderkey, od.o_orderpriority))
+od_date = dict(zip(od.o_orderkey, od.o_orderdate.values))
+sixty = np.timedelta64(60, "D")
+acc = {}
+for okey, sd_ in zip(li.l_orderkey, li.l_shipdate.values):
+    if okey not in pri_of:
+        continue
+    late = sd_ > od_date[okey] + sixty
+    l, o_ = acc.get(pri_of[okey], (0, 0))
+    acc[pri_of[okey]] = (l + late, o_ + (not late))
+f = pd.DataFrame([{"o_orderpriority": pr, "late_count": np.int64(l),
+                   "ontime_count": np.int64(o_)}
+                  for pr, (l, o_) in sorted(acc.items())])
+check("q12_priority_late", f)
+
+# q17_small_qty: lines under half their part's average quantity
+pqty = {}
+for pk, q in zip(li.l_partkey, li.l_quantity):
+    s_, n = pqty.get(pk, (Decimal(0), 0))
+    pqty[pk] = (s_ + dq(q, 2), n + 1)
+avgq = {pk: float(s_) / n for pk, (s_, n) in pqty.items()}
+rev2, nl = Decimal(0), 0
+for pk, q, p in zip(li.l_partkey, li.l_quantity, li.l_extendedprice):
+    if q < 0.5 * avgq[pk]:
+        rev2 += dq(p, 2)
+        nl += 1
+check("q17_small_qty", pd.DataFrame(
+    [{"small_qty_revenue": rN(float(rev2), 2), "n_lines": np.int64(nl)}]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
