@@ -1006,6 +1006,87 @@ for pk, q, p in zip(li.l_partkey, li.l_quantity, li.l_extendedprice):
 check("q17_small_qty", pd.DataFrame(
     [{"small_qty_revenue": rN(float(rev2), 2), "n_lines": np.int64(nl)}]))
 
+# dedup_simhash: 61-bit majority signature, 4x16-bit bands, hamming <= 3
+M61 = 2305843009213693951
+def simhash61(txt):
+    hs = [(poly_hash(tk) * 2654435761 + 986244679) % M61 for tk in txt.split(" ")]
+    sig = 0
+    for b in range(61):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if votes > 0:
+            sig |= 1 << b
+    return sig
+sigs = {did: simhash61(txt) for did, txt in zip(dc.doc_id, dc.text)}
+sb = {}
+for did, sig in sigs.items():
+    for b in range(4):
+        sb.setdefault((b, (sig >> (b * 16)) & 65535), []).append(did)
+scand = set()
+for ids in sb.values():
+    ids = sorted(ids)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            scand.add((ids[i], ids[j]))
+rows = [{"a_id": a, "b_id": b,
+         "dist": np.int32(bin(sigs[a] ^ sigs[b]).count("1"))}
+        for a, b in sorted(scand)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3]
+f = pd.DataFrame(rows, columns=["a_id", "b_id", "dist"])
+if len(f):
+    f["dist"] = f["dist"].astype("int32")
+check("dedup_simhash", f)
+
+# dedup_ngram_jaccard: exact all-pairs Jaccard over doc_id < 500
+sub = {did: sh for did, sh in doc_shset.items() if did < 500}
+rows = []
+for a in sorted(sub):
+    for b in sorted(sub):
+        if a >= b:
+            continue
+        inter = len(sub[a] & sub[b])
+        j = rN(inter / (len(sub[a]) + len(sub[b]) - inter), 6)
+        if j >= 0.2:
+            rows.append({"a_id": a, "b_id": b, "jaccard": j})
+check("dedup_ngram_jaccard", pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"]))
+
+# q8_mktshare: NATION_2 share of ASIA revenue per order year
+asia_cust = set(cu[cu.c_nationkey.map(dict(zip(na.n_nationkey, na.n_regionkey)))
+                   .isin(asia)].c_custkey)
+oyear = dict(zip(od.o_orderkey, pd.DatetimeIndex(od.o_orderdate).year))
+accn, acct = {}, {}
+for okey, sk, p, d in zip(li.l_orderkey, li.l_suppkey,
+                          li.l_extendedprice, li.l_discount):
+    if okey not in o2c or o2c[okey] not in asia_cust:
+        continue
+    yr = int(oyear[okey])
+    v = dq(p * (1 - d), 4)
+    acct[yr] = acct.get(yr, Decimal(0)) + v
+    if nname.get(sup_nat.get(sk)) == "NATION_2":
+        accn[yr] = accn.get(yr, Decimal(0)) + v
+f = pd.DataFrame([{"o_year": np.int32(yr),
+                   "mkt_share": rN(float(accn.get(yr, Decimal(0))) / float(tv), 6)}
+                  for yr, tv in sorted(acct.items())])
+f["o_year"] = f["o_year"].astype(dump("q8_mktshare").o_year.dtype)
+check("q8_mktshare", f)
+
+# q19_disjunctive: OR-of-ANDs post-join filter
+psize = dict(zip(pt.p_partkey, pt.p_size))
+pbrand = dict(zip(pt.p_partkey, pt.p_brand))
+rev3, nl3 = Decimal(0), 0
+for pk, q, p, d in zip(li.l_partkey, li.l_quantity,
+                       li.l_extendedprice, li.l_discount):
+    if pk not in pbrand:
+        continue
+    br, sz = pbrand[pk], psize[pk]
+    hit = (br == "Brand#1" and 1 <= sz <= 10 and 1 <= q <= 15) or \
+          (br == "Brand#13" and 5 <= sz <= 25 and 5 <= q <= 25) or \
+          (br == "Brand#20" and 10 <= sz <= 50 and 10 <= q <= 35)
+    if hit:
+        rev3 += dq(p * (1 - d), 4)
+        nl3 += 1
+check("q19_disjunctive", pd.DataFrame(
+    [{"revenue": rN(float(rev3), 4), "n_lines": np.int64(nl3)}]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
