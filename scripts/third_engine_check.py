@@ -1087,6 +1087,326 @@ for pk, q, p, d in zip(li.l_partkey, li.l_quantity,
 check("q19_disjunctive", pd.DataFrame(
     [{"revenue": rN(float(rev3), 4), "n_lines": np.int64(nl3)}]))
 
+# --- r8 continuation: the plain relational families --------------------
+
+# agg_count_distinct
+check("agg_count_distinct", pd.DataFrame([{
+    "distinct_flag": np.int64(li.l_returnflag.nunique()),
+    "distinct_supp": np.int64(li.l_suppkey.nunique()),
+    "distinct_part": np.int64(li.l_partkey.nunique()),
+    "total": np.int64(len(li))}]))
+
+# agg_approx_distinct: exact counts; sketch-band booleans must be True
+check("agg_approx_distinct", pd.DataFrame([{
+    "exact_part": np.int64(li.l_partkey.nunique()),
+    "exact_order": np.int64(li.l_orderkey.nunique()),
+    "part_within_5pct": True, "order_within_5pct": True}]))
+
+# agg_percentile: exact linear-interpolation percentiles + in-band flags
+qv = li.l_quantity.astype(float).values
+check("agg_percentile", pd.DataFrame([{
+    "qty_p10": rN(float(np.percentile(qv, 10, method="linear")), 6),
+    "qty_p50": rN(float(np.percentile(qv, 50, method="linear")), 6),
+    "qty_p90": rN(float(np.percentile(qv, 90, method="linear")), 6),
+    "p10_within_5pct": True, "p50_within_5pct": True,
+    "p90_within_5pct": True}]))
+
+# agg_min_max_range
+ep = li.l_extendedprice.astype(float)
+check("agg_min_max_range", pd.DataFrame([{
+    "min_price": rN(float(ep.min()), 2), "max_price": rN(float(ep.max()), 2),
+    "value_range": rN(float(ep.max()) - float(ep.min()), 2),
+    "min_supp": np.int64(li.l_suppkey.min()),
+    "max_supp": np.int64(li.l_suppkey.max())}]))
+
+# agg_stats_moments (sample stddev / Pearson corr / mean over part)
+pr = pt.p_retailprice.astype(float).values
+ps = pt.p_size.astype(float).values
+check("agg_stats_moments", pd.DataFrame([{
+    "price_stddev": rN(float(np.std(pr, ddof=1)), 4),
+    "size_price_corr": rN(float(np.corrcoef(ps, pr)[0, 1]), 4),
+    "price_avg": rN(float(np.mean(pr)), 4)}]))
+
+# agg_grouping_sets: (flag,status) / (flag) / () with hand-built gid
+rows = []
+g2 = li.groupby(["l_returnflag", "l_linestatus"]).l_quantity.agg(["size", "sum"])
+for (fl, st), r in g2.iterrows():
+    rows.append({"gid": np.int32(0), "flag": fl, "status": st,
+                 "cnt": np.int64(r["size"]), "sum_qty": float(r["sum"])})
+g1 = li.groupby("l_returnflag").l_quantity.agg(["size", "sum"])
+for fl, r in g1.iterrows():
+    rows.append({"gid": np.int32(1), "flag": fl, "status": "ALL",
+                 "cnt": np.int64(r["size"]), "sum_qty": float(r["sum"])})
+rows.append({"gid": np.int32(3), "flag": "ALL", "status": "ALL",
+             "cnt": np.int64(len(li)), "sum_qty": float(li.l_quantity.sum())})
+f = pd.DataFrame(rows).sort_values(["gid", "flag", "status"])
+f["gid"] = f["gid"].astype("int32")
+check("agg_grouping_sets", f)
+
+# join_anti: customers with no orders
+has_order = set(od.o_custkey)
+f = cu[~cu.c_custkey.isin(has_order)][["c_custkey", "c_mktsegment"]] \
+    .sort_values("c_custkey")
+check("join_anti", f)
+
+# join_broadcast_left: every order row, customer attrs (rounded) or null
+cmap = cu.set_index("c_custkey")
+f = pd.DataFrame({
+    "o_orderkey": od.o_orderkey,
+    "c_mktsegment": [cmap.c_mktsegment.get(k) for k in od.o_custkey],
+    "c_acctbal": [rN(float(cmap.c_acctbal[k]), 2) if k in cmap.index else np.nan
+                  for k in od.o_custkey]}).sort_values("o_orderkey")
+check("join_broadcast_left", f)
+
+# join_full_outer: per-nation customer vs supplier counts, zero-coalesced
+nc = cu.groupby("c_nationkey").size()
+ns = su.groupby("s_nationkey").size()
+f = pd.DataFrame([{"nationkey": k,
+                   "n_customers": np.int64(nc.get(k, 0)),
+                   "n_suppliers": np.int64(ns.get(k, 0))}
+                  for k in sorted(set(nc.index) | set(ns.index))])
+f["nationkey"] = f["nationkey"].astype("int32")
+check("join_full_outer", f)
+
+# join_null_safe: NULLIF(tax,0) keys joined null-safely to NULLIF(disc,0)
+ak = li.l_tax.where(li.l_tax != 0.0, np.nan)
+bk = li.l_discount.where(li.l_discount != 0.0, np.nan)
+acnt = ak.value_counts(dropna=False).to_dict()
+bcnt = bk.value_counts(dropna=False).to_dict()
+# dict keys: NaN keys collapse via value_counts(dropna=False) index — rebuild
+def null_counts(s):
+    out = {}
+    for v in s:
+        key = "NULL" if pd.isna(v) else float(v)
+        out[key] = out.get(key, 0) + 1
+    return out
+acnt, bcnt = null_counts(ak), null_counts(bk)
+rows = [{"tax_key": (np.nan if k == "NULL" else k),
+         "n_left": np.int64(n), "n_right": np.int64(bcnt[k])}
+        for k, n in acnt.items() if k in bcnt]
+f = pd.DataFrame(rows).sort_values("tax_key", na_position="first")
+check("join_null_safe", f)
+
+# join_skew_salted: oracle is the PLAIN lineitem⋈supplier rollup
+sj = li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+f = sj.groupby("s_nationkey").agg(
+    n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum")) \
+    .reset_index().sort_values("s_nationkey")
+f["n_lines"] = f["n_lines"].astype("int64")
+f["sum_qty"] = f["sum_qty"].astype(float)
+check("join_skew_salted", f)
+
+# join_bucketed_colocated: orders⋈customer revenue rollup (decimal money)
+oj = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+rows = []
+for seg, grp in oj.groupby("c_mktsegment"):
+    rev = sum((dq(p, 2) for p in grp.o_totalprice), Decimal(0))
+    rows.append({"c_mktsegment": seg, "n_orders": np.int64(len(grp)),
+                 "revenue": rN(float(rev), 2)})
+check("join_bucketed_colocated",
+      pd.DataFrame(rows).sort_values("c_mktsegment"))
+
+# set operations on nation keys
+ckeys, skeys = set(cu.c_nationkey), set(su.s_nationkey)
+f = pd.DataFrame({"nationkey": sorted(ckeys - skeys)})
+f["nationkey"] = f["nationkey"].astype("int32")
+check("setop_except", f)
+f = pd.DataFrame({"nationkey": sorted(ckeys & skeys)})
+f["nationkey"] = f["nationkey"].astype("int32")
+check("setop_intersect", f)
+f = pd.DataFrame({"nationkey": sorted(ckeys | skeys)})
+f["nationkey"] = f["nationkey"].astype("int32")
+check("setop_union_distinct", f)
+
+# window_ntile: quartiles over (price, key) total order
+so = od.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+n = len(so)
+base, extra = divmod(n, 4)
+tiles = np.concatenate([np.full(base + (1 if i < extra else 0), i + 1)
+                        for i in range(4)])
+so["tile"] = tiles
+f = so.groupby("tile").o_totalprice.agg(["size", "min", "max"]).reset_index()
+f = pd.DataFrame({"tile": f.tile.astype("int32"),
+                  "cnt": f["size"].astype("int64"),
+                  "lo": [rN(v, 2) for v in f["min"]],
+                  "hi": [rN(v, 2) for v in f["max"]]})
+check("window_ntile", f)
+
+# window_rank_family: per-status top-5 by (price desc, key asc); the order
+# key is unique, so rank == dense_rank == row_number
+rows = []
+for st, grp in od.groupby("o_orderstatus"):
+    grp = grp.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    m = len(grp)
+    for i in range(min(5, m)):
+        rows.append({"o_orderstatus": st, "rn": np.int32(i + 1),
+                     "o_orderkey": np.int64(grp.o_orderkey[i]),
+                     "rnk": np.int64(i + 1), "drnk": np.int64(i + 1),
+                     "prnk": rN(i / (m - 1), 6) if m > 1 else 0.0,
+                     "cdist": rN((i + 1) / m, 6)})
+f = pd.DataFrame(rows).sort_values(["o_orderstatus", "rn"])
+check("window_rank_family", f)
+
+# window_range_frame: value-based ±1000 frame via sorted searchsorted
+rows = []
+for st, grp in od.groupby("o_orderstatus"):
+    prices = np.sort(grp.o_totalprice.values)
+    sel = grp[grp.o_orderkey < 300]
+    for _, r in sel.iterrows():
+        lo = np.searchsorted(prices, r.o_totalprice - 1000, side="left")
+        hi = np.searchsorted(prices, r.o_totalprice + 1000, side="right")
+        rows.append({"o_orderstatus": st, "o_orderkey": np.int64(r.o_orderkey),
+                     "price": rN(float(r.o_totalprice), 2),
+                     "n_near": np.int64(hi - lo)})
+f = pd.DataFrame(rows).sort_values(["o_orderstatus", "o_orderkey"])
+check("window_range_frame", f)
+
+# transform_zscore: explicit-variance z over the flag partition
+rows = []
+for fl, grp in li.groupby("l_returnflag"):
+    q = grp.l_quantity.astype(float)
+    nn, s, ss = float(len(q)), float(q.sum()), float((q * q).sum())
+    sel = grp[grp.l_orderkey < 500]
+    for _, r in sel.iterrows():
+        z = (r.l_quantity - s / nn) / math.sqrt((ss - s * s / nn) / (nn - 1))
+        rows.append({"l_returnflag": fl, "l_orderkey": np.int64(r.l_orderkey),
+                     "l_linenumber": np.int32(r.l_linenumber),
+                     "l_quantity": float(r.l_quantity), "z": rN(z, 6)})
+f = pd.DataFrame(rows).sort_values(
+    ["l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"])
+check("transform_zscore", f)
+
+# transform_pivot: year × returnflag quantity sums (declared values A/N/R)
+yr = pd.DatetimeIndex(li.l_shipdate).year
+pv = li.assign(yr=yr).pivot_table(index="yr", columns="l_returnflag",
+                                  values="l_quantity", aggfunc="sum")
+f = pd.DataFrame({"yr": pv.index.astype("int32"),
+                  "A": pv.get("A", np.nan), "N": pv.get("N", np.nan),
+                  "R": pv.get("R", np.nan)}).reset_index(drop=True) \
+    .sort_values("yr")
+check("transform_pivot", f)
+
+# transform_unpivot: wide→long stack of two part metrics
+rows = []
+for _, r in pt.iterrows():
+    rows.append({"p_partkey": np.int64(r.p_partkey),
+                 "metric": "p_retailprice", "val": float(r.p_retailprice)})
+    rows.append({"p_partkey": np.int64(r.p_partkey),
+                 "metric": "p_size", "val": float(r.p_size)})
+f = pd.DataFrame(rows).sort_values(["p_partkey", "metric"])
+check("transform_unpivot", f)
+
+# transform_zorder: Morton interleave of 16-bit (partkey, suppkey)
+def spread16(c):
+    c = (c | (c << 8)) & 0x00FF00FF
+    c = (c | (c << 4)) & 0x0F0F0F0F
+    c = (c | (c << 2)) & 0x33333333
+    return (c | (c << 1)) & 0x55555555
+zv = [spread16(int(p) % 65536) | (spread16(int(s) % 65536) << 1)
+      for p, s in zip(li.l_partkey, li.l_suppkey)]
+f = li.assign(zval=zv)[["l_orderkey", "l_linenumber", "l_partkey",
+                        "l_suppkey", "zval"]] \
+    .sort_values(["zval", "l_orderkey", "l_linenumber"]).head(20)
+f["zval"] = f["zval"].astype("int64")
+check("transform_zorder", f)
+
+# sql_end_to_end: the canned decimal-exact q1 shape
+sel = li[li.l_shipdate >= np.datetime64("1995-01-01")]
+rows = []
+for fl, grp in sel.groupby("l_returnflag"):
+    sq = sum((dq(q, 2) for q in grp.l_quantity), Decimal(0))
+    rows.append({"l_returnflag": fl, "sum_qty": rN(float(sq), 2),
+                 "cnt": np.int64(len(grp))})
+check("sql_end_to_end", pd.DataFrame(rows).sort_values("l_returnflag"))
+
+# expr_to_json: Spark to_json(struct(...)) literal render
+sel = ev[ev.event_id < 50].sort_values("event_id")
+f = pd.DataFrame({
+    "event_id": sel.event_id.astype("int64"),
+    "j": [f'{{"event_id":{i},"event_type":"{t_}"}}'
+          for i, t_ in zip(sel.event_id, sel.event_type)]})
+check("expr_to_json", f)
+
+# expr_regexp_extract_all: digit runs per doc < 200
+sel = dc[dc.doc_id < 200].sort_values("doc_id")
+ms = [re.findall(r"[0-9]+", t_) for t_ in sel.text]
+f = pd.DataFrame({"doc_id": sel.doc_id.astype("int64"),
+                  "n_matches": np.int64([len(m) for m in ms]),
+                  "first_match": [m[0] if m else "" for m in ms]})
+check("expr_regexp_extract_all", f)
+
+# expr_date_arith: +90d / add_months(-2) with EOM clamp / datediff sums
+import calendar as _cal
+from datetime import date as _date, timedelta as _td
+def add_months(d, m):
+    mo = d.month - 1 + m
+    y = d.year + mo // 12
+    mo = mo % 12 + 1
+    return _date(y, mo, min(d.day, _cal.monthrange(y, mo)[1]))
+ref = _date(1996, 6, 1)
+rows = []
+for y, grp in li.groupby(pd.DatetimeIndex(li.l_shipdate).year):
+    ds = [d.date() for d in pd.DatetimeIndex(grp.l_shipdate)]
+    rows.append({"ship_year": np.int32(y), "cnt": np.int64(len(ds)),
+                 "min_plus90": min(d + _td(days=90) for d in ds),
+                 "max_minus2m": max(add_months(d, -2) for d in ds),
+                 "days_to_ref": np.int64(sum((ref - d).days for d in ds))})
+f = pd.DataFrame(rows).sort_values("ship_year")
+g = dump("expr_date_arith")
+for c in ("min_plus90", "max_minus2m"):  # parquet date32 reads back as object
+    f[c] = pd.Series(f[c].values).astype(g[c].dtype) \
+        if g[c].dtype != object else f[c]
+check("expr_date_arith", f)
+
+# expr_array_hof: filter/exists/sequential-fold L2 over vec_id < 100
+emq = t("embeddings")
+sel = emq[emq.vec_id < 100].sort_values("vec_id")
+rows = []
+for _, r in sel.iterrows():
+    v = np.asarray(r.embedding, dtype=np.float64)
+    l2 = math.sqrt(np.cumsum(v * v)[-1]) if len(v) else 0.0
+    rows.append({"vec_id": np.int64(r.vec_id),
+                 "n_pos": np.int64((v > 0).sum()),
+                 "has_big": bool((v > 0.3).any()), "l2": rN(l2, 6)})
+check("expr_array_hof", pd.DataFrame(rows))
+
+# expr_map_ops: per-source token-map probes reduced to scalars
+rows = []
+for src, grp in dc.groupby("source"):
+    toks = [tk for txt in grp.text for tk in txt.split(" ")]
+    rows.append({"source": src,
+                 "the_cnt": np.int64(sum(1 for tk in toks if tk == "the")),
+                 "n_distinct_toks": np.int32(len(set(toks))),
+                 "total_toks": np.int64(len(toks))})
+check("expr_map_ops", pd.DataFrame(rows).sort_values("source"))
+
+# json_struct_roundtrip: to_json→from_json identity via direct props parse
+import json as _json
+ks = [int(_json.loads(p)["k"]) for p in ev.props]
+f = ev.assign(k=ks).groupby("event_type").k.agg(["size", "sum"]).reset_index()
+f = pd.DataFrame({"event_type": f.event_type,
+                  "cnt": f["size"].astype("int64"),
+                  "k_sum": f["sum"].astype("int64")}).sort_values("event_type")
+check("json_struct_roundtrip", f)
+
+# split_train_test: murmur3(seed 42) pmod 100 < 80
+splits = ["train" if ((murmur_long(int(v), 42) % 100) + 100) % 100 < 80
+          else "test" for v in dc.doc_id]
+f = dc.assign(split=splits).groupby("split").doc_id \
+    .agg(["size", "min", "max"]).reset_index()
+f = pd.DataFrame({"split": f["split"], "n": f["size"].astype("int64"),
+                  "min_id": f["min"].astype("int64"),
+                  "max_id": f["max"].astype("int64")}).sort_values("split")
+check("split_train_test", f)
+
+# multimodal_frames: ceil(utf8 byte length / 256) synthetic frame count
+f = pd.DataFrame({
+    "doc_id": dc.doc_id.astype("int64"),
+    "n_frames": [np.int64(math.ceil(len(t_.encode("utf-8")) / 256.0))
+                 for t_ in dc.text]}).sort_values("doc_id")
+check("multimodal_frames", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
