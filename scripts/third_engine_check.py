@@ -1407,6 +1407,353 @@ f = pd.DataFrame({
                  for t_ in dc.text]}).sort_values("doc_id")
 check("multimodal_frames", f)
 
+# --- r8 continuation: text / documents / events families ---------------
+
+# quality_score: the shared 0.4/0.3/0.3 quality formula per doc
+f = pd.DataFrame({"doc_id": dc.doc_id.astype("int64"),
+                  "quality": [quality(t_) for t_ in dc.text]}) \
+    .sort_values("doc_id")
+check("quality_score", f)
+
+# doc_lm_quality: unigram-LM mean corpus probability, integer sums
+tok_lists = {did: txt.split(" ") for did, txt in zip(dc.doc_id, dc.text)}
+corpus_cnt = {}
+for toks in tok_lists.values():
+    for tk in toks:
+        corpus_cnt[tk] = corpus_cnt.get(tk, 0) + 1
+NTOK = sum(corpus_cnt.values())
+rows = []
+for did in sorted(tok_lists):
+    toks = tok_lists[did]
+    s = sum(corpus_cnt[tk] for tk in toks)
+    rows.append({"doc_id": np.int64(did), "n_tok": np.int64(len(toks)),
+                 "lm_score": rN(s / (len(toks) * NTOK), 9)})
+check("doc_lm_quality", pd.DataFrame(rows))
+
+# lang_id_ngram: trigram-occurrence argmax (replace-length-delta counting)
+TRI = [("de", ["er ", "der", "ein", "ich", "sch"]),
+       ("en", ["the", "he ", "ing", "and", " th"]),
+       ("es", ["os ", "el ", "ión", "ent", "de "]),
+       ("fr", ["le ", "es ", "ent", "une", "eur"]),
+       ("zh", ["的", "是", "了", "我", "在"])]
+def tri_pred(txt):
+    sc = [sum((len(txt) - len(txt.replace(p, ""))) // len(p) for p in ps)
+          for _, ps in TRI]
+    for i, (lang, _) in enumerate(TRI):
+        if all(sc[i] >= sc[j] for j in range(i + 1, len(TRI))):
+            return lang
+    return TRI[-1][0]
+f = pd.Series([tri_pred(t_) for t_ in dc.text]).value_counts() \
+    .rename_axis("lang_pred").reset_index(name="cnt").sort_values("lang_pred")
+f["cnt"] = f["cnt"].astype("int64")
+check("lang_id_ngram", f)
+
+# pii_redact: inject → detect → scrub
+EMAIL, PHONE = r"[a-z0-9]+@[a-z0-9.]+", r"555-[0-9]{4}"
+rows = []
+for did, txt in zip(dc.doc_id, dc.text):
+    raw = txt
+    if did % 3 == 0:
+        raw += f" contact u{did}@mail.test"
+    if did % 5 == 0:
+        raw += f" call 555-{did % 10000:04d}"
+    clean = re.sub(PHONE, "<PHONE>", re.sub(EMAIL, "<EMAIL>", raw))
+    rows.append({"doc_id": np.int64(did),
+                 "had_email": np.int32(1 if re.search(EMAIL, raw) else 0),
+                 "had_phone": np.int32(1 if re.search(PHONE, raw) else 0),
+                 "clean": clean})
+check("pii_redact", pd.DataFrame(rows).sort_values("doc_id"))
+
+# text_stats_by_source: count / mean / exact median of n_chars
+rows = []
+for src, grp in dc.groupby("source"):
+    v = grp.n_chars.astype(float).values
+    rows.append({"source": src, "n_docs": np.int64(len(v)),
+                 "avg_chars": rN(float(grp.n_chars.sum()) / len(v), 6),
+                 "median_chars": rN(float(np.percentile(v, 50, method="linear")), 6)})
+check("text_stats_by_source", pd.DataFrame(rows).sort_values("source"))
+
+# filter_length_outliers: corpus-wide [P05, P95] n_chars band per source
+ncv = dc.n_chars.astype(float).values
+p05 = float(np.percentile(ncv, 5, method="linear"))
+p95 = float(np.percentile(ncv, 95, method="linear"))
+rows = []
+for src, grp in dc.groupby("source"):
+    kept = grp[(grp.n_chars >= p05) & (grp.n_chars <= p95)]
+    rows.append({"source": src, "n_docs": np.int64(len(grp)),
+                 "n_kept": np.int64(len(kept)),
+                 "avg_kept_chars": rN(float(kept.n_chars.mean()), 2)})
+check("filter_length_outliers", pd.DataFrame(rows).sort_values("source"))
+
+# length_bucket_batches: (source, 16-wide token bucket) → batches of 8
+d = pd.DataFrame({"doc_id": dc.doc_id, "source": dc.source,
+                  "n_tok": [len(t_.split(" ")) for t_ in dc.text]})
+d["bucket"] = (d.n_tok // 16) * 16
+rows = []
+for (src, bk), grp in d.groupby(["source", "bucket"]):
+    grp = grp.sort_values("doc_id").reset_index(drop=True)
+    grp["batch_id"] = grp.index // 8
+    for bid, bg in grp.groupby("batch_id"):
+        rows.append({"source": src, "bucket": np.int32(bk),
+                     "batch_id": np.int32(bid), "n_docs": np.int64(len(bg)),
+                     "max_tok": np.int32(bg.n_tok.max()),
+                     "sum_tok": np.int64(bg.n_tok.sum())})
+check("length_bucket_batches",
+      pd.DataFrame(rows).sort_values(["source", "bucket", "batch_id"]))
+
+# dedup_incremental: 8-token head fingerprints vs the historical index
+headfp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
+hist = {headfp[d_] for d_ in dc.doc_id if d_ % 10 < 7}
+rows = {}
+for _, r in dc.iterrows():
+    if r.doc_id % 10 < 7:
+        continue
+    nn, kp, dr = rows.get(r.source, (0, 0, 0))
+    dup = headfp[r.doc_id] in hist
+    rows[r.source] = (nn + 1, kp + (0 if dup else 1), dr + (1 if dup else 0))
+check("dedup_incremental", pd.DataFrame(
+    [{"source": s, "n_new": np.int64(a), "n_kept": np.int64(b),
+      "n_dropped": np.int64(c)} for s, (a, b, c) in sorted(rows.items())]))
+
+# decontaminate_ngram: any shared 5-shingle with the eval split (doc<20)
+def shset(txt, w):
+    sp = txt.split(" ")
+    if len(sp) < w:
+        return {txt}
+    return {" ".join(sp[i:i + w]) for i in range(len(sp) - w + 1)}
+bench = set()
+for did, txt in zip(dc.doc_id, dc.text):
+    if did < 20:
+        bench |= shset(txt, 5)
+rows = {}
+for did, txt, src in zip(dc.doc_id, dc.text, dc.source):
+    if did < 20:
+        continue
+    nn, nc = rows.get(src, (0, 0))
+    rows[src] = (nn + 1, nc + (1 if shset(txt, 5) & bench else 0))
+check("decontaminate_ngram", pd.DataFrame(
+    [{"source": s, "n_train": np.int64(a), "n_contaminated": np.int64(b)}
+     for s, (a, b) in sorted(rows.items())]))
+
+# sample_topk_stratum: 5 smallest-Knuth-hash docs per source
+P2 = 1000003
+hk = [((((int(v) % P2) + P2) % P2) * 2654435761 + 12345) % P2
+      for v in dc.doc_id]
+d = dc.assign(hk=hk)
+keep = []
+for src, grp in d.groupby("source"):
+    keep.extend(grp.sort_values(["hk", "doc_id"]).head(5).doc_id.tolist())
+f = d[d.doc_id.isin(keep)][["doc_id", "source"]].sort_values("doc_id")
+check("sample_topk_stratum", f)
+
+# sessionize_batch: 30-min-gap sessions per user over epoch-µs times
+tus_all = ev.ts.astype("int64")  # datetime64[us] → µs
+sess_rows = []
+for uid, grp in ev.assign(tus=tus_all).groupby("user_id"):
+    grp = grp.sort_values(["tus", "event_id"])
+    cur = []
+    prev = None
+    for t_ in grp.tus:
+        if prev is not None and t_ - prev > 1800000000:
+            sess_rows.append((uid, cur))
+            cur = []
+        cur.append(t_)
+        prev = t_
+    if cur:
+        sess_rows.append((uid, cur))
+f = pd.DataFrame([{"user_id": np.int64(u), "session_start": np.int64(min(c) // 1000000),
+                   "session_end": np.int64(max(c) // 1000000),
+                   "n_events": np.int64(len(c))} for u, c in sess_rows]) \
+    .sort_values(["user_id", "session_start"])
+check("sessionize_batch", f)
+
+# range_join: two data-derived ns-windows per type; join on TIME ONLY
+tns = tus_all * 1000
+b = ev.assign(tns=tns).groupby("event_type").tns.agg(["min", "max"])
+ivs = []
+for it, r in b.iterrows():
+    lo0, hi0 = int(r["min"]), int(r["max"])
+    ivs.append((it, 0, lo0, lo0 + (hi0 - lo0) // 4))
+    ivs.append((it, 1, lo0 + (hi0 - lo0) // 2, lo0 + ((hi0 - lo0) * 3) // 4))
+rows = []
+evt = list(zip(tns, ev.value))
+for it, iid, lo, hi in ivs:
+    hit = [v for t_, v in evt if lo <= t_ <= hi]
+    rows.append({"itype": it, "iid": np.int32(iid),
+                 "n_events": np.int64(len(hit)),
+                 "sum_value": float(sum((dq(v, 6) for v in hit), Decimal(0)))})
+check("range_join", pd.DataFrame(rows).sort_values(["itype", "iid"]))
+
+# asof_join: purchase → latest prior-or-equal signup per user (ms)
+tms = tus_all // 1000
+evm = ev.assign(tms=tms)
+sg = evm[evm.event_type == "signup"]
+sg_by_user = {u: sorted(g.tms.tolist()) for u, g in sg.groupby("user_id")}
+import bisect as _bisect
+rows = []
+for _, r in evm[evm.event_type == "purchase"].iterrows():
+    ts_list = sg_by_user.get(r.user_id, [])
+    i = _bisect.bisect_right(ts_list, r.tms)
+    gap = (r.tms - ts_list[i - 1]) if i > 0 else np.nan
+    rows.append({"event_id": np.int64(r.event_id),
+                 "user_id": np.int64(r.user_id), "gap_ms": gap})
+check("asof_join", pd.DataFrame(rows).sort_values("event_id"))
+
+# fuzzy_name_pairs: first-word blocking + edit distance ≤ 5
+def lev(a, b):
+    m, n2 = len(a), len(b)
+    prev = list(range(n2 + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n2
+        for j in range(1, n2 + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n2]
+names = sorted(set(pt.p_name))
+blocks = {}
+for nm in names:
+    blocks.setdefault(nm.split(" ")[0], []).append(nm)
+rows = []
+for blk in blocks.values():
+    for i in range(len(blk)):
+        for j in range(i + 1, len(blk)):
+            a, bnm = blk[i], blk[j]
+            dl = lev(a, bnm)
+            if dl <= 5:
+                rows.append({"name_a": a, "name_b": bnm, "dist": np.int32(dl)})
+check("fuzzy_name_pairs",
+      pd.DataFrame(rows).sort_values(["name_a", "name_b"]))
+
+# stream_usage_window: hourly tumbling counts (epoch-second starts)
+ws = (tus_all // 3600000000) * 3600
+f = ev.assign(window_start=ws).groupby(["window_start", "event_type"]) \
+    .size().reset_index(name="cnt").sort_values(["window_start", "event_type"])
+f["window_start"] = f["window_start"].astype("int64")
+f["cnt"] = f["cnt"].astype("int64")
+check("stream_usage_window", f)
+
+# stream_sliding_window: 1 h windows sliding by 15 min (×4 replication)
+agg = {}
+for t_, et in zip(tus_all, ev.event_type):
+    base = t_ // 900000000
+    for i in range(4):
+        w = (base - i) * 900000000
+        if w <= t_ < w + 3600000000:
+            agg[(w // 1000000, et)] = agg.get((w // 1000000, et), 0) + 1
+f = pd.DataFrame([{"window_start": np.int64(w), "event_type": et,
+                   "cnt": np.int64(c)} for (w, et), c in sorted(agg.items())])
+check("stream_sliding_window", f)
+
+# sink round trips: the aggregates themselves (layout is Spark-side)
+rows = []
+for pri, grp in od.groupby("o_orderpriority"):
+    tp = sum((dq(p, 2) for p in grp.o_totalprice), Decimal(0))
+    rows.append({"o_orderpriority": pri, "cnt": np.int64(len(grp)),
+                 "total_price": rN(float(tp), 2)})
+check("sink_csv", pd.DataFrame(rows).sort_values("o_orderpriority"))
+rows = []
+for seg, grp in cu.groupby("c_mktsegment"):
+    tb = sum((dq(v, 2) for v in grp.c_acctbal), Decimal(0))
+    rows.append({"c_mktsegment": seg, "cnt": np.int64(len(grp)),
+                 "total_bal": rN(float(tb), 2)})
+check("sink_json", pd.DataFrame(rows).sort_values("c_mktsegment"))
+rows = []
+for br, grp in pt.groupby("p_brand"):
+    tp = sum((dq(v, 2) for v in grp.p_retailprice), Decimal(0))
+    rows.append({"p_brand": br, "cnt": np.int64(len(grp)),
+                 "total_price": rN(float(tp), 2)})
+check("sink_orc", pd.DataFrame(rows).sort_values("p_brand"))
+
+# write_partitioned: month-partitioned write read back = month rollup
+mon = pd.DatetimeIndex(li.l_shipdate).to_period("M").to_timestamp()
+rows = []
+for m, grp in li.assign(m=mon).groupby("m"):
+    sq = sum((dq(q, 2) for q in grp.l_quantity), Decimal(0))
+    rows.append({"ship_month": m.date(), "cnt": np.int64(len(grp)),
+                 "sum_qty": rN(float(sq), 2)})
+f = pd.DataFrame(rows).sort_values("ship_month")
+g = dump("write_partitioned")
+if g["ship_month"].dtype != object:
+    f["ship_month"] = f["ship_month"].astype(g["ship_month"].dtype)
+check("write_partitioned", f)
+
+# layout_compact: row multiset identical to the source supplier table
+f = su.sort_values("s_suppkey").reset_index(drop=True)
+check("layout_compact", f)
+
+# multimodal_features / multimodal_resize: rasters from generator params
+rows_f, rows_r = [], []
+for did in sorted(dc.doc_id):
+    did = int(did)
+    w, h = 8 + did % 24, 8 + (did * 3) % 24
+    k = np.arange(w * h, dtype=np.int64)
+    base = (31 * did + 7 * (k % w) + 13 * (k // w)) % 256
+    ssum = int(base.sum() + ((base + 85) % 256).sum() + ((base + 170) % 256).sum())
+    rows_f.append({"doc_id": np.int64(did), "width": np.int32(w),
+                   "height": np.int32(h), "channels": np.int32(3),
+                   "sample_sum": np.int64(ssum)})
+    k = np.arange(256, dtype=np.int64)
+    sx = ((k % 16) * w) // 16
+    sy = ((k // 16) * h) // 16
+    rsum = int(((31 * did + 7 * sx + 13 * sy) % 256).sum())
+    rows_r.append({"doc_id": np.int64(did), "width": np.int32(16),
+                   "height": np.int32(16), "thumb_bytes": np.int32(256),
+                   "sample_sum": np.int64(rsum)})
+check("multimodal_features", pd.DataFrame(rows_f))
+check("multimodal_resize", pd.DataFrame(rows_r))
+
+# token_cooccurrence: ±4-token window lift, top-50
+pos_toks = {did: toks for did, toks in tok_lists.items()}
+pair_cnt = {}
+for toks in pos_toks.values():
+    L = len(toks)
+    for i in range(L):
+        for dlt in range(1, 5):
+            j = i + dlt
+            if j >= L:
+                break
+            a, bt = toks[i], toks[j]
+            if a == bt:
+                continue
+            key = (min(a, bt), max(a, bt))
+            pair_cnt[key] = pair_cnt.get(key, 0) + 1
+rows = []
+for (a, bt), c in pair_cnt.items():
+    if c < 5:
+        continue
+    lift = (float(c) * NTOK) / (float(corpus_cnt[a]) * corpus_cnt[bt])
+    rows.append({"tok_a": a, "tok_b": bt, "pair_cnt": np.int64(c),
+                 "lift": rN(lift, 6)})
+f = pd.DataFrame(rows).sort_values(
+    ["lift", "tok_a", "tok_b"], ascending=[False, True, True]).head(50)
+check("token_cooccurrence", f)
+
+# token_cooccurrence_doc: document-frequency lift, top-50
+doc_sets = {did: set(toks) for did, toks in tok_lists.items()}
+dfreq = {}
+for stt in doc_sets.values():
+    for tk in stt:
+        dfreq[tk] = dfreq.get(tk, 0) + 1
+pdocs = {}
+for stt in doc_sets.values():
+    ss = sorted(stt)
+    for i in range(len(ss)):
+        for j in range(i + 1, len(ss)):
+            key = (ss[i], ss[j])
+            pdocs[key] = pdocs.get(key, 0) + 1
+NDOC = len(dc)
+rows = []
+for (a, bt), c in pdocs.items():
+    if c < 5:
+        continue
+    lift = (float(c) * NDOC) / (float(dfreq[a]) * dfreq[bt])
+    rows.append({"tok_a": a, "tok_b": bt, "pair_docs": np.int64(c),
+                 "lift": rN(lift, 6)})
+f = pd.DataFrame(rows).sort_values(
+    ["lift", "tok_a", "tok_b"], ascending=[False, True, True]).head(50)
+check("token_cooccurrence_doc", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
