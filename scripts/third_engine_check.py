@@ -1754,6 +1754,276 @@ f = pd.DataFrame(rows).sort_values(
     ["lift", "tok_a", "tok_b"], ascending=[False, True, True]).head(50)
 check("token_cooccurrence_doc", f)
 
+# --- r8 continuation: embedding / vector family ------------------------
+# All dot products and norms are SEQUENTIAL left folds (np.cumsum), the
+# order both engines use (Spark aggregate(), DuckDB list_sum) — pairwise
+# or BLAS summation could flip a value sitting on a rounding boundary.
+
+VEC = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+       for _, r in emq.iterrows()}
+VLBL = dict(zip(emq.vec_id.astype(int), emq.label))
+def seqsum(a):
+    return float(np.cumsum(a)[-1]) if len(a) else 0.0
+def seqdot(a, b):
+    return float(np.cumsum(a * b)[-1])
+NRM = {i: math.sqrt(seqsum(v * v)) for i, v in VEC.items()}
+
+# embed_normalize: L2 norm + normalized head-8 sum
+rows = [{"vec_id": np.int64(i), "l2_norm": rN(NRM[i], 6),
+         "head8_sum": rN(0.0 if NRM[i] == 0 else seqsum(VEC[i][:8]) / NRM[i], 6)}
+        for i in sorted(VEC)]
+check("embed_normalize", pd.DataFrame(rows))
+
+# agg_vector_centroid: per-(label, 1-based dim) mean in long format
+cent_acc = {}
+for i, v in VEC.items():
+    lb = VLBL[i]
+    s_, n = cent_acc.get(lb, (np.zeros(64), 0))
+    cent_acc[lb] = (s_ + v, n + 1)
+rows = []
+for lb in sorted(cent_acc):
+    s_, n = cent_acc[lb]
+    for p in range(64):
+        rows.append({"label": lb, "pos": np.int32(p + 1),
+                     "centroid": rN(s_[p] / n, 6)})
+check("agg_vector_centroid", pd.DataFrame(rows))
+
+# simsearch_topk / simsearch_quant: brute-force and int8 cosine top-10
+Q0 = VEC[0]
+def topk_rows(score_of, n=10):
+    rws = sorted(((score_of(i), i) for i in VEC if i != 0),
+                 key=lambda x: (-x[0], x[1]))[:n]
+    return rws
+ex_rows = topk_rows(lambda i: rN(seqdot(VEC[i], Q0) / (NRM[i] * NRM[0]), 6))
+check("simsearch_topk", pd.DataFrame(
+    [{"vec_id": np.int64(i), "cos": c} for c, i in ex_rows]))
+
+QZ = {}
+for i, v in VEC.items():
+    ma = float(np.max(np.abs(v))) if len(v) else 0.0
+    QZ[i] = np.zeros_like(v) if ma == 0 else np.floor(v / (ma / 127) + 0.5)
+QN = {i: math.sqrt(seqsum(q * q)) for i, q in QZ.items()}
+qz_rows = topk_rows(lambda i: rN(seqdot(QZ[i], QZ[0]) / (QN[i] * QN[0]), 6))
+check("simsearch_quant", pd.DataFrame(
+    [{"vec_id": np.int64(i), "qcos": c} for c, i in qz_rows]))
+
+# simsearch_ivf + ann_recall_at_k: first-16 centroids, L2 probe ranking
+def ivf_assign(n_cent):
+    cents = [(ci, VEC[ci], seqsum(VEC[ci] * VEC[ci])) for ci in range(n_cent)]
+    assign = {}
+    for i, v in VEC.items():
+        best = min(((seqdot(v, cv) * -2.0 + c2, ci) for ci, cv, c2 in cents))
+        assign[i] = best[1]
+    return cents, assign
+cents16, asg16 = ivf_assign(16)
+probe_order = sorted((seqsum((cv - Q0) * (cv - Q0)), ci)
+                     for ci, cv, _ in cents16)
+def ivf_top10(n_probe):
+    probed = {ci for _, ci in probe_order[:n_probe]}
+    cand = [(rN(seqdot(VEC[i], Q0) / (NRM[i] * NRM[0]), 6), i)
+            for i in VEC if i != 0 and asg16[i] in probed]
+    return sorted(cand, key=lambda x: (-x[0], x[1]))[:10]
+check("simsearch_ivf", pd.DataFrame(
+    [{"vec_id": np.int64(i), "cos": c} for c, i in ivf_top10(4)]))
+
+brute10 = {i for _, i in ex_rows}
+rows = []
+for p in (2, 4):
+    got = ivf_top10(p)
+    hits = sum(1 for _, i in got if i in brute10)
+    rows.append({"n_probe": np.int32(p), "k": np.int64(len(got)),
+                 "n_hit": np.int64(hits), "recall": rN(hits / len(got), 6)})
+check("ann_recall_at_k", pd.DataFrame(rows))
+
+# simjoin_exact: all pairs under the id cap at rounded cos >= 0.30
+ids_sorted = sorted(i for i in VEC if i < 500)
+rows = []
+for ai_idx in range(len(ids_sorted)):
+    a = ids_sorted[ai_idx]
+    for b in ids_sorted[ai_idx + 1:]:
+        c = rN(seqdot(VEC[a], VEC[b]) / (NRM[a] * NRM[b]), 6)
+        if c >= 0.30:
+            rows.append({"a_id": np.int64(a), "b_id": np.int64(b), "cos": c})
+check("simjoin_exact", pd.DataFrame(rows, columns=["a_id", "b_id", "cos"])
+      .sort_values(["a_id", "b_id"]))
+
+# simjoin_ann: 8 integer-derived hyperplanes → bucket equi-join
+PLANES = [np.array([(i * 2654435761 + p * 40503) % 1000 - 500
+                    for i in range(64)], dtype=np.float64) for p in range(8)]
+BUCKET = {i: sum((1 << p) for p in range(8) if seqdot(v, PLANES[p]) >= 0.0)
+          for i, v in VEC.items()}
+by_bucket = {}
+for i in sorted(VEC):
+    by_bucket.setdefault(BUCKET[i], []).append(i)
+ann_pairs = []
+for ids in by_bucket.values():
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = rN(seqdot(VEC[a], VEC[b]) / (NRM[a] * NRM[b]), 6)
+            if c >= 0.25:
+                ann_pairs.append((a, b, c))
+check("simjoin_ann", pd.DataFrame(
+    [{"a_id": np.int64(a), "b_id": np.int64(b), "cos": c}
+     for a, b, c in sorted(ann_pairs)], columns=["a_id", "b_id", "cos"]))
+
+# knn_join: probes vec_id<8 ranked against the disjoint corpus, top-3
+rows = []
+for qid in range(8):
+    cand = [(rN(seqdot(VEC[i], VEC[qid]) / (NRM[i] * NRM[qid]), 6), i)
+            for i in VEC if i >= 8]
+    for rk, (c, i) in enumerate(
+            sorted(cand, key=lambda x: (-x[0], x[1]))[:3], start=1):
+        rows.append({"q_id": np.int64(qid), "rank": np.int32(rk),
+                     "vec_id": np.int64(i), "cos": c})
+check("knn_join", pd.DataFrame(rows).sort_values(["q_id", "rank"]))
+
+# kmeans_iterate: one E+M step from the first-8 seed
+cents8, asg8 = ivf_assign(8)
+km_acc = {}
+for i, v in VEC.items():
+    cl = asg8[i]
+    s_, n = km_acc.get(cl, (np.zeros(64), 0))
+    km_acc[cl] = (s_ + v, n + 1)
+rows = []
+for cl in sorted(km_acc):
+    s_, n = km_acc[cl]
+    for p in range(64):
+        rows.append({"cluster": np.int32(cl), "pos": np.int32(p + 1),
+                     "centroid": rN(s_[p] / n, 6), "n": np.int64(n)})
+check("kmeans_iterate", pd.DataFrame(rows))
+
+# rank_fusion_rrf: RRF(k=60) of the exact and quantized top-10
+rrf_acc = {}
+for rk, (_, i) in enumerate(ex_rows, start=1):
+    rrf_acc[i] = [rk, 0]
+for rk, (_, i) in enumerate(qz_rows, start=1):
+    rrf_acc.setdefault(i, [0, 0])[1] = rk
+rows = []
+for i, (re_, rq) in rrf_acc.items():
+    score = (1.0 / (60 + re_) if re_ else 0.0) + (1.0 / (60 + rq) if rq else 0.0)
+    rows.append({"vec_id": np.int64(i), "rrf": rN(score, 9),
+                 "r_exact": np.int32(re_), "r_quant": np.int32(rq)})
+f = pd.DataFrame(rows).sort_values(["rrf", "vec_id"], ascending=[False, True])
+check("rank_fusion_rrf", f)
+
+# dedup_embedding_cosine: drop later members of cos>=0.9 pairs
+dups = set()
+for ai_idx in range(len(ids_sorted)):
+    a = ids_sorted[ai_idx]
+    for b in ids_sorted[ai_idx + 1:]:
+        if rN(seqdot(VEC[a], VEC[b]) / (NRM[a] * NRM[b]), 6) >= 0.9:
+            dups.add(b)
+rows = [{"vec_id": np.int64(i), "label": VLBL[i]}
+        for i in ids_sorted if i not in dups]
+check("dedup_embedding_cosine", pd.DataFrame(rows))
+
+# decontaminate_embedding: max rounded cos to the eval split per vector
+ev_ids = [i for i in VEC if i < 20]
+rows_acc = {}
+for i in VEC:
+    if i < 20:
+        continue
+    mc = max(rN(seqdot(VEC[i], VEC[j]) / (NRM[i] * NRM[j]), 6)
+             for j in ev_ids)
+    n, fl = rows_acc.get(VLBL[i], (0, 0))
+    rows_acc[VLBL[i]] = (n + 1, fl + (1 if mc >= 0.35 else 0))
+check("decontaminate_embedding", pd.DataFrame(
+    [{"label": lb, "n_train": np.int64(n), "n_flagged": np.int64(fl)}
+     for lb, (n, fl) in sorted(rows_acc.items())]))
+
+# graph_pagerank: 5 integer fixed-point iterations over the ANN graph
+edges = [(a, b) for a, b, _ in ann_pairs] + [(b, a) for a, b, _ in ann_pairs]
+deg = {}
+for s_, _ in edges:
+    deg[s_] = deg.get(s_, 0) + 1
+rank = {i: 1000000 for i in deg}
+for _ in range(5):
+    contrib = {}
+    for s_, d_ in edges:
+        contrib[d_] = contrib.get(d_, 0) + rank[s_] // deg[s_]
+    rank = {i: 150000 + (850 * contrib[i]) // 1000
+            for i in deg if i in contrib}
+rows = [{"vec_id": np.int64(i), "deg": np.int64(deg[i]),
+         "rank": np.int64(rank[i])} for i in sorted(rank)]
+check("graph_pagerank", pd.DataFrame(rows))
+
+# --- r8 continuation: clustering + calibration curves ------------------
+
+# dedup_cluster / cluster_keep_policy: components over EXACT Jaccard>=0.2
+ex_pairs_02 = []
+doc_ids_sorted = sorted(doc_shset)
+for xi in range(len(doc_ids_sorted)):
+    a = doc_ids_sorted[xi]
+    for b in doc_ids_sorted[xi + 1:]:
+        if rN(jaccard(a, b), 6) >= 0.2:
+            ex_pairs_02.append((a, b))
+par2 = {did: did for did in doc_shset}
+def find2(x):
+    while par2[x] != x:
+        par2[x] = par2[par2[x]]
+        x = par2[x]
+    return x
+for a, b in ex_pairs_02:
+    ra, rb = find2(a), find2(b)
+    if ra != rb:
+        par2[max(ra, rb)] = min(ra, rb)
+lab2 = {did: find2(did) for did in doc_shset}
+siz2 = {}
+for lb in lab2.values():
+    siz2[lb] = siz2.get(lb, 0) + 1
+check("dedup_cluster", pd.DataFrame(
+    [{"doc_id": did, "cluster_id": lb, "cluster_size": np.int64(siz2[lb])}
+     for did, lb in sorted(lab2.items())]))
+
+qual_of = {did: quality(txt) for did, txt in zip(dc.doc_id, dc.text)}
+best = {}
+for did, lb in lab2.items():
+    cur = best.get(lb)
+    cand = (-qual_of[did], did)
+    if cur is None or cand < cur:
+        best[lb] = cand
+check("cluster_keep_policy", pd.DataFrame(
+    [{"cluster_id": lb, "kept_doc_id": did, "cluster_size": np.int64(siz2[lb]),
+      "kept_quality": -negq}
+     for lb, (negq, did) in sorted(best.items())]))
+
+# lsh_recall_curve: banding recall vs exact ground truth per threshold
+exact_j = {}
+for xi in range(len(doc_ids_sorted)):
+    a = doc_ids_sorted[xi]
+    for b in doc_ids_sorted[xi + 1:]:
+        j = rN(jaccard(a, b), 6)
+        if j >= 0.05:
+            exact_j[(a, b)] = j
+rows = []
+for th in (0.05, 0.2, 0.7):
+    sel = [(pr, j) for pr, j in exact_j.items() if j >= th]
+    hits = sum(1 for pr, _ in sel if pr in cands)
+    rows.append({"thresh": float(th), "n_exact": np.int64(len(sel)),
+                 "n_hit": np.int64(hits), "recall": rN(hits / len(sel), 6)})
+check("lsh_recall_curve", pd.DataFrame(rows))
+
+# cms_error_curve: count-min overestimate vs sketch width
+rows = []
+for w_ in (16, 64):
+    cells_w = [{} for _ in range(5)]
+    buck_w = {}
+    for tk, cnt_ in tokc.items():
+        th = poly_hash(tk)
+        for i in (1, 2, 3, 4):
+            bkt = ((((i * 2654435761) % P) * th + (i * 40503 + 17) % P) % P) % w_
+            buck_w[(tk, i)] = bkt
+            cells_w[i][bkt] = cells_w[i].get(bkt, 0) + cnt_
+    ests = {tk: min(cells_w[i][buck_w[(tk, i)]] for i in (1, 2, 3, 4))
+            for tk in tokc}
+    overs = [ests[tk] - tokc[tk] for tk in tokc]
+    rows.append({"w": np.int32(w_), "n_tokens": np.int64(len(tokc)),
+                 "n_exact": np.int64(sum(1 for o_ in overs if o_ == 0)),
+                 "max_over": np.int64(max(overs)),
+                 "total_over": np.int64(sum(overs))})
+check("cms_error_curve", pd.DataFrame(rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
