@@ -2024,6 +2024,224 @@ for w_ in (16, 64):
                  "total_over": np.int64(sum(overs))})
 check("cms_error_curve", pd.DataFrame(rows))
 
+# --- r8 continuation: catalog / query-log / advisor core ---------------
+
+REF_TABLES = [(0, "lineitem"), (1, "orders"), (1, "lineitem"),
+              (2, "customer"), (3, "orders"), (4, "supplier"), (4, "nation")]
+REF_COLS = [(0, "l_returnflag", 2), (0, "l_quantity", 1), (0, "l_shipdate", 1),
+            (1, "o_orderkey", 2), (1, "l_quantity", 1), (1, "l_orderkey", 1),
+            (1, "o_totalprice", 1), (2, "c_mktsegment", 2),
+            (3, "o_orderdate", 1), (3, "o_orderstatus", 1),
+            (4, "s_name", 1), (4, "s_nationkey", 1), (4, "n_nationkey", 1),
+            (4, "n_name", 1)]
+REF_JOIN = [(1, "o_orderkey", 1), (1, "l_orderkey", 1),
+            (4, "s_nationkey", 1), (4, "n_nationkey", 1)]
+REF_WHERE = [(0, "l_shipdate", 1), (1, "o_totalprice", 1),
+             (3, "o_orderdate", 1), (3, "o_orderstatus", 1), (4, "n_name", 1)]
+PROFILED = ["lineitem", "orders", "customer", "part", "supplier"]
+DDLS = {
+    "lineitem": "CREATE MATERIALIZED VIEW lineitem AS SELECT * FROM lineitem_src JOIN orders_src ON l_orderkey = o_orderkey;",
+    "orders": "CREATE MATERIALIZED VIEW orders AS SELECT * FROM orders_src JOIN customer_src ON o_custkey = c_custkey;",
+    "customer": "CREATE MATERIALIZED VIEW customer AS SELECT * FROM customer_src JOIN nation_src ON c_nationkey = n_nationkey;",
+    "part": "CREATE MATERIALIZED VIEW part AS SELECT * FROM part_src WHERE p_size > 0;",
+    "supplier": "CREATE MATERIALIZED VIEW supplier AS SELECT * FROM supplier_src JOIN nation_src ON s_nationkey = n_nationkey;"}
+DDL_JOIN_COLS = ["l_orderkey", "o_orderkey", "o_custkey", "c_custkey",
+                 "c_nationkey", "n_nationkey", "s_nationkey", "n_nationkey"]
+
+# scan_querylog_sorted: top-20 by execution time
+f = ql.sort_values(["exec_ms", "query_id"],
+                   ascending=[False, True]).head(20)
+f = pd.DataFrame({"query_id": f.query_id.astype("int64"),
+                  "execution_time_ms": f.exec_ms.astype("int64"),
+                  "cpu_time_ms": f.cpu_ms.astype("int64"),
+                  "input_bytes": f.in_b.astype("int64")})
+check("scan_querylog_sorted", f)
+
+# per-qk qlog rollups feed the three usage keys
+qk_of = (ql.query_id % 5).astype(int)
+k_exec = ql.groupby(qk_of).exec_ms.sum().to_dict()
+k_cnt = ql.groupby(qk_of).size().to_dict()
+
+# agg_table_rollup: per-table execution totals
+acc = {}
+for k, name in REF_TABLES:
+    e_, c_ = acc.get(name, (0, 0))
+    acc[name] = (e_ + k_exec.get(k, 0), c_ + k_cnt.get(k, 0))
+check("agg_table_rollup", pd.DataFrame(
+    [{"table": n2, "execution_time": np.int64(e_), "query_count": np.int64(c_)}
+     for n2, (e_, c_) in sorted(acc.items())]))
+
+# agg_column_weight: every (table, column) combo within a query key
+colw = {}
+for k, tname in REF_TABLES:
+    for k2, cname, cnt_ in REF_COLS:
+        if k2 == k:
+            colw[(tname, cname)] = colw.get((tname, cname), 0) + \
+                k_exec.get(k, 0) * cnt_
+check("agg_column_weight", pd.DataFrame(
+    [{"table": tb, "column": cl, "weight": np.int64(w_)}
+     for (tb, cl), w_ in sorted(colw.items())]))
+
+# agg_weighted_frequency: metadata mentions + workload table references
+PROF_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"]}
+usage = {}
+for tb in PROFILED:
+    for c_ in PROF_COLS[tb]:
+        usage[c_] = usage.get(c_, 0) + 1
+for c_ in DDL_JOIN_COLS:
+    usage[c_] = usage.get(c_, 0) + 1
+for k, name in REF_TABLES:
+    usage[name] = usage.get(name, 0) + k_cnt.get(k, 0)
+f = pd.DataFrame([{"name": n2, "weighted_frequency": np.int64(w_)}
+                  for n2, w_ in usage.items()]) \
+    .sort_values(["weighted_frequency", "name"], ascending=[False, True])
+check("agg_weighted_frequency", f)
+
+# parse_query_columns: parser ground truth weighted by run counts
+refs_all = [(k, "col", n2, c_) for k, n2, c_ in REF_COLS] + \
+           [(k, "join_col", n2, c_) for k, n2, c_ in REF_JOIN] + \
+           [(k, "where_col", n2, c_) for k, n2, c_ in REF_WHERE] + \
+           [(k, "table", n2, 1) for k, n2 in REF_TABLES]
+acc = {}
+for k, kind, n2, c_ in refs_all:
+    acc[(kind, n2)] = acc.get((kind, n2), 0) + c_ * k_cnt.get(k, 0)
+check("parse_query_columns", pd.DataFrame(
+    [{"kind": kd, "name": n2, "total": np.int64(v)}
+     for (kd, n2), v in sorted(acc.items())]))
+
+# scan_catalog_views / scan_catalog_live / scan_columns_meta: rebuild the
+# catalog rows straight from the parquet FOOTERS via pyarrow (independent
+# of both Spark's reader and the static oracle VALUES)
+ARROW2SPARK = {"int64": "bigint", "int32": "int", "double": "double",
+               "string": "string", "large_string": "string",
+               "timestamp[us]": "timestamp_ntz", "timestamp[ns]": "bigint"}
+cat_rows, meta_rows = [], []
+for tb in PROFILED:
+    sch = pq.read_schema(f"{sf}/{tb}.parquet")
+    for i, (nm, ty) in enumerate(zip(sch.names, sch.types)):
+        cat_rows.append({"table_name": tb, "column_name": nm,
+                         "ordinal_position": np.int32(i + 1)})
+        meta_rows.append({"table_name": tb, "column_name": nm,
+                          "data_type": ARROW2SPARK[str(ty)],
+                          "ordinal_position": np.int32(i + 1)})
+f = pd.DataFrame(cat_rows).sort_values(["table_name", "ordinal_position"])
+check("scan_catalog_views", f)
+check("scan_catalog_live", f)
+check("scan_columns_meta",
+      pd.DataFrame(meta_rows).sort_values(["table_name", "ordinal_position"]))
+
+# expr_ddl_extract: first case-insensitive " AS " split, trimmed
+rows = []
+for v in sorted(PROFILED):
+    m = re.match(r"(?is)^.*? AS (.*)$", DDLS[v])
+    rows.append({"view": v, "select_sql": m.group(1).strip(" \n;")})
+check("expr_ddl_extract", pd.DataFrame(rows))
+
+# score_partition / emit_partition_scripts: the advisor's scoring chain
+TBL_DF = {"lineitem": li, "orders": od, "customer": cu,
+          "part": pt, "supplier": su}
+NUM_TYPES = {"bigint", "int", "double"}
+COLTYPES = {
+    "lineitem": dict(zip(PROF_COLS["lineitem"],
+        ["bigint", "bigint", "bigint", "int", "double", "double", "double",
+         "double", "string", "string", "timestamp_ntz"])),
+    "orders": dict(zip(PROF_COLS["orders"],
+        ["bigint", "bigint", "string", "double", "timestamp_ntz", "string"])),
+    "customer": dict(zip(PROF_COLS["customer"],
+        ["bigint", "string", "int", "double", "string"])),
+    "supplier": dict(zip(PROF_COLS["supplier"],
+        ["bigint", "string", "int", "double"])),
+    "part": dict(zip(PROF_COLS["part"],
+        ["bigint", "string", "string", "string", "int", "double"]))}
+# pri: average interactive priority per referenced table
+pri_acc = {}
+is_inter = [("LIMIT" in CANNED[k].upper()) or (e < 10000)
+            for k, e in zip(qk_of, ql.exec_ms)]
+for k, name in REF_TABLES:
+    rows_k = [2.0 if b else 1.0
+              for kk, b in zip(qk_of, is_inter) if kk == k]
+    s_, n = pri_acc.get(name, (0.0, 0))
+    pri_acc[name] = (s_ + sum(rows_k), n + len(rows_k))
+pri = {n2: s_ / n for n2, (s_, n) in pri_acc.items() if n > 0}
+score_rows, spec_input = [], []
+for tb in PROFILED:
+    df_t = TBL_DF[tb]
+    cols = PROF_COLS[tb]
+    first5num = {c_ for c_ in cols[:5] if COLTYPES[tb][c_] in NUM_TYPES}
+    for c_ in cols:
+        ty = COLTYPES[tb][c_]
+        v = df_t[c_]
+        card, total = v.nunique(), len(v)
+        mn = float(v.min()) if ty in NUM_TYPES else None
+        mx = float(v.max()) if ty in NUM_TYPES else None
+        p10 = p90 = None
+        if c_ in first5num:
+            fv = v.astype(float).values
+            p10 = float(np.percentile(fv, 10, method="linear"))
+            p90 = float(np.percentile(fv, 90, method="linear"))
+        day_cnt = month_cnt = year_cnt = None
+        if ty in ("timestamp_ntz", "timestamp", "date"):
+            di = pd.DatetimeIndex(v)
+            day_cnt, month_cnt, year_cnt = (di.day.nunique(),
+                                            di.month.nunique(),
+                                            di.year.nunique())
+        band = 5.0 if card < 10 else 10.0 if card < 100 else \
+            8.0 if card < 1000 else 5.0 if card < 10000 else 1.0
+        score = float(usage.get(c_, 0)) + band \
+            + min(colw.get((tb, c_), 0) / 1000.0, 50.0) \
+            + (pri.get(tb, 1.0) - 1.0) * 5.0
+        if p10 is not None:
+            ratio = p90 / p10 if (p10 != p90 and p10 != 0) else 1.0
+            if ratio > 10.0:
+                score -= 3.0
+            if card / total > 0.9:
+                score -= 2.0
+        score_rows.append({"view": tb, "column": c_, "score": rN(score, 6)})
+        spec_input.append((tb, c_, ty, card, mn, mx,
+                           day_cnt, month_cnt, year_cnt, score))
+check("score_partition",
+      pd.DataFrame(score_rows).sort_values(["view", "column"]))
+
+by_view = {}
+for tb, c_, ty, card, mn, mx, dcnt, mcnt, ycnt, score in spec_input:
+    if score > 0:
+        by_view.setdefault(tb, []).append((-score, c_, ty, card, mn, mx,
+                                           dcnt, mcnt, ycnt))
+rows = []
+for tb in sorted(by_view):
+    specs = []
+    for negs, c_, ty, card, mn, mx, dcnt, mcnt, ycnt in \
+            sorted(by_view[tb])[:3]:
+        if ty in ("date", "timestamp", "timestamp_ntz"):
+            g = "month" if dcnt is None else \
+                ("day" if dcnt > mcnt * 20 else
+                 "month" if mcnt > ycnt * 8 else "year")
+            specs.append(f"{g}({c_})")
+        elif ty == "string":
+            specs.append(f"bucket(16, {c_})" if card > 10000 else c_)
+        elif ty in ("int", "bigint"):
+            if card > 1000:
+                nb = min(max(int(card // 500), 4), 32)
+                specs.append(f"bucket({nb}, {c_})")
+            elif ((mx - mn) if mn is not None else 0) > 10000:
+                specs.append(f"truncate({c_}, 100)")
+            else:
+                specs.append(c_)
+        else:
+            specs.append(c_)
+    rows.append({"view": tb, "partition_spec": ",\n    ".join(specs)})
+check("emit_partition_scripts", pd.DataFrame(rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))
