@@ -210,10 +210,18 @@ object Queries8 {
       // re-scan per row anywhere.
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey"))
-          .agg(countDistinct("l_suppkey").as("n_supp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-              .as("n_supp_ret"))
+        // two distinct aggregates over one group would plan through an
+        // Expand (every input row replicated once per distinct clause —
+        // 2-3× the shuffle bytes at 100 TB); aggregating the distinct
+        // (order, supplier) PAIRS first then counting them needs one
+        // un-replicated shuffle and map-side combine at both stages.
+        // Equivalent because countDistinct skips NULL suppkeys and the
+        // pair form filters them explicitly.
+        val perOrder = li.where(col("l_suppkey").isNotNull)
+          .groupBy(col("l_orderkey").as("po_orderkey"), col("l_suppkey").as("po_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+          .groupBy("po_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum("ret").cast("long").as("n_supp_ret"))
         li.where(col("l_returnflag") === "R")
           .join(perOrder, col("l_orderkey") === col("po_orderkey"))
           .where(col("n_supp") >= 2 && col("n_supp_ret") === 1)

@@ -52,6 +52,34 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed == Set((2L, 10), (3L, 10), (3L, 20)))
   }
 
+  test("rangeJoin equals the theta join on NEGATIVE (pre-1970) timestamps") {
+    // `div` truncates toward zero while floor-div rounds down, so negative
+    // bucket ids differ between the two conventions; coverage holds anyway
+    // because trunc-div is monotone and the residual filter re-checks the
+    // bounds — this pins that reasoning with data straddling zero
+    val fact = Seq((1L, -999L), (2L, -128L), (3L, -64L), (4L, -1L), (5L, 0L),
+        (6L, 63L), (7L, 130L)).toDF("id", "t")
+    val ivals = Seq((10, -130L, -60L), (20, -63L, 64L), (30, -1000L, -990L))
+      .toDF("iid", "lo", "hi")
+    val bucketed = Temporal.rangeJoin(fact, ivals, "t", "lo", "hi", bucketWidth = 64L)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val theta = fact.join(ivals, $"t" >= $"lo" && $"t" <= $"hi")
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bucketed == theta)
+    assert(bucketed == Set((1L, 30), (2L, 10), (3L, 10), (4L, 20),
+      (5L, 20), (6L, 20)))
+  }
+
+  test("asofJoin: NULL left timestamps carry nothing (l.t >= r.t is never true)") {
+    val left = Seq((1L, Some(20L), "has_t"), (1L, None, "null_t"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L)).toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got == Set(("has_t", Some(100L)), ("null_t", None)))
+  }
+
   test("clusters assigns min reachable id and component size, singletons included") {
     // components: {1,2,3,7} via 1-2, 2-3, 3-7; {4,5}; singleton {6}
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
