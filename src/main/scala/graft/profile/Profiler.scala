@@ -126,7 +126,11 @@ object Profiler {
       if (spark.sparkContext.defaultParallelism >= 16) {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(fields.size + dateFields.size + 1)
+        // capped like AnalysisPipeline's table pool (r8): one thread per
+        // column is a driver-thread bomb on wide warehouse tables — 32
+        // in-flight jobs already saturate the scheduler, the rest queue
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, fields.size + dateFields.size + 1))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try {
           val plainF = Future(df.agg(plainAggs.head, plainAggs.tail.toSeq: _*).collect()(0))
