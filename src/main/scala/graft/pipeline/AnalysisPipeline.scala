@@ -52,7 +52,10 @@ object AnalysisPipeline {
       // cap the submission pool: threads mostly block on job completion, but
       // one-per-table is unbounded against a warehouse-scale catalog (500
       // tables = 500 driver threads); 32 in-flight jobs saturates any
-      // scheduler while keeping the driver's thread count fixed
+      // scheduler while keeping the driver's thread count fixed. Composed
+      // bound: Profiler.profile caps its own per-column pool at 32 too, so
+      // the worst case is 32 × 32 ≈ 1k mostly-blocked driver threads — high
+      // but fixed, independent of catalog width
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(vs.size, 32))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
