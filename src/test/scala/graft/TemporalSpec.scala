@@ -111,6 +111,17 @@ class TemporalSpec extends SparkSpec {
     assert(counts.forall(_ <= 3))
   }
 
+  test("topKPerStratum picks the SAME rows under any input partitioning") {
+    // the deterministic-reservoir claim: the kept set is a pure function of
+    // the data (hash order + id tiebreak), not of partition layout
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    val a = Sampling.topKPerStratum(docs, "doc_id", "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.topKPerStratum(docs.repartition(13), "doc_id", "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("asofJoin carries the WHOLE latest row: a legit NULL is not papered over by an older row") {
     // right = (t=1, v=5, w=1), (t=2, v=NULL, w=2); left event at t=3 must
     // see the t=2 snapshot: v=NULL, w=2 — the per-column last(ignoreNulls)
