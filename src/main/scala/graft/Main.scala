@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI entry point — the analog of the reference's `python -m src.cli`
   * (cli.py:11-137): run the advisor, print the partition scripts, export the
-  * dashboard artifacts; dry-run by default, `--execute` materializes the
-  * recommended layout as partitioned parquet (T5 — the Spark-native stand-in
-  * for `ALTER TABLE … REPLACE PARTITION SPEC`).
+  * dashboard artifacts; dry-run by default. `--execute` applies each
+  * recommendation: against a filesystem Iceberg table it commits a REAL
+  * `REPLACE PARTITION SPEC` via [[graft.catalog.IcebergMeta]] (S5, the
+  * native form of cli.py:124-133); against the parquet fixtures it
+  * materializes the first partition key as a partitioned layout (T5, the
+  * physical effect of the spec).
   *
   * Usage:
   *   graft.Main [--sf-dir DIR] [--out-dir DIR] [--time-filter SQL] [--execute]
@@ -52,17 +55,27 @@ object Main {
       println(s"artifacts exported to $outDir/")
 
       if (execute) {
-        // materialize each recommendation's first partition key as a real
-        // partitioned layout (dry-run default mirrors cli.py:124-133)
         recs.filter(r => r.getAs[String]("partition_spec") != null).foreach { r =>
           val view = r.getAs[String]("view")
-          val firstSpec = r.getAs[String]("partition_spec").split(",\n").head.trim
-          val df = graft.catalog.TableRegistry.table(spark, sfDir, view)
-          val (colName, partCol) = graft.recommend.SpecParser.toColumn(firstSpec, df)
-          df.withColumn(s"__p_$colName", partCol)
-            .write.mode("overwrite").partitionBy(s"__p_$colName")
-            .parquet(s"$outDir/partitioned/$view")
-          println(s"materialized $view partitioned by $firstSpec")
+          val spec = r.getAs[String]("partition_spec")
+          val tableDir = s"$sfDir/$view"
+          if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {
+            // S5 executed natively: the table is a filesystem Iceberg
+            // table, so REPLACE PARTITION SPEC commits as real spec
+            // evolution against its metadata (cli.py:124-133's execute)
+            val v = graft.catalog.IcebergMeta.applySpec(spark, tableDir, spec)
+            println(s"committed REPLACE PARTITION SPEC for $view (metadata v$v)")
+          } else {
+            // parquet fixture: materialize the first partition key as a
+            // real partitioned layout (the physical effect of the spec)
+            val firstSpec = spec.split(",\n").head.trim
+            val df = graft.catalog.TableRegistry.table(spark, sfDir, view)
+            val (colName, partCol) = graft.recommend.SpecParser.toColumn(firstSpec, df)
+            df.withColumn(s"__p_$colName", partCol)
+              .write.mode("overwrite").partitionBy(s"__p_$colName")
+              .parquet(s"$outDir/partitioned/$view")
+            println(s"materialized $view partitioned by $firstSpec")
+          }
         }
       } else {
         println("dry run (pass --execute to materialize partitioned layouts)")

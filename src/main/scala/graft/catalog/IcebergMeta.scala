@@ -1,0 +1,293 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Native reader/committer for the PUBLIC Apache Iceberg table-metadata
+  * format (Apache Iceberg Table Spec v1/v2 — iceberg.apache.org/spec/),
+  * scoped to FILESYSTEM catalogs (the HadoopTables layout:
+  * `<table>/metadata/v<N>.metadata.json` + `version-hint.text`).
+  *
+  * This is the S5 gap-closer: the reference probes `<table>."$metadata"`
+  * to detect Iceberg tables (trino_client.py:85-93), reads the current
+  * partition spec from it (trino_client.py:95-107), and `--execute`s
+  * `ALTER TABLE … REPLACE PARTITION SPEC` scripts (cli.py:124-133). The
+  * offline sandbox has no `iceberg-spark-runtime` jar, but the table
+  * METADATA format is a published JSON spec, so the advisor's metadata
+  * point read and its spec-replace commit are implementable natively:
+  *  - [[isIcebergTable]] — the `$metadata` existence probe.
+  *  - [[partitionSpecString]] — the current default spec rendered in the
+  *    reference's fragment syntax (`month(c)`, `bucket(16, c)`, `c`).
+  *  - [[replacePartitionSpec]] — spec evolution per the Iceberg spec:
+  *    append a new spec with a fresh spec-id and fresh partition field
+  *    ids, flip `default-spec-id`, commit `v<N+1>.metadata.json`, then
+  *    swing `version-hint.text`. Existing data files are NOT rewritten —
+  *    that is Iceberg's actual semantics for spec evolution (the new
+  *    spec governs new writes; old manifests keep their old spec-id).
+  *
+  * What still needs a real catalog service: metastore/REST catalogs whose
+  * current-metadata pointer lives outside the filesystem, and commits that
+  * must contend with concurrent writers beyond the create-exclusive file
+  * race below. Both are wiring, not format work.
+  *
+  * Scale posture: everything here is driver-side metadata — one small JSON
+  * document per read/commit, never a data-file listing.
+  */
+object IcebergMeta {
+
+  /** One partition field of a spec, in metadata-JSON terms. */
+  final case class SpecField(name: String, transform: String, sourceId: Int, fieldId: Int)
+
+  final case class TableMeta(
+      version: Int,
+      formatVersion: Int,
+      /** current schema: field name → field id */
+      schemaIds: Map[String, Int],
+      defaultSpecId: Int,
+      /** spec-id → fields, every spec in the metadata */
+      specs: Map[Int, Seq[SpecField]],
+      /** the full parsed document (committers start from it) */
+      raw: JObject)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def metadataDir(tableDir: String): Path = new Path(tableDir, "metadata")
+
+  private val VersionFile = """v(\d+)\.metadata\.json""".r
+
+  /** Latest metadata version: `version-hint.text` when present and sane,
+    * else the highest `v<N>.metadata.json` in the directory (the spec's
+    * documented recovery path for a lost/corrupt hint). None when the
+    * directory holds no metadata at all. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[Int] = {
+    val dir = metadataDir(tableDir)
+    val filesystem = fs(spark, dir)
+    val hinted =
+      try {
+        val hint = new Path(dir, "version-hint.text")
+        if (filesystem.exists(hint)) {
+          val in = filesystem.open(hint)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          val v = txt.toInt
+          if (filesystem.exists(new Path(dir, s"v$v.metadata.json"))) Some(v) else None
+        } else None
+      } catch { case _: Exception => None }
+    hinted.orElse {
+      try filesystem.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .collect { case VersionFile(n) => n.toInt }
+        .maxOption
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** The reference's `$metadata` probe (trino_client.py:85-93): is this
+    * directory an Iceberg table we can answer metadata queries for? */
+  def isIcebergTable(spark: SparkSession, tableDir: String): Boolean =
+    try currentVersion(spark, tableDir).exists(v => read(spark, tableDir, v) != null)
+    catch { case _: Exception => false }
+
+  /** Read and validate metadata version `v` (default: current). */
+  def read(spark: SparkSession, tableDir: String, version: Int = -1): TableMeta = {
+    val v = if (version >= 0) Some(version) else currentVersion(spark, tableDir)
+    val ver = v.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no Iceberg metadata (no version-hint.text and no v*.metadata.json)"))
+    val p = new Path(metadataDir(tableDir), s"v$ver.metadata.json")
+    val filesystem = fs(spark, p)
+    val in = filesystem.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val json = JsonMethods.parse(txt) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(
+        s"$p is not a JSON object: ${other.getClass.getSimpleName}")
+    }
+    val formatVersion = (json \ "format-version") match {
+      case JInt(n) => n.toInt
+      case _ => throw new IllegalArgumentException(s"$p has no format-version")
+    }
+    // v2 keeps a schema list + current-schema-id; v1 a single "schema"
+    val schema: JValue = (json \ "schemas", json \ "current-schema-id") match {
+      case (JArray(ss), JInt(cur)) =>
+        ss.find(s => (s \ "schema-id") == JInt(cur)).getOrElse(
+          throw new IllegalArgumentException(s"$p: current-schema-id $cur not in schemas"))
+      case _ => json \ "schema"
+    }
+    val schemaIds = (schema \ "fields") match {
+      case JArray(fields) => fields.map { f =>
+        val JString(name) = (f \ "name"): @unchecked
+        val JInt(id) = (f \ "id"): @unchecked
+        name -> id.toInt
+      }.toMap
+      case _ => throw new IllegalArgumentException(s"$p has no usable schema fields")
+    }
+    val defaultSpecId = (json \ "default-spec-id") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }
+    val specs: Map[Int, Seq[SpecField]] = (json \ "partition-specs") match {
+      case JArray(ss) => ss.map { s =>
+        val JInt(sid) = (s \ "spec-id"): @unchecked
+        val fields = (s \ "fields") match {
+          case JArray(fs0) => fs0.map { f =>
+            val JString(name) = (f \ "name"): @unchecked
+            val JString(tr) = (f \ "transform"): @unchecked
+            val JInt(src) = (f \ "source-id"): @unchecked
+            val JInt(fid) = (f \ "field-id"): @unchecked
+            SpecField(name, tr, src.toInt, fid.toInt)
+          }
+          case _ => Nil
+        }
+        sid.toInt -> fields
+      }.toMap
+      // v1 tables may carry only "partition-spec" (flat field list, spec-id 0)
+      case _ => (json \ "partition-spec") match {
+        case JArray(fs0) => Map(0 -> fs0.zipWithIndex.map { case (f, i) =>
+          val JString(name) = (f \ "name"): @unchecked
+          val JString(tr) = (f \ "transform"): @unchecked
+          val JInt(src) = (f \ "source-id"): @unchecked
+          SpecField(name, tr, src.toInt, 1000 + i)
+        })
+        case _ => Map(0 -> Nil)
+      }
+    }
+    TableMeta(ver, formatVersion, schemaIds, defaultSpecId, specs, json)
+  }
+
+  /** Render one metadata transform in the reference's fragment syntax. */
+  private val BucketT = """bucket\[(\d+)\]""".r
+  private val TruncT = """truncate\[(\d+)\]""".r
+  def renderField(f: SpecField, sourceName: Int => String): String = {
+    val c = sourceName(f.sourceId)
+    f.transform match {
+      case "identity" => c
+      case BucketT(n) => s"bucket($n, $c)"
+      case TruncT(w) => s"truncate($c, $w)"
+      case t @ ("year" | "month" | "day" | "hour") => s"$t($c)"
+      case other => s"$other($c)" // void / unknown future transforms
+    }
+  }
+
+  /** The current default partition spec as the comma-joined fragment string
+    * the advisor emits ("" for unpartitioned) — the native twin of the
+    * reference's `SELECT partition_spec FROM …."$metadata"`. */
+  def partitionSpecString(spark: SparkSession, tableDir: String): String = {
+    val m = read(spark, tableDir)
+    val byId = m.schemaIds.map(_.swap)
+    m.specs.getOrElse(m.defaultSpecId, Nil)
+      .map(renderField(_, id => byId.getOrElse(id, s"col_$id")))
+      .mkString(", ")
+  }
+
+  /** Fragment syntax → metadata transform. Mirrors
+    * [[graft.recommend.SpecParser]]'s grammar (the emit side). */
+  private val DateF = """(year|month|day|hour)\((\w+)\)""".r
+  private val BucketF = """bucket\((\d+),\s*(\w+)\)""".r
+  private val TruncF = """truncate\((\w+),\s*(\d+)\)""".r
+  private[catalog] def parseFragment(s: String): (String, String) = s.trim match {
+    case DateF(unit, c) => (c, unit)
+    case BucketF(n, c) => (c, s"bucket[$n]")
+    case TruncF(c, w) => (c, s"truncate[$w]")
+    case c => (c, "identity")
+  }
+
+  /** REPLACE PARTITION SPEC, committed per the Iceberg spec's evolution
+    * rules: the new spec is APPENDED under a fresh spec-id with fresh
+    * partition field ids, `default-spec-id` flips to it, and the new
+    * metadata version commits via create-exclusive `v<N+1>.metadata.json`
+    * followed by the `version-hint.text` swing (write-temp + rename). A
+    * concurrent committer that already created v<N+1> makes this commit
+    * FAIL loudly — the HadoopTables optimistic-concurrency contract —
+    * rather than overwrite.
+    *
+    * Partition field names follow the Iceberg convention:
+    * `col` / `col_bucket` / `col_trunc` / `col_month` etc.
+    *
+    * @param fragments reference-syntax spec fragments, in order
+    * @return the committed metadata version
+    */
+  def replacePartitionSpec(spark: SparkSession, tableDir: String,
+      fragments: Seq[String]): Int = {
+    require(fragments.nonEmpty, "REPLACE PARTITION SPEC needs at least one field")
+    val m = read(spark, tableDir)
+    val newSpecId = if (m.specs.isEmpty) 0 else m.specs.keys.max + 1
+    val maxFieldId = math.max(999, m.specs.values.flatten.map(_.fieldId).maxOption.getOrElse(999))
+    val fields = fragments.zipWithIndex.map { case (frag, i) =>
+      val (colName, transform) = parseFragment(frag)
+      val srcId = m.schemaIds.getOrElse(colName, throw new IllegalArgumentException(
+        s"REPLACE PARTITION SPEC references '$colName', not a column of $tableDir " +
+          s"(schema: ${m.schemaIds.keys.toSeq.sorted.mkString(", ")})"))
+      val fname = transform match {
+        case "identity" => colName
+        case BucketT(_) => s"${colName}_bucket"
+        case TruncT(_) => s"${colName}_trunc"
+        case t => s"${colName}_$t"
+      }
+      SpecField(fname, transform, srcId, maxFieldId + 1 + i)
+    }
+    val specJson = JObject(
+      "spec-id" -> JInt(newSpecId),
+      "fields" -> JArray(fields.toList.map(f => JObject(
+        "name" -> JString(f.name),
+        "transform" -> JString(f.transform),
+        "source-id" -> JInt(f.sourceId),
+        "field-id" -> JInt(f.fieldId)))))
+    val existingSpecs = (m.raw \ "partition-specs") match {
+      case JArray(ss) => ss
+      case _ => List(JObject(
+        "spec-id" -> JInt(0),
+        "fields" -> JArray(m.specs.getOrElse(0, Nil).toList.map(f => JObject(
+          "name" -> JString(f.name), "transform" -> JString(f.transform),
+          "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId))))))
+    }
+    val updated: JObject = JObject(m.raw.obj.filterNot { case (k, _) =>
+      Set("partition-specs", "default-spec-id", "last-partition-id",
+        "last-updated-ms", "partition-spec").contains(k)
+    } ++ List(
+      "partition-specs" -> JArray(existingSpecs :+ specJson),
+      "default-spec-id" -> JInt(newSpecId),
+      "last-partition-id" -> JInt(fields.map(_.fieldId).max),
+      "last-updated-ms" -> JInt(System.currentTimeMillis())))
+
+    val dir = metadataDir(tableDir)
+    val filesystem = fs(spark, dir)
+    val newVersion = m.version + 1
+    val target = new Path(dir, s"v$newVersion.metadata.json")
+    // create-exclusive: the commit race detector (overwrite = false throws
+    // FileAlreadyExistsException when a concurrent committer won)
+    val out = filesystem.create(target, /* overwrite = */ false)
+    try out.write(JsonMethods.pretty(JsonMethods.render(updated)).getBytes("UTF-8"))
+    finally out.close()
+    // swing the hint: temp + rename (atomic on HDFS and local FS)
+    val tmp = new Path(dir, s".version-hint.text.tmp-$newVersion")
+    val hintOut = filesystem.create(tmp, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+    val hint = new Path(dir, "version-hint.text")
+    filesystem.delete(hint, false)
+    if (!filesystem.rename(tmp, hint))
+      throw new java.io.IOException(s"failed to swing $hint to v$newVersion")
+    newVersion
+  }
+
+  /** Apply an advisor script's spec to a filesystem Iceberg table: the
+    * native `--execute` (cli.py:124-133). `partitionSpec` is the
+    * comma/newline-joined fragment block `Recommender.scripts` renders. */
+  def applySpec(spark: SparkSession, tableDir: String, partitionSpec: String): Int = {
+    // split on commas at paren depth 0 only — `bucket(4, c)` is one field
+    val frags = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    partitionSpec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => frags += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    frags += cur.result()
+    replacePartitionSpec(spark, tableDir,
+      frags.map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+}

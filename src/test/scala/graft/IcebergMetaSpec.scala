@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.catalog.IcebergMeta
+
+/** S5: native Iceberg table-metadata read + REPLACE PARTITION SPEC commit
+  * over a hand-authored, spec-compliant (format-version 2) filesystem
+  * table — the `$metadata` probe, the partition-spec point read, and the
+  * spec-evolution commit protocol (fresh spec-id/field-ids, version bump,
+  * hint swing, create-exclusive concurrency, hint-loss recovery). */
+class IcebergMetaSpec extends SparkSpec {
+
+  /** Minimal valid v2 metadata per the public Iceberg Table Spec. */
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("graft_iceberg").toString + "/tbl"
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    val v1 =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "9c12c3f4-0000-4000-8000-000000000042",
+         |  "location": "$dir",
+         |  "last-sequence-number": 0,
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 3,
+         |  "current-schema-id": 0,
+         |  "schemas": [{
+         |    "type": "struct", "schema-id": 0, "fields": [
+         |      {"id": 1, "name": "o_orderkey", "required": true, "type": "long"},
+         |      {"id": 2, "name": "o_orderdate", "required": false, "type": "date"},
+         |      {"id": 3, "name": "o_orderstatus", "required": false, "type": "string"}
+         |    ]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "last-partition-id": 999,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "properties": {},
+         |  "snapshots": []
+         |}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v1.metadata.json"), v1.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"), "1".getBytes("UTF-8"))
+    dir
+  }
+
+  test("$metadata probe: Iceberg table detected, plain directory rejected") {
+    val tbl = freshTable()
+    assert(IcebergMeta.isIcebergTable(spark, tbl))
+    val plain = Files.createTempDirectory("graft_not_iceberg").toString
+    assert(!IcebergMeta.isIcebergTable(spark, plain))
+    assert(!IcebergMeta.isIcebergTable(spark, plain + "/missing"))
+  }
+
+  test("partition-spec point read: unpartitioned table renders empty") {
+    val tbl = freshTable()
+    assert(IcebergMeta.partitionSpecString(spark, tbl) == "")
+    val m = IcebergMeta.read(spark, tbl)
+    assert(m.version == 1 && m.formatVersion == 2)
+    assert(m.schemaIds == Map("o_orderkey" -> 1, "o_orderdate" -> 2, "o_orderstatus" -> 3))
+  }
+
+  test("REPLACE PARTITION SPEC: evolution commit with fresh ids, read-back, retained history") {
+    val tbl = freshTable()
+    val v2 = IcebergMeta.replacePartitionSpec(spark, tbl,
+      Seq("month(o_orderdate)", "bucket(4, o_orderkey)", "o_orderstatus"))
+    assert(v2 == 2)
+    assert(IcebergMeta.partitionSpecString(spark, tbl) ==
+      "month(o_orderdate), bucket(4, o_orderkey), o_orderstatus")
+    val m = IcebergMeta.read(spark, tbl)
+    assert(m.version == 2)
+    assert(m.defaultSpecId == 1)
+    // the old spec stays in partition-specs (old manifests reference it)
+    assert(m.specs.keySet == Set(0, 1))
+    val fields = m.specs(1)
+    assert(fields.map(_.transform) == Seq("month", "bucket[4]", "identity"))
+    assert(fields.map(_.sourceId) == Seq(2, 1, 3))
+    // fresh partition field ids continue from the 1000 floor
+    assert(fields.map(_.fieldId) == Seq(1000, 1001, 1002))
+    // a second evolution continues both counters
+    val v3 = IcebergMeta.replacePartitionSpec(spark, tbl, Seq("truncate(o_orderkey, 100)"))
+    assert(v3 == 3)
+    val m3 = IcebergMeta.read(spark, tbl)
+    assert(m3.defaultSpecId == 2)
+    assert(m3.specs(2).map(f => (f.transform, f.fieldId)) == Seq(("truncate[100]", 1003)))
+    assert(IcebergMeta.partitionSpecString(spark, tbl) == "truncate(o_orderkey, 100)")
+  }
+
+  test("commit safety: lost version-hint recovers by listing; concurrent v-file wins the race") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("o_orderstatus"))
+    // hint loss → recovery via highest v<N>.metadata.json (spec guidance)
+    Files.delete(Paths.get(tbl, "metadata", "version-hint.text"))
+    assert(IcebergMeta.currentVersion(spark, tbl).contains(2))
+    assert(IcebergMeta.partitionSpecString(spark, tbl) == "o_orderstatus")
+    // a concurrent committer already wrote v3 → this commit must fail loudly
+    Files.write(Paths.get(tbl, "metadata", "v3.metadata.json"),
+      "{}".getBytes("UTF-8"))
+    intercept[Exception] {
+      IcebergMeta.replacePartitionSpec(spark, tbl, Seq("month(o_orderdate)"))
+    }
+    // and the table still reads at its committed state... (v3 is garbage,
+    // so the point read goes through the hint, which still says 2)
+    Files.write(Paths.get(tbl, "metadata", "version-hint.text"), "2".getBytes("UTF-8"))
+    assert(IcebergMeta.partitionSpecString(spark, tbl) == "o_orderstatus")
+  }
+
+  test("unknown column in a spec fragment is rejected at commit time") {
+    val tbl = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.replacePartitionSpec(spark, tbl, Seq("month(no_such_col)"))
+    }
+    assert(e.getMessage.contains("no_such_col"))
+    // nothing was committed
+    assert(IcebergMeta.read(spark, tbl).version == 1)
+  }
+
+  test("the advisor's emitted spec block applies end to end (the --execute path)") {
+    val tbl = freshTable()
+    // the exact multi-line fragment shape Recommender.scripts renders
+    val block = "month(o_orderdate),\n    bucket(4, o_orderkey)"
+    IcebergMeta.applySpec(spark, tbl, block)
+    assert(IcebergMeta.partitionSpecString(spark, tbl) ==
+      "month(o_orderdate), bucket(4, o_orderkey)")
+  }
+
+  test("the REAL advisor recommendation for orders commits as Iceberg spec evolution") {
+    // advisor output (S12) → native REPLACE PARTITION SPEC (S5): the loop
+    // the reference drives through Trino, closed against table metadata.
+    // The fixture schema carries every orders column so any recommended
+    // fragment resolves; schema field ids are arbitrary but stable.
+    import org.apache.spark.sql.functions.col
+    val rec = graft.pipeline.AnalysisPipeline.run(spark, sfDir)
+      .where(col("view") === "orders").collect()(0)
+    val spec = rec.getAs[String]("partition_spec")
+    assert(spec != null && spec.nonEmpty)
+    val dir = Files.createTempDirectory("graft_iceberg_orders").toString + "/orders"
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    val cols = Seq("o_orderkey" -> "long", "o_custkey" -> "long",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "date", "o_orderpriority" -> "string")
+    val fieldJson = cols.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"id": ${i + 1}, "name": "$n", "required": false, "type": "$t"}"""
+    }.mkString(", ")
+    val v1 =
+      s"""{"format-version": 2, "table-uuid": "9c12c3f4-0000-4000-8000-000000000043",
+         |"location": "$dir", "last-sequence-number": 0,
+         |"last-updated-ms": 1700000000000, "last-column-id": ${cols.size},
+         |"current-schema-id": 0,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [$fieldJson]}],
+         |"default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+         |"last-partition-id": 999, "default-sort-order-id": 0,
+         |"sort-orders": [{"order-id": 0, "fields": []}],
+         |"properties": {}, "snapshots": []}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v1.metadata.json"), v1.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"), "1".getBytes("UTF-8"))
+    IcebergMeta.applySpec(spark, dir, spec)
+    // the committed default spec round-trips to the advisor's fragments
+    // (same depth-0 comma split applySpec uses)
+    def frags(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var depth = 0
+      val cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.result()
+      out.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    assert(frags(IcebergMeta.partitionSpecString(spark, dir)) == frags(spec))
+  }
+}
