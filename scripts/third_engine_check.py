@@ -22,6 +22,14 @@ def t(name):
 def dump(key):
     return pq.read_table(f"{vout}/{key}").to_pandas()
 
+def rH(x, places):
+    """Spark/DuckDB ROUND is HALF_UP on the shortest decimal repr; python
+    round() is banker's and diverges exactly at the .5 boundary (caught
+    live twice: corpus_curate at r8, agg_median_by_group at sf0.001)."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-places), ROUND_HALF_UP))
+
 results = []
 
 def check(key, expected: pd.DataFrame):
@@ -97,17 +105,17 @@ check("agg_date_granularity", f)
 rows = []
 for st, grp in od.groupby("o_orderstatus"):
     rows.append({"o_orderstatus": st,
-                 "median_price": round(float(np.percentile(grp.o_totalprice, 50,
-                                                           method="linear")), 2),
+                 "median_price": rH(float(np.percentile(grp.o_totalprice, 50,
+                                                        method="linear")), 2),
                  "n": np.int64(len(grp))})
 check("agg_median_by_group", pd.DataFrame(rows).sort_values("o_orderstatus"))
 
 # agg_percentile_exact
 f = pd.DataFrame({
-    "qty_p10": [round(float(np.percentile(li.l_quantity, 10, method="linear")), 6)],
-    "qty_p50": [round(float(np.percentile(li.l_quantity, 50, method="linear")), 6)],
-    "qty_p90": [round(float(np.percentile(li.l_quantity, 90, method="linear")), 6)],
-    "tax_p50": [round(float(np.percentile(li.l_tax, 50, method="linear")), 6)]})
+    "qty_p10": [rH(float(np.percentile(li.l_quantity, 10, method="linear")), 6)],
+    "qty_p50": [rH(float(np.percentile(li.l_quantity, 50, method="linear")), 6)],
+    "qty_p90": [rH(float(np.percentile(li.l_quantity, 90, method="linear")), 6)],
+    "tax_p50": [rH(float(np.percentile(li.l_tax, 50, method="linear")), 6)]})
 check("agg_percentile_exact", f)
 
 # text_tokens: split on single space, empties kept
@@ -154,7 +162,7 @@ run, acc = [], {}
 for st, p in zip(o.o_orderstatus, o.p):
     acc[st] = acc.get(st, Decimal(0)) + p
     run.append(float(acc[st]))
-o["running"] = [round(v, 2) for v in run]
+o["running"] = [rH(v, 2) for v in run]
 f = o[o.o_orderkey < 300][["o_orderstatus", "o_orderkey", "running"]] \
     .sort_values(["o_orderstatus", "o_orderkey"])
 check("window_running_sum", f)
@@ -174,7 +182,7 @@ for _, r in dc.iterrows():
     sp = r.text.split(" ")
     g = [r.text] if len(sp) < 2 else [f"{sp[i]} {sp[i+1]}" for i in range(len(sp) - 1)]
     rows.append({"doc_id": r.doc_id,
-                 "rep_ratio": round(1.0 - len(set(g)) / len(g), 6)})
+                 "rep_ratio": rH(1.0 - len(set(g)) / len(g), 6)})
 check("quality_repetition", pd.DataFrame(rows).sort_values("doc_id"))
 
 # token_count_bpe: sum over tokens of 1 + floor(max(len-1,0)/4)
@@ -217,7 +225,7 @@ for did in sorted(doc_sh):
     shared = sum(1 for x in sh if cnt[x] > 1)
     rows.append({"doc_id": did, "n_shingles": np.int64(len(sh)),
                  "n_shared": np.int64(shared),
-                 "dup_frac": round(shared / len(sh), 6)})
+                 "dup_frac": rH(shared / len(sh), 6)})
 check("span_dup_fraction", pd.DataFrame(rows))
 
 P = 1000000007
@@ -250,7 +258,7 @@ for _, r in dc.iterrows():
     tot, smp = rows.get(r.source, (0, 0))
     rows[r.source] = (tot + 1, smp + (1 if keep else 0))
 f = pd.DataFrame([{"source": s, "n_total": np.int64(t_), "n_sampled": np.int64(k),
-                   "target_rate": round((int(s[3:]) % 5 + 1) * 200 / 1000, 2)}
+                   "target_rate": rH((int(s[3:]) % 5 + 1) * 200 / 1000, 2)}
                   for s, (t_, k) in sorted(rows.items())])
 check("mixture_sample", f)
 
@@ -348,8 +356,8 @@ w = pd.DataFrame({"user_id": ev.user_id, "event_id": ev.event_id,
 deltas, mavgs = [], []
 for _, grp in w.groupby("user_id", sort=False):
     v = grp.value.values
-    deltas.extend([None] + [round(v[i] - v[i - 1], 6) for i in range(1, len(v))])
-    mavgs.extend(round(float(np.mean(v[max(0, i - 2):i + 1])), 6) for i in range(len(v)))
+    deltas.extend([None] + [rH(v[i] - v[i - 1], 6) for i in range(1, len(v))])
+    mavgs.extend(rH(float(np.mean(v[max(0, i - 2):i + 1])), 6) for i in range(len(v)))
 w["delta"], w["mavg"] = deltas, mavgs
 f = w[["user_id", "event_id", "delta", "mavg"]].sort_values(["user_id", "event_id"])
 f["delta"] = f["delta"].astype(float)
@@ -391,7 +399,7 @@ rows = []
 for nv in (10, 25, 50):
     cov = sum(c for _, c in ranked[:nv])
     rows.append({"n_vocab": np.int32(nv), "covered": np.int64(cov),
-                 "total": np.int64(total), "coverage": round(cov / total, 6)})
+                 "total": np.int64(total), "coverage": rH(cov / total, 6)})
 f = pd.DataFrame(rows)
 f["n_vocab"] = f["n_vocab"].astype("int32")
 check("vocab_coverage", f)
@@ -450,7 +458,7 @@ for did in sorted(dlen):
     scored.sort(key=lambda x: (-x[1], x[0]))
     for rank, (tk, sc) in enumerate(scored[:3], 1):
         rows.append({"doc_id": did, "rank": np.int32(rank), "token": tk,
-                     "tfidf": round(sc, 6)})
+                     "tfidf": rH(sc, 6)})
 f = pd.DataFrame(rows).sort_values(["doc_id", "rank"])
 f["rank"] = f["rank"].astype("int32")
 check("text_tfidf", f)
@@ -972,7 +980,8 @@ for okey, sk, p, d, yr in zip(li.l_orderkey, li.l_suppkey,
         acc[k] = acc.get(k, Decimal(0)) + dq(p * (1 - d), 4)
 f = pd.DataFrame([{"supp_nation": sn, "cust_nation": cn, "l_year": np.int32(yr),
                    "volume": rN(float(v), 4)}
-                  for (sn, cn, yr), v in sorted(acc.items())])
+                  for (sn, cn, yr), v in sorted(acc.items())],
+                 columns=["supp_nation", "cust_nation", "l_year", "volume"])
 f["l_year"] = f["l_year"].astype(dump("q7_volume").l_year.dtype)
 check("q7_volume", f)
 
@@ -1065,7 +1074,8 @@ for okey, sk, p, d in zip(li.l_orderkey, li.l_suppkey,
         accn[yr] = accn.get(yr, Decimal(0)) + v
 f = pd.DataFrame([{"o_year": np.int32(yr),
                    "mkt_share": rN(float(accn.get(yr, Decimal(0))) / float(tv), 6)}
-                  for yr, tv in sorted(acct.items())])
+                  for yr, tv in sorted(acct.items())],
+                 columns=["o_year", "mkt_share"])
 f["o_year"] = f["o_year"].astype(dump("q8_mktshare").o_year.dtype)
 check("q8_mktshare", f)
 
