@@ -473,12 +473,16 @@ def r6(x):
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 def quality(txt):
+    # integer-exact form (r8): num/den over the common denominator 1000n,
+    # half-up micros in pure int arithmetic — matches the engines at every
+    # SF (the fp form diverged at an exact 0.2883125 boundary at sf0.1)
     sp = txt.split(" ")
     n = len(sp)
     stop = sum(1 for tk in sp if tk in ("the", "a"))
-    avg_len = sum(len(tk) for tk in sp) / n
-    return r6(min(n / 100.0, 1.0) * 0.4 + (stop / n) * 0.3 +
-              min(avg_len / 10.0, 1.0) * 0.3)
+    sumlen = sum(len(tk) for tk in sp)
+    num = 4 * min(n, 100) * n + 300 * stop + 30 * min(sumlen, 10 * n)
+    micros = (2000000 * num + 1000 * n) // (2000 * n)
+    return micros / 1000000
 def lang_pred(txt):
     toks = set(txt.split(" "))
     scores = [len(toks & ws) for _, ws in MARKERS]
@@ -1961,14 +1965,17 @@ check("graph_pagerank", pd.DataFrame(rows))
 # --- r8 continuation: clustering + calibration curves ------------------
 
 # dedup_cluster / cluster_keep_policy: components over EXACT Jaccard>=0.2
+# — these keys CAP at doc_id < 500 (the audit coincided with "all docs"
+# at sf0.01, where the corpus is exactly 500 docs; at sf0.1 it is not)
+sub500 = sorted(did for did in doc_shset if did < 500)
 ex_pairs_02 = []
-doc_ids_sorted = sorted(doc_shset)
+doc_ids_sorted = sub500
 for xi in range(len(doc_ids_sorted)):
     a = doc_ids_sorted[xi]
     for b in doc_ids_sorted[xi + 1:]:
         if rN(jaccard(a, b), 6) >= 0.2:
             ex_pairs_02.append((a, b))
-par2 = {did: did for did in doc_shset}
+par2 = {did: did for did in sub500}
 def find2(x):
     while par2[x] != x:
         par2[x] = par2[par2[x]]
@@ -1978,7 +1985,7 @@ for a, b in ex_pairs_02:
     ra, rb = find2(a), find2(b)
     if ra != rb:
         par2[max(ra, rb)] = min(ra, rb)
-lab2 = {did: find2(did) for did in doc_shset}
+lab2 = {did: find2(did) for did in sub500}
 siz2 = {}
 for lb in lab2.values():
     siz2[lb] = siz2.get(lb, 0) + 1
@@ -1999,6 +2006,8 @@ check("cluster_keep_policy", pd.DataFrame(
      for lb, (negq, did) in sorted(best.items())]))
 
 # lsh_recall_curve: banding recall vs exact ground truth per threshold
+# (also capped at doc_id < 500 on both the exact and the banded side;
+# band-bucket pairs restrict cleanly because membership is per-doc)
 exact_j = {}
 for xi in range(len(doc_ids_sorted)):
     a = doc_ids_sorted[xi]
@@ -2006,10 +2015,11 @@ for xi in range(len(doc_ids_sorted)):
         j = rN(jaccard(a, b), 6)
         if j >= 0.05:
             exact_j[(a, b)] = j
+cands500 = {(a, b) for (a, b) in cands if b < 500}
 rows = []
 for th in (0.05, 0.2, 0.7):
     sel = [(pr, j) for pr, j in exact_j.items() if j >= th]
-    hits = sum(1 for pr, _ in sel if pr in cands)
+    hits = sum(1 for pr, _ in sel if pr in cands500)
     rows.append({"thresh": float(th), "n_exact": np.int64(len(sel)),
                  "n_hit": np.int64(hits), "recall": rN(hits / len(sel), 6)})
 check("lsh_recall_curve", pd.DataFrame(rows))

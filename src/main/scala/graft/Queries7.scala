@@ -618,11 +618,11 @@ object Queries7 {
           |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           |  FROM lab GROUP BY cluster_id
           |), q AS (
-          |  SELECT doc_id, ROUND(
-          |    LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
-          |    + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
-          |    + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
-          |  , 6) AS quality
+          |  SELECT doc_id,
+          |    CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
+          |          + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
+          |          + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
+          |          + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality
           |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
           |), r AS (
           |  SELECT lab.cluster_id, lab.doc_id, sz.cluster_size, q.quality,

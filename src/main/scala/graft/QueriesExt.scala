@@ -517,11 +517,11 @@ object QueriesExt {
           TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
         .orderBy("doc_id"),
       Some(
-        """SELECT doc_id, ROUND(
-          |    LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
-          |    + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
-          |    + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
-          |  , 6) AS quality
+        """SELECT doc_id,
+          |  CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
+          |        + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
+          |        + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
+          |        + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality
           |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
           |ORDER BY doc_id""".stripMargin)),
 
@@ -596,10 +596,10 @@ object QueriesExt {
         val Seq(de, en, es, fr, zh) = score.map(_._2)
         s"""WITH scored AS (
            |  SELECT doc_id, text,
-           |    ROUND(LEAST(CAST(len(sp) AS DOUBLE) / 100.0, 1.0) * 0.4
-           |      + (CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len(sp) AS DOUBLE)) * 0.3
-           |      + LEAST((list_sum(list_transform(sp, t -> CAST(length(t) AS DOUBLE))) / CAST(len(sp) AS DOUBLE)) / 10.0, 1.0) * 0.3
-           |    , 6) AS quality,
+           |    CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
+           |          + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
+           |          + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
+           |          + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality,
            |    CASE
            |      WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
            |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'

@@ -19,16 +19,38 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0),
       (acc, t) => acc + lit(1) + floor(greatest(length(t) - 1, lit(0)) / 4).cast("int"))
 
+  /** Long integer division (`div`) as a Column — IntegralDivide isn't in
+    * the functions API. */
+  private def ldiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Quality composite ∈ [0,1]: 0.4·min(n_tokens/100,1) +
-    * 0.3·stopword_ratio + 0.3·min(avg_token_len/10,1). */
+    * 0.3·stopword_ratio + 0.3·min(avg_token_len/10,1), rounded HALF_UP to
+    * 6 decimals — in EXACT INTEGER arithmetic. The fp formulation hit a
+    * real cross-engine divergence at sf0.1 (r8): a doc whose true score is
+    * exactly 0.2883125 sits on the rounding boundary, where Spark's
+    * decimal-string HALF_UP and DuckDB's multiply-then-round disagree on
+    * the nearest-double input. Over the common denominator 1000n the score
+    * is the rational num/den with
+    *   num = 4·min(n,100)·n + 300·stop + 30·min(Σlen,10n),  den = 1000·n,
+    * and micros = (2000000·num + den) div (2·den) is exact half-up — no
+    * float enters until the final micros/1e6 (≤ 1e6, identical IEEE op on
+    * every engine). Overflow headroom: 2000000·num ≈ 2e9·n stays in Long
+    * for documents up to ~4.6e9 tokens. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val stop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double")
-    val avgLen = aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / n
-    round(least(n / 100.0, lit(1.0)) * 0.4 +
-      (stop / n) * 0.3 +
-      least(avgLen / 10.0, lit(1.0)) * 0.3, 6)
+    val n = size(toks).cast("long")
+    val stop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val num = lit(4L) * least(n, lit(100L)) * n + lit(300L) * stop +
+      lit(30L) * least(sumLen, lit(10L) * n)
+    val den = lit(1000L) * n
+    val micros = ldiv(lit(2000000L) * num + den, lit(2L) * den)
+    micros.cast("double") / 1000000.0
   }
 
   /** Marker-word language ID: per language, count tokens in its marker set;
