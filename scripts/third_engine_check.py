@@ -30,6 +30,12 @@ def rH(x, places):
     return float(Decimal(repr(float(x))).quantize(
         Decimal(1).scaleb(-places), ROUND_HALF_UP))
 
+def ratioR(a, b, places):
+    """Integer-exact HALF_UP rounding of the rational a/b (matches the
+    engines' r8 ExactMath.ratioRounded / HUGEINT oracle forms)."""
+    scale = 10 ** places
+    return ((2 * scale * int(a) + int(b)) // (2 * int(b))) / scale
+
 results = []
 
 def check(key, expected: pd.DataFrame):
@@ -182,7 +188,7 @@ for _, r in dc.iterrows():
     sp = r.text.split(" ")
     g = [r.text] if len(sp) < 2 else [f"{sp[i]} {sp[i+1]}" for i in range(len(sp) - 1)]
     rows.append({"doc_id": r.doc_id,
-                 "rep_ratio": rH(1.0 - len(set(g)) / len(g), 6)})
+                 "rep_ratio": ratioR(len(g) - len(set(g)), len(g), 6)})
 check("quality_repetition", pd.DataFrame(rows).sort_values("doc_id"))
 
 # token_count_bpe: sum over tokens of 1 + floor(max(len-1,0)/4)
@@ -225,7 +231,7 @@ for did in sorted(doc_sh):
     shared = sum(1 for x in sh if cnt[x] > 1)
     rows.append({"doc_id": did, "n_shingles": np.int64(len(sh)),
                  "n_shared": np.int64(shared),
-                 "dup_frac": rH(shared / len(sh), 6)})
+                 "dup_frac": ratioR(shared, len(sh), 6)})
 check("span_dup_fraction", pd.DataFrame(rows))
 
 P = 1000000007
@@ -399,7 +405,7 @@ rows = []
 for nv in (10, 25, 50):
     cov = sum(c for _, c in ranked[:nv])
     rows.append({"n_vocab": np.int32(nv), "covered": np.int64(cov),
-                 "total": np.int64(total), "coverage": rH(cov / total, 6)})
+                 "total": np.int64(total), "coverage": ratioR(cov, total, 6)})
 f = pd.DataFrame(rows)
 f["n_vocab"] = f["n_vocab"].astype("int32")
 check("vocab_coverage", f)
@@ -1441,7 +1447,7 @@ for did in sorted(tok_lists):
     toks = tok_lists[did]
     s = sum(corpus_cnt[tk] for tk in toks)
     rows.append({"doc_id": np.int64(did), "n_tok": np.int64(len(toks)),
-                 "lm_score": rN(s / (len(toks) * NTOK), 9)})
+                 "lm_score": ratioR(s, len(toks) * NTOK, 9)})
 check("doc_lm_quality", pd.DataFrame(rows))
 
 # lang_id_ngram: trigram-occurrence argmax (replace-length-delta counting)
@@ -1483,7 +1489,7 @@ rows = []
 for src, grp in dc.groupby("source"):
     v = grp.n_chars.astype(float).values
     rows.append({"source": src, "n_docs": np.int64(len(v)),
-                 "avg_chars": rN(float(grp.n_chars.sum()) / len(v), 6),
+                 "avg_chars": ratioR(int(grp.n_chars.sum()), len(v), 6),
                  "median_chars": rN(float(np.percentile(v, 50, method="linear")), 6)})
 check("text_stats_by_source", pd.DataFrame(rows).sort_values("source"))
 
@@ -1496,7 +1502,8 @@ for src, grp in dc.groupby("source"):
     kept = grp[(grp.n_chars >= p05) & (grp.n_chars <= p95)]
     rows.append({"source": src, "n_docs": np.int64(len(grp)),
                  "n_kept": np.int64(len(kept)),
-                 "avg_kept_chars": rN(float(kept.n_chars.mean()), 2)})
+                 "avg_kept_chars": (ratioR(int(kept.n_chars.sum()), len(kept), 2)
+                                    if len(kept) else np.nan)})
 check("filter_length_outliers", pd.DataFrame(rows).sort_values("source"))
 
 # length_bucket_batches: (source, 16-wide token bucket) → batches of 8
@@ -1736,9 +1743,8 @@ rows = []
 for (a, bt), c in pair_cnt.items():
     if c < 5:
         continue
-    lift = (float(c) * NTOK) / (float(corpus_cnt[a]) * corpus_cnt[bt])
     rows.append({"tok_a": a, "tok_b": bt, "pair_cnt": np.int64(c),
-                 "lift": rN(lift, 6)})
+                 "lift": ratioR(c * NTOK, corpus_cnt[a] * corpus_cnt[bt], 6)})
 f = pd.DataFrame(rows).sort_values(
     ["lift", "tok_a", "tok_b"], ascending=[False, True, True]).head(50)
 check("token_cooccurrence", f)
@@ -1761,9 +1767,8 @@ rows = []
 for (a, bt), c in pdocs.items():
     if c < 5:
         continue
-    lift = (float(c) * NDOC) / (float(dfreq[a]) * dfreq[bt])
     rows.append({"tok_a": a, "tok_b": bt, "pair_docs": np.int64(c),
-                 "lift": rN(lift, 6)})
+                 "lift": ratioR(c * NDOC, dfreq[a] * dfreq[bt], 6)})
 f = pd.DataFrame(rows).sort_values(
     ["lift", "tok_a", "tok_b"], ascending=[False, True, True]).head(50)
 check("token_cooccurrence_doc", f)
@@ -1846,7 +1851,7 @@ for p in (2, 4):
     got = ivf_top10(p)
     hits = sum(1 for _, i in got if i in brute10)
     rows.append({"n_probe": np.int32(p), "k": np.int64(len(got)),
-                 "n_hit": np.int64(hits), "recall": rN(hits / len(got), 6)})
+                 "n_hit": np.int64(hits), "recall": ratioR(hits, len(got), 6)})
 check("ann_recall_at_k", pd.DataFrame(rows))
 
 # simjoin_exact: all pairs under the id cap at rounded cos >= 0.30
@@ -2021,7 +2026,7 @@ for th in (0.05, 0.2, 0.7):
     sel = [(pr, j) for pr, j in exact_j.items() if j >= th]
     hits = sum(1 for pr, _ in sel if pr in cands500)
     rows.append({"thresh": float(th), "n_exact": np.int64(len(sel)),
-                 "n_hit": np.int64(hits), "recall": rN(hits / len(sel), 6)})
+                 "n_hit": np.int64(hits), "recall": ratioR(hits, len(sel), 6)})
 check("lsh_recall_curve", pd.DataFrame(rows))
 
 # cms_error_curve: count-min overestimate vs sketch width

@@ -275,7 +275,7 @@ object Queries5 {
           |per AS (SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n_tok
           |  FROM toks JOIN tc USING (tok) GROUP BY doc_id)
           |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-          |  ROUND(CAST(s AS DOUBLE) / CAST(n_tok * n AS DOUBLE), 9) AS lm_score
+          |  (CAST(((2000000000::HUGEINT * s + n_tok * n) // (2::HUGEINT * n_tok * n)) AS DOUBLE) / 1000000000) AS lm_score
           |FROM per, tot ORDER BY doc_id""".stripMargin)),
 
     QSpec("join_bucketed_colocated",

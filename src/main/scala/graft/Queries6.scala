@@ -54,7 +54,8 @@ object Queries6 {
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
           .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-            round(col("n_shared").cast("double") / col("n_shingles"), 6).as("dup_frac"))
+            graft.ext.ExactMath.ratioRounded(col("n_shared"), col("n_shingles"), 6)
+              .as("dup_frac"))
           .orderBy("doc_id")
       },
       Some(
@@ -67,7 +68,7 @@ object Queries6 {
           |), c AS (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY sh)
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
           |  CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-          |  ROUND(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS dup_frac
+          |  (CAST(((2000000::HUGEINT * SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS dup_frac
           |FROM sh JOIN c USING (sh)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -155,7 +156,8 @@ object Queries6 {
           .groupBy("n_vocab").agg(sum("cnt").as("covered"))
           .crossJoin(broadcast(total))
           .select(col("n_vocab"), col("covered"), col("total"),
-            round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+            graft.ext.ExactMath.ratioRounded(col("covered"), col("total"), 6)
+              .as("coverage"))
           .orderBy("n_vocab")
       },
       Some(
@@ -167,7 +169,7 @@ object Queries6 {
           |lv AS (SELECT unnest([10, 25, 50]) AS n_vocab)
           |SELECT CAST(n_vocab AS INT) AS n_vocab,
           |  CAST(SUM(cnt) AS BIGINT) AS covered, CAST(total AS BIGINT) AS total,
-          |  ROUND(SUM(cnt)::DOUBLE / total, 6) AS coverage
+          |  (CAST(((2000000::HUGEINT * SUM(cnt) + total) // (2::HUGEINT * total)) AS DOUBLE) / 1000000) AS coverage
           |FROM r JOIN lv ON rank <= n_vocab, tot
           |GROUP BY n_vocab, total ORDER BY n_vocab""".stripMargin)),
 
@@ -248,8 +250,13 @@ object Queries6 {
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
               .otherwise(0L)).as("n_kept"),
-            round(avg(when(col("n_chars").between(col("p05"), col("p95")),
-              col("n_chars"))), 2).as("avg_kept_chars"))
+            when(sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
+                .otherwise(0L)) === 0, lit(null))
+              .otherwise(graft.ext.ExactMath.ratioRounded(
+                sum(when(col("n_chars").between(col("p05"), col("p95")),
+                  col("n_chars").cast("long")).otherwise(0L)),
+                sum(when(col("n_chars").between(col("p05"), col("p95")), 1L)
+                  .otherwise(0L)), 2)).as("avg_kept_chars"))
           .orderBy("source")
       },
       Some(
@@ -257,6 +264,10 @@ object Queries6 {
           |    quantile_cont(n_chars, 0.95) AS p95 FROM documents)
           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) FILTER (WHERE n_chars BETWEEN p05 AND p95) AS BIGINT) AS n_kept,
-          |  ROUND(AVG(n_chars) FILTER (WHERE n_chars BETWEEN p05 AND p95), 2) AS avg_kept_chars
+          |  CASE WHEN COUNT(*) FILTER (WHERE n_chars BETWEEN p05 AND p95) = 0 THEN NULL
+          |    ELSE (CAST(((200::HUGEINT * SUM(n_chars) FILTER (WHERE n_chars BETWEEN p05 AND p95)
+          |      + COUNT(*) FILTER (WHERE n_chars BETWEEN p05 AND p95))
+          |      // (2::HUGEINT * COUNT(*) FILTER (WHERE n_chars BETWEEN p05 AND p95))) AS DOUBLE) / 100)
+          |  END AS avg_kept_chars
           |FROM documents, q GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -279,14 +279,13 @@ object Queries7 {
       // fan-out is k×tokens — never in-doc vocabulary², which blows up on a
       // 5k-distinct-token document (12.5M pairs) under the whole-doc form
       // (kept as the fixture-scale twin `token_cooccurrence_doc` below).
-      // lift = pair_cnt·N/(cnt_a·cnt_b) — both factors are cast to DOUBLE
-      // BEFORE multiplying: pair_cnt·n_tok is bounded by k·N² (N = corpus
-      // token count), which overflows long past N ≈ 2e9 where Spark
-      // (non-ANSI) wraps silently and DuckDB raises — the same
-      // engine-divergence class as mixture_sample's Knuth multiply. The
-      // double product is the same IEEE operation on both engines, so the
-      // twin stays hash-exact at every scale; ONE final division, no
-      // log/PMI libm drift; top-50 by lift, full lexicographic tiebreak.
+      // lift = pair_cnt·N/(cnt_a·cnt_b) in decimal(38) integer-exact
+      // arithmetic (r8, ExactMath): pair_cnt·n_tok is bounded by k·N² (N =
+      // corpus token count), which overflows LONG past N ≈ 2e9 where Spark
+      // (non-ANSI) wraps silently and DuckDB raises — decimal(38) (engine)
+      // and HUGEINT (oracle) carry the product exactly instead, and the
+      // integer half-up rounding removes the ROUND-on-boundary ambiguity;
+      // no log/PMI libm drift; top-50 by lift, full lexicographic tiebreak.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val tp = docs.select(col("doc_id"),
@@ -306,8 +305,10 @@ object Queries7 {
           .crossJoin(broadcast(nt))
           .where(col("pair_cnt") >= 5)
           .select(col("tok_a"), col("tok_b"), col("pair_cnt"),
-            round(col("pair_cnt").cast("double") * col("n_tok") /
-              (col("cnt_a").cast("double") * col("cnt_b")), 6).as("lift"))
+            graft.ext.ExactMath.ratioRounded(
+              col("pair_cnt").cast("decimal(38,0)") * col("n_tok").cast("decimal(38,0)"),
+              col("cnt_a").cast("decimal(38,0)") * col("cnt_b").cast("decimal(38,0)"), 6)
+              .as("lift"))
           .orderBy(desc("lift"), asc("tok_a"), asc("tok_b"))
           .limit(50)
       },
@@ -322,7 +323,7 @@ object Queries7 {
           |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tk)
           |SELECT tok_a, tok_b, pair_cnt,
-          |  ROUND(CAST(pair_cnt AS DOUBLE) * n_tok / (CAST(ca.cnt AS DOUBLE) * cb.cnt), 6) AS lift
+          |  (CAST(((2000000::HUGEINT * (pair_cnt::HUGEINT * n_tok) + (ca.cnt::HUGEINT * cb.cnt)) // (2::HUGEINT * (ca.cnt::HUGEINT * cb.cnt))) AS DOUBLE) / 1000000) AS lift
           |FROM pc JOIN tc ca ON pc.tok_a = ca.tok JOIN tc cb ON pc.tok_b = cb.tok, nt
           |WHERE pair_cnt >= 5
           |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
@@ -351,10 +352,12 @@ object Queries7 {
           .crossJoin(broadcast(nDocs))
           .where(col("pair_docs") >= 5)
           .select(col("tok_a"), col("tok_b"), col("pair_docs"),
-            // doubles BEFORE the multiply — pair_docs·n_docs overflows long
-            // past ~3e9 docs (same divergence class as the windowed key)
-            round(col("pair_docs").cast("double") * col("n_docs") /
-              (col("df_a").cast("double") * col("df_b")), 6).as("lift"))
+            // decimal(38) exact — pair_docs·n_docs overflows LONG past
+            // ~3e9 docs (same class as the windowed key); integer half-up
+            graft.ext.ExactMath.ratioRounded(
+              col("pair_docs").cast("decimal(38,0)") * col("n_docs").cast("decimal(38,0)"),
+              col("df_a").cast("decimal(38,0)") * col("df_b").cast("decimal(38,0)"), 6)
+              .as("lift"))
           .orderBy(desc("lift"), asc("tok_a"), asc("tok_b"))
           .limit(50)
       },
@@ -367,7 +370,7 @@ object Queries7 {
           |  FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id AND a.tok < b.tok
           |  GROUP BY a.tok, b.tok)
           |SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
-          |  ROUND(CAST(pair_docs AS DOUBLE) * n_docs / (CAST(da.df AS DOUBLE) * db.df), 6) AS lift
+          |  (CAST(((2000000::HUGEINT * (pair_docs::HUGEINT * n_docs) + (da.df::HUGEINT * db.df)) // (2::HUGEINT * (da.df::HUGEINT * db.df))) AS DOUBLE) / 1000000) AS lift
           |FROM p JOIN df da ON p.tok_a = da.tok JOIN df db ON p.tok_b = db.tok, nd
           |WHERE pair_docs >= 5
           |ORDER BY lift DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
@@ -399,7 +402,8 @@ object Queries7 {
           .agg(count(lit(1)).as("n_exact"),
             sum(coalesce(col("is_cand"), lit(0L))).as("n_hit"))
           .select(col("thresh"), col("n_exact"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+            graft.ext.ExactMath.ratioRounded(col("n_hit"), col("n_exact"), 6)
+              .as("recall"))
           .orderBy("thresh")
       },
       Some(
@@ -435,7 +439,7 @@ object Queries7 {
           |  FROM ex LEFT JOIN cand c ON ex.a_id = c.a_id AND ex.b_id = c.b_id)
           |SELECT thresh, CAST(COUNT(*) AS BIGINT) AS n_exact,
           |  CAST(SUM(is_cand) AS BIGINT) AS n_hit,
-          |  ROUND(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS recall
+          |  (CAST(((2000000::HUGEINT * SUM(is_cand) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS recall
           |FROM jj, th WHERE jj.j >= thresh GROUP BY thresh ORDER BY thresh""".stripMargin)),
 
     QSpec("dedup_cluster_lsh",
@@ -532,7 +536,8 @@ object Queries7 {
           .groupBy("n_probe")
           .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
           .select(col("n_probe"), col("k"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+            graft.ext.ExactMath.ratioRounded(col("n_hit"), col("k"), 6)
+              .as("recall"))
           .orderBy("n_probe")
       },
       Some(
@@ -564,7 +569,7 @@ object Queries7 {
           |  ORDER BY list_sum(list_transform(range(len(n.v)), i -> n.v[i+1]*q.qv[i+1])) / (n.nrm*q.qnrm) DESC, n.vec_id LIMIT 10)
           |SELECT CAST(n_probe AS INT) AS n_probe, CAST(COUNT(*) AS BIGINT) AS k,
           |  CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-          |  ROUND(CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+          |  (CAST(((2000000::HUGEINT * SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute) THEN 1 ELSE 0 END) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS recall
           |FROM ivf GROUP BY n_probe ORDER BY n_probe""".stripMargin)),
 
     QSpec("cluster_keep_policy",

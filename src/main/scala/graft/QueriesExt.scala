@@ -502,12 +502,13 @@ object QueriesExt {
       (s, dir) => t(s, dir, "documents")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+          graft.ext.ExactMath.ratioRounded(sum(col("n_chars")), count(lit(1)), 6)
+            .as("avg_chars"),
           round(expr("percentile(n_chars, 0.5D)"), 6).as("median_chars"))
         .orderBy("source"),
       Some(
         """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+          |  (CAST(((2000000::HUGEINT * SUM(n_chars) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS avg_chars,
           |  ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 

@@ -188,8 +188,12 @@ object TextAnalysis {
     * shuffle — runs in the scan stage at any corpus size. */
   def repetitionRatio(text: Column): Column = {
     val grams = Dedup.shingles(text, 2)
-    round(lit(1.0) - size(array_distinct(grams)).cast("double") /
-      size(grams).cast("double"), 6)
+    // integer-exact: 1 − distinct/total == (total − distinct)/total as a
+    // rational; rounded without the engine-ambiguous double ROUND (see
+    // ExactMath — denominators with a 2^7 factor land on the boundary)
+    ExactMath.ratioRounded(
+      (size(grams) - size(array_distinct(grams))).cast("long"),
+      size(grams).cast("long"), 6)
   }
 
   /** Sequence packing for training-data assembly: documents are concatenated
@@ -235,7 +239,9 @@ object TextAnalysis {
       .agg(sum("cnt").as("s"), count(lit(1)).as("n_tok"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tok"),
-        round(col("s").cast("double") / (col("n_tok") * col("n")).cast("double"), 9)
+        // integer-exact 9-decimal rounding (decimal(38) headroom: the
+        // 2·10⁹·s product is fine for any corpus a Long can count)
+        ExactMath.ratioRounded(col("s"), col("n_tok") * col("n"), 9)
           .as("lm_score"))
       .orderBy("doc_id")
   }
