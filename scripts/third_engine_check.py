@@ -548,7 +548,7 @@ for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"):
     p90 = float(np.percentile(v, 90, method="linear"))
     skew = p90 / p10 if (p10 != p90 and p10 != 0) else 1.0
     rows.append({"column": c, "skew_ratio": r6(skew),
-                 "density": r6(li[c].nunique() / len(li))})
+                 "density": ratioR(li[c].nunique(), len(li), 6)})
 check("score_distribution", pd.DataFrame(rows).sort_values("column"))
 
 # transform_date: month-truncation rollup of l_shipdate
@@ -704,7 +704,8 @@ for pk, p, d in zip(li[y97].l_partkey, li[y97].l_extendedprice, li[y97].l_discou
     if ptype[pk] == "PROMO":
         promo += v
 check("q14_promo",
-      pd.DataFrame([{"promo_revenue_pct": rN(float(promo) * 100.0 / float(tot), 6)}]))
+      pd.DataFrame([{"promo_revenue_pct": ratioR(int(promo * 10000) * 100,
+                                                 int(tot * 10000), 6)}]))
 
 # join_semi: customers with any order over 150k
 big_cust = set(od[od.o_totalprice > 150000].o_custkey)
@@ -1083,7 +1084,8 @@ for okey, sk, p, d in zip(li.l_orderkey, li.l_suppkey,
     if nname.get(sup_nat.get(sk)) == "NATION_2":
         accn[yr] = accn.get(yr, Decimal(0)) + v
 f = pd.DataFrame([{"o_year": np.int32(yr),
-                   "mkt_share": rN(float(accn.get(yr, Decimal(0))) / float(tv), 6)}
+                   "mkt_share": ratioR(int(accn.get(yr, Decimal(0)) * 10000),
+                                       int(tv * 10000), 6)}
                   for yr, tv in sorted(acct.items())],
                  columns=["o_year", "mkt_share"])
 f["o_year"] = f["o_year"].astype(dump("q8_mktshare").o_year.dtype)

@@ -708,11 +708,16 @@ object Queries {
         import s.implicits._
         graft.pipeline.AnalysisPipeline.profilesFor(s, dir, approxCardinality = false)
           .filter(p => p.view == "lineitem" && p.skewRatio.isDefined)
-          .map(p => (p.column, p.skewRatio.get, p.density.get))
-          .toDF("column", "skew_raw", "density_raw")
+          .map(p => (p.column, p.skewRatio.get, p.cardinality, p.totalCount))
+          .toDF("column", "skew_raw", "card", "total")
           .select(col("column"),
+            // skew is a ratio of interpolated percentiles (generally
+            // non-decimal rationals — the ROUND-boundary hazard needs an
+            // exact 5·10^-7-grid value, which p90/p10 of real data
+            // essentially never is); density IS an integer ratio → exact
             round(col("skew_raw"), 6).as("skew_ratio"),
-            round(col("density_raw"), 6).as("density"))
+            graft.ext.ExactMath.ratioRounded(col("card"), col("total"), 6)
+              .as("density"))
           .orderBy("column")
       },
       Some {
@@ -724,7 +729,7 @@ object Queries {
         }.mkString("\nUNION ALL\n")
         s"""SELECT "column",
            |  ROUND(CASE WHEN p10 <> p90 AND p10 <> 0 THEN p90 / p10 ELSE 1.0 END, 6) AS skew_ratio,
-           |  ROUND(CAST(distinct_count AS DOUBLE) / total, 6) AS density
+           |  (CAST(((2000000::HUGEINT * distinct_count + total) // (2::HUGEINT * total)) AS DOUBLE) / 1000000) AS density
            |FROM ($parts) stats ORDER BY "column"""".stripMargin
       }))
 

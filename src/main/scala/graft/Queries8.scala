@@ -81,18 +81,22 @@ object Queries8 {
         joined
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
-            round((sum(when(col("supp_nation") === "NATION_2",
-              (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
-              rev.cast("double")), 6).as("mkt_share"))
+            // both sums are exact decimal(·,4) rationals — integer-exact
+            // rounding via the x10000 unscale (ExactMath r8)
+            graft.ext.ExactMath.ratioRounded(
+              sum(when(col("supp_nation") === "NATION_2",
+                (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+                .otherwise(lit(0).cast("decimal(18,4)"))) * lit(10000),
+              rev * lit(10000), 6).as("mkt_share"))
           .orderBy("o_year")
       },
       Some(
         s"""SELECT o_year,
-           |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+           |  (CAST(((2000000::HUGEINT * CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
            |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-           |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-           |    / CAST($revSql AS DOUBLE), 6) AS mkt_share
+           |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS HUGEINT)
+           |    + CAST($revSql * 10000 AS HUGEINT))
+           |    // (2::HUGEINT * CAST($revSql * 10000 AS HUGEINT))) AS DOUBLE) / 1000000) AS mkt_share
            |FROM (
            |  SELECT n1.n_name AS supp_nation,
            |    CAST(year(o_orderdate) AS INT) AS o_year,
@@ -135,16 +139,17 @@ object Queries8 {
       (s, dir) => t(s, dir, "lineitem")
         .where(year(col("l_shipdate")) === 1997)
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .agg(round(
-          (sum(when(col("p_type") === "PROMO",
+        .agg(graft.ext.ExactMath.ratioRounded(
+          sum(when(col("p_type") === "PROMO",
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0) /
-            rev.cast("double"), 6).as("promo_revenue_pct")),
+            .otherwise(lit(0).cast("decimal(18,4)"))) * lit(1000000),
+          rev * lit(10000), 6).as("promo_revenue_pct")),
       Some(
-        s"""SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        s"""SELECT (CAST(((2000000::HUGEINT * CAST(SUM(CASE WHEN p_type = 'PROMO'
            |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-           |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
-           |    / CAST($revSql AS DOUBLE), 6) AS promo_revenue_pct
+           |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 1000000 AS HUGEINT)
+           |    + CAST($revSql * 10000 AS HUGEINT))
+           |    // (2::HUGEINT * CAST($revSql * 10000 AS HUGEINT))) AS DOUBLE) / 1000000) AS promo_revenue_pct
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE year(l_shipdate) = 1997""".stripMargin)),
 
