@@ -114,6 +114,43 @@ class IcebergMetaSpec extends SparkSpec {
     assert(IcebergMeta.read(spark, tbl).version == 1)
   }
 
+  test("format-version 1 layout reads too: single schema, flat partition-spec") {
+    // v1 metadata has "schema" (no schemas list) and may carry only the
+    // flat "partition-spec" field list — both supported read paths
+    val dir = Files.createTempDirectory("graft_iceberg_v1").toString + "/tbl"
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    val v1 =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "9c12c3f4-0000-4000-8000-000000000044",
+         |  "location": "$dir",
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 2,
+         |  "schema": {"type": "struct", "fields": [
+         |    {"id": 1, "name": "event_id", "required": true, "type": "long"},
+         |    {"id": 2, "name": "event_day", "required": false, "type": "date"}]},
+         |  "partition-spec": [
+         |    {"name": "event_day_month", "transform": "month", "source-id": 2, "field-id": 1000}],
+         |  "properties": {}
+         |}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "v1.metadata.json"), v1.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "metadata", "version-hint.text"), "1".getBytes("UTF-8"))
+    assert(IcebergMeta.isIcebergTable(spark, dir))
+    val m = IcebergMeta.read(spark, dir)
+    assert(m.formatVersion == 1)
+    assert(m.schemaIds == Map("event_id" -> 1, "event_day" -> 2))
+    assert(IcebergMeta.partitionSpecString(spark, dir) == "month(event_day)")
+    // spec evolution from the v1 flat form: old spec lands in
+    // partition-specs with its field ids preserved, new spec appends
+    val v2 = IcebergMeta.replacePartitionSpec(spark, dir, Seq("bucket(8, event_id)"))
+    assert(v2 == 2)
+    val m2 = IcebergMeta.read(spark, dir)
+    assert(m2.specs.keySet == Set(0, 1))
+    assert(m2.specs(0).map(_.transform) == Seq("month"))
+    assert(m2.specs(1).map(f => (f.transform, f.fieldId)) == Seq(("bucket[8]", 1001)))
+    assert(IcebergMeta.partitionSpecString(spark, dir) == "bucket(8, event_id)")
+  }
+
   test("the advisor's emitted spec block applies end to end (the --execute path)") {
     val tbl = freshTable()
     // the exact multi-line fragment shape Recommender.scripts renders

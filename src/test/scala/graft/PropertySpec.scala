@@ -14,6 +14,42 @@ class PropertySpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("ExactMath.ratioRounded equals exact BigDecimal HALF_UP on random ratios") {
+    import spark.implicits._
+    // include hand-picked boundary cases: exact decimal halves with
+    // non-dyadic denominators (the class that diverged live at sf0.1)
+    val cases = Seq((9226L, 32000L, 6), (1L, 128L, 6), (7L, 3200L, 6),
+      (1L, 2L, 0), (5L, 8L, 2), (1L, 64L, 5))
+    def reference(a: Long, b: Long, p: Int): Double =
+      (BigDecimal(a) / BigDecimal(b))
+        .setScale(p, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    def engine(a: Long, b: Long, p: Int): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.ext.ExactMath.ratioRounded(col("a"), col("b"), p).as("r"))
+        .collect()(0).getDouble(0)
+    cases.foreach { case (a, b, p) =>
+      assert(engine(a, b, p) == reference(a, b, p), s"case ($a, $b, $p)")
+    }
+    // randomized sweep runs through one Spark job over a generated frame
+    // (per-row jobs would take minutes): generate pairs, evaluate the
+    // expression column once, compare against the BigDecimal model
+    val rnd = new scala.util.Random(8)
+    val rows = Seq.fill(300) {
+      (math.abs(rnd.nextLong()) % 4000000000L,
+        math.abs(rnd.nextLong()) % 4000000000L + 1, rnd.nextInt(10))
+    }
+    rows.groupBy(_._3).foreach { case (p, grp) =>
+      val got = grp.toDF("a", "b", "p")
+        .select(col("a"), col("b"),
+          graft.ext.ExactMath.ratioRounded(col("a"), col("b"), p).as("r"))
+        .collect()
+      got.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(r.getDouble(2) == reference(a, b, p), s"($a, $b, $p)")
+      }
+    }
+  }
+
   test("poly fingerprint is stable and in [0, p)") {
     val a = docs.select(TextAnalysis.polyFingerprint(col("text")).as("f"))
       .collect().map(_.getLong(0))
