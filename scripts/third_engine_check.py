@@ -2269,6 +2269,26 @@ for tb in sorted(by_view):
     rows.append({"view": tb, "partition_spec": ",\n    ".join(specs)})
 check("emit_partition_scripts", pd.DataFrame(rows))
 
+# bpe_merge_step: frequency-weighted adjacent char pairs, top-20
+pc = {}
+for tok, c in corpus_cnt.items():
+    if len(tok) >= 2:
+        for i in range(len(tok) - 1):
+            p = tok[i:i + 2]
+            pc[p] = pc.get(p, 0) + c
+top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+check("bpe_merge_step", pd.DataFrame(
+    [{"pair": p, "weighted_cnt": np.int64(c)} for p, c in top]))
+
+# mixture_temperature_weights: sqrt(n_s / n_max) per source
+ntok_src = {}
+for src, txt in zip(dc.source, dc.text):
+    ntok_src[src] = ntok_src.get(src, 0) + len(txt.split(" "))
+nmax = max(ntok_src.values())
+check("mixture_temperature_weights", pd.DataFrame(
+    [{"source": s_, "n_tokens": np.int64(n),
+      "weight": rH(math.sqrt(n / nmax), 6)} for s_, n in sorted(ntok_src.items())]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -29,6 +29,68 @@ object Queries6 {
 
   val specs: Seq[QSpec] = Seq(
 
+    QSpec("bpe_merge_step",
+      // One BPE-TRAINING iteration over the corpus: frequency-weighted
+      // counts of adjacent character pairs inside whitespace tokens — the
+      // argmax row is the merge a tokenizer trainer applies next (the
+      // surface's other tokenizer keys all APPLY tokenization; this one
+      // drives its induction). Scale shape: the corpus-proportional work
+      // is one token-count aggregation; the pair explode then runs over
+      // the DISTINCT token table (vocabulary-sized, orders of magnitude
+      // below corpus size) weighted by occurrence counts — exactly how a
+      // real BPE trainer batches its pair statistics. Top-20 by
+      // (weighted count desc, pair asc), fully deterministic.
+      (s, dir) => {
+        val tokc = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        tokc.where(length(col("tok")) >= 2)
+          .select(col("cnt"),
+            explode(transform(sequence(lit(1), length(col("tok")) - 1),
+              i => col("tok").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("cnt").as("weighted_cnt"))
+          .orderBy(desc("weighted_cnt"), asc("pair"))
+          .limit(20)
+      },
+      Some(
+        """WITH tokc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok),
+          |pairs AS (SELECT cnt,
+          |    unnest(list_transform(range(1, length(tok)), i -> tok[i:i+1])) AS pair
+          |  FROM tokc WHERE length(tok) >= 2)
+          |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weighted_cnt
+          |FROM pairs GROUP BY pair
+          |ORDER BY weighted_cnt DESC, pair LIMIT 20""".stripMargin)),
+
+    QSpec("mixture_temperature_weights",
+      // Temperature-scaled data-mixture weights (the LLaMA-style α=0.5
+      // upsampling math): per source, relative sampling weight
+      // sqrt(n_tokens_s / n_tokens_max) — computed against the MAX source
+      // rather than the sum, deliberately: max() is order-independent, so
+      // the pre-round double is identical on every engine, while a
+      // cross-source SUM of sqrt irrationals would accumulate in
+      // engine-dependent order. sqrt output is irrational → plain round
+      // is safe per the SURVEY §5 rounding rule. One token-count
+      // aggregation + a broadcast scalar; no shuffle grows with corpus.
+      (s, dir) => {
+        val perSource = t(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+        val mx = perSource.agg(max("n_tokens").as("max_tokens"))
+        perSource.crossJoin(broadcast(mx))
+          .select(col("source"), col("n_tokens"),
+            round(sqrt(col("n_tokens").cast("double") / col("max_tokens")), 6)
+              .as("weight"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |mx AS (SELECT MAX(n_tokens) AS max_tokens FROM ps)
+          |SELECT source, n_tokens,
+          |  ROUND(sqrt(CAST(n_tokens AS DOUBLE) / max_tokens), 6) AS weight
+          |FROM ps, mx ORDER BY source""".stripMargin)),
+
     QSpec("span_dup_fraction",
       // Cross-doc repeated-span fraction: for each doc, the share of its
       // distinct 4-token shingles that also occur in at least one OTHER
