@@ -2289,6 +2289,23 @@ check("mixture_temperature_weights", pd.DataFrame(
     [{"source": s_, "n_tokens": np.int64(n),
       "weight": rH(math.sqrt(n / nmax), 6)} for s_, n in sorted(ntok_src.items())]))
 
+# vocab_growth_curve: first-occurrence doc per token type → running total
+first_doc = {}
+for did in sorted(tok_lists):
+    for tk in tok_lists[did]:
+        if tk not in first_doc:
+            first_doc[tk] = did
+new_per_doc = {}
+for tk, did in first_doc.items():
+    new_per_doc[did] = new_per_doc.get(did, 0) + 1
+cum = 0
+rows = []
+for did in sorted(new_per_doc):
+    cum += new_per_doc[did]
+    rows.append({"doc_id": np.int64(did), "n_new_types": np.int64(new_per_doc[did]),
+                 "cum_types": np.int64(cum)})
+check("vocab_growth_curve", pd.DataFrame(rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -91,6 +91,50 @@ object Queries6 {
           |  ROUND(sqrt(CAST(n_tokens AS DOUBLE) / max_tokens), 6) AS weight
           |FROM ps, mx ORDER BY source""".stripMargin)),
 
+    QSpec("vocab_growth_curve",
+      // Vocabulary growth as the corpus accretes in doc_id order: per doc,
+      // how many token TYPES appear for the first time, and the running
+      // distinct-type total — the Heaps-law curve a tokenizer/vocab plan
+      // reads before fixing a vocab size. Scale shape: first occurrence is
+      // a min-aggregation over the (token → first doc) table (vocabulary-
+      // sized after the one corpus-proportional grouping); the cumulative
+      // sum runs as a TWO-LEVEL prefix sum so no window ever sees the
+      // corpus in one partition: per-doc contributions window inside
+      // 1024-doc buckets (parallel across buckets), and only the
+      // bucket-total prefix — bucket-count-sized, corpus/1024 — runs as a
+      // single-partition window. Only docs introducing ≥1 new type emit.
+      (s, dir) => {
+        val firstDoc = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+        val perDoc = firstDoc.groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_new_types"))
+          .withColumn("bkt", expr("doc_id div 1024"))
+        val bucketPrefix = perDoc.groupBy("bkt")
+          .agg(sum("n_new_types").as("bkt_total"))
+          .withColumn("prev_buckets",
+            coalesce(sum("bkt_total").over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "prev_buckets")
+        perDoc.join(bucketPrefix, "bkt")
+          .withColumn("cum_types",
+            col("prev_buckets") + sum("n_new_types").over(
+              Window.partitionBy("bkt").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("doc_id", "n_new_types", "cum_types")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH fd AS (SELECT tok, MIN(doc_id) AS first_doc FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok),
+          |pd AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_types
+          |  FROM fd GROUP BY first_doc)
+          |SELECT doc_id, n_new_types,
+          |  CAST(SUM(n_new_types) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+          |FROM pd ORDER BY doc_id""".stripMargin)),
+
     QSpec("span_dup_fraction",
       // Cross-doc repeated-span fraction: for each doc, the share of its
       // distinct 4-token shingles that also occur in at least one OTHER
