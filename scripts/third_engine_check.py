@@ -2289,6 +2289,29 @@ check("mixture_temperature_weights", pd.DataFrame(
     [{"source": s_, "n_tokens": np.int64(n),
       "weight": rH(math.sqrt(n / nmax), 6)} for s_, n in sorted(ntok_src.items())]))
 
+# corpus_health_report: per-source docs / en fraction / mean quality / dup rate
+def qmicros(txt):
+    sp = txt.split(" ")
+    n = len(sp)
+    stop = sum(1 for tk in sp if tk in ("the", "a"))
+    sumlen = sum(len(tk) for tk in sp)
+    num = 4 * min(n, 100) * n + 300 * stop + 30 * min(sumlen, 10 * n)
+    return (2000000 * num + 1000 * n) // (2000 * n)
+first_of_text = {}
+for did, txt in sorted(zip(dc.doc_id, dc.text)):
+    first_of_text.setdefault(txt, did)
+hb = {}
+for did, txt, src in zip(dc.doc_id, dc.text, dc.source):
+    n_, en_, qm_, du_ = hb.get(src, (0, 0, 0, 0))
+    hb[src] = (n_ + 1, en_ + (1 if lang_pred(txt) == "en" else 0),
+               qm_ + qmicros(txt), du_ + (1 if first_of_text[txt] != did else 0))
+check("corpus_health_report", pd.DataFrame(
+    [{"source": s_, "n_docs": np.int64(n_),
+      "en_frac": ratioR(en_, n_, 6),
+      "mean_quality": ratioR(qm_, n_ * 1000000, 6),
+      "dup_rate": ratioR(du_, n_, 6)}
+     for s_, (n_, en_, qm_, du_) in sorted(hb.items())]))
+
 # vocab_growth_curve: first-occurrence doc per token type → running total
 first_doc = {}
 for did in sorted(tok_lists):

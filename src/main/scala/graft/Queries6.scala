@@ -91,6 +91,68 @@ object Queries6 {
           |  ROUND(sqrt(CAST(n_tokens AS DOUBLE) / max_tokens), 6) AS weight
           |FROM ps, mx ORDER BY source""".stripMargin)),
 
+    QSpec("corpus_health_report",
+      // The per-source corpus-health rollup a pipeline owner reads before
+      // training: doc count, English fraction, mean quality, exact-dup
+      // rate — every column built from an already-triple-verified kernel
+      // (marker language ID, integer-exact quality micros, sha2 exact
+      // dedup) and every ratio rounded through ExactMath (integer
+      // half-up), so the whole report is bit-reproducible. Scale shape:
+      // one scan for scoring, one sha2-keyed aggregation + join for the
+      // dup flags, one grouped rollup — shuffle keys are 32-byte digests
+      // and the source, never text bodies.
+      (s, dir) => {
+        import graft.ext.{ExactMath, TextAnalysis}
+        val docs = t(s, dir, "documents")
+        val scored = TextAnalysis.withLangIdIntersect(docs, "text", "lang_pred")
+          .withColumn("qm", TextAnalysis.qualityMicros(col("text"), Seq("the", "a")))
+        val firstIds = docs.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("first_id"))
+        scored.withColumn("h", sha2(col("text"), 256))
+          .join(firstIds, "h")
+          .withColumn("is_dup", (col("doc_id") =!= col("first_id")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum("qm").as("sum_qm"),
+            sum("is_dup").as("n_dup"))
+          .select(col("source"), col("n_docs"),
+            ExactMath.ratioRounded(col("n_en"), col("n_docs"), 6).as("en_frac"),
+            ExactMath.ratioRounded(col("sum_qm"), col("n_docs") * lit(1000000L), 6)
+              .as("mean_quality"),
+            ExactMath.ratioRounded(col("n_dup"), col("n_docs"), 6).as("dup_rate"))
+          .orderBy("source")
+      },
+      Some {
+        val score = graft.ext.TextAnalysis.defaultMarkers.map { case (lang, ws) =>
+          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+        }
+        val Seq(de, en, es, fr, zh) = score.map(_._2): @unchecked
+        s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp FROM documents),
+           |scored AS (
+           |  SELECT doc_id, source, text,
+           |    CASE
+           |      WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+           |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+           |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
+           |      WHEN $fr >= $zh THEN 'fr'
+           |      ELSE 'zh' END AS lang_pred,
+           |    ((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
+           |      + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
+           |      + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
+           |      + 1000 * len(sp)) // (2000 * len(sp))) AS qm
+           |  FROM d),
+           |fi AS (SELECT text, MIN(doc_id) AS first_id FROM d GROUP BY text),
+           |j AS (SELECT s.source, s.lang_pred, s.qm,
+           |    CASE WHEN s.doc_id <> fi.first_id THEN 1 ELSE 0 END AS is_dup
+           |  FROM scored s JOIN fi ON s.text = fi.text)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  (CAST(((2000000::HUGEINT * SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS en_frac,
+           |  (CAST(((2000000::HUGEINT * SUM(qm) + COUNT(*) * 1000000) // (2::HUGEINT * COUNT(*) * 1000000)) AS DOUBLE) / 1000000) AS mean_quality,
+           |  (CAST(((2000000::HUGEINT * SUM(is_dup) + COUNT(*)) // (2::HUGEINT * COUNT(*))) AS DOUBLE) / 1000000) AS dup_rate
+           |FROM j GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     QSpec("vocab_growth_curve",
       // Vocabulary growth as the corpus accretes in doc_id order: per doc,
       // how many token TYPES appear for the first time, and the running

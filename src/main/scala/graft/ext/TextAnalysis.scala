@@ -41,7 +41,13 @@ object TextAnalysis {
     * float enters until the final micros/1e6 (≤ 1e6, identical IEEE op on
     * every engine). Overflow headroom: 2000000·num ≈ 2e9·n stays in Long
     * for documents up to ~4.6e9 tokens. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityMicros(text, stopwords).cast("double") / 1000000.0
+
+  /** [[qualityScore]]'s exact integer core: the half-up-rounded score in
+    * millionths, as a LONG — the form downstream EXACT aggregations (mean
+    * quality per slice) consume without re-entering float space. */
+  def qualityMicros(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("long")
     val stop = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("long")
@@ -49,8 +55,7 @@ object TextAnalysis {
     val num = lit(4L) * least(n, lit(100L)) * n + lit(300L) * stop +
       lit(30L) * least(sumLen, lit(10L) * n)
     val den = lit(1000L) * n
-    val micros = ldiv(lit(2000000L) * num + den, lit(2L) * den)
-    micros.cast("double") / 1000000.0
+    ldiv(lit(2000000L) * num + den, lit(2L) * den)
   }
 
   /** Marker-word language ID: per language, count tokens in its marker set;
