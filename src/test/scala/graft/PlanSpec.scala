@@ -285,4 +285,43 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(df)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("epoch-nanos pushdown declines safely through a cached events table") {
+    // Caching materializes the derived ts (epoch-nanos long) into the
+    // InMemoryRelation's output, so a later filter compares a PLAIN long
+    // attribute — no UnixMicros node exists and the rule must no-op (its
+    // cheap existence bail), leaving Spark to push the comparison into the
+    // InMemoryTableScan's cached-batch stats filter. The 100×-scale shape:
+    // a hot events window cached by a long-lived advisor session.
+    val cutoff = 1704067200L * 1000000000L
+    val base = TableRegistry.table(spark, sfDir, "events")
+    val cached = base.cache()
+    try {
+      cached.count() // materialize
+      val filtered = cached.where(col("ts") >= lit(cutoff)).select("event_type")
+      val plan = planOf(filtered)
+      // the long comparison must be pushed into the in-memory scan's
+      // cached-batch stats predicates (the plan string also prints the
+      // cache's BUILD plan, so a FileScan appearing under the
+      // InMemoryRelation is expected and fine)
+      val imtsLine = plan.linesIterator.find(_.contains("InMemoryTableScan")).getOrElse("")
+      assert(imtsLine.contains(">= 1704067200000000000"), plan)
+      val expect = base.where(col("ts") >= lit(cutoff)).count()
+      assert(filtered.count() == expect)
+    } finally cached.unpersist()
+  }
+
+  test("epoch-nanos pushdown survives AQE re-optimization (shuffled agg over a time filter)") {
+    // AQE replans physical stages at runtime; the logical rewrite runs once
+    // pre-CBO and its pushed predicate must still be on the finalized
+    // adaptive plan's parquet scan.
+    val cutoff = 1704067200L * 1000000000L
+    val df = TableRegistry.table(spark, sfDir, "events")
+      .where(col("ts") >= lit(cutoff))
+      .groupBy("event_type").count()
+    df.collect() // run so AQE finalizes the stages
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(!plan.toLowerCase.contains("unix_micros"), plan)
+  }
 }
