@@ -2329,6 +2329,38 @@ for did in sorted(new_per_doc):
                  "cum_types": np.int64(cum)})
 check("vocab_growth_curve", pd.DataFrame(rows))
 
+# q13_custdist: order counts per customer (left outer, priority-filtered),
+# then the distribution of those counts
+oc = {}
+for ck, pri in zip(od.o_custkey, od.o_orderpriority):
+    if pri != "5-LOW":
+        oc[ck] = oc.get(ck, 0) + 1
+ccount = {ck: oc.get(ck, 0) for ck in cu.c_custkey}
+dist = {}
+for v in ccount.values():
+    dist[v] = dist.get(v, 0) + 1
+f = pd.DataFrame(
+    [{"c_count": np.int64(k), "custdist": np.int64(v)}
+     for k, v in sorted(dist.items(), key=lambda kv: (-kv[1], -kv[0]))])
+check("q13_custdist", f)
+
+# q15_top_supplier: per-supplier 1996-Q1 decimal revenue, suppliers at the
+# exact decimal max (tie-safe: equality on the Decimal, not the float)
+cut96q1 = np.datetime64("1996-01-01T00:00:00")
+cut96q2 = np.datetime64("1996-04-01T00:00:00")
+m15 = (li.l_shipdate.values >= cut96q1) & (li.l_shipdate.values < cut96q2)
+racc = {}
+for sk, p, d in zip(li[m15].l_suppkey, li[m15].l_extendedprice, li[m15].l_discount):
+    racc[sk] = racc.get(sk, Decimal(0)) + dq(p * (1 - d), 4)
+mx15 = max(racc.values())
+sname = dict(zip(su.s_suppkey, su.s_name))
+f = pd.DataFrame(
+    [{"s_suppkey": np.int64(sk), "s_name": sname[sk],
+      "total_revenue": rN(float(v), 4)}
+     for sk, v in sorted(racc.items()) if v == mx15],
+    columns=["s_suppkey", "s_name", "total_revenue"])
+check("q15_top_supplier", f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

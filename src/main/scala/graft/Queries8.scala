@@ -244,5 +244,69 @@ object Queries8 {
           |FROM lineitem JOIN po ON l_orderkey = po_orderkey
           |  JOIN supplier ON l_suppkey = s_suppkey
           |WHERE l_returnflag = 'R' AND n_supp >= 2 AND n_supp_ret = 1
-          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)))
+          |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    QSpec("q13_custdist",
+      // Q13 shape: customer-order distribution — LEFT OUTER join so
+      // zero-order customers survive with c_count = 0, then a second
+      // aggregation over the counts themselves. The order-side filter
+      // stands in for Q13's o_comment NOT LIKE (the fixture carries no
+      // comment column); what's exercised is the outer-join-then-
+      // double-agg plan: count(o_orderkey) ignores the nulls the outer
+      // join manufactures, and both aggregations shuffle ONCE each on
+      // their own key (custkey then c_count) with map-side combine —
+      // no row explosion anywhere at 100 TB.
+      (s, dir) => {
+        val filteredOrders = t(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey")
+        t(s, dir, "customer")
+          .join(filteredOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some(
+        """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          |      FROM customer LEFT OUTER JOIN (
+          |        SELECT o_orderkey, o_custkey FROM orders
+          |        WHERE o_orderpriority <> '5-LOW') o
+          |      ON c_custkey = o_custkey
+          |      GROUP BY c_custkey) cc
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    QSpec("q15_top_supplier",
+      // Q15 shape: the revenue "view" (per-supplier quarter revenue) joined
+      // against its own scalar MAX — the equality runs on the EXACT decimal
+      // sum, never the rounded double (a rounded tie-compare could admit a
+      // near-max supplier; decimal equality cannot). The 1-row max side is
+      // broadcast, so the view is computed once and scanned once; rendering
+      // to double happens after the join, for display only.
+      (s, dir) => {
+        val q = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(rev.as("trev"))
+        val mx = q.agg(max(col("trev")).as("mxrev"))
+        q.join(broadcast(mx), col("trev") === col("mxrev"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("trev").cast("double"), 4).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey AS supplier_no, $revSql AS trev
+           |  FROM lineitem
+           |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name,
+           |  ROUND(CAST(trev AS DOUBLE), 4) AS total_revenue
+           |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+           |WHERE trev = (SELECT MAX(trev) FROM revenue)
+           |ORDER BY s_suppkey""".stripMargin)))
 }
