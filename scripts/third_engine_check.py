@@ -2361,6 +2361,34 @@ f = pd.DataFrame(
     columns=["s_suppkey", "s_name", "total_revenue"])
 check("q15_top_supplier", f)
 
+# inverted_index: per-token df / total tf / first-16 posting list (df >= 3)
+post = {}
+for did in sorted(tok_lists):
+    per = {}
+    for tk in tok_lists[did]:
+        per[tk] = per.get(tk, 0) + 1
+    for tk, n in per.items():
+        post.setdefault(tk, []).append((did, n))
+rows = []
+for tk in sorted(post):
+    pl = sorted(post[tk])
+    if len(pl) < 3:
+        continue
+    rows.append({"token": tk, "df": np.int64(len(pl)),
+                 "total_tf": np.int64(sum(n for _, n in pl)),
+                 "postings_head": ",".join(str(d) for d, _ in pl[:16])})
+check("inverted_index", pd.DataFrame(rows))
+
+# ngram_topk: corpus top-20 contiguous trigrams (count desc, ngram asc)
+ngc = {}
+for toks in tok_lists.values():
+    for i in range(len(toks) - 2):
+        ng = f"{toks[i]} {toks[i+1]} {toks[i+2]}"
+        ngc[ng] = ngc.get(ng, 0) + 1
+top = sorted(ngc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+check("ngram_topk", pd.DataFrame(
+    [{"ngram": ng, "cnt": np.int64(c)} for ng, c in top]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

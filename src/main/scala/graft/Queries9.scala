@@ -1,0 +1,77 @@
+package graft
+
+import graft.catalog.TableRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-9 — corpus-index operators: the search-engine-shaped structures a
+  * training-data pipeline builds over the documents table (posting lists,
+  * contiguous n-gram statistics). Tokenization matches the engine-wide
+  * whitespace contract (`split(text, ' ')` / DuckDB `string_split`), so
+  * these keys compose with the text_tokens / vocab_* family.
+  */
+object Queries9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  val specs: Seq[QSpec] = Seq(
+
+    QSpec("inverted_index",
+      // Posting lists: per token, document frequency, total term frequency,
+      // and the first 16 doc ids of the sorted posting list (rendered as a
+      // comma-joined string — the declared surface stays scalar-typed so
+      // the driver's row-hash compare never meets a nested column). The
+      // per-doc
+      // distinct step aggregates (token, doc) pairs FIRST — map-side combine
+      // collapses each doc's repeats before the shuffle, and the second
+      // aggregation then builds df/tf/postings in one pass. Postings are
+      // CAPPED at 16 ids per token (a head sample, not the full list): an
+      // uncapped collect_list on a stopword's posting list is driver-safe
+      // here but executor-heap-hostile at 100 TB — the full list at scale
+      // lives partitioned by (token bucket, doc range), never in one array.
+      // df >= 3 keeps the emitted index to the useful-vocabulary slice.
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("token").agg(
+          count(lit(1)).as("df"),
+          sum("tf").as("total_tf"),
+          concat_ws(",",
+            slice(sort_array(collect_list(col("doc_id"))), 1, 16)).as("postings_head"))
+        .where(col("df") >= 3)
+        .orderBy("token"),
+      Some(
+        """WITH td AS (
+          |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+          |        FROM documents) x
+          |  GROUP BY token, doc_id)
+          |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+          |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+          |  array_to_string((list_sort(list(doc_id)))[1:16], ',') AS postings_head
+          |FROM td GROUP BY token HAVING COUNT(*) >= 3 ORDER BY token""".stripMargin)),
+
+    QSpec("ngram_topk",
+      // Corpus-wide top-20 contiguous trigrams. Trigram generation is a
+      // per-row transform over the token array (no join, no shuffle until
+      // the count), and the top-k plans as TakeOrderedAndProject — partial
+      // per-partition heaps, never a full sort of the n-gram space. The
+      // size<3 guard matters: Spark's sequence(0, n) with n negative
+      // generates a DESCENDING sequence, so an unguarded short doc would
+      // fabricate out-of-range indices instead of an empty list.
+      (s, dir) => t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(when(size(col("tk")) >= 3,
+          expr("transform(sequence(0, size(tk)-3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("ngram")).limit(20),
+      Some(
+        """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+          |g AS (SELECT UNNEST(list_transform(generate_series(1, len(tk) - 2),
+          |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram
+          |      FROM d)
+          |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)))
+}
