@@ -2389,6 +2389,20 @@ top = sorted(ngc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
 check("ngram_topk", pd.DataFrame(
     [{"ngram": ng, "cnt": np.int64(c)} for ng, c in top]))
 
+# cohort_retention: distinct (user, epoch-week), cohort = min week per user
+ns_ts = ev.ts.values.astype("datetime64[ns]").astype("int64")
+wkpairs = sorted(set(zip(ev.user_id, ns_ts // 604800000000000)))
+cohort = {}
+for u, w in wkpairs:
+    cohort[u] = min(cohort.get(u, w), w)
+cells = {}
+for u, w in wkpairs:
+    k = (cohort[u], w - cohort[u])
+    cells[k] = cells.get(k, 0) + 1
+check("cohort_retention", pd.DataFrame(
+    [{"cohort_week": np.int64(cw), "week_offset": np.int64(off),
+      "n_users": np.int64(n)} for (cw, off), n in sorted(cells.items())]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -73,5 +73,35 @@ object Queries9 {
           |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ngram
           |      FROM d)
           |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
-          |FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)))
+          |FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
+
+    QSpec("cohort_retention",
+      // Cohort-retention matrix over events: each user's cohort is their
+      // first active epoch-week; each (cohort, offset) cell counts users
+      // still active offset weeks later. Week index is INTEGER floor-div on
+      // the epoch-nanos contract (604800e9 ns/week) — no timestamp
+      // rounding ambiguity between engines. Plan shape: distinct
+      // (user, week) pairs collapse map-side, the cohort comes from a
+      // window over the user partition (one shuffle on user_id, NO
+      // self-join back), then the cell rollup — since (user, week) rows
+      // are already distinct, a plain COUNT per cell IS the distinct-user
+      // count, sparing a countDistinct at 100 TB.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+          .distinct()
+        wk.withColumn("cohort_week", min(col("wk")).over(Window.partitionBy("user_id")))
+          .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(
+        """WITH wk AS (SELECT DISTINCT user_id,
+          |    epoch_ns(ts) // 604800000000000 AS wk FROM events),
+          |c AS (SELECT user_id, wk,
+          |    MIN(wk) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
+          |SELECT cohort_week, wk - cohort_week AS week_offset,
+          |  CAST(COUNT(*) AS BIGINT) AS n_users
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
