@@ -311,6 +311,25 @@ class PlanSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("ngram_topk plans a partial-heap top-k, not a global sort") {
+    val df = SparkEntry.queries("ngram_topk")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan) // no full sort of the n-gram space
+  }
+
+  test("cohort_retention computes the cohort with ONE user_id shuffle and no self-join") {
+    val df = SparkEntry.queries("cohort_retention")(spark, sfDir)
+    df.collect() // finalize under AQE
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan) // window over user partition, not a join back
+    // shuffles: distinct → user_id window → cell rollup → presentation sort.
+    // Count only the finalized section — the AQE string repeats the plan
+    // under "== Initial Plan ==" and would double every Exchange.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).size <= 4, plan)
+  }
+
   test("epoch-nanos pushdown survives AQE re-optimization (shuffled agg over a time filter)") {
     // AQE replans physical stages at runtime; the logical rewrite runs once
     // pre-CBO and its pushed predicate must still be on the finalized
