@@ -2389,6 +2389,19 @@ top = sorted(ngc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
 check("ngram_topk", pd.DataFrame(
     [{"ngram": ng, "cnt": np.int64(c)} for ng, c in top]))
 
+# anomaly_mad: per-type median + MAD outlier screen (numpy 'linear'
+# interpolation == Spark percentile == DuckDB median; threshold keeps the
+# engines' literal order 3 * 1.4826 * mad)
+rows = []
+for et, grp in ev.groupby("event_type"):
+    v = grp.value.values.astype(np.float64)
+    med = np.percentile(v, 50, method="linear")
+    mad = np.percentile(np.abs(v - med), 50, method="linear")
+    thr = 3 * 1.4826 * mad
+    rows.append({"event_type": et, "med_r": rH(med, 6), "mad_r": rH(mad, 6),
+                 "n_outliers": np.int64(int((np.abs(v - med) > thr).sum()))})
+check("anomaly_mad", pd.DataFrame(rows))
+
 # cohort_retention: distinct (user, epoch-week), cohort = min week per user
 ns_ts = ev.ts.values.astype("datetime64[ns]").astype("int64")
 wkpairs = sorted(set(zip(ev.user_id, ns_ts // 604800000000000)))

@@ -103,5 +103,45 @@ object Queries9 {
           |    MIN(wk) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
           |SELECT cohort_week, wk - cohort_week AS week_offset,
           |  CAST(COUNT(*) AS BIGINT) AS n_users
-          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QSpec("anomaly_mad",
+      // Robust per-type outlier screen: median + MAD (median absolute
+      // deviation), flagging |x − med| > 3·1.4826·MAD. Plan shape: the
+      // per-type stats are TINY (one row per event_type), so each pass
+      // re-joins them back by BROADCAST — the events table is scanned
+      // three times but never shuffled by value, and no per-type window
+      // ever buffers a whole group (the trap a percentile-over-window
+      // formulation walks into at 100 TB). Both engines interpolate even-
+      // count medians identically (the agg_median_by_group precedent), and
+      // the threshold expression keeps the same literal/multiply order on
+      // both sides so the IEEE result is bit-identical.
+      (s, dir) => {
+        val base = t(s, dir, "events").select("event_type", "value")
+        val med = base.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5D)").as("med"))
+        val stats = base.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(max(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5D)").as("mad"))
+        base.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(round(max(col("med")), 6).as("med_r"),
+            round(max(col("mad")), 6).as("mad_r"),
+            sum(when(abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH m AS (SELECT event_type, median(value) AS med
+          |           FROM events GROUP BY 1),
+          |s AS (SELECT e.event_type, MAX(m.med) AS med,
+          |        median(abs(e.value - m.med)) AS mad
+          |      FROM events e JOIN m USING (event_type) GROUP BY 1)
+          |SELECT e.event_type, ROUND(MAX(s.med), 6) AS med_r,
+          |  ROUND(MAX(s.mad), 6) AS mad_r,
+          |  CAST(SUM(CASE WHEN abs(e.value - s.med) > 3 * 1.4826 * s.mad
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM events e JOIN s USING (event_type)
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)))
 }
