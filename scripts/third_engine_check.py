@@ -2402,6 +2402,19 @@ for et, grp in ev.groupby("event_type"):
                  "n_outliers": np.int64(int((np.abs(v - med) > thr).sum()))})
 check("anomaly_mad", pd.DataFrame(rows))
 
+# cdc_merge_upsert: latest-wins merge of the event change log by user
+rows = []
+evi = ev.assign(tns=ev.ts.values.astype("datetime64[ns]").astype("int64"))
+for uid, grp in evi.groupby("user_id"):
+    top = grp.sort_values(["tns", "event_id"], ascending=False).iloc[0]
+    if top.event_type == "error":
+        continue
+    rows.append({"user_id": np.int64(uid), "last_value": float(top.value),
+                 "last_event_id": np.int64(top.event_id),
+                 "last_ts_sec": np.int64(top.tns // 1000000000),
+                 "n_changes": np.int64(len(grp))})
+check("cdc_merge_upsert", pd.DataFrame(rows))
+
 # cohort_retention: distinct (user, epoch-week), cohort = min week per user
 ns_ts = ev.ts.values.astype("datetime64[ns]").astype("int64")
 wkpairs = sorted(set(zip(ev.user_id, ns_ts // 604800000000000)))

@@ -143,5 +143,42 @@ object Queries9 {
           |  CAST(SUM(CASE WHEN abs(e.value - s.med) > 3 * 1.4826 * s.mad
           |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM events e JOIN s USING (event_type)
-          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)))
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    QSpec("cdc_merge_upsert",
+      // The lakehouse MERGE shape: apply a keyed change log latest-wins.
+      // events is read as a CDC stream over user state — key user_id,
+      // total order (ts, event_id), op DELETE when event_type = 'error',
+      // else UPSERT carrying `value`. The surviving state is the max-seq
+      // row per key unless that row is a delete. ONE shuffle by the merge
+      // key serves both window computations (row_number for latest,
+      // count for change-cardinality); values pass through both engines
+      // untouched, so the compare is bit-exact with no rounding step.
+      // This is exactly how merge-on-read compaction resolves at 100 TB:
+      // shuffle by key once, resolve within partitions, never a self-join
+      // against the base.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byKey = Window.partitionBy("user_id")
+        val latest = byKey.orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(latest))
+          .withColumn("n_changes", count(lit(1)).over(byKey))
+          .where(col("rn") === 1 && col("event_type") =!= "error")
+          .select(col("user_id"), col("value").as("last_value"),
+            col("event_id").as("last_event_id"),
+            expr("ts div 1000000000").as("last_ts_sec"), col("n_changes"))
+          .orderBy("user_id")
+      },
+      Some(
+        """WITH c AS (SELECT user_id, value, event_id, event_type,
+          |    epoch_ns(ts) AS tns,
+          |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id
+          |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT user_id, value AS last_value, event_id AS last_event_id,
+          |  tns // 1000000000 AS last_ts_sec, n_changes
+          |FROM c WHERE rn = 1 AND event_type <> 'error'
+          |ORDER BY user_id""".stripMargin)))
 }
