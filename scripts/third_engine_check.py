@@ -30,6 +30,15 @@ def rH(x, places):
     return float(Decimal(repr(float(x))).quantize(
         Decimal(1).scaleb(-places), ROUND_HALF_UP))
 
+def tdiv(a, b):
+    """Truncating integer division (toward zero) — matches Spark `div` AND
+    DuckDB `//` on negatives, where python's `//` floors (-7//2: python -4,
+    both engines -3). Use for any epoch bucketing that could see pre-1970
+    timestamps."""
+    q = abs(int(a)) // abs(int(b))
+    return q if (a >= 0) == (b >= 0) else -q
+
+
 def ratioR(a, b, places):
     """Integer-exact HALF_UP rounding of the rational a/b (matches the
     engines' r8 ExactMath.ratioRounded / HUGEINT oracle forms)."""
@@ -2349,15 +2358,19 @@ check("q13_custdist", f)
 cut96q1 = np.datetime64("1996-01-01T00:00:00")
 cut96q2 = np.datetime64("1996-04-01T00:00:00")
 m15 = (li.l_shipdate.values >= cut96q1) & (li.l_shipdate.values < cut96q2)
+lif = li[m15]
 racc = {}
-for sk, p, d in zip(li[m15].l_suppkey, li[m15].l_extendedprice, li[m15].l_discount):
+for sk, p, d in zip(lif.l_suppkey, lif.l_extendedprice, lif.l_discount):
     racc[sk] = racc.get(sk, Decimal(0)) + dq(p * (1 - d), 4)
-mx15 = max(racc.values())
-sname = dict(zip(su.s_suppkey, su.s_name))
+# empty-window / missing-supplier safe, mirroring the SQL twins: an empty
+# revenue view yields an empty result, and a suppkey absent from supplier
+# drops via the inner-join semantics rather than raising (sname dict is
+# the one already built for q21 above)
+mx15 = max(racc.values()) if racc else None
 f = pd.DataFrame(
     [{"s_suppkey": np.int64(sk), "s_name": sname[sk],
       "total_revenue": rN(float(v), 4)}
-     for sk, v in sorted(racc.items()) if v == mx15],
+     for sk, v in sorted(racc.items()) if v == mx15 and sk in sname],
     columns=["s_suppkey", "s_name", "total_revenue"])
 check("q15_top_supplier", f)
 
@@ -2411,13 +2424,14 @@ for uid, grp in evi.groupby("user_id"):
         continue
     rows.append({"user_id": np.int64(uid), "last_value": float(top.value),
                  "last_event_id": np.int64(top.event_id),
-                 "last_ts_sec": np.int64(top.tns // 1000000000),
+                 "last_ts_sec": np.int64(tdiv(top.tns, 1000000000)),
                  "n_changes": np.int64(len(grp))})
 check("cdc_merge_upsert", pd.DataFrame(rows))
 
 # cohort_retention: distinct (user, epoch-week), cohort = min week per user
 ns_ts = ev.ts.values.astype("datetime64[ns]").astype("int64")
-wkpairs = sorted(set(zip(ev.user_id, ns_ts // 604800000000000)))
+wkpairs = sorted(set((u, tdiv(t_, 604800000000000))
+                     for u, t_ in zip(ev.user_id, ns_ts)))
 cohort = {}
 for u, w in wkpairs:
     cohort[u] = min(cohort.get(u, w), w)

@@ -45,7 +45,13 @@ object Bench {
     // their meaning.
     val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != sfDir) {
-      val warmThreads = sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt
+      // parse defensively: warmup must never sink the bench, so a
+      // malformed/non-positive override degrades to the default like every
+      // other warmup failure (each warm key below is try-wrapped for the
+      // same reason)
+      val warmThreads = sys.env.get("SPARK_GRAFT_WARM_THREADS")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ >= 1).getOrElse(8)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
       try {
         val tasks = SparkEntry.queries.values.map { fn =>

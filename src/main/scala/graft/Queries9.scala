@@ -78,9 +78,12 @@ object Queries9 {
     QSpec("cohort_retention",
       // Cohort-retention matrix over events: each user's cohort is their
       // first active epoch-week; each (cohort, offset) cell counts users
-      // still active offset weeks later. Week index is INTEGER floor-div on
-      // the epoch-nanos contract (604800e9 ns/week) — no timestamp
-      // rounding ambiguity between engines. Plan shape: distinct
+      // still active offset weeks later. Week index is TRUNCATING integer
+      // division on the epoch-nanos contract (604800e9 ns/week): Spark
+      // `div` and DuckDB `//` both truncate toward zero (they agree even
+      // for pre-1970 instants, where floor and trunc differ), so there is
+      // no timestamp rounding ambiguity between engines. Plan shape:
+      // distinct
       // (user, week) pairs collapse map-side, the cohort comes from a
       // window over the user partition (one shuffle on user_id, NO
       // self-join back), then the cell rollup — since (user, week) rows
@@ -110,9 +113,14 @@ object Queries9 {
       // deviation), flagging |x − med| > 3·1.4826·MAD. Plan shape: the
       // per-type stats are TINY (one row per event_type), so each pass
       // re-joins them back by BROADCAST — the events table is scanned
-      // three times but never shuffled by value, and no per-type window
-      // ever buffers a whole group (the trap a percentile-over-window
-      // formulation walks into at 100 TB). Both engines interpolate even-
+      // three times but never shuffled by value, and rows are never
+      // replicated through a per-type window. NOTE the honest caveat:
+      // exact percentile() still accumulates a distinct-value map per
+      // group in its agg buffer, so per-group memory is distinct-values-
+      // bound either way — at 100 TB the swap is approx_percentile
+      // (fixed-size sketch, same plan shape); this key keeps the exact
+      // form because the oracle compare must be bit-exact. Both engines
+      // interpolate even-
       // count medians identically (the agg_median_by_group precedent), and
       // the threshold expression keeps the same literal/multiply order on
       // both sides so the IEEE result is bit-identical.
