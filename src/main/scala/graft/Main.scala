@@ -15,6 +15,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Main [--sf-dir DIR] [--out-dir DIR] [--time-filter SQL] [--execute]
+  *
+  * `--time-filter` is a SQL predicate over the QUERY LOG, whose `ts` column
+  * is epoch-nanos BIGINT (the engine-wide contract) — e.g.
+  * `"ts >= 1704844800000000000"`. It scopes BOTH the recommendations and
+  * the exported artifacts to the same window.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -23,11 +28,17 @@ object Main {
     var timeFilter: Option[String] = None
     var execute = false
     var i = 0
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"$flag needs a value"); sys.exit(2)
+      }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--sf-dir" => sfDir = args(i + 1); i += 2
-        case "--out-dir" => outDir = args(i + 1); i += 2
-        case "--time-filter" => timeFilter = Some(args(i + 1)); i += 2
+        case f @ "--sf-dir" => sfDir = valueOf(f); i += 2
+        case f @ "--out-dir" => outDir = valueOf(f); i += 2
+        case f @ "--time-filter" => timeFilter = Some(valueOf(f)); i += 2
         case "--execute" => execute = true; i += 1
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
@@ -46,7 +57,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val recs = AnalysisPipeline.run(spark, sfDir).collect()
+      // the SAME timeFilter scopes the recommendations AND the exported
+      // artifacts — a filtered dashboard next to whole-history scripts
+      // would silently mislead
+      val recs = AnalysisPipeline.run(spark, sfDir, timeFilter = timeFilter).collect()
       recs.foreach { r =>
         println(r.getAs[String]("script"))
       }
@@ -67,8 +81,10 @@ object Main {
             println(s"committed REPLACE PARTITION SPEC for $view (metadata v$v)")
           } else {
             // parquet fixture: materialize the first partition key as a
-            // real partitioned layout (the physical effect of the spec)
-            val firstSpec = spec.split(",\n").head.trim
+            // real partitioned layout (the physical effect of the spec);
+            // fragment splitting goes through THE shared depth-aware
+            // splitter, not an ad-hoc split that breaks on `bucket(4, c)`
+            val firstSpec = graft.catalog.IcebergMeta.splitFragments(spec).head
             val df = graft.catalog.TableRegistry.table(spark, sfDir, view)
             val (colName, partCol) = graft.recommend.SpecParser.toColumn(firstSpec, df)
             df.withColumn(s"__p_$colName", partCol)

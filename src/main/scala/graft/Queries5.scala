@@ -188,8 +188,9 @@ object Queries5 {
           |s AS (SELECT 1 AS stage, user_id FROM v
           |  UNION ALL SELECT 2, user_id FROM c
           |  UNION ALL SELECT 3, user_id FROM p)
-          |SELECT stage, CAST(COUNT(*) AS BIGINT) AS users
-          |FROM s GROUP BY stage ORDER BY stage""".stripMargin)),
+          |SELECT d.stage, CAST(COALESCE(COUNT(s.user_id), 0) AS BIGINT) AS users
+          |FROM (VALUES (1), (2), (3)) d(stage) LEFT JOIN s ON d.stage = s.stage
+          |GROUP BY d.stage ORDER BY d.stage""".stripMargin)),
 
     QSpec("length_bucket_batches",
       // Loader-side dynamic batching: docs bucketed by token length (floor

@@ -21,8 +21,9 @@ import org.json4s.jackson.JsonMethods
   *  - [[partitionSpecString]] — the current default spec rendered in the
   *    reference's fragment syntax (`month(c)`, `bucket(16, c)`, `c`).
   *  - [[replacePartitionSpec]] — spec evolution per the Iceberg spec:
-  *    append a new spec with a fresh spec-id and fresh partition field
-  *    ids, flip `default-spec-id`, commit `v<N+1>.metadata.json`, then
+  *    append a new spec with a fresh spec-id (field ids/names REUSED from
+  *    equivalent earlier fields, per the spec), flip `default-spec-id`,
+  *    commit `v<N+1>.metadata.json`, then
   *    swing `version-hint.text`. Existing data files are NOT rewritten —
   *    that is Iceberg's actual semantics for spec evolution (the new
   *    spec governs new writes; old manifests keep their old spec-id).
@@ -57,6 +58,12 @@ object IcebergMeta {
   private def metadataDir(tableDir: String): Path = new Path(tableDir, "metadata")
 
   private val VersionFile = """v(\d+)\.metadata\.json""".r
+
+  /** How old an uncommitted v-file blocker must be before
+    * [[replacePartitionSpec]] treats it as crashed-commit debris (the
+    * create→hint-swing window is milliseconds; a minute of grace keeps a
+    * slow live committer safe). Overridable for tests. */
+  private[graft] var OrphanGraceMs: Long = 60000L
 
   /** Latest metadata version: `version-hint.text` when present and sane,
     * else the highest `v<N>.metadata.json` in the directory (the spec's
@@ -195,16 +202,25 @@ object IcebergMeta {
   }
 
   /** REPLACE PARTITION SPEC, committed per the Iceberg spec's evolution
-    * rules: the new spec is APPENDED under a fresh spec-id with fresh
-    * partition field ids, `default-spec-id` flips to it, and the new
+    * rules: the new spec is APPENDED under a fresh spec-id, each field
+    * REUSES the field id + name of an equivalent (transform, source-id)
+    * field from any earlier spec (spec requirement; fresh ids only for
+    * genuinely new fields), `default-spec-id` flips to it, and the new
     * metadata version commits via create-exclusive `v<N+1>.metadata.json`
     * followed by the `version-hint.text` swing (write-temp + rename). A
-    * concurrent committer that already created v<N+1> makes this commit
-    * FAIL loudly — the HadoopTables optimistic-concurrency contract —
-    * rather than overwrite.
+    * LIVE concurrent committer that already created the same version makes
+    * this commit FAIL loudly — the HadoopTables optimistic-concurrency
+    * contract — rather than overwrite; DEBRIS of a committer that crashed
+    * before its hint swing (never committed under hint authority) is
+    * reclaimed after a grace window instead of wedging every future
+    * commit.
+    * Format-version-1 documents keep their required flat "partition-spec"
+    * key in sync with the new default spec.
     *
     * Partition field names follow the Iceberg convention:
-    * `col` / `col_bucket` / `col_trunc` / `col_month` etc.
+    * `col` / `col_bucket` / `col_trunc` / `col_month` etc.; same-family
+    * duplicates within one spec are qualified by the transform parameter
+    * (`col_bucket_8`).
     *
     * @param fragments reference-syntax spec fragments, in order
     * @return the committed metadata version
@@ -215,18 +231,47 @@ object IcebergMeta {
     val m = read(spark, tableDir)
     val newSpecId = if (m.specs.isEmpty) 0 else m.specs.keys.max + 1
     val maxFieldId = math.max(999, m.specs.values.flatten.map(_.fieldId).maxOption.getOrElse(999))
-    val fields = fragments.zipWithIndex.map { case (frag, i) =>
+    // Iceberg v2 REQUIRES reusing the field id (and, for sanity, the name)
+    // of an EQUIVALENT field from any earlier spec — the (transform,
+    // source-id) pair identifies equivalence. Fresh ids only for genuinely
+    // new fields; without reuse, a re-run of the advisor mints a same-name
+    // field under a new id and real Iceberg readers reject the table when
+    // building the unified partition type.
+    val existingByKey: Map[(String, Int), SpecField] =
+      m.specs.values.flatten.map(f => (f.transform, f.sourceId) -> f).toMap
+    var nextId = maxFieldId
+    val taken = scala.collection.mutable.Set[String]()
+    val fields = fragments.map { frag =>
       val (colName, transform) = parseFragment(frag)
       val srcId = m.schemaIds.getOrElse(colName, throw new IllegalArgumentException(
         s"REPLACE PARTITION SPEC references '$colName', not a column of $tableDir " +
           s"(schema: ${m.schemaIds.keys.toSeq.sorted.mkString(", ")})"))
-      val fname = transform match {
-        case "identity" => colName
-        case BucketT(_) => s"${colName}_bucket"
-        case TruncT(_) => s"${colName}_trunc"
-        case t => s"${colName}_$t"
+      existingByKey.get((transform, srcId)) match {
+        case Some(prev) =>
+          require(taken.add(prev.name),
+            s"duplicate partition field '$frag' in REPLACE PARTITION SPEC")
+          prev
+        case None =>
+          val base = transform match {
+            case "identity" => colName
+            case BucketT(_) => s"${colName}_bucket"
+            case TruncT(_) => s"${colName}_trunc"
+            case t => s"${colName}_$t"
+          }
+          // within-spec name uniqueness is required by the spec: two
+          // same-family fragments on one column (bucket(4,c), bucket(8,c))
+          // share a convention base name — qualify with the transform
+          // parameter, then the field id as the last resort
+          val param = transform match {
+            case BucketT(n) => Some(n); case TruncT(w) => Some(w); case _ => None
+          }
+          nextId += 1
+          val fname =
+            if (taken.add(base)) base
+            else param.map(p => s"${base}_$p").filter(taken.add)
+              .getOrElse { val n = s"${base}_$nextId"; taken.add(n); n }
+          SpecField(fname, transform, srcId, nextId)
       }
-      SpecField(fname, transform, srcId, maxFieldId + 1 + i)
     }
     val specJson = JObject(
       "spec-id" -> JInt(newSpecId),
@@ -243,22 +288,59 @@ object IcebergMeta {
           "name" -> JString(f.name), "transform" -> JString(f.transform),
           "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId))))))
     }
+    // format-version 1 REQUIRES the flat "partition-spec" key (the default
+    // spec's fields) alongside "partition-specs"; stripping it without
+    // rewriting would emit a spec-noncompliant v1 document that
+    // pre-evolution readers see as unpartitioned
+    val v1Flat: List[(String, JValue)] =
+      if (m.formatVersion == 1)
+        List("partition-spec" -> JArray(fields.toList.map(f => JObject(
+          "name" -> JString(f.name), "transform" -> JString(f.transform),
+          "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId)))))
+      else Nil
     val updated: JObject = JObject(m.raw.obj.filterNot { case (k, _) =>
       Set("partition-specs", "default-spec-id", "last-partition-id",
         "last-updated-ms", "partition-spec").contains(k)
     } ++ List(
       "partition-specs" -> JArray(existingSpecs :+ specJson),
       "default-spec-id" -> JInt(newSpecId),
-      "last-partition-id" -> JInt(fields.map(_.fieldId).max),
-      "last-updated-ms" -> JInt(System.currentTimeMillis())))
+      // monotonic: an all-reused-field spec must not regress the high-water mark
+      "last-partition-id" -> JInt(math.max(maxFieldId, fields.map(_.fieldId).max)),
+      "last-updated-ms" -> JInt(System.currentTimeMillis())) ++ v1Flat)
 
     val dir = metadataDir(tableDir)
     val filesystem = fs(spark, dir)
     val newVersion = m.version + 1
     val target = new Path(dir, s"v$newVersion.metadata.json")
     // create-exclusive: the commit race detector (overwrite = false throws
-    // FileAlreadyExistsException when a concurrent committer won)
-    val out = filesystem.create(target, /* overwrite = */ false)
+    // when the target exists). Under this module's hint-authoritative
+    // design the HINT SWING is the commit point, so a blocking v<N+1> file
+    // while the hint still reads N is one of two things we cannot
+    // distinguish by name alone: a LIVE committer inside its create→swing
+    // window, or the debris of one that CRASHED there (whose commit never
+    // happened and whose content is rightly ignored). Age arbitrates:
+    // fresh blocker → fail loudly (optimistic-concurrency contract);
+    // blocker older than the grace window with the hint still at our read
+    // version → crashed-commit debris, removed and retried ONCE, so a
+    // crash cannot wedge every future commit (deriving the next version
+    // from the listing instead would silently base a commit on stale state
+    // when the blocker was a DURABLE commit — lost update, worse than the
+    // wedge).
+    val out =
+      try filesystem.create(target, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        val hintNow = currentVersion(spark, tableDir)
+        val blockerAge =
+          try System.currentTimeMillis() - filesystem.getFileStatus(target).getModificationTime
+          catch { case _: Exception => 0L }
+        if (hintNow.contains(m.version) && blockerAge > OrphanGraceMs) {
+          filesystem.delete(target, false)
+          filesystem.create(target, /* overwrite = */ false)
+        } else throw new java.io.IOException(
+          s"commit race on $target (hint=${hintNow.getOrElse("?")}, " +
+            s"blocker age ${blockerAge}ms): a concurrent committer is " +
+            "in flight or just won — re-read and retry", e)
+      }
     try out.write(JsonMethods.pretty(JsonMethods.render(updated)).getBytes("UTF-8"))
     finally out.close()
     // swing the hint: temp + rename (atomic on HDFS and local FS)
@@ -275,8 +357,12 @@ object IcebergMeta {
   /** Apply an advisor script's spec to a filesystem Iceberg table: the
     * native `--execute` (cli.py:124-133). `partitionSpec` is the
     * comma/newline-joined fragment block `Recommender.scripts` renders. */
-  def applySpec(spark: SparkSession, tableDir: String, partitionSpec: String): Int = {
-    // split on commas at paren depth 0 only — `bucket(4, c)` is one field
+  /** Split a rendered spec block into fragments on commas at paren depth 0
+    * only — `bucket(4, c)` is one field. THE splitter for the
+    * `Recommender.scripts` fragment syntax: every consumer (this module's
+    * [[applySpec]], [[graft.Main]]'s materialization path) must use it, so
+    * a renderer join-format change cannot silently diverge one copy. */
+  def splitFragments(partitionSpec: String): Seq[String] = {
     val frags = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
@@ -287,7 +373,9 @@ object IcebergMeta {
       case c => cur += c
     }
     frags += cur.result()
-    replacePartitionSpec(spark, tableDir,
-      frags.map(_.trim).filter(_.nonEmpty).toSeq)
+    frags.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  def applySpec(spark: SparkSession, tableDir: String, partitionSpec: String): Int =
+    replacePartitionSpec(spark, tableDir, splitFragments(partitionSpec))
 }

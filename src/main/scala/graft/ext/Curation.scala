@@ -12,26 +12,46 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Doc ids from `docs` matching `trainPred` that share at least one
-    * w-token shingle with the `benchPred` (eval) subset.
+    * w-token shingle with the `benchPred` (eval) subset — where an eval
+    * doc SHORTER than w tokens counts as one whole-text shingle, and the
+    * training side is additionally shingled at those short lengths so a
+    * short benchmark prompt embedded verbatim in a long training doc IS
+    * found (w-shingles alone can never equal a sub-w eval phrase — the
+    * exact case decontamination exists for).
     *
     * Scale shape: eval sets are tiny by construction, so the distinct
     * eval-shingle set broadcasts and contamination is a broadcast LEFT SEMI
-    * against one scan of the training corpus — no shuffle grows with
-    * training-set size (contrast dedup, where both sides are corpus-sized
-    * and LSH banding is required). */
+    * against one scan of the training corpus per required shingle length
+    * (1 + distinct short eval lengths, bounded by w-1 and typically 0
+    * extra) — no shuffle grows with training-set size (contrast dedup,
+    * where both sides are corpus-sized and LSH banding is required).
+    * Collecting the short lengths is a driver-side metadata read of the
+    * same tiny eval set that broadcasts anyway. */
   def contaminatedDocIds(docs: DataFrame, benchPred: Column, trainPred: Column,
       w: Int): DataFrame = {
-    val benchSh = docs.where(benchPred)
+    val bench = docs.where(benchPred)
+    val benchSh = bench
       .select(explode(Dedup.shingles(col("text"), w)).as("sh")).distinct()
-    docs.where(trainPred)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("sh"))
+    val shortLens = bench
+      .select(size(split(col("text"), " ")).as("n"))
+      .where(col("n") > 0 && col("n") < w)
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val train = docs.where(trainPred)
+    val trainSh = (w +: shortLens).distinct
+      .map(len => train.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), len)).as("sh")))
+      .reduce(_ unionAll _)
+    trainSh
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .select("doc_id").distinct()
   }
 
   /** Sequential conversion funnel: for each user, the first `stages(0)`
     * event, then the first `stages(1)` strictly after it, and so on.
-    * Returns (stage: 1-based index, users: count surviving that stage).
+    * Returns (stage: 1-based index, users: count surviving that stage) —
+    * with EVERY declared stage present, users = 0 when nobody survives it
+    * (an absent tail row silently truncates the funnel for any consumer
+    * that renders or joins on the declared stages).
     *
     * `ev` needs (user_id, event_type, ms). Each stage is a per-user MIN
     * joined to the previous stage's per-user row — the data-proportional
@@ -50,10 +70,14 @@ object Curation {
         }
         Some(gated.groupBy("user_id").agg(min("ms").as("t")))
     }.flatten
-    perStage.zipWithIndex
+    val counts = perStage.zipWithIndex
       .map { case (df, i) => df.select(lit(i + 1).as("stage"), col("user_id")) }
       .reduce(_ unionAll _)
       .groupBy("stage").agg(count(lit(1)).as("users"))
+    import ev.sparkSession.implicits._
+    val declared = stages.indices.map(i => i + 1).toDF("stage")
+    declared.join(counts, Seq("stage"), "left_outer")
+      .select(col("stage"), coalesce(col("users"), lit(0L)).as("users"))
       .orderBy("stage")
   }
 }

@@ -42,14 +42,23 @@ object Layout {
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sessionState.newHadoopConf()
     val inP = new org.apache.hadoop.fs.Path(inDir)
     val outP = new org.apache.hadoop.fs.Path(outDir)
-    val fs = inP.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.makeQualified(inP) != outP.getFileSystem(
-        spark.sessionState.newHadoopConf()).makeQualified(outP),
-      s"compact would overwrite its own input ('$inDir'): the lazy read " +
-        "executes AFTER mode(overwrite) deletes the directory — write to a " +
-        "staging dir and rename instead")
+    val inQ = inP.getFileSystem(conf).makeQualified(inP).toUri.getPath
+    val outQ = outP.getFileSystem(conf).makeQualified(outP).toUri.getPath
+    // CONTAINMENT, not mere equality: overwrite deletes outDir RECURSIVELY
+    // before the lazy scan runs, so an outDir that is an ancestor of inDir
+    // destroys the source too (compact(…, "/w/tbl/date=x", "/w/tbl", …)),
+    // and an outDir nested inside inDir mutates the input mid-scan. Both
+    // are the data-loss this guard exists to prevent.
+    def contains(a: String, b: String): Boolean =
+      a == b || b.startsWith(a.stripSuffix("/") + "/")
+    require(!contains(outQ, inQ) && !contains(inQ, outQ),
+      s"compact would overwrite or mutate its own input ('$inDir' vs " +
+        s"'$outDir'): the lazy read executes AFTER mode(overwrite) deletes " +
+        "the destination subtree — write to a disjoint staging dir and " +
+        "rename instead")
     val src = spark.read.parquet(inDir)
     val nL = math.max(1L, math.ceil(dirBytes(spark, inDir).toDouble / targetBytes).toLong)
     // a petabyte input with a tiny target must clamp, not wrap negative

@@ -251,10 +251,28 @@ object AnalysisPipeline {
   }
 
   /** Full run → one recommendation row per profiled view:
-    * (view, partition_spec, script). */
+    * (view, partition_spec, script).
+    *
+    * `timeFilter` (a SQL predicate over the query log, e.g.
+    * `"ts >= '2026-08-01'"`) scopes the WORKLOAD side of the scoring to a
+    * log window — the same filter `ReportExporter.export` applies to the
+    * dashboard artifacts, so `Main --time-filter` produces
+    * recommendations and artifacts from the SAME window rather than
+    * silently scoring the whole history. Profiles are data-side statistics
+    * and stay unfiltered (and memoized); a filtered run bypasses the
+    * per-sfDir workload memo, which is keyed for the unfiltered log. */
   def run(spark: SparkSession, sfDir: String, approxCardinality: Boolean = false,
-      topN: Int = 3): DataFrame = {
-    val ranked = Scoring.topNPerView(scores(spark, sfDir, approxCardinality), topN)
+      topN: Int = 3, timeFilter: Option[String] = None): DataFrame = {
+    val ranked = timeFilter match {
+      case None =>
+        Scoring.topNPerView(scores(spark, sfDir, approxCardinality), topN)
+      case Some(f) =>
+        val vs = views(spark, sfDir)
+        val workload = computeWorkload(spark, vs,
+          TableRegistry.queryLog(spark, sfDir).where(expr(f)))
+        val profiles = profilesFor(spark, sfDir, approxCardinality)
+        Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
+    }
     Recommender.scripts(spark, ranked, TableRegistry.profiledTables)
   }
 }

@@ -53,7 +53,34 @@ class CurationSpec extends SparkSpec {
       .toDF("user_id", "event_type", "ms")
     val got = Curation.funnelStages(ev, Seq("view", "click"))
       .as[(Int, Long)].collect().toMap
-    assert(got === Map(1 -> 1L))
+    // the unsurvived stage is PRESENT with users = 0, not silently absent
+    assert(got === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("funnel emits every declared stage — zero-survivor tail included") {
+    val ev = Seq((1L, "view", 10L), (2L, "view", 5L))
+      .toDF("user_id", "event_type", "ms")
+    val got = Curation.funnelStages(ev, Seq("view", "click", "purchase"))
+      .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(1 -> 2L, 2 -> 0L, 3 -> 0L))
+  }
+
+  test("decontamination finds a SHORT eval prompt embedded in a long training doc") {
+    // eval doc 0 has only 3 tokens (< w=5): its whole text must still flag
+    // the long training doc that contains it verbatim — w-shingles alone
+    // can never equal a sub-w eval phrase (the short-benchmark-prompt case
+    // decontamination exists for). Doc 11 contains the tokens but not
+    // contiguously; doc 12 is clean.
+    val docs = Seq(
+      (0L, "two plus two"),
+      (10L, "the answer to two plus two is four obviously"),
+      (11L, "two minus plus and two more"),
+      (12L, "completely unrelated text here")
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminatedDocIds(docs,
+        benchPred = col("doc_id") < 10, trainPred = col("doc_id") >= 10, w = 5)
+      .as[Long].collect().toSet
+    assert(got === Set(10L))
   }
 
   test("quantized top-k: codes bounded by ±127 and recall vs exact is high") {

@@ -219,6 +219,29 @@ class ExtSpec extends SparkSpec {
     assert(many.inputFiles.length >= 4)
   }
 
+  test("compaction refuses in-place AND nested destinations (containment, not equality)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nest").toString
+    val part = s"$base/tbl/date=2024-01-01"
+    TableRegistry.table(spark, sfDir, "region").write.mode("overwrite").parquet(part)
+    // outDir an ANCESTOR of inDir: overwrite would recursively delete the
+    // source partition before the lazy scan runs
+    val up = intercept[IllegalArgumentException] {
+      graft.ext.Layout.compact(spark, part, s"$base/tbl", targetBytes = 1L << 20)
+    }
+    assert(up.getMessage.contains("overwrite or mutate"), up.getMessage)
+    // outDir NESTED INSIDE inDir: would mutate the input mid-scan
+    val down = intercept[IllegalArgumentException] {
+      graft.ext.Layout.compact(spark, part, s"$part/compacted", targetBytes = 1L << 20)
+    }
+    assert(down.getMessage.contains("overwrite or mutate"), down.getMessage)
+    // exact in-place still refused
+    intercept[IllegalArgumentException] {
+      graft.ext.Layout.compact(spark, part, part, targetBytes = 1L << 20)
+    }
+    // the source survived all three refusals
+    assert(spark.read.parquet(part).count() == TableRegistry.table(spark, sfDir, "region").count())
+  }
+
   test("star contraction converges in O(log n) rounds on a chain where propagation needs O(n)") {
     import spark.implicits._
     val n = 1024

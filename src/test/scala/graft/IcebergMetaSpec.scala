@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import graft.catalog.IcebergMeta
+import org.json4s.JInt
 
 /** S5: native Iceberg table-metadata read + REPLACE PARTITION SPEC commit
   * over a hand-authored, spec-compliant (format-version 2) filesystem
@@ -83,6 +84,69 @@ class IcebergMetaSpec extends SparkSpec {
     assert(m3.defaultSpecId == 2)
     assert(m3.specs(2).map(f => (f.transform, f.fieldId)) == Seq(("truncate[100]", 1003)))
     assert(IcebergMeta.partitionSpecString(spark, tbl) == "truncate(o_orderkey, 100)")
+  }
+
+  test("spec evolution REUSES field ids and names for equivalent fields (Iceberg v2 rule)") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl,
+      Seq("month(o_orderdate)", "bucket(4, o_orderkey)"))
+    val first = IcebergMeta.read(spark, tbl).specs(1)
+    // re-running the advisor with an overlapping recommendation must NOT
+    // mint a same-name field under a new id (real readers reject that when
+    // building the unified partition type)
+    IcebergMeta.replacePartitionSpec(spark, tbl,
+      Seq("bucket(4, o_orderkey)", "o_orderstatus"))
+    val second = IcebergMeta.read(spark, tbl).specs(2)
+    val reused = second.find(_.transform == "bucket[4]").get
+    val orig = first.find(_.transform == "bucket[4]").get
+    assert(reused.fieldId == orig.fieldId && reused.name == orig.name)
+    // the genuinely new identity field got a fresh id past the high-water mark
+    val fresh = second.find(_.transform == "identity").get
+    assert(fresh.fieldId > first.map(_.fieldId).max)
+    // last-partition-id stays monotonic even when a later spec reuses only
+    // old ids
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("month(o_orderdate)"))
+    val m = IcebergMeta.read(spark, tbl)
+    val JInt(lastPid) = (m.raw \ "last-partition-id"): @unchecked
+    assert(lastPid.toInt >= fresh.fieldId)
+  }
+
+  test("same-family duplicate fragments get parameter-qualified names, exact dup is rejected") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl,
+      Seq("bucket(4, o_orderkey)", "bucket(8, o_orderkey)"))
+    val names = IcebergMeta.read(spark, tbl).specs(1).map(_.name)
+    assert(names.distinct == names, s"duplicate partition field names: $names")
+    assert(names.contains("o_orderkey_bucket") && names.contains("o_orderkey_bucket_8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.replacePartitionSpec(spark, tbl,
+        Seq("bucket(4, o_orderkey)", "bucket(4, o_orderkey)"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("a crashed commit's debris unwedges after the grace window; a fresh blocker stays loud") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("o_orderstatus"))
+    // simulate a committer that died between create and hint swing: v3
+    // exists, hint still says 2
+    val orphan = Paths.get(tbl, "metadata", "v3.metadata.json")
+    Files.write(orphan, "{\"never\":\"committed\"}".getBytes("UTF-8"))
+    // fresh debris: the commit must fail loudly (indistinguishable from a
+    // live committer inside its create→swing window)
+    val e = intercept[java.io.IOException] {
+      IcebergMeta.replacePartitionSpec(spark, tbl, Seq("month(o_orderdate)"))
+    }
+    assert(e.getMessage.contains("commit race"), e.getMessage)
+    // …but once it ages past the grace window it is debris, and the next
+    // commit reclaims it instead of being wedged forever
+    val old = IcebergMeta.OrphanGraceMs
+    IcebergMeta.OrphanGraceMs = 0L
+    try {
+      val v = IcebergMeta.replacePartitionSpec(spark, tbl, Seq("month(o_orderdate)"))
+      assert(v == 3)
+      assert(IcebergMeta.partitionSpecString(spark, tbl) == "month(o_orderdate)")
+    } finally IcebergMeta.OrphanGraceMs = old
   }
 
   test("commit safety: lost version-hint recovers by listing; concurrent v-file wins the race") {
