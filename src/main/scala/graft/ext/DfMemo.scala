@@ -66,9 +66,25 @@ object DfMemo {
     * build is benign — `persist()` is lazy (no data is computed), and the
     * putIfAbsent loser simply adopts the winner's frame (see below for why
     * it must not unpersist). */
+  /** Lazy eviction: entries whose session's SparkContext has stopped can
+    * never serve a read again (their cached blocks died with the context)
+    * but would otherwise pin the session object — and everything reachable
+    * from it — in this static map for the JVM lifetime. Swept on every
+    * [[cached]] call; the map is metadata-bounded so the sweep is cheap.
+    * Live sessions a server retires WITHOUT stopping the context (e.g.
+    * per-tenant `newSession()` instances) still need an explicit
+    * [[clear]] — that case is invisible from here. */
+  private def sweepStopped(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
   def cached(spark: SparkSession, cacheKey: Option[String], tag: String,
       persistUnkeyed: Boolean = false)
-      (build: => DataFrame): DataFrame = cacheKey match {
+      (build: => DataFrame): DataFrame = { sweepStopped(); cacheKey match {
     case Some(k) =>
       val key = (spark, s"$tag:$k")
       val existing = memo.get(key)
@@ -87,5 +103,5 @@ object DfMemo {
     case None if persistUnkeyed =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     case None => build
-  }
+  } }
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** d/w <= 0 would make the `% w` bucket yield NULL (non-ANSI) and every
+    * sketch query silently come back empty ("no tokens in the corpus") —
+    * the silent-empty failure class rangeJoin's bucketWidth guard
+    * documents; refuse instead of lying. */
+  private def requireDims(d: Int, w: Int): Unit =
+    require(d > 0 && w > 0, s"sketch needs positive depth/width, got d=$d w=$w")
+
   private val P = 1000000007L
 
   /** Affine family (same constants as TextSketch.minhashPoly): seed i ≥ 1. */
@@ -67,6 +74,7 @@ object Sketches {
     * map-side-combine shape the sketch exists to enable: the shuffled
     * state is the O(d·w) cell table, never the token stream. */
   def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    requireDims(d, w)
     val tokc = docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("th", polyHashCol(col("tok")))
@@ -90,6 +98,7 @@ object Sketches {
     * [[cmsTokenCounts]] builds the same cells from pre-aggregated counts;
     * the totals are identical by associativity. */
   def cmsCells(docs: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    requireDims(d, w)
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
       .withColumn("th", polyHashCol(col("tok")))
     toks.select(explode(array((1 to d).map(i =>
@@ -107,6 +116,11 @@ object Sketches {
     * Returns (source, n_new, n_flagged, n_dup, n_false_pos). */
   def bloomPrefilter(docs: DataFrame, histPred: Column, newPred: Column,
       headTokens: Int = 8, k: Int = 3, m: Int = 4096): DataFrame = {
+    // k/m <= 0 would make `% m` yield NULL (non-ANSI) and the whole filter
+    // silently report "nothing flagged" — the silent-empty failure class
+    // rangeJoin's bucketWidth guard documents; refuse instead of lying
+    require(k > 0 && m > 0 && headTokens > 0,
+      s"bloomPrefilter needs positive k/m/headTokens, got k=$k m=$m headTokens=$headTokens")
     val fp = concat_ws(" ", slice(split(col("text"), " "), 1, headTokens))
     // th drives ONLY the k bucket positions (that ~30-bit family is the
     // filter's replayable semantics); fingerprint IDENTITY for the

@@ -47,6 +47,11 @@ object Temporal {
     *    predicate `l.t >= r.t` is never true for them, but ascending sort
     *    puts NULLs FIRST, so they would otherwise be carried into every
     *    left row before the first real right row.
+    *  - Right rows with a NULL in ANY key column are dropped up front for
+    *    the same reason: the join equality `l.k = r.k` is never true for
+    *    them, but `Window.partitionBy` groups NULL keys TOGETHER, so they
+    *    would otherwise be carried into NULL-keyed left rows — which the
+    *    DuckDB twin leaves unmatched (NULL carry), never joined.
     *  - Right rows tied on (key, ts) are resolved deterministically (max
     *    carried struct wins — the window tie-breaks by the struct itself),
     *    so results are stable across partitionings and re-runs. DuckDB's
@@ -77,7 +82,9 @@ object Temporal {
         leftPayload.map(col) :+
         lit(1).as("_side") :+
         lit(null).cast(asofType).as("_asof"): _*)
-    val rSide = right.where(col(tsCol).isNotNull).select(
+    val rSide = right
+      .where(keyCols.map(col(_).isNotNull).foldLeft(col(tsCol).isNotNull)(_ && _))
+      .select(
       (keyCols :+ tsCol).map(col) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(0).as("_side") :+
@@ -109,6 +116,14 @@ object Temporal {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(!fact.columns.contains("_bkt") && !intervals.columns.contains("_bkt"),
       "rangeJoin reserves column name '_bkt'; rename it on the inputs")
+    // disjoint column names, validated HERE with an actionable message: a
+    // shared name would otherwise surface as an opaque AMBIGUOUS_REFERENCE
+    // from the post-join residual filter (same up-front discipline as
+    // asofJoin's reserved-name checks)
+    val shared = fact.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty,
+      s"rangeJoin needs disjoint column names; shared: ${shared.toSeq.sorted.mkString(", ")} " +
+        "— rename them on one input before joining")
     // integer division (div), NOT `/`: epoch-nano longs exceed 2^53, so a
     // double-typed quotient would lose the low bits of the bucket id.
     // Identifiers are backtick-quoted (with embedded backticks doubled) so

@@ -41,11 +41,18 @@ case class HeavyHitters(
     StructField("key", LongType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
-    case other =>
-      TypeCheckResult.TypeCheckFailure(s"heavy_hitters needs bigint/int, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    // capacity is validated HERE (analysis time) rather than in add():
+    // capacity <= 0 would otherwise surface executor-side as an
+    // UnsupportedOperationException("empty.min") deep inside a retried task
+    if (capacity <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters capacity must be positive, got $capacity")
+    else child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"heavy_hitters needs bigint/int, got $other")
+    }
 
   override def createAggregationBuffer(): mutable.LongMap[Long] = mutable.LongMap.empty
 

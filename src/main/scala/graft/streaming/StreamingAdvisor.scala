@@ -91,6 +91,11 @@ object StreamingAdvisor {
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // one materialization serves BOTH consumers below (archival append
+        // + stats aggregation) — unpersisted, each would re-read/recompute
+        // the micro-batch source on the hot path
+        batch.persist()
+        try {
         // archival sink only — never re-read by the advisor loop
         batch.write.mode("append").parquet(logDir)
         // aggregate THIS batch's rows, merge into the running state by
@@ -145,12 +150,30 @@ object StreamingAdvisor {
         // batches — profiles are intentionally not carried). At production
         // table sizes pass approxCardinality = true (the HLL/approx-
         // percentile path) or the per-batch scans will outrun the trigger.
-        val recs = AnalysisPipeline.runFromCatalogStats(spark,
-          spark.read.parquet(cur.toString), nameFilter = nameFilter,
-          approxCardinality = approxCardinality)
-          .collect()
-          .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
-          .toSeq
+        // A batch during which catalog discovery matches ZERO tables (a
+        // temp view dropped mid-recreate, the stream started before
+        // registration) must not kill the continuous-advice loop: the
+        // require inside runFromCatalog* would propagate out of
+        // foreachBatch and terminate the StreamingQuery permanently, where
+        // an empty advice snapshot is recoverable next batch. State was
+        // already merged above, so nothing is lost.
+        val recs =
+          try AnalysisPipeline.runFromCatalogStats(spark,
+              spark.read.parquet(cur.toString), nameFilter = nameFilter,
+              approxCardinality = approxCardinality)
+            .collect()
+            .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
+            .toSeq
+          catch { case e: IllegalArgumentException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"advisor batch $batchId produced no advice: ${e.getMessage}")
+            Seq.empty
+          }
+        // replay-idempotent snapshot publication: a batch whose foreachBatch
+        // completed but whose streaming commit was lost is re-run with the
+        // SAME batchId — replace, never append, or consumers folding the
+        // queue see doubled entries for that batch
+        snapshots.removeIf(_.batchId == batchId)
         snapshots.add(Snapshot(batchId, recs))
         // keep the version just merged from: if this batch crashes AFTER
         // this point but BEFORE the streaming commit, the replay must still
@@ -159,6 +182,7 @@ object StreamingAdvisor {
         // history in that window). Steady state is two copies on disk.
         prevVersions.dropRight(1).foreach(s => fs.delete(s.getPath, true))
         ()
+        } finally batch.unpersist()
       }
       .start()
   }

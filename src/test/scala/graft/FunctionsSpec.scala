@@ -157,6 +157,18 @@ class FunctionsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("heavy_hitters rejects non-positive capacity at ANALYSIS time, not executor-side") {
+    import graft.functions.HeavyHitters.heavyHitters
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    for (cap <- Seq(0, -1)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(heavyHitters($"k", cap)).collect()
+      }
+      assert(e.getMessage.contains("capacity"), e.getMessage)
+    }
+  }
+
   test("heavy_hitters: exact above capacity headroom, MG bound under adversarial capacity") {
     import graft.functions.HeavyHitters.heavyHitters
     import spark.implicits._

@@ -64,7 +64,11 @@ class ListenerSpec extends SparkSpec {
     val audited = Set(
       "Probe.scala", "Profiler.scala", "StreamingAdvisor.scala",
       "SimSearch.scala", "Multimodal.scala", "TableRegistry.scala",
-      "QueryIntrospector.scala", "Main.scala", "AnalysisPipeline.scala")
+      "QueryIntrospector.scala", "Main.scala", "AnalysisPipeline.scala",
+      // contaminatedDocIds collects the distinct SHORT-doc token lengths of
+      // the EVAL set only — the same tiny-by-contract side that broadcasts;
+      // bounded by w-1 integers regardless of corpus size
+      "Curation.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)

@@ -10,6 +10,19 @@ class SketchesSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("sketch entry points refuse non-positive dimensions (silent-empty hazard)") {
+    // w=0 / m=0 would make the non-ANSI `% w` bucket NULL and every result
+    // silently come back empty — must refuse up front instead
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+    import graft.ext.Sketches
+    intercept[IllegalArgumentException] { Sketches.cmsTokenCounts(docs, d = 4, w = 0) }
+    intercept[IllegalArgumentException] { Sketches.cmsTokenCounts(docs, d = 0, w = 64) }
+    intercept[IllegalArgumentException] { Sketches.cmsCells(docs, d = 4, w = -1) }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomPrefilter(docs, col("doc_id") < 10, col("doc_id") >= 10, k = 3, m = 0)
+    }
+  }
+
   test("count-min estimates are one-sided: est >= true for every token") {
     val docs = TableRegistry.table(spark, sfDir, "documents")
     val rows = Sketches.cmsTokenCounts(docs)

@@ -521,6 +521,11 @@ class StreamingSpec extends SparkSpec {
     if (crc0.isFile) assert(crc0.delete())
 
     // --- restart: Spark replays batch 0, then processes batch 1 ---
+    def v0Stamp(): Long = {
+      val files = Option(new java.io.File(s"$root/log_state/v0").listFiles()).getOrElse(Array())
+      files.map(_.lastModified).maxOption.getOrElse(0L)
+    }
+    val v0Before = v0Stamp()
     val q2 = graft.streaming.StreamingAdvisor.start(
       spark, logStream, Set("supplier"), logDir, snaps, checkpointDir = Some(ckpt))
     try {
@@ -533,8 +538,12 @@ class StreamingSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       snaps.asScala.toSeq.map(_.batchId).sorted
     }
-    // the replay really happened — batch 0 ran twice
-    assert(batchIds == Seq(0L, 0L, 1L), batchIds.toString)
+    // the replay really happened — batch 0's state version was rewritten
+    assert(v0Stamp() > v0Before, "replay did not rerun batch 0")
+    // replay-idempotent snapshot publication: the replayed batch 0 REPLACES
+    // its snapshot (same batchId) rather than appending a duplicate — the
+    // consumer-visible queue holds exactly one entry per committed batch
+    assert(batchIds == Seq(0L, 1L), batchIds.toString)
 
     // state-level idempotence: the final merged state must equal the
     // per-text aggregates of everything streamed ONCE — a double-counted

@@ -80,6 +80,29 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("has_t", Some(100L)), ("null_t", None)))
   }
 
+  test("asofJoin: NULL keys never match (SQL equality, not partitionBy grouping)") {
+    // Window.partitionBy groups NULL keys together, but the DuckDB ASOF
+    // twin's `l.k = r.k` is never true for NULLs — a NULL-keyed right row
+    // must not be carried into a NULL-keyed left row.
+    val left = Seq((Some(1L), 20L, "keyed"), (None, 20L, "null_key"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option.empty[Long], 10L, 666L), (Some(1L), 10L, 100L))
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got == Set(("keyed", Some(100L)), ("null_key", None)))
+  }
+
+  test("rangeJoin refuses shared column names up front with an actionable message") {
+    val fact = Seq((1L, 2L)).toDF("t", "value")
+    val ivals = Seq((1L, 0L, 5L)).toDF("value", "lo", "hi") // "value" collides
+    val e = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(fact, ivals, "t", "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("value"), e.getMessage)
+  }
+
   test("clusters assigns min reachable id and component size, singletons included") {
     // components: {1,2,3,7} via 1-2, 2-3, 3-7; {4,5}; singleton {6}
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
