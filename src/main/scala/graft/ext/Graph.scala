@@ -58,7 +58,20 @@ object Graph {
       // long runs by truncating lineage every 8 iterations
       if (i % 8 == 0 && i < iters) rank = Dedup.truncate(rank)
     }
-    rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
+    val out = rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
       .orderBy("vec_id")
+    // UNKEYED calls have no memo entry through which the persisted degree
+    // table could ever be reclaimed (DfMemo's sweep only sees keyed
+    // entries) — repeated calls would stack one CacheManager entry each
+    // for the session's lifetime. Materialize the result eagerly (lineage
+    // truncation, same machinery as the in-loop bound) so the plan no
+    // longer references `deg`, then release it before returning. Keyed
+    // calls keep the lazy plan: their degree table is shared across calls
+    // by design and [[DfMemo.clear]] owns its lifetime.
+    if (cacheKey.isEmpty) {
+      val materialized = Dedup.truncate(out)
+      deg.unpersist()
+      materialized
+    } else out
   }
 }

@@ -59,6 +59,17 @@ case class TopKRows(
   // struct type known.
   private lazy val nFields = structType.fields.length
 
+  // field types resolved ONCE (update() runs per input row of a scan built
+  // for billion-row corpora — re-deriving structType and pattern-matching
+  // DataType per row per field is pure hot-path waste). 0=Long 1=Int
+  // 2=Double, same tag scheme in extract and eval.
+  private lazy val fieldTags: Array[Int] = structType.fields.map(_.dataType match {
+    case LongType => 0
+    case IntegerType => 1
+    case DoubleType => 2
+    case other => throw new IllegalStateException(s"unsupported top-k field type $other")
+  })
+
   /** Total order: field 0 DESC, fields 1.. ASC — via Double.compare, so
     * NaN participates in a TOTAL order (NaN greatest, NaN == NaN), matching
     * Spark's sort semantics. Raw `!=`/`>` made NaN incomparable (both
@@ -104,10 +115,10 @@ case class TopKRows(
         // (documented contract — build the struct from non-null columns)
         if (r.isNullAt(i)) anyNull = true
         else {
-          arr(i) = structType.fields(i).dataType match {
-            case LongType => r.getLong(i).toDouble
-            case IntegerType => r.getInt(i).toDouble
-            case DoubleType => r.getDouble(i)
+          arr(i) = fieldTags(i) match {
+            case 0 => r.getLong(i).toDouble
+            case 1 => r.getInt(i).toDouble
+            case _ => r.getDouble(i)
           }
         }
         i += 1

@@ -8,15 +8,29 @@ import org.apache.spark.sql.functions.col
   * column — the bridge from emitted DDL text to T5 physical writes. */
 object SpecParser {
 
-  private val DateR = """(day|month|year)\((\w+)\)""".r
-  private val BucketR = """bucket\((\d+), (\w+)\)""".r
-  private val TruncR = """truncate\((\w+), (\d+)\)""".r
+  // Grammar kept in lockstep with IcebergMeta.parseFragment (the commit
+  // side) and renderField (the metadata-read side): `hour` is a unit real
+  // Iceberg tables use, and separators are `,\s*` — an exactly-one-space
+  // requirement would silently mis-parse `bucket(8,c)` into the identity
+  // fallback below.
+  private val DateR = """(hour|day|month|year)\(\s*(\w+)\s*\)""".r
+  private val BucketR = """bucket\((\d+),\s*(\w+)\)""".r
+  private val TruncR = """truncate\((\w+),\s*(\d+)\)""".r
+  private val BareR = """(\w+)""".r
 
   /** @return (source column name, partition-value column) */
   def toColumn(spec: String, df: DataFrame): (String, Column) = spec.trim match {
     case DateR(unit, c) => (c, DateTransform(unit)(col(c)))
     case BucketR(n, c) => (c, BucketTransform(n.toInt)(col(c)))
     case TruncR(c, w) => (c, TruncateTransform(w.toInt)(col(c)))
-    case c => (c, IdentityTransform(col(c)))
+    // the identity arm accepts ONLY a bare identifier: an unrecognized
+    // function-call fragment falling through to IdentityTransform would
+    // surface later as UNRESOLVED_COLUMN `col("hour(ts)")` at write time —
+    // or worse, silently partition by the wrong column — instead of a
+    // parse error naming the fragment
+    case BareR(c) => (c, IdentityTransform(col(c)))
+    case other => throw new IllegalArgumentException(
+      s"unparseable partition-spec fragment '$other' (expected unit(col), " +
+        "bucket(n, col), truncate(col, w), or a bare column name)")
   }
 }

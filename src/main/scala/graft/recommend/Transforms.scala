@@ -22,11 +22,16 @@ case object IdentityTransform extends PartitionTransform {
   def apply(c: Column): Column = c
 }
 
-/** unit ∈ {day, month, year} — partition-value semantics via date_trunc. */
+/** unit ∈ {hour, day, month, year} — partition-value semantics via
+  * date_trunc. `hour` keeps the truncated TIMESTAMP (a DateType cast would
+  * collapse it back to the day); the advisor never RECOMMENDS hour, but
+  * real Iceberg tables partition by it and their specs must round-trip. */
 final case class DateTransform(unit: String) extends PartitionTransform {
-  require(Set("day", "month", "year")(unit), s"bad unit $unit")
+  require(Set("hour", "day", "month", "year")(unit), s"bad unit $unit")
   def render(column: String): String = s"$unit($column)"
-  def apply(c: Column): Column = date_trunc(unit, c).cast(DateType)
+  def apply(c: Column): Column =
+    if (unit == "hour") date_trunc(unit, c)
+    else date_trunc(unit, c).cast(DateType)
 }
 
 final case class BucketTransform(n: Int) extends PartitionTransform {

@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingUsage {
 
+  /** THE event-time prologue: epoch-nanos `ts` -> a micros TIMESTAMP
+    * `event_time`, optionally watermarked at the engine-wide 10-minute
+    * lateness bound. Factored once — five streaming operators used to
+    * hand-copy this conversion, and an edit that missed one would silently
+    * desynchronize an operator from its batch twin. */
+  private def withEventTime(df: DataFrame, watermark: Boolean): DataFrame = {
+    val t = df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    if (watermark) t.withWatermark("event_time", "10 minutes") else t
+  }
+
   /** Shared transformation: events (with an epoch-nanos `ts` long) →
     * 1-hour tumbling window counts per event_type. Works on both batch and
     * streaming inputs; the watermark is applied only when streaming. */
-  def windowedCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame = {
-    val withTime = events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
-    val src = if (withWatermarkCol) withTime.withWatermark("event_time", "10 minutes") else withTime
-    src.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(
-        unix_timestamp(col("window.start")).as("window_start"),
-        col("event_type"), col("cnt"))
-  }
+  def windowedCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame =
+    // tumbling = sliding with slide == window; one implementation, not two
+    // hand-synchronized copies of the same agg
+    counts(events, withWatermarkCol, slide = "1 hour")
 
   /** Batch twin (oracle-checkable). */
   def batchTwin(events: DataFrame): DataFrame =
@@ -34,11 +38,13 @@ object StreamingUsage {
     * replicas; state per (window, type) is still bounded by the watermark
     * when streaming. The oracle twin replays the replication as an explicit
     * slide-index cross join. */
-  def slidingCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame = {
-    val withTime = events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
-    val src = if (withWatermarkCol) withTime.withWatermark("event_time", "10 minutes") else withTime
-    src.groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+  def slidingCounts(events: DataFrame, withWatermarkCol: Boolean): DataFrame =
+    counts(events, withWatermarkCol, slide = "15 minutes")
+
+  private def counts(events: DataFrame, withWatermarkCol: Boolean,
+      slide: String): DataFrame = {
+    val src = withEventTime(events, watermark = withWatermarkCol)
+    src.groupBy(window(col("event_time"), "1 hour", slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(
         unix_timestamp(col("window.start")).as("window_start"),
@@ -79,7 +85,9 @@ object StreamingUsage {
       .orderBy("user_id", "session_start")
   }
 
-  /** Open-session accumulator for streaming sessionization (ms epoch). */
+  /** Open-session accumulator for streaming sessionization — start/end are
+    * epoch MICROSECONDS (`tus`), not ms: only the GroupState timeout API
+    * below speaks ms. */
   final case class SessionAcc(start: Long, end: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
@@ -95,9 +103,7 @@ object StreamingUsage {
     // truncates to ms): the batch twin compares at µs resolution, and a
     // boundary event within 1 ms of the gap would split differently
     val gapUs = gapMinutes * 60L * 1000000L
-    val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "10 minutes")
+    val withTime = withEventTime(events, watermark = true)
     // event_time stays in the projection (unused in the lambda) — the
     // watermark rides on that column, and EventTimeTimeout needs it
     withTime.select(col("user_id"), expr("ts div 1000").as("tus"), col("event_time"))
@@ -157,9 +163,7 @@ object StreamingUsage {
     * delay (no longer equal to the batch twin). */
   def streamingDedupKeys(events: DataFrame, keyCols: Seq[String],
       withinWatermark: Boolean = false): DataFrame = {
-    val withTime = events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "10 minutes")
+    val withTime = withEventTime(events, watermark = true)
     val deduped =
       if (withinWatermark) withTime.dropDuplicatesWithinWatermark(keyCols)
       else withTime.dropDuplicates(keyCols)

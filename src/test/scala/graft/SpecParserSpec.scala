@@ -34,4 +34,24 @@ class SpecParserSpec extends SparkSpec {
     val (c, _) = SpecParser.toColumn("l_returnflag", li)
     assert(c == "l_returnflag")
   }
+
+  test("grammar stays in lockstep with the Iceberg fragment renderer") {
+    // hour(c): a unit real Iceberg tables render (IcebergMeta.renderField)
+    val ev = graft.catalog.TableRegistry.table(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)").as("event_ts"))
+    val (c, colExpr) = SpecParser.toColumn("hour(event_ts)", ev)
+    assert(c == "event_ts")
+    assert(ev.select(colExpr.as("p")).limit(1).collect()(0).get(0) != null)
+    // non-canonical spacing must parse as the SAME transform, never fall
+    // through to identity (IcebergMeta accepts `,\s*`)
+    val (c2, _) = SpecParser.toColumn("bucket(8,l_suppkey)", li)
+    assert(c2 == "l_suppkey")
+    // an unrecognized function-call fragment fails LOUDLY at parse time,
+    // not later as UNRESOLVED_COLUMN `col("zorder(a, b)")` at write time
+    val e = intercept[IllegalArgumentException] {
+      SpecParser.toColumn("zorder(a, b)", li)
+    }
+    assert(e.getMessage.contains("zorder"), e.getMessage)
+  }
 }
