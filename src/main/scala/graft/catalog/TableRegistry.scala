@@ -92,7 +92,7 @@ object TableRegistry {
   def fromCatalogResolved(spark: SparkSession, db: Option[String] = None,
       nameFilter: String => Boolean = _ => true,
       queryCounts: Map[String, Long] = Map.empty,
-      ddlFor: String => String = viewDdl): Seq[(ViewMeta, String)] = {
+      ddlFor: String => String = viewDdl): Seq[(ViewMeta, String, String)] = {
     val listed = db.fold(spark.catalog.listTables())(d => spark.catalog.listTables(d))
       .collect().toSeq
       .filter(t => nameFilter(t.name))
@@ -113,19 +113,23 @@ object TableRegistry {
         else ts.find(t => Option(t.namespace).forall(_.isEmpty)).getOrElse(ts.head)
       }
     }
-    // backtick-quote identifier parts WHERE THEY ARE PARSED (listColumns):
-    // a db or table name with a dot/dash/space/reserved word would
+    // backtick-quote identifier parts WHERE THEY ARE PARSED (listColumns,
+    // and the third tuple element handed to callers for their OWN parse
+    // sites): a db or table name with a dot/dash/space/reserved word would
     // otherwise fail the identifier parse and abort the whole discovery
-    // (the Profiler quotes column names for the same reason). The RETURNED
-    // qualified string stays unquoted — callers use it as the view label
-    // in scripts and reports, where backticks would corrupt output; quote
-    // it again at any parse site (spark.table) that receives odd names.
+    // (the Profiler quotes column names for the same reason). The SECOND
+    // element — the display label — stays unquoted for scripts and
+    // reports, where backticks would corrupt output. Returning the quoted
+    // form here (rather than telling callers to re-quote) matters because
+    // re-quoting from the joined label is LOSSY: a part containing a dot
+    // cannot be re-split.
     def q(part: String): String = "`" + part.replace("`", "``") + "`"
     tables.map { t =>
       val parts = Option(t.namespace).filter(_.nonEmpty)
         .map(_.toSeq :+ t.name).getOrElse(Seq(t.name))
       val qualified = parts.mkString(".")
-      val cols = spark.catalog.listColumns(parts.map(q).mkString("."))
+      val quoted = parts.map(q).mkString(".")
+      val cols = spark.catalog.listColumns(quoted)
         .collect().map(_.name).toSeq
       // ddlFor defaults to the fixture registry: exact join-column usage
       // for the baked-in test tables, the neutral `SELECT * FROM <v>_src`
@@ -134,7 +138,7 @@ object TableRegistry {
       // DDL source (e.g. SHOW CREATE TABLE) here rather than inherit the
       // fixture join columns.
       (ViewMeta(t.name, cols, queryCounts.getOrElse(t.name, 1L), ddlFor(t.name)),
-        qualified)
+        qualified, quoted)
     }
   }
 

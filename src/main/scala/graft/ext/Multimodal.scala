@@ -192,8 +192,12 @@ object Multimodal {
       .load(dir)
       // stray non-conforming files (_SUCCESS, .DS_Store, readme.txt) yield
       // an empty extraction → NULL doc_id → encoder crash on the primitive
-      // field; skip them instead of killing the ingest
-      .where(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1) =!= "")
+      // field; skip them instead of killing the ingest. The length bound
+      // closes the same hole for a >18-digit id: its Long cast would
+      // overflow to NULL (non-ANSI) or throw (ANSI) — one absurd filename
+      // must not abort the bulk ingest either.
+      .where(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1) =!= "" &&
+        length(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1)) <= 18)
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1).cast("long").as("doc_id"),
         concat(lit("file/"), regexp_extract(col("path"), "\\.([^/.]+)$", 1)).as("media_type"),

@@ -105,8 +105,14 @@ object TextAnalysis {
 
   def langIdNgram(text: Column,
       profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): Column = {
+    // CONTAINMENT, not equality: for the latin profiles (every entry
+    // exactly 3 chars) contains-in-a-3-char-gram IS equality, but the zh
+    // profile is single CHARACTERS — under isin they could never match a
+    // 3-char gram and Chinese text of length >= 3 fell through to the
+    // fold's seed language (dead profile entries, r8 review finding).
     val scores = profiles.map { case (lang, ps) =>
-      lang -> size(filter(charTrigrams(text), g => g.isin(ps.map(lit): _*)))
+      lang -> size(filter(charTrigrams(text),
+        g => ps.map(p => g.contains(lit(p))).reduce(_ || _)))
     }
     scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, s)) =>
@@ -125,7 +131,9 @@ object TextAnalysis {
       extractor: Column => Column = charTrigrams): org.apache.spark.sql.DataFrame = {
     val withGrams = df.withColumn("__grams", extractor(col(textCol)))
     val withScores = profiles.foldLeft(withGrams) { case (d, (lang, ps)) =>
-      d.withColumn(s"__s_$lang", size(filter(col("__grams"), g => g.isin(ps.map(lit): _*))))
+      // containment for the same single-char-profile reason as langIdNgram
+      d.withColumn(s"__s_$lang", size(filter(col("__grams"),
+        g => ps.map(p => g.contains(lit(p))).reduce(_ || _))))
     }
     val scores = profiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
     val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
@@ -214,6 +222,9 @@ object TextAnalysis {
     * sort — the 100 TB posture (real pipelines pack per worker/shard anyway;
     * a global pack order is neither needed nor reproducible there). */
   def packSequences(docs: DataFrame, shardCol: String, budget: Int): DataFrame = {
+    // budget 0 would be a mid-stage divide-by-zero under ANSI and silent
+    // NULL seq_ids otherwise — refuse driver-side like sampleFramesStub
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val before = Window.partitionBy(shardCol).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -60,7 +60,14 @@ object UsageListener {
             if r.catalogTable.isDefined =>
           r.catalogTable.get.identifier.table
       } ++ plan.collect {
-        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        // ONLY the alias directly wrapping a View is a table reference
+        // (that is how temp views resolve). An unconditional SubqueryAlias
+        // match also swept up table aliases (`FROM lineitem l` emitted a
+        // phantom table `l`), derived-table aliases and CTE names —
+        // fictitious rows that burned stateCap slots and polluted the
+        // usage stats the advisor scores from.
+        case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+            if s.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.View] =>
           s.alias
       }).map("table" -> _)
       val joinCols = plan.collect { case j: Join =>
@@ -89,10 +96,23 @@ object UsageListener {
       }
     }
 
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      refs(qe.analyzed).foreach { case (k, n) => record(k, n, durationNs) }
+    private val completions = new AtomicLong(0L)
 
-    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    /** Listener callbacks delivered so far (success or failure) — the
+      * quiescence signal observeWorkload waits on: each successfully
+      * launched action produces exactly one callback, so waiting for
+      * "first ref + fixed sleep" (the old shape) silently dropped every
+      * late callback from the returned usage frame. */
+    def completedQueries: Long = completions.get()
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      refs(qe.analyzed).foreach { case (k, n) => record(k, n, durationNs) }
+      completions.incrementAndGet(); ()
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+      completions.incrementAndGet(); ()
+    }
 
     def snapshot: Seq[UsageStat] =
       stats.entrySet().asScala.iterator.map { e =>

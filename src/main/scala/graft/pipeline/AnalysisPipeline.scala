@@ -233,17 +233,20 @@ object AnalysisPipeline {
     val vs = resolved.map(_._1)
     // profile through the FULLY-QUALIFIED identifier: with db set, the bare
     // name would resolve against temp views / the current database and
-    // profile the wrong (or no) table
-    val qualifiedOf = resolved.map { case (v, q) => v.view -> q }.toMap
+    // profile the wrong (or no) table. spark.table is a PARSE site, so it
+    // gets the backtick-QUOTED form (third tuple element) — the unquoted
+    // label there would break (or resolve wrongly) on any db/table name
+    // with a dot, dash, space, or reserved word.
+    val parseSafeOf = resolved.map { case (v, _, pq) => v.view -> pq }.toMap
     val profiles = computeProfiles(spark, vs,
-      name => spark.table(qualifiedOf(name)), approxCardinality)
+      name => spark.table(parseSafeOf(name)), approxCardinality)
     val workload = workloadOf(vs)
     val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
     // emit scripts under the FULLY-QUALIFIED names: an `ALTER TABLE bare`
     // script run from a session on a different current database would hit
     // the wrong (or no) table — the exact class of bug the profiling-side
     // qualification above fixes
-    val qmapEntries = resolved.flatMap { case (v, q) => Seq(lit(v.view), lit(q)) }
+    val qmapEntries = resolved.flatMap { case (v, q, _) => Seq(lit(v.view), lit(q)) }
     val qualifiedView = coalesce(element_at(map(qmapEntries: _*), col("view")), col("view"))
     Recommender.scripts(spark,
       ranked.withColumn("view", qualifiedView),

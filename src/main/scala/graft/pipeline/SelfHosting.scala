@@ -45,14 +45,21 @@ object SelfHosting {
     registerViews(spark, sfDir)
     val rec = UsageListener.install(spark, stateCap)
     try {
+      var launched = 0
       workload.foreach { sql =>
-        try forceExecute(spark, sql)
+        try { forceExecute(spark, sql); launched += 1 }
         catch { case _: Exception => () } // malformed queries degrade to no usage
       }
-      // listener callbacks are async
+      // Listener callbacks are async; each successfully launched action
+      // delivers exactly ONE callback. Wait for ALL of them — the previous
+      // "first ref appears + 200 ms" shape silently dropped every callback
+      // that arrived later, nondeterministically undercounting the very
+      // workload the advisor then scores. An empty or all-failed workload
+      // (launched = 0) returns immediately instead of spinning out the
+      // full deadline.
       val deadline = System.nanoTime() + 30e9.toLong
-      while (rec.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      Thread.sleep(200)
+      while (rec.completedQueries < launched && System.nanoTime() < deadline)
+        Thread.sleep(20)
       if (rec.droppedRefs > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"usage recorder saturated: ${rec.droppedRefs} references beyond " +

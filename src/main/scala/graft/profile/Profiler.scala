@@ -69,9 +69,12 @@ object Profiler {
     val fields = df.schema.fields.toSeq
     // Reference caps distribution profiling at the first 5 columns
     // (numeric-only: Trino approx_percentile on varchar throws and is
-    // skipped, partitioning.py:289-291).
+    // skipped, partitioning.py:289-291). Semantics: the NUMERIC columns
+    // AMONG the first `distributionCap` schema positions — a table whose
+    // early columns are strings gets fewer than cap distribution profiles,
+    // exactly like the reference's positional LIMIT.
     val distCols: Set[String] =
-      fields.take(math.min(distributionCap, fields.length)).filter(f => isNumeric(f.dataType)).map(_.name).toSet
+      fields.take(distributionCap).filter(f => isNumeric(f.dataType)).map(_.name).toSet
 
     // rsd 0.02, not the 0.05 default: rsd is ONE sigma (measured error on
     // the fixtures reaches 6.4% at the default), and the cardinality bands
@@ -110,7 +113,11 @@ object Profiler {
     val dateFields = fields.filter(f => isDateLike(f.dataType)).map(_.name)
     def dateAggs(c: String): Seq[Column] = Seq(
       // two-level date-granularity aggregation (partitioning.py:380-408):
-      // count(distinct day-of-month / month / year values)
+      // count(distinct day-of-month / month / year values). Trino's day()
+      // IS day-of-month, so distinct "days" caps at 31 and the reference's
+      // `day_count > month_count * 20` verdict is reachable only for data
+      // inside a single calendar month — faithfully reproduced here,
+      // quirk included (the oracle and third-engine twins replay it).
       countDistinct(dayofmonth(col(c))).as(s"${c}__days"),
       countDistinct(month(col(c))).as(s"${c}__months"),
       countDistinct(year(col(c))).as(s"${c}__years"))

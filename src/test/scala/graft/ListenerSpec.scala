@@ -42,6 +42,41 @@ class ListenerSpec extends SparkSpec {
     assert(wheres.contains("o_totalprice"), wheres.toString)
   }
 
+  test("table aliases and derived-table aliases are NOT phantom table references") {
+    graft.pipeline.SelfHosting.registerViews(spark, sfDir)
+    val rec = UsageListener.install(spark)
+    try {
+      spark.sql("SELECT l.l_quantity FROM lineitem l WHERE l.l_quantity > 0").count()
+      spark.sql("SELECT d.q FROM (SELECT l_quantity AS q FROM lineitem) d").count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (rec.completedQueries < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val tables = rec.snapshot.filter(_.kind == "table").map(_.name).toSet
+      assert(tables.contains("lineitem"), tables.toString)
+      // the alias `l`, the derived-table alias `d` and the CTE-free
+      // subquery must not fabricate table rows (they burned stateCap
+      // slots and polluted the advisor's usage stats)
+      assert(!tables.contains("l") && !tables.contains("d"), tables.toString)
+    } finally spark.listenerManager.unregister(rec)
+  }
+
+  test("observeWorkload waits for ALL callbacks and returns fast on an empty workload") {
+    // empty workload: must return immediately, not spin out a 30 s deadline
+    val t0 = System.nanoTime()
+    val empty = graft.pipeline.SelfHosting.observeWorkload(spark, sfDir, Seq.empty)
+    assert(empty.count() == 0)
+    assert((System.nanoTime() - t0) < 10e9.toLong, "empty workload stalled")
+    // multi-query workload: every query's refs are present (the old
+    // first-callback-plus-200ms wait dropped late callbacks)
+    val usage = graft.pipeline.SelfHosting.observeWorkload(spark, sfDir, Seq(
+      "SELECT count(*) FROM lineitem",
+      "SELECT count(*) FROM orders",
+      "SELECT count(*) FROM customer",
+      "SELECT count(*) FROM supplier"))
+    val tables = usage.where(col("kind") === "table")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("lineitem", "orders", "customer", "supplier").subsetOf(tables), tables.toString)
+  }
+
   test("recorder state is bounded by stateCap; overflow counted, existing keys still aggregate") {
     val rec = new UsageListener.Recorder(stateCap = 8)
     (0 until 1000).foreach(i => rec.record("where_col", s"c$i", 1000L))
