@@ -181,4 +181,44 @@ class PropertySpec extends SparkSpec {
     val n = survivors.count()
     assert(n > 0 && n <= emb.where(col("vec_id") < 500).count())
   }
+
+  test("session-3 keys are pure functions of the data: invariant under input partitioning") {
+    // the determinism property every hash-compared key rests on — run each
+    // new operator over a repartitioned clone of its input and require
+    // row-identical output
+    def rowsOf(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+    val baseline = Seq("inverted_index", "ngram_topk", "cohort_retention",
+      "anomaly_mad", "cdc_merge_upsert", "q13_custdist", "q15_top_supplier")
+      .map(k => k -> rowsOf(k))
+    // perturb partitioning via a conf nudge (shuffle partitions) and rerun
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try baseline.foreach { case (k, want) =>
+      assert(rowsOf(k) == want, s"$k diverged under a different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("cohort_retention cells conserve the distinct (user, week) population") {
+    // Σ n_users over all cells == |distinct (user, week)| — the matrix is a
+    // partition of the distinct-pair population, nothing dropped or doubled
+    val cells = SparkEntry.queries("cohort_retention")(spark, sfDir)
+    val total = cells.agg(sum("n_users")).collect()(0).getLong(0)
+    val pairs = graft.catalog.TableRegistry.table(spark, sfDir, "events")
+      .selectExpr("user_id", "ts div 604800000000000 AS wk").distinct().count()
+    assert(total == pairs, s"cells sum $total vs distinct pairs $pairs")
+  }
+
+  test("inverted_index postings are consistent: df counts match postings-head arithmetic") {
+    val idx = SparkEntry.queries("inverted_index")(spark, sfDir).collect()
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val head = r.getAs[String]("postings_head").split(",").filter(_.nonEmpty)
+      // head is the first min(df, 16) ids, sorted strictly ascending
+      assert(head.length == math.min(df, 16L), r.toString)
+      val ids = head.map(_.toLong)
+      assert(ids.sorted.sameElements(ids) && ids.distinct.length == ids.length, r.toString)
+      assert(df >= 3, r.toString) // the emitted slice respects its own predicate
+    }
+  }
 }
