@@ -2415,6 +2415,26 @@ for et, grp in ev.groupby("event_type"):
                  "n_outliers": np.int64(int((np.abs(v - med) > thr).sum()))})
 check("anomaly_mad", pd.DataFrame(rows))
 
+# partition_size_report: per-candidate partition balance (what-if check)
+def psr(candidate, groups):
+    from collections import Counter
+    sizes = Counter(groups)
+    npart, nrows, mx = len(sizes), sum(sizes.values()), max(sizes.values())
+    return {"candidate": candidate, "n_partitions": np.int64(npart),
+            "n_rows": np.int64(nrows), "max_rows": np.int64(mx),
+            "skew_r": ratioR(mx * npart, nrows, 6)}
+o_ = t("orders")
+mvals = pd.DatetimeIndex(o_.o_orderdate)
+rows = [
+    psr("misc16(o_custkey)", [((k % 16) + 16) % 16 for k in o_.o_custkey]),
+    psr("month(o_orderdate)", list(zip(mvals.year, mvals.month))),
+    psr("o_orderstatus", list(o_.o_orderstatus)),
+]
+check("partition_size_report",
+      pd.DataFrame(sorted(rows, key=lambda r: r["candidate"]),
+                   columns=["candidate", "n_partitions", "n_rows",
+                            "max_rows", "skew_r"]))
+
 # cdc_merge_upsert: latest-wins merge of the event change log by user
 rows = []
 evi = ev.assign(tns=ev.ts.values.astype("datetime64[ns]").astype("int64"))

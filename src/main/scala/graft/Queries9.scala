@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.TableRegistry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-9 — corpus-index operators: the search-engine-shaped structures a
@@ -188,5 +188,57 @@ object Queries9 {
           |SELECT user_id, value AS last_value, event_id AS last_event_id,
           |  tns // 1000000000 AS last_ts_sec, n_changes
           |FROM c WHERE rn = 1 AND event_type <> 'error'
-          |ORDER BY user_id""".stripMargin)))
+          |ORDER BY user_id""".stripMargin)),
+
+    QSpec("partition_size_report",
+      // The advisor's WHAT-IF balance check: for each candidate partition
+      // transform, the partition-count / row-total / largest-partition
+      // numbers and the max-to-mean skew ratio — the evidence that decides
+      // whether a recommended spec would produce balanced partitions
+      // BEFORE any data is rewritten. Per candidate: one grouped count
+      // (map-side combine, shuffle on the candidate's own key) collapsed
+      // to a single stats row; the three single-row aggregates union.
+      // That per-candidate grouped-count is the 100 TB what-if shape —
+      // partition-value cardinality rows ever reach the driver, never
+      // data. Skew is integer-exact (ExactMath) like every other
+      // oracle-compared ratio; the modulo candidate uses pmod so a
+      // negative key cannot diverge between engines.
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        def report(candidate: String, part: Column) =
+          od.groupBy(part.as("pv")).agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_partitions"),
+              sum("n").as("n_rows"), max("n").as("max_rows"))
+            .select(lit(candidate).as("candidate"),
+              col("n_partitions"), col("n_rows"), col("max_rows"))
+        report("misc16(o_custkey)", pmod(col("o_custkey"), lit(16L)))
+          .unionAll(report("month(o_orderdate)",
+            date_trunc("month", col("o_orderdate"))))
+          .unionAll(report("o_orderstatus", col("o_orderstatus")))
+          .withColumn("skew_r", graft.ext.ExactMath.ratioRounded(
+            col("max_rows").cast("decimal(38,0)") *
+              col("n_partitions").cast("decimal(38,0)"),
+            col("n_rows"), 6))
+          .orderBy("candidate")
+      },
+      Some {
+        val skew = graft.ext.ExactMath.ratioRoundedSql(
+          "max_rows::HUGEINT * n_partitions", "n_rows", 6)
+        s"""WITH c1 AS (SELECT COUNT(*) AS n FROM orders
+           |            GROUP BY ((o_custkey % 16) + 16) % 16),
+           |c2 AS (SELECT COUNT(*) AS n FROM orders
+           |       GROUP BY date_trunc('month', o_orderdate)),
+           |c3 AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderstatus),
+           |u AS (
+           |  SELECT 'misc16(o_custkey)' AS candidate,
+           |    CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           |    CAST(SUM(n) AS BIGINT) AS n_rows,
+           |    CAST(MAX(n) AS BIGINT) AS max_rows FROM c1
+           |  UNION ALL SELECT 'month(o_orderdate)', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(n) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM c2
+           |  UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           |    CAST(SUM(n) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM c3)
+           |SELECT candidate, n_partitions, n_rows, max_rows, $skew AS skew_r
+           |FROM u ORDER BY candidate""".stripMargin
+      }))
 }
