@@ -189,7 +189,8 @@ class PropertySpec extends SparkSpec {
     def rowsOf(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
     val baseline = Seq("inverted_index", "ngram_topk", "cohort_retention",
-      "anomaly_mad", "cdc_merge_upsert", "q13_custdist", "q15_top_supplier")
+      "anomaly_mad", "cdc_merge_upsert", "q13_custdist", "q15_top_supplier",
+      "partition_size_report")
       .map(k => k -> rowsOf(k))
     // perturb partitioning via a conf nudge (shuffle partitions) and rerun
     val old = spark.conf.get("spark.sql.shuffle.partitions")
