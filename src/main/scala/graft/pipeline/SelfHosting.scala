@@ -30,6 +30,23 @@ object SelfHosting {
   private def forceExecute(spark: SparkSession, sql: String): Unit =
     spark.sql(sql).foreach(_ => ())
 
+  /** Listener callbacks are async; each successfully launched action
+    * delivers exactly ONE callback. Wait for ALL of them — the previous
+    * "first ref appears + 200 ms" shape silently dropped every callback
+    * that arrived later, nondeterministically undercounting the very
+    * workload the advisor then scores. An empty or all-failed workload
+    * (`launched` = 0) returns immediately instead of spinning out the
+    * deadline. Returns the nanos actually waited (unit-testable without
+    * wall-clock assertions that host contention can break). */
+  private[graft] def awaitCallbacks(rec: UsageListener.Recorder, launched: Int,
+      deadlineNanos: Long = 30e9.toLong): Long = {
+    val t0 = System.nanoTime()
+    val deadline = t0 + deadlineNanos
+    while (rec.completedQueries < launched && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    System.nanoTime() - t0
+  }
+
   /** Run each SQL text (executor-side execution force, never collecting
     * results to the driver), capturing usage via the listener; returns the
     * observed usage DataFrame (kind, name, weighted_frequency) where
@@ -50,16 +67,7 @@ object SelfHosting {
         try { forceExecute(spark, sql); launched += 1 }
         catch { case _: Exception => () } // malformed queries degrade to no usage
       }
-      // Listener callbacks are async; each successfully launched action
-      // delivers exactly ONE callback. Wait for ALL of them — the previous
-      // "first ref appears + 200 ms" shape silently dropped every callback
-      // that arrived later, nondeterministically undercounting the very
-      // workload the advisor then scores. An empty or all-failed workload
-      // (launched = 0) returns immediately instead of spinning out the
-      // full deadline.
-      val deadline = System.nanoTime() + 30e9.toLong
-      while (rec.completedQueries < launched && System.nanoTime() < deadline)
-        Thread.sleep(20)
+      awaitCallbacks(rec, launched)
       if (rec.droppedRefs > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"usage recorder saturated: ${rec.droppedRefs} references beyond " +
