@@ -190,11 +190,14 @@ object IcebergMeta {
   }
 
   /** Fragment syntax → metadata transform. Mirrors
-    * [[graft.recommend.SpecParser]]'s grammar (the emit side). */
-  private val DateF = """(year|month|day|hour)\((\w+)\)""".r
-  private val BucketF = """bucket\((\d+),\s*(\w+)\)""".r
-  private val TruncF = """truncate\((\w+),\s*(\d+)\)""".r
-  private[catalog] def parseFragment(s: String): (String, String) = s.trim match {
+    * [[graft.recommend.SpecParser]]'s grammar (the emit side) — including
+    * the interior `\s*` tolerance: `day( ts )` must parse the SAME on both
+    * sides of the pair, or a spec string that materializes fine through
+    * SpecParser fails here with a misleading not-a-column error. */
+  private val DateF = """(year|month|day|hour)\(\s*(\w+)\s*\)""".r
+  private val BucketF = """bucket\(\s*(\d+),\s*(\w+)\s*\)""".r
+  private val TruncF = """truncate\(\s*(\w+),\s*(\d+)\s*\)""".r
+  private[graft] def parseFragment(s: String): (String, String) = s.trim match {
     case DateF(unit, c) => (c, unit)
     case BucketF(n, c) => (c, s"bucket[$n]")
     case TruncF(c, w) => (c, s"truncate[$w]")

@@ -35,9 +35,17 @@ object Graph {
     // the degree table is referenced by every iteration's subtree: without
     // materialization the lazy chain re-aggregates the edge list per
     // iteration — 2×iters full passes at scale for a node-sized table
-    val deg = DfMemo.cached(spark, cacheKey, s"prdeg$pairsTag",
-        persistUnkeyed = true) {
-      edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    // Unkeyed calls materialize the degree table by EAGER lineage
+    // truncation (RDD-level blocks, GC-reclaimed when the result frame is
+    // dropped) instead of persistUnkeyed: a CacheManager persist here is
+    // keyed by LOGICAL PLAN, so unpersisting it at the end of an unkeyed
+    // call could evict a KEYED call's identical shared entry (the exact
+    // cross-eviction hazard DfMemo documents for the putIfAbsent loser) —
+    // and never unpersisting it leaked one entry per call (r8s3 review).
+    val degPlan = edges.groupBy("s").agg(count(lit(1)).as("deg"))
+    val deg = cacheKey match {
+      case Some(_) => DfMemo.cached(spark, cacheKey, s"prdeg$pairsTag")(degPlan)
+      case None => Dedup.truncate(degPlan)
     }
     var rank = deg.select(col("s").as("id"), col("deg"), lit(1000000L).as("rank"))
     for (i <- 1 to iters) {
@@ -58,20 +66,7 @@ object Graph {
       // long runs by truncating lineage every 8 iterations
       if (i % 8 == 0 && i < iters) rank = Dedup.truncate(rank)
     }
-    val out = rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
+    rank.select(col("id").as("vec_id"), col("deg"), col("rank"))
       .orderBy("vec_id")
-    // UNKEYED calls have no memo entry through which the persisted degree
-    // table could ever be reclaimed (DfMemo's sweep only sees keyed
-    // entries) — repeated calls would stack one CacheManager entry each
-    // for the session's lifetime. Materialize the result eagerly (lineage
-    // truncation, same machinery as the in-loop bound) so the plan no
-    // longer references `deg`, then release it before returning. Keyed
-    // calls keep the lazy plan: their degree table is shared across calls
-    // by design and [[DfMemo.clear]] owns its lifetime.
-    if (cacheKey.isEmpty) {
-      val materialized = Dedup.truncate(out)
-      deg.unpersist()
-      materialized
-    } else out
   }
 }

@@ -190,16 +190,24 @@ object Multimodal {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-      // stray non-conforming files (_SUCCESS, .DS_Store, readme.txt) yield
-      // an empty extraction → NULL doc_id → encoder crash on the primitive
-      // field; skip them instead of killing the ingest. The length bound
-      // closes the same hole for a >18-digit id: its Long cast would
-      // overflow to NULL (non-ANSI) or throw (ANSI) — one absurd filename
-      // must not abort the bulk ingest either.
-      .where(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1) =!= "" &&
-        length(regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1)) <= 18)
+      // One extraction, reused (Filter and Project are separate operators,
+      // so Spark's subexpression elimination would not share three copies
+      // of the regex across them on this bulk-ingest path). Stray
+      // non-conforming files (_SUCCESS, .DS_Store, readme.txt) yield an
+      // empty extraction → NULL doc_id → encoder crash on the primitive
+      // field; skip them instead of killing the ingest. The overflow bound
+      // is EXACT, not a crude length<=18 (which silently dropped valid
+      // 19-digit and zero-padded ids): leading zeros are stripped, then a
+      // 19-digit value admits iff it is <= Long.MaxValue by same-length
+      // string compare; only genuinely unrepresentable ids are skipped.
+      .withColumn("__id", regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1))
+      .withColumn("__idn", regexp_replace(col("__id"), "^0+", ""))
+      .where(col("__id") =!= "" &&
+        (length(col("__idn")) < 19 ||
+          (length(col("__idn")) === 19 &&
+            col("__idn") <= lit(Long.MaxValue.toString))))
       .select(
-        regexp_extract(col("path"), "([0-9]+)\\.[^/.]+$", 1).cast("long").as("doc_id"),
+        col("__id").cast("long").as("doc_id"),
         concat(lit("file/"), regexp_extract(col("path"), "\\.([^/.]+)$", 1)).as("media_type"),
         col("content").as("media"))
       .as[MediaRecord]

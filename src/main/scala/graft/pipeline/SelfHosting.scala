@@ -30,20 +30,38 @@ object SelfHosting {
   private def forceExecute(spark: SparkSession, sql: String): Unit =
     spark.sql(sql).foreach(_ => ())
 
-  /** Listener callbacks are async; each successfully launched action
-    * delivers exactly ONE callback. Wait for ALL of them — the previous
-    * "first ref appears + 200 ms" shape silently dropped every callback
-    * that arrived later, nondeterministically undercounting the very
-    * workload the advisor then scores. An empty or all-failed workload
-    * (`launched` = 0) returns immediately instead of spinning out the
-    * deadline. Returns the nanos actually waited (unit-testable without
-    * wall-clock assertions that host contention can break). */
+  /** Listener callbacks are async. Two phases, both bounded by the
+    * deadline:
+    *  1. wait until at least `launched` callbacks arrived — the previous
+    *     "first ref appears + 200 ms" shape silently dropped every later
+    *     callback, nondeterministically undercounting the very workload
+    *     the advisor then scores;
+    *  2. then wait for QUIESCENCE (no new callback for `settleNanos`) —
+    *     the raw count alone is not a completion proof, because a failed
+    *     action fires onFailure (counted, though it launched "failed"),
+    *     a command-bearing text can fire more than one callback, and a
+    *     concurrent query on the same session increments the count too;
+    *     any of those could satisfy phase 1 while a real success callback
+    *     is still queued on the bus.
+    * An empty or all-failed workload (`launched` = 0) skips phase 1 and
+    * settles immediately once the bus is quiet. Returns the nanos waited
+    * (unit-testable without wall-clock assertions on the whole call,
+    * which host contention can break). */
   private[graft] def awaitCallbacks(rec: UsageListener.Recorder, launched: Int,
-      deadlineNanos: Long = 30e9.toLong): Long = {
+      deadlineNanos: Long = 30e9.toLong,
+      settleNanos: Long = 250e6.toLong): Long = {
     val t0 = System.nanoTime()
     val deadline = t0 + deadlineNanos
     while (rec.completedQueries < launched && System.nanoTime() < deadline)
       Thread.sleep(20)
+    var seen = rec.completedQueries
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() - stableSince < settleNanos &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      val now = rec.completedQueries
+      if (now != seen) { seen = now; stableSince = System.nanoTime() }
+    }
     System.nanoTime() - t0
   }
 

@@ -14,8 +14,8 @@ object SpecParser {
   // requirement would silently mis-parse `bucket(8,c)` into the identity
   // fallback below.
   private val DateR = """(hour|day|month|year)\(\s*(\w+)\s*\)""".r
-  private val BucketR = """bucket\((\d+),\s*(\w+)\)""".r
-  private val TruncR = """truncate\((\w+),\s*(\d+)\)""".r
+  private val BucketR = """bucket\(\s*(\d+),\s*(\w+)\s*\)""".r
+  private val TruncR = """truncate\(\s*(\w+),\s*(\d+)\s*\)""".r
   private val BareR = """(\w+)""".r
 
   /** @return (source column name, partition-value column) */

@@ -150,13 +150,17 @@ object StreamingAdvisor {
         // batches — profiles are intentionally not carried). At production
         // table sizes pass approxCardinality = true (the HLL/approx-
         // percentile path) or the per-batch scans will outrun the trigger.
-        // A batch during which catalog discovery matches ZERO tables (a
-        // temp view dropped mid-recreate, the stream started before
-        // registration) must not kill the continuous-advice loop: the
-        // require inside runFromCatalog* would propagate out of
-        // foreachBatch and terminate the StreamingQuery permanently, where
-        // an empty advice snapshot is recoverable next batch. State was
-        // already merged above, so nothing is lost.
+        // A batch whose ADVICE DERIVATION fails — catalog discovery
+        // matching zero tables (the require's IllegalArgumentException), a
+        // temp view dropped between listTables and spark.table
+        // (AnalysisException), or any other recoverable failure — must not
+        // kill the continuous-advice loop: the exception would propagate
+        // out of foreachBatch and terminate the StreamingQuery
+        // PERMANENTLY, where an empty advice snapshot is recoverable next
+        // batch. State was already merged above, so nothing is lost.
+        // NonFatal, not a narrower type: the first version caught only the
+        // require's IAE and the named dropped-view scenario (an
+        // AnalysisException) still escaped.
         val recs =
           try AnalysisPipeline.runFromCatalogStats(spark,
               spark.read.parquet(cur.toString), nameFilter = nameFilter,
@@ -164,7 +168,7 @@ object StreamingAdvisor {
             .collect()
             .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
             .toSeq
-          catch { case e: IllegalArgumentException =>
+          catch { case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"advisor batch $batchId produced no advice: ${e.getMessage}")
             Seq.empty

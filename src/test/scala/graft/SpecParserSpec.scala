@@ -53,5 +53,14 @@ class SpecParserSpec extends SparkSpec {
       SpecParser.toColumn("zorder(a, b)", li)
     }
     assert(e.getMessage.contains("zorder"), e.getMessage)
+    // interior whitespace parses the SAME on both sides of the pair — a
+    // fragment that materializes through SpecParser must not fail
+    // IcebergMeta.parseFragment with a not-a-column error
+    val (c3, _) = SpecParser.toColumn("day( l_shipdate )", li)
+    assert(c3 == "l_shipdate")
+    assert(graft.catalog.IcebergMeta.parseFragment("day( l_shipdate )") ==
+      ("l_shipdate", "day"))
+    assert(graft.catalog.IcebergMeta.parseFragment("bucket( 8, c )") ==
+      ("c", "bucket[8]"))
   }
 }
