@@ -65,6 +65,13 @@ object IcebergMeta {
     * slow live committer safe). Overridable for tests. */
   private[graft] var OrphanGraceMs: Long = 60000L
 
+  /** Test hook: invoked after the new metadata document is fully written
+    * but BEFORE the hint swing — the window in which a competitor's
+    * orphan-reclaim can delete-and-recreate this committer's v-file (the
+    * lost-update scenario the post-swing verification detects). No-op in
+    * production. */
+  private[graft] var beforeHintSwing: Path => Unit = _ => ()
+
   /** Latest metadata version: `version-hint.text` when present and sane,
     * else the highest `v<N>.metadata.json` in the directory (the spec's
     * documented recovery path for a lost/corrupt hint). None when the
@@ -242,18 +249,33 @@ object IcebergMeta {
     // building the unified partition type.
     val existingByKey: Map[(String, Int), SpecField] =
       m.specs.values.flatten.map(f => (f.transform, f.sourceId) -> f).toMap
-    var nextId = maxFieldId
-    val taken = scala.collection.mutable.Set[String]()
-    val fields = fragments.map { frag =>
+    val parsed = fragments.map { frag =>
       val (colName, transform) = parseFragment(frag)
       val srcId = m.schemaIds.getOrElse(colName, throw new IllegalArgumentException(
         s"REPLACE PARTITION SPEC references '$colName', not a column of $tableDir " +
           s"(schema: ${m.schemaIds.keys.toSeq.sorted.mkString(", ")})"))
+      (frag, colName, transform, srcId)
+    }
+    // duplicate detection up front, by (transform, source-id) identity —
+    // order-independent, so bucket(8,c) before bucket(4,c) cannot turn a
+    // LEGAL spec into a misleading duplicate error on the reuse arm
+    parsed.groupBy(p => (p._3, p._4)).collectFirst {
+      case (_, ps) if ps.size > 1 => ps.head._1
+    }.foreach(f => throw new IllegalArgumentException(
+      s"duplicate partition field '$f' in REPLACE PARTITION SPEC"))
+    // Names resolve in two layers: reused fields keep their spec-mandated
+    // names (claimed first, via the seed), and genuinely-new fields are
+    // named against a `taken` set seeded with EVERY earlier spec's field
+    // name — a new field can therefore never mint a same-name/new-id
+    // collision with ANY prior field (the condition real readers reject
+    // when building the unified partition type), e.g. bucket(8, c) after a
+    // spec containing bucket(4, c) named c_bucket yields c_bucket_8.
+    var nextId = maxFieldId
+    val taken = scala.collection.mutable.Set[String]()
+    m.specs.values.flatten.foreach(f => taken += f.name)
+    val fields = parsed.map { case (_, colName, transform, srcId) =>
       existingByKey.get((transform, srcId)) match {
-        case Some(prev) =>
-          require(taken.add(prev.name),
-            s"duplicate partition field '$frag' in REPLACE PARTITION SPEC")
-          prev
+        case Some(prev) => prev // name already claimed via the seed
         case None =>
           val base = transform match {
             case "identity" => colName
@@ -344,8 +366,10 @@ object IcebergMeta {
             s"blocker age ${blockerAge}ms): a concurrent committer is " +
             "in flight or just won — re-read and retry", e)
       }
-    try out.write(JsonMethods.pretty(JsonMethods.render(updated)).getBytes("UTF-8"))
+    val docBytes = JsonMethods.pretty(JsonMethods.render(updated)).getBytes("UTF-8")
+    try out.write(docBytes)
     finally out.close()
+    beforeHintSwing(target)
     // swing the hint: temp + rename (atomic on HDFS and local FS)
     val tmp = new Path(dir, s".version-hint.text.tmp-$newVersion")
     val hintOut = filesystem.create(tmp, true)
@@ -354,6 +378,27 @@ object IcebergMeta {
     filesystem.delete(hint, false)
     if (!filesystem.rename(tmp, hint))
       throw new java.io.IOException(s"failed to swing $hint to v$newVersion")
+    // Lost-update detector for the reclaim heuristic above: a committer
+    // stalled >OrphanGraceMs between create and hint-swing can have its
+    // v-file deleted and recreated by a competitor — the stalled writer
+    // then streams its JSON into an UNLINKED handle, and the visible
+    // v<N+1> holds the COMPETITOR's document. Without this check it would
+    // swing the hint and report success while its spec change was silently
+    // dropped. Re-reading the committed file and comparing against our own
+    // bytes turns that silent supersession into a loud failure (the
+    // competitor's commit remains intact and authoritative).
+    val committed =
+      try {
+        val in = filesystem.open(target)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      } catch { case e: Exception => throw new java.io.IOException(
+        s"commit verification failed: cannot re-read $target after hint swing", e) }
+    if (committed != new String(docBytes, "UTF-8"))
+      throw new java.io.IOException(
+        s"commit superseded: $target holds a concurrent committer's document " +
+          "(this writer stalled past the orphan grace window and its v-file " +
+          "was reclaimed as debris) — this spec change was NOT committed; " +
+          "re-read and retry")
     newVersion
   }
 

@@ -31,6 +31,25 @@ object Layout {
     walk(path)
   }
 
+  /** Does either qualified location contain the other (or equal it)?
+    * CONTAINMENT, not mere equality: `mode(overwrite)` deletes outDir
+    * RECURSIVELY before [[compact]]'s lazy scan runs, so an outDir that is
+    * an ancestor of inDir destroys the source too, and one nested inside
+    * inDir mutates the input mid-scan. The check compares FULL qualified
+    * URIs: two locations can only contain each other when scheme AND
+    * authority match — hdfs://nn1/data vs s3://bkt/data (or two different
+    * buckets) are disjoint filesystems, and a path-only compare would
+    * spuriously refuse that legitimate cross-filesystem compaction. */
+  private[graft] def overlaps(a: java.net.URI, b: java.net.URI): Boolean = {
+    def contains(x: java.net.URI, y: java.net.URI): Boolean =
+      x.getScheme == y.getScheme &&
+        Option(x.getAuthority).getOrElse("") == Option(y.getAuthority).getOrElse("") && {
+          val (xp, yp) = (x.getPath, y.getPath)
+          xp == yp || yp.startsWith(xp.stripSuffix("/") + "/")
+        }
+    contains(a, b) || contains(b, a)
+  }
+
   /** Compact `inDir` (parquet) into ~targetBytes output files at `outDir`:
     * n_files = max(1, ceil(bytes / target)). Row multiset is unchanged —
     * compaction is layout-only. Returns the compacted DataFrame.
@@ -45,16 +64,9 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val inP = new org.apache.hadoop.fs.Path(inDir)
     val outP = new org.apache.hadoop.fs.Path(outDir)
-    val inQ = inP.getFileSystem(conf).makeQualified(inP).toUri.getPath
-    val outQ = outP.getFileSystem(conf).makeQualified(outP).toUri.getPath
-    // CONTAINMENT, not mere equality: overwrite deletes outDir RECURSIVELY
-    // before the lazy scan runs, so an outDir that is an ancestor of inDir
-    // destroys the source too (compact(…, "/w/tbl/date=x", "/w/tbl", …)),
-    // and an outDir nested inside inDir mutates the input mid-scan. Both
-    // are the data-loss this guard exists to prevent.
-    def contains(a: String, b: String): Boolean =
-      a == b || b.startsWith(a.stripSuffix("/") + "/")
-    require(!contains(outQ, inQ) && !contains(inQ, outQ),
+    val inU = inP.getFileSystem(conf).makeQualified(inP).toUri
+    val outU = outP.getFileSystem(conf).makeQualified(outP).toUri
+    require(!overlaps(inU, outU),
       s"compact would overwrite or mutate its own input ('$inDir' vs " +
         s"'$outDir'): the lazy read executes AFTER mode(overwrite) deletes " +
         "the destination subtree — write to a disjoint staging dir and " +

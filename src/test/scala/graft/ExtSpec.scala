@@ -242,6 +242,22 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(part).count() == TableRegistry.table(spark, sfDir, "region").count())
   }
 
+  test("compaction containment compares FULL URIs: same path on disjoint filesystems is legal") {
+    import java.net.URI
+    import graft.ext.Layout.overlaps
+    // same path string, different scheme or authority → genuinely disjoint
+    // locations; a path-only compare would spuriously refuse these
+    assert(!overlaps(new URI("hdfs://nn1/data"), new URI("s3a://bkt/data")))
+    assert(!overlaps(new URI("s3a://bucket-a/data"), new URI("s3a://bucket-b/data")))
+    assert(!overlaps(new URI("hdfs://nn1/data/tbl"), new URI("hdfs://nn2/data")))
+    // same filesystem: equality and both containment directions still refuse
+    assert(overlaps(new URI("hdfs://nn1/data"), new URI("hdfs://nn1/data")))
+    assert(overlaps(new URI("hdfs://nn1/data/tbl/p=1"), new URI("hdfs://nn1/data/tbl")))
+    assert(overlaps(new URI("file:/w/tbl"), new URI("file:/w/tbl/compacted")))
+    // sibling with a shared name PREFIX is not containment
+    assert(!overlaps(new URI("file:/w/tbl"), new URI("file:/w/tbl2")))
+  }
+
   test("star contraction converges in O(log n) rounds on a chain where propagation needs O(n)") {
     import spark.implicits._
     val n = 1024

@@ -125,6 +125,62 @@ class IcebergMetaSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("a NEW field never mints a same-name/new-id collision with an EARLIER spec's field") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("bucket(4, o_orderkey)"))
+    val orig = IcebergMeta.read(spark, tbl).specs(1).head
+    assert(orig.name == "o_orderkey_bucket")
+    // bucket(8, …) is a genuinely NEW field (different transform param) —
+    // its conventional base name collides with spec 1's field; it must be
+    // qualified, not reuse the name under a new field id (readers reject
+    // same-name/new-id when building the unified partition type)
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("bucket(8, o_orderkey)"))
+    val fresh = IcebergMeta.read(spark, tbl).specs(2).head
+    assert(fresh.fieldId != orig.fieldId)
+    assert(fresh.name != orig.name, s"new field reused name '${orig.name}' under a new id")
+    assert(fresh.name == "o_orderkey_bucket_8")
+  }
+
+  test("fragment ORDER cannot break reuse: new-before-reused still resolves both names") {
+    val tbl = freshTable()
+    IcebergMeta.replacePartitionSpec(spark, tbl, Seq("bucket(4, o_orderkey)"))
+    // the new bucket(8) listed FIRST must not claim o_orderkey_bucket and
+    // trip a bogus 'duplicate partition field' on the legal bucket(4) reuse
+    IcebergMeta.replacePartitionSpec(spark, tbl,
+      Seq("bucket(8, o_orderkey)", "bucket(4, o_orderkey)"))
+    val fields = IcebergMeta.read(spark, tbl).specs(2)
+    val b4 = fields.find(_.transform == "bucket[4]").get
+    val b8 = fields.find(_.transform == "bucket[8]").get
+    assert(b4.name == "o_orderkey_bucket" && b4.fieldId == 1000) // reused
+    assert(b8.name == "o_orderkey_bucket_8" && b8.fieldId > 1000)
+  }
+
+  test("a commit superseded during an orphan-reclaim race fails loudly, not silently") {
+    val tbl = freshTable()
+    // simulate the >grace-window stall: after OUR document is written but
+    // before the hint swing, a competitor reclaims our v-file as debris and
+    // recreates it with ITS OWN content — our commit must not report success
+    val competitor = """{"format-version": 2, "the": "competitor's commit"}"""
+    IcebergMeta.beforeHintSwing = { target =>
+      // the competitor commits through the same Hadoop FS API (delete the
+      // debris, recreate exclusively) — nio would desync LocalFileSystem's
+      // .crc sidecar and turn the compare into a checksum error instead
+      val filesystem = target.getFileSystem(spark.sessionState.newHadoopConf())
+      filesystem.delete(target, false)
+      val o = filesystem.create(target, false)
+      try o.write(competitor.getBytes("UTF-8")) finally o.close()
+    }
+    try {
+      val e = intercept[java.io.IOException] {
+        IcebergMeta.replacePartitionSpec(spark, tbl, Seq("o_orderstatus"))
+      }
+      assert(e.getMessage.contains("superseded"), e.getMessage)
+      // the competitor's document is untouched
+      assert(new String(Files.readAllBytes(
+        Paths.get(tbl, "metadata", "v2.metadata.json")), "UTF-8") == competitor)
+    } finally IcebergMeta.beforeHintSwing = _ => ()
+  }
+
   test("a crashed commit's debris unwedges after the grace window; a fresh blocker stays loud") {
     val tbl = freshTable()
     IcebergMeta.replacePartitionSpec(spark, tbl, Seq("o_orderstatus"))
