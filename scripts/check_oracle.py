@@ -4,8 +4,16 @@ the shipped library; mirrors what the driver's correctness gate does: run
 graft.Verify, then each oracleSql in DuckDB over the same parquet, compare).
 
 Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+SPARK_GRAFT_ONLY=k1,k2 restricts the compare to named keys (pairs with the
+same env var on graft.Verify for the fast dev loop). The full (unfiltered)
+run ALSO enforces the standing invariant that every declared oracle key has
+a third-engine block in scripts/third_engine_check.py — a key shipped
+without its independent re-derivation fails the gate loudly.
 """
 import json
+import os
+import re
 import sys
 
 import duckdb
@@ -13,6 +21,13 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def third_engine_keys() -> set:
+    """Keys covered by scripts/third_engine_check.py (its check("…") calls)."""
+    src = open(os.path.join(os.path.dirname(__file__),
+                            "third_engine_check.py")).read()
+    return set(re.findall(r'check\(\s*"([A-Za-z0-9_]+)"', src))
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -26,7 +41,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = {k.strip() for k in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if k.strip()}
     n_ok = n_bad = 0
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    else:
+        # full-gate invariant: no declared key without its third-engine block
+        missing = sorted(set(oracle) - third_engine_keys())
+        for name in missing:
+            print(f"FAIL {name}: declared oracle key has NO third-engine block "
+                  "in scripts/third_engine_check.py")
+        n_bad += len(missing)
     for name, sql in sorted(oracle.items()):
         try:
             got = norm(con.execute(

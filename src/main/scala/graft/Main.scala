@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Main [--sf-dir DIR] [--out-dir DIR] [--time-filter SQL] [--execute]
+  *              [--catalog rest:URL] [--namespace NS]
+  *
+  * `--catalog rest:<url>` (with `--execute`) commits every recommendation
+  * through the Iceberg REST catalog protocol at `<url>` (namespace
+  * `--namespace`, default `default`) instead of probing filesystem tables —
+  * the deployment shape where a catalog service owns the metadata pointer.
   *
   * `--time-filter` is a SQL predicate over the QUERY LOG, whose `ts` column
   * is epoch-nanos BIGINT (the engine-wide contract) — e.g.
@@ -27,6 +33,8 @@ object Main {
     var outDir = "results"
     var timeFilter: Option[String] = None
     var execute = false
+    var catalog: Option[String] = None
+    var namespace = "default"
     var i = 0
     def valueOf(flag: String): String = {
       if (i + 1 >= args.length) {
@@ -40,6 +48,8 @@ object Main {
         case f @ "--out-dir" => outDir = valueOf(f); i += 2
         case f @ "--time-filter" => timeFilter = Some(valueOf(f)); i += 2
         case "--execute" => execute = true; i += 1
+        case f @ "--catalog" => catalog = Some(valueOf(f)); i += 2
+        case f @ "--namespace" => namespace = valueOf(f); i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
     }
@@ -68,12 +78,27 @@ object Main {
       ReportExporter.export(spark, sfDir, outDir, timeFilter)
       println(s"artifacts exported to $outDir/")
 
+      // `--catalog rest:<url>` routes every commit through the Iceberg REST
+      // catalog protocol (the service is the commit authority); anything
+      // else falls through to the filesystem probe per table
+      val restCat = catalog.collect { case c if c.startsWith("rest:") =>
+        graft.catalog.IcebergRest.Catalog(c.stripPrefix("rest:"), namespace)
+      }
+      catalog.filterNot(_.startsWith("rest:")).foreach { c =>
+        System.err.println(s"unsupported --catalog '$c' (expected rest:<url>)")
+        sys.exit(2)
+      }
+
       if (execute) {
         recs.filter(r => r.getAs[String]("partition_spec") != null).foreach { r =>
           val view = r.getAs[String]("view")
           val spec = r.getAs[String]("partition_spec")
           val tableDir = s"$sfDir/$view"
-          if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {
+          if (restCat.isDefined) {
+            val specId = graft.catalog.IcebergRest.applySpec(restCat.get, view, spec)
+            println(s"committed REPLACE PARTITION SPEC for $view via REST catalog " +
+              s"(default-spec-id $specId)")
+          } else if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {
             // S5 executed natively: the table is a filesystem Iceberg
             // table, so REPLACE PARTITION SPEC commits as real spec
             // evolution against its metadata (cli.py:124-133's execute)

@@ -153,6 +153,68 @@ object Queries9 {
           |FROM events e JOIN s USING (event_type)
           |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    QSpec("anomaly_mad_approx",
+      // The 100 TB form of anomaly_mad: the same three-pass median+MAD
+      // plan shape with approx_percentile (GK sketch, accuracy 10000 —
+      // a FIXED-SIZE agg buffer) in place of exact percentile's
+      // distinct-value map. The driver-visible columns are the EXACT
+      // med/MAD/outlier-count (hash-stable, DuckDB-reproducible) plus
+      // within-band ASSERTIONS of the sketch path against them — the
+      // agg_approx_distinct banding pattern: the key hash-checks that the
+      // sketch lands inside the band at every SF the gates run, not just
+      // that it produced a row. The production swap simply drops the exact
+      // columns from each aggregate; the plan shape (broadcast stats back,
+      // events never shuffled by value) is identical. Bands: med within 1%,
+      // MAD within 2%, outlier count within max(5%, ±2) — GK at 1e-4 rank
+      // error measures ≲0.1% on the fixtures, so each holds with ≥10×
+      // margin. Raw sketch outputs stay out of the hashed surface (SURVEY
+      // §5 rule 1).
+      (s, dir) => {
+        val base = t(s, dir, "events").select("event_type", "value")
+        val med = base.groupBy("event_type").agg(
+          expr("percentile(value, 0.5D)").as("med"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("amed"))
+        val stats = base.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(max(col("med")).as("med"), max(col("amed")).as("amed"),
+            expr("percentile(abs(value - med), 0.5D)").as("mad"),
+            expr("approx_percentile(abs(value - amed), 0.5D, 10000)").as("amad"))
+        base.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(max(col("med")).as("med"), max(col("amed")).as("amed"),
+            max(col("mad")).as("mad"), max(col("amad")).as("amad"),
+            sum(when(abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            sum(when(abs(col("value") - col("amed")) > lit(3) * lit(1.4826) * col("amad"), 1L)
+              .otherwise(0L)).as("an_outliers"))
+          .select(col("event_type"),
+            round(col("med"), 6).as("med_r"),
+            round(col("mad"), 6).as("mad_r"),
+            col("n_outliers"),
+            (abs(col("amed") - col("med")) <=
+              greatest(lit(0.01) * abs(col("med")), lit(1e-6))).as("amed_within_1pct"),
+            (abs(col("amad") - col("mad")) <=
+              greatest(lit(0.02) * abs(col("mad")), lit(1e-6))).as("amad_within_2pct"),
+            (abs(col("an_outliers") - col("n_outliers")).cast("double") <=
+              greatest(col("n_outliers").cast("double") * lit(0.05), lit(2.0)))
+              .as("outliers_within_5pct"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH m AS (SELECT event_type, median(value) AS med
+          |           FROM events GROUP BY 1),
+          |s AS (SELECT e.event_type, MAX(m.med) AS med,
+          |        median(abs(e.value - m.med)) AS mad
+          |      FROM events e JOIN m USING (event_type) GROUP BY 1)
+          |SELECT e.event_type, ROUND(MAX(s.med), 6) AS med_r,
+          |  ROUND(MAX(s.mad), 6) AS mad_r,
+          |  CAST(SUM(CASE WHEN abs(e.value - s.med) > 3 * 1.4826 * s.mad
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |  TRUE AS amed_within_1pct, TRUE AS amad_within_2pct,
+          |  TRUE AS outliers_within_5pct
+          |FROM events e JOIN s USING (event_type)
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
     QSpec("cdc_merge_upsert",
       // The lakehouse MERGE shape: apply a keyed change log latest-wins.
       // events is read as a CDC stream over user state — key user_id,
@@ -211,7 +273,7 @@ object Queries9 {
               sum("n").as("n_rows"), max("n").as("max_rows"))
             .select(lit(candidate).as("candidate"),
               col("n_partitions"), col("n_rows"), col("max_rows"))
-        report("misc16(o_custkey)", pmod(col("o_custkey"), lit(16L)))
+        report("mod16(o_custkey)", pmod(col("o_custkey"), lit(16L)))
           .unionAll(report("month(o_orderdate)",
             date_trunc("month", col("o_orderdate"))))
           .unionAll(report("o_orderstatus", col("o_orderstatus")))
@@ -230,7 +292,7 @@ object Queries9 {
            |       GROUP BY date_trunc('month', o_orderdate)),
            |c3 AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderstatus),
            |u AS (
-           |  SELECT 'misc16(o_custkey)' AS candidate,
+           |  SELECT 'mod16(o_custkey)' AS candidate,
            |    CAST(COUNT(*) AS BIGINT) AS n_partitions,
            |    CAST(SUM(n) AS BIGINT) AS n_rows,
            |    CAST(MAX(n) AS BIGINT) AS max_rows FROM c1

@@ -119,6 +119,16 @@ object IcebergMeta {
       case other => throw new IllegalArgumentException(
         s"$p is not a JSON object: ${other.getClass.getSimpleName}")
     }
+    parseMetadata(p.toString, json, ver)
+  }
+
+  /** Parse one table-metadata DOCUMENT (the spec's JSON object, wherever it
+    * came from — a filesystem v<N> file or a REST LoadTableResult's
+    * `metadata` field). `src` labels errors; `ver` is the caller's version
+    * notion (file number for filesystem, -1 when the catalog service owns
+    * versioning). */
+  private[catalog] def parseMetadata(src: String, json: JObject, ver: Int): TableMeta = {
+    val p = src
     val formatVersion = (json \ "format-version") match {
       case JInt(n) => n.toInt
       case _ => throw new IllegalArgumentException(s"$p has no format-version")
@@ -211,34 +221,16 @@ object IcebergMeta {
     case c => (c, "identity")
   }
 
-  /** REPLACE PARTITION SPEC, committed per the Iceberg spec's evolution
-    * rules: the new spec is APPENDED under a fresh spec-id, each field
-    * REUSES the field id + name of an equivalent (transform, source-id)
-    * field from any earlier spec (spec requirement; fresh ids only for
-    * genuinely new fields), `default-spec-id` flips to it, and the new
-    * metadata version commits via create-exclusive `v<N+1>.metadata.json`
-    * followed by the `version-hint.text` swing (write-temp + rename). A
-    * LIVE concurrent committer that already created the same version makes
-    * this commit FAIL loudly — the HadoopTables optimistic-concurrency
-    * contract — rather than overwrite; DEBRIS of a committer that crashed
-    * before its hint swing (never committed under hint authority) is
-    * reclaimed after a grace window instead of wedging every future
-    * commit.
-    * Format-version-1 documents keep their required flat "partition-spec"
-    * key in sync with the new default spec.
-    *
-    * Partition field names follow the Iceberg convention:
-    * `col` / `col_bucket` / `col_trunc` / `col_month` etc.; same-family
-    * duplicates within one spec are qualified by the transform parameter
-    * (`col_bucket_8`).
-    *
-    * @param fragments reference-syntax spec fragments, in order
-    * @return the committed metadata version
-    */
-  def replacePartitionSpec(spark: SparkSession, tableDir: String,
-      fragments: Seq[String]): Int = {
+  /** Resolve REPLACE PARTITION SPEC fragments against existing metadata:
+    * fresh spec-id, field-id + name REUSE for (transform, source-id)-
+    * equivalent earlier fields, two-layer naming, order-independent
+    * duplicate rejection. Shared by the filesystem committer below and the
+    * REST committer ([[IcebergRest]]) — the FORMAT work is identical; only
+    * the commit authority differs. `label` names the table in errors. */
+  private[catalog] def buildReplacementSpec(m: TableMeta, fragments: Seq[String],
+      label: String): (Int, Seq[SpecField]) = {
     require(fragments.nonEmpty, "REPLACE PARTITION SPEC needs at least one field")
-    val m = read(spark, tableDir)
+    val tableDir = label
     val newSpecId = if (m.specs.isEmpty) 0 else m.specs.keys.max + 1
     val maxFieldId = math.max(999, m.specs.values.flatten.map(_.fieldId).maxOption.getOrElse(999))
     // Iceberg v2 REQUIRES reusing the field id (and, for sanity, the name)
@@ -298,20 +290,54 @@ object IcebergMeta {
           SpecField(fname, transform, srcId, nextId)
       }
     }
+    (newSpecId, fields)
+  }
+
+  /** Spec fields rendered as their metadata-JSON array. */
+  private[catalog] def fieldsJson(fields: Seq[SpecField]): JArray =
+    JArray(fields.toList.map(f => JObject(
+      "name" -> JString(f.name),
+      "transform" -> JString(f.transform),
+      "source-id" -> JInt(f.sourceId),
+      "field-id" -> JInt(f.fieldId))))
+
+  /** REPLACE PARTITION SPEC, committed per the Iceberg spec's evolution
+    * rules: the new spec is APPENDED under a fresh spec-id, each field
+    * REUSES the field id + name of an equivalent (transform, source-id)
+    * field from any earlier spec (spec requirement; fresh ids only for
+    * genuinely new fields), `default-spec-id` flips to it, and the new
+    * metadata version commits via create-exclusive `v<N+1>.metadata.json`
+    * followed by the `version-hint.text` swing (write-temp + rename). A
+    * LIVE concurrent committer that already created the same version makes
+    * this commit FAIL loudly — the HadoopTables optimistic-concurrency
+    * contract — rather than overwrite; DEBRIS of a committer that crashed
+    * before its hint swing (never committed under hint authority) is
+    * reclaimed after a grace window instead of wedging every future
+    * commit.
+    * Format-version-1 documents keep their required flat "partition-spec"
+    * key in sync with the new default spec.
+    *
+    * Partition field names follow the Iceberg convention:
+    * `col` / `col_bucket` / `col_trunc` / `col_month` etc.; same-family
+    * duplicates within one spec are qualified by the transform parameter
+    * (`col_bucket_8`).
+    *
+    * @param fragments reference-syntax spec fragments, in order
+    * @return the committed metadata version
+    */
+  def replacePartitionSpec(spark: SparkSession, tableDir: String,
+      fragments: Seq[String]): Int = {
+    val m = read(spark, tableDir)
+    val (newSpecId, fields) = buildReplacementSpec(m, fragments, tableDir)
+    val maxFieldId = math.max(999, m.specs.values.flatten.map(_.fieldId).maxOption.getOrElse(999))
     val specJson = JObject(
       "spec-id" -> JInt(newSpecId),
-      "fields" -> JArray(fields.toList.map(f => JObject(
-        "name" -> JString(f.name),
-        "transform" -> JString(f.transform),
-        "source-id" -> JInt(f.sourceId),
-        "field-id" -> JInt(f.fieldId)))))
+      "fields" -> fieldsJson(fields))
     val existingSpecs = (m.raw \ "partition-specs") match {
       case JArray(ss) => ss
       case _ => List(JObject(
         "spec-id" -> JInt(0),
-        "fields" -> JArray(m.specs.getOrElse(0, Nil).toList.map(f => JObject(
-          "name" -> JString(f.name), "transform" -> JString(f.transform),
-          "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId))))))
+        "fields" -> fieldsJson(m.specs.getOrElse(0, Nil))))
     }
     // format-version 1 REQUIRES the flat "partition-spec" key (the default
     // spec's fields) alongside "partition-specs"; stripping it without
@@ -319,9 +345,7 @@ object IcebergMeta {
     // pre-evolution readers see as unpartitioned
     val v1Flat: List[(String, JValue)] =
       if (m.formatVersion == 1)
-        List("partition-spec" -> JArray(fields.toList.map(f => JObject(
-          "name" -> JString(f.name), "transform" -> JString(f.transform),
-          "source-id" -> JInt(f.sourceId), "field-id" -> JInt(f.fieldId)))))
+        List("partition-spec" -> fieldsJson(fields))
       else Nil
     val updated: JObject = JObject(m.raw.obj.filterNot { case (k, _) =>
       Set("partition-specs", "default-spec-id", "last-partition-id",

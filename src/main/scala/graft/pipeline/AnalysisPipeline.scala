@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.catalog.{TableRegistry, ViewMeta}
 import graft.profile.Profiler
-import graft.recommend.Recommender
+import graft.recommend.{Balance, Recommender}
 import graft.score.Scoring
 import graft.usage.Usage
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -277,5 +277,37 @@ object AnalysisPipeline {
         Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
     }
     Recommender.scripts(spark, ranked, TableRegistry.profiledTables)
+  }
+
+  /** [[run]] with the advisor loop CLOSED through its own what-if balance
+    * evidence: every ranked candidate's selected transform is evaluated
+    * against the actual table (`Balance.evidence` — the
+    * `partition_size_report` shape), and candidates whose max/mean skew
+    * exceeds `maxSkew` (or that collapse to a single partition) are DEMOTED
+    * before script assembly. A view whose candidates are all demoted gets
+    * the reference's "no suitable columns" comment — a recommendation that
+    * cannot produce balanced partitions is not a recommendation.
+    *
+    * @return (recommendations — same shape as [[run]], demoted candidates
+    *         excluded; evidence — one row per vetted candidate with its
+    *         balance numbers and accept/demote decision)
+    */
+  def runVetted(spark: SparkSession, sfDir: String, maxSkew: Double = 8.0,
+      approxCardinality: Boolean = false, topN: Int = 3): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ranked = Scoring.topNPerView(scores(spark, sfDir, approxCardinality), topN)
+    // candidate list is topN × views — metadata-sized, like the profile rows
+    val candidates = Recommender.withSelectedSpec(ranked)
+      .select(col("view"), col("column"), col("rank").cast("long"), col("spec"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    val vetted = Balance.vet(candidates,
+      name => TableRegistry.table(spark, sfDir, name), maxSkew)
+    val evidence = vetted.toDF()
+    val demoted = vetted.filter(!_.accepted).map(v => (v.view, v.column)).toDF("view", "column")
+    // drop demoted candidates by identity; broadcast — the demotion list is
+    // at most topN × views rows
+    val kept = ranked.join(broadcast(demoted), Seq("view", "column"), "left_anti")
+    (Recommender.scripts(spark, kept, TableRegistry.profiledTables), evidence)
   }
 }

@@ -16,12 +16,18 @@ object Recommender {
     * dateGranularity). Output one row per view:
     * (view, partition_spec, script). Views whose candidates were all
     * filtered out produce the reference's "no suitable columns" comment. */
-  def scripts(spark: SparkSession, ranked: DataFrame, allViews: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val withSpec = ranked.withColumn("spec",
+  /** Ranked rows + their selected transform fragments (`spec` column) — the
+    * shared head of script assembly and balance vetting, so the fragment a
+    * vet evaluates is BY CONSTRUCTION the fragment the script would emit. */
+  def withSelectedSpec(ranked: DataFrame): DataFrame =
+    ranked.withColumn("spec",
       Transforms.selectExpr(
         col("dataType"), col("column"),
         col("cardinality"), col("valueRange"), col("dateGranularity")))
+
+  def scripts(spark: SparkSession, ranked: DataFrame, allViews: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val withSpec = withSelectedSpec(ranked)
     // per view: specs in rank order, plus the score comment line. The group
     // is ≤ topN rows; sort_array over collected (rank, …) structs gives a
     // deterministic order without a second shuffle.

@@ -89,6 +89,58 @@ class AdvisorEndToEndSpec extends SparkSpec {
     assert(recs.length == 1 && recs(0).getAs[String]("view") == "empty_orders")
   }
 
+  test("balance vetting demotes a skewed candidate and keeps a balanced one") {
+    import graft.recommend.Balance
+    // 10k rows: hot_col concentrates 99% of rows on one value (the skew the
+    // what-if check exists to catch); good_col is uniform over 16 values
+    val df = spark.range(10000).select(
+      when(col("id") % 100 =!= 0, lit("hot"))
+        .otherwise(concat(lit("c"), col("id") % 37)).as("hot_col"),
+      (col("id") % 16).as("good_col"))
+    val vetted = Balance.vet(Seq(
+      ("t", "hot_col", 1L, "hot_col"),
+      ("t", "good_col", 2L, "good_col")), _ => df, maxSkew = 8.0)
+    val byCol = vetted.map(v => v.column -> v).toMap
+    assert(!byCol("hot_col").accepted, s"skewed candidate survived: ${byCol("hot_col")}")
+    assert(byCol("hot_col").reason.contains("skew"))
+    assert(byCol("hot_col").skew > 8.0)
+    assert(byCol("good_col").accepted)
+    assert(byCol("good_col").skew == 1.0) // 16 × 625 exactly
+    // a constant column = single partition: no pruning value, demoted
+    val const = Balance.vet(Seq(("t", "c", 1L, "c")),
+      _ => spark.range(10).select(lit("x").as("c")), maxSkew = 8.0)
+    assert(!const.head.accepted && const.head.reason.contains("single partition"))
+    // an empty table vacuously accepts (nothing to balance)
+    val empty = Balance.vet(Seq(("t", "c", 1L, "c")),
+      _ => spark.range(10).select(lit("x").as("c")).where(lit(false)), maxSkew = 8.0)
+    assert(empty.head.accepted && empty.head.nRows == 0L)
+  }
+
+  test("runVetted: every recommendation flows through its own balance evidence") {
+    val (recs, evidence) = AnalysisPipeline.runVetted(spark, sfDir, maxSkew = 8.0)
+    val ev = evidence.collect()
+    assert(ev.nonEmpty, "no candidates vetted")
+    // evidence is well-formed: skew is max/mean, so >= 1 on any non-empty table
+    ev.foreach { r =>
+      assert(r.getAs[Double]("skew") >= 1.0, r.toString)
+      assert(r.getAs[Long]("nRows") >= r.getAs[Long]("maxRows"))
+    }
+    // the final scripts contain exactly the ACCEPTED fragments, per view
+    val recMap = recs.collect()
+      .map(r => r.getAs[String]("view") ->
+        Option(r.getAs[String]("partition_spec")).getOrElse("")).toMap
+    ev.foreach { r =>
+      val frags = recMap(r.getAs[String]("view")).split(",\n").map(_.trim).toSet
+      val frag = r.getAs[String]("fragment")
+      if (r.getAs[Boolean]("accepted"))
+        assert(frags.contains(frag), s"accepted '$frag' missing from ${frags}")
+      else
+        assert(!frags.contains(frag), s"demoted '$frag' still in ${frags}")
+    }
+    // the vet must not empty the advisor: at least one view keeps a real spec
+    assert(recMap.values.exists(_.nonEmpty), "all recommendations demoted")
+  }
+
   test("catalog discovery resolves tables of a NON-current database") {
     // tables live in advdb while the session stays on default — profiling
     // must go through the fully-qualified name (a bare spark.table would

@@ -1,0 +1,274 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.catalog.{IcebergMeta, IcebergRest}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** S5 over the Iceberg REST catalog protocol: loadTable + commitTable
+  * against an in-test stub service that implements the PUBLIC spec's
+  * contract — LoadTableResult/CommitTableResponse shapes, honest
+  * requirement validation (assert-table-uuid / assert-default-spec-id /
+  * assert-last-assigned-partition-id), server-side spec-id assignment, and
+  * 409 on conflict. The stub is a real HTTP server (JDK built-in), so the
+  * client's transport, encoding, and retry paths are exercised for real. */
+class IcebergRestSpec extends SparkSpec {
+
+  private val Uuid = "9c12c3f4-0000-4000-8000-0000000000a1"
+
+  private def initialMeta: JObject = JsonMethods.parse(
+    s"""{
+       |  "format-version": 2,
+       |  "table-uuid": "$Uuid",
+       |  "location": "s3://stub/warehouse/orders",
+       |  "last-sequence-number": 0,
+       |  "last-updated-ms": 1700000000000,
+       |  "last-column-id": 3,
+       |  "current-schema-id": 0,
+       |  "schemas": [{
+       |    "type": "struct", "schema-id": 0, "fields": [
+       |      {"id": 1, "name": "o_orderkey", "required": true, "type": "long"},
+       |      {"id": 2, "name": "o_orderdate", "required": false, "type": "date"},
+       |      {"id": 3, "name": "o_orderstatus", "required": false, "type": "string"}
+       |    ]}],
+       |  "default-spec-id": 0,
+       |  "partition-specs": [{"spec-id": 0, "fields": []}],
+       |  "last-partition-id": 999,
+       |  "default-sort-order-id": 0,
+       |  "sort-orders": [{"order-id": 0, "fields": []}],
+       |  "properties": {},
+       |  "snapshots": []
+       |}""".stripMargin).asInstanceOf[JObject]
+
+  /** Minimal spec-faithful catalog service for ONE table. Commit applies
+    * add-spec with a SERVER-assigned spec-id (so the client's
+    * set-default-spec -1 indirection is actually exercised) and validates
+    * every requirement the client sends — mismatches get the spec's 409. */
+  private class StubCatalog {
+    val state = new AtomicReference[JObject](initialMeta)
+    @volatile var commits = 0
+
+    private def jint(v: JValue): Option[BigInt] = v match {
+      case JInt(n) => Some(n); case _ => None
+    }
+
+    /** A competing committer: appends `fields` as a new spec and flips the
+      * default — the state change that makes a slower client's POST miss
+      * its assert-default-spec-id. */
+    def competitorCommit(transform: String, sourceId: Int, name: String): Unit =
+      state.updateAndGet { cur =>
+        applyAddSpec(cur, JArray(List(JObject(
+          "name" -> JString(name), "transform" -> JString(transform),
+          "source-id" -> JInt(sourceId), "field-id" -> JInt(-1)))))._1
+      }
+
+    /** add-spec + set-default-spec over a metadata document; returns the
+      * updated document and the assigned spec id. Field ids < 1000 or -1
+      * are re-assigned server-side past the high-water mark (real services
+      * own id assignment; honoring sane client ids keeps reuse visible). */
+    private def applyAddSpec(cur: JObject, fields: JArray): (JObject, Int) = {
+      val specs = (cur \ "partition-specs").asInstanceOf[JArray].arr
+      val newId = specs.flatMap(s => jint(s \ "spec-id")).map(_.toInt).max + 1
+      var lastPid = jint(cur \ "last-partition-id").map(_.toInt).getOrElse(999)
+      val assigned = fields.arr.map { f =>
+        val fid = jint(f \ "field-id").map(_.toInt).getOrElse(-1)
+        val useId = if (fid >= 1000 && fid <= lastPid) fid // reused field
+          else { lastPid += 1; lastPid }
+        JObject(f.asInstanceOf[JObject].obj.filterNot(_._1 == "field-id") :+
+          ("field-id" -> JInt(useId)))
+      }
+      lastPid = math.max(lastPid,
+        assigned.flatMap(f => jint(f \ "field-id")).map(_.toInt).foldLeft(lastPid)(math.max))
+      val updated = JObject(cur.obj.filterNot { case (k, _) =>
+        Set("partition-specs", "default-spec-id", "last-partition-id").contains(k)
+      } ++ List(
+        "partition-specs" -> JArray(specs :+ JObject(
+          "spec-id" -> JInt(newId), "fields" -> JArray(assigned))),
+        "default-spec-id" -> JInt(newId),
+        "last-partition-id" -> JInt(lastPid)))
+      (updated, newId)
+    }
+
+    def handle(ex: HttpExchange): Unit = {
+      val cur = state.get()
+      def respond(status: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+      def render(j: JValue) = JsonMethods.compact(JsonMethods.render(j))
+      ex.getRequestMethod match {
+        case "GET" =>
+          respond(200, render(JObject(
+            "metadata-location" -> JString("s3://stub/metadata/current.json"),
+            "metadata" -> cur)))
+        case "POST" =>
+          val body = JsonMethods.parse(
+            scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString)
+          // honest requirement validation, per the public REST spec
+          val reqs = (body \ "requirements").asInstanceOf[JArray].arr
+          val failed = reqs.exists { r =>
+            (r \ "type") match {
+              case JString("assert-table-uuid") =>
+                (r \ "uuid") != (cur \ "table-uuid")
+              case JString("assert-default-spec-id") =>
+                (r \ "default-spec-id") != (cur \ "default-spec-id")
+              case JString("assert-last-assigned-partition-id") =>
+                (r \ "last-assigned-partition-id") != (cur \ "last-partition-id")
+              case _ => true // unknown requirement: reject loudly
+            }
+          }
+          if (failed) {
+            respond(409, render(JObject("error" -> JObject(
+              "message" -> JString("Requirement failed: concurrent update"),
+              "type" -> JString("CommitFailedException"), "code" -> JInt(409)))))
+          } else {
+            val updates = (body \ "updates").asInstanceOf[JArray].arr
+            val addSpec = updates.find(u => (u \ "action") == JString("add-spec"))
+              .getOrElse(fail("commit without add-spec"))
+            val setDefault = updates.find(u => (u \ "action") == JString("set-default-spec"))
+              .getOrElse(fail("commit without set-default-spec"))
+            // the client must use the -1 indirection (the added spec), not
+            // guess the server's numbering
+            assert((setDefault \ "spec-id") == JInt(-1))
+            val (updated, _) = applyAddSpec(cur,
+              (addSpec \ "spec" \ "fields").asInstanceOf[JArray])
+            state.set(updated)
+            commits += 1
+            respond(200, render(JObject(
+              "metadata-location" -> JString(s"s3://stub/metadata/after-$commits.json"),
+              "metadata" -> updated)))
+          }
+        case m => respond(405, s"""{"error":{"message":"$m not allowed"}}""")
+      }
+    }
+  }
+
+  private def withStub(test: (StubCatalog, IcebergRest.Catalog) => Unit): Unit = {
+    val stub = new StubCatalog
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) =>
+      try stub.handle(ex) catch {
+        case e: Throwable =>
+          // surface stub bugs as 500s, not hung sockets
+          val b = s"""{"error":{"message":"${e.getMessage}"}}""".getBytes("UTF-8")
+          try {
+            ex.sendResponseHeaders(500, b.length)
+            ex.getResponseBody.write(b); ex.getResponseBody.close()
+          } catch { case _: Exception => () }
+      })
+    server.start()
+    val port = server.getAddress.getPort
+    try test(stub, IcebergRest.Catalog(s"http://127.0.0.1:$port", "lake"))
+    finally server.stop(0)
+  }
+
+  test("loadTable parses the service's metadata; spec string renders like the filesystem path") {
+    withStub { (_, cat) =>
+      val (m, loc) = IcebergRest.loadTable(cat, "orders")
+      assert(m.formatVersion == 2)
+      assert(m.schemaIds == Map("o_orderkey" -> 1, "o_orderdate" -> 2, "o_orderstatus" -> 3))
+      assert(loc.contains("s3://stub/metadata/current.json"))
+      assert(IcebergRest.partitionSpecString(cat, "orders") == "")
+      assert(IcebergRest.isIcebergTable(cat, "orders"))
+    }
+  }
+
+  test("REPLACE PARTITION SPEC commits through the service; field ids reuse across commits") {
+    withStub { (stub, cat) =>
+      val s1 = IcebergRest.replacePartitionSpec(cat, "orders",
+        Seq("month(o_orderdate)", "bucket(4, o_orderkey)"))
+      assert(s1 == 1)
+      assert(IcebergRest.partitionSpecString(cat, "orders") ==
+        "month(o_orderdate), bucket(4, o_orderkey)")
+      val firstFields = {
+        val (m, _) = IcebergRest.loadTable(cat, "orders")
+        m.specs(1)
+      }
+      assert(firstFields.map(_.fieldId) == Seq(1000, 1001))
+      // an overlapping second commit must REUSE the equivalent field's id
+      // and name (the v2 rule), with the service honoring the reuse
+      val s2 = IcebergRest.replacePartitionSpec(cat, "orders",
+        Seq("bucket(4, o_orderkey)", "o_orderstatus"))
+      assert(s2 == 2)
+      val (m2, _) = IcebergRest.loadTable(cat, "orders")
+      val reused = m2.specs(2).find(_.transform == "bucket[4]").get
+      assert(reused.fieldId == 1001 && reused.name == firstFields(1).name)
+      val fresh = m2.specs(2).find(_.transform == "identity").get
+      assert(fresh.fieldId == 1002)
+      assert(stub.commits == 2)
+    }
+  }
+
+  test("a 409 commit conflict refreshes and retries the WHOLE resolve, then succeeds") {
+    withStub { (stub, cat) =>
+      // between our load and our POST, a competitor commits month(o_orderdate)
+      // — our assert-default-spec-id goes stale and the service 409s
+      IcebergRest.beforeCommitPost = () => {
+        IcebergRest.beforeCommitPost = () => () // fire once
+        stub.competitorCommit("month", 2, "o_orderdate_month")
+      }
+      try {
+        val sid = IcebergRest.replacePartitionSpec(cat, "orders",
+          Seq("month(o_orderdate)", "bucket(8, o_orderkey)"))
+        // competitor's spec is 1; our retried commit lands as 2
+        assert(sid == 2)
+        val (m, _) = IcebergRest.loadTable(cat, "orders")
+        assert(m.defaultSpecId == 2)
+        // the retry re-resolved against the WINNER's metadata: our month
+        // field reuses the competitor's id + name instead of minting a twin
+        val month = m.specs(2).find(_.transform == "month").get
+        val compMonth = m.specs(1).find(_.transform == "month").get
+        assert(month.fieldId == compMonth.fieldId && month.name == compMonth.name)
+        // exactly one 409 was burned: load, 409, reload, commit
+        assert(stub.commits == 1)
+      } finally IcebergRest.beforeCommitPost = () => ()
+    }
+  }
+
+  test("a conflict on EVERY attempt fails loudly after one retry") {
+    withStub { (stub, cat) =>
+      var n = 0
+      IcebergRest.beforeCommitPost = () => {
+        n += 1
+        stub.competitorCommit("month", 2, s"m_$n")
+      }
+      try {
+        val e = intercept[java.io.IOException] {
+          IcebergRest.replacePartitionSpec(cat, "orders", Seq("bucket(4, o_orderkey)"))
+        }
+        assert(e.getMessage.contains("409") || e.getMessage.contains("conflict"),
+          e.getMessage)
+        assert(n == 2) // initial attempt + exactly one retry
+      } finally IcebergRest.beforeCommitPost = () => ()
+    }
+  }
+
+  test("the advisor's rendered spec block applies over REST (the --catalog rest: path)") {
+    withStub { (_, cat) =>
+      // the exact multi-line fragment shape Recommender.scripts renders
+      val block = "month(o_orderdate),\n    bucket(4, o_orderkey)"
+      IcebergRest.applySpec(cat, "orders", block)
+      assert(IcebergRest.partitionSpecString(cat, "orders") ==
+        "month(o_orderdate), bucket(4, o_orderkey)")
+    }
+  }
+
+  test("unknown column and unreachable service both fail with actionable errors") {
+    withStub { (_, cat) =>
+      val e = intercept[IllegalArgumentException] {
+        IcebergRest.replacePartitionSpec(cat, "orders", Seq("month(no_such)"))
+      }
+      assert(e.getMessage.contains("no_such"))
+    }
+    // nothing listens here: loadTable must throw, probe must say no
+    val dead = IcebergRest.Catalog("http://127.0.0.1:1", "lake")
+    intercept[Exception] { IcebergRest.loadTable(dead, "orders") }
+    assert(!IcebergRest.isIcebergTable(dead, "orders"))
+  }
+}

@@ -113,7 +113,11 @@ class ListenerSpec extends SparkSpec {
       // contaminatedDocIds collects the distinct SHORT-doc token lengths of
       // the EVAL set only — the same tiny-by-contract side that broadcasts;
       // bounded by w-1 integers regardless of corpus size
-      "Curation.scala")
+      "Curation.scala",
+      // Balance.evidence collects ONE stats row per what-if job (the
+      // grouped counts collapse to a single aggregate before collect);
+      // candidate lists are topN × views — catalog-bounded, never data
+      "Balance.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
