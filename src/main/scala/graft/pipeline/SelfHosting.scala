@@ -110,7 +110,21 @@ object SelfHosting {
     * same as the reference's warn-and-skip). Returns one recommendation row
     * per profiled table. */
   def adviseFromObservedWorkload(spark: SparkSession, sfDir: String,
-      workload: Seq[String], topN: Int = 3): DataFrame = {
+      workload: Seq[String], topN: Int = 3): DataFrame =
+    AnalysisPipeline.runFromCatalog(spark,
+      observedQueryLog(spark, sfDir, workload),
+      nameFilter = TableRegistry.profiledTables.toSet, topN = topN)
+
+  /** Execute the workload texts and synthesize the engine's OWN query log
+    * from the runs, in the reference's log schema — the capture half of
+    * [[adviseFromObservedWorkload]], exposed so the captured log is a
+    * first-class artifact (it can be persisted, merged with external logs,
+    * or handed to any advisor entry point; the parity spec feeds the SAME
+    * content back as an "external" log and must get the identical
+    * recommendation). Failed texts are logged with a null query
+    * (parse-degrade semantics, same as the reference's warn-and-skip). */
+  def observedQueryLog(spark: SparkSession, sfDir: String,
+      workload: Seq[String]): DataFrame = {
     registerViews(spark, sfDir)
     import spark.implicits._
     val runs = workload.zipWithIndex.map { case (sql, i) =>
@@ -121,10 +135,8 @@ object SelfHosting {
       (i.toString, if (ok) sql else null, new java.sql.Timestamp(startedAt),
         ms, ms, ms, 0L, 0L, 0L)
     }
-    val qlog = runs.toDF("query_id", "query", "create_time",
+    runs.toDF("query_id", "query", "create_time",
       "execution_time_ms", "cpu_time_ms", "scheduled_time_ms",
       "input_bytes", "peak_memory_bytes", "peak_total_memory_bytes")
-    AnalysisPipeline.runFromCatalog(spark, qlog,
-      nameFilter = TableRegistry.profiledTables.toSet, topN = topN)
   }
 }

@@ -70,6 +70,18 @@ object StreamingAdvisor {
     * nothing has been pruned before the final merge (e.g. single-batch, or
     * state never exceeding the cap).
     *
+    * `durableTail` changes what saturation costs: when true, the FULL
+    * merged state is retained in the versioned parquet (saturation degrades
+    * to DISK — distributed, restart-surviving — instead of dropped counts;
+    * a pruned-and-reappearing text can no longer restart from zero, so the
+    * lossy-counting caveat above vanishes and stream == batch equality is
+    * unconditional), while the per-batch ADVICE derivation still reads only
+    * the `stateCap` most-frequent texts, keeping the scorer's distributed
+    * work and the driver's parse load heavy-hitter-bounded on a keyspace
+    * far past the cap. The cost is state parquet sized by DISTINCT TEXTS
+    * ever seen (not history — rows stay one-per-text), the right trade on a
+    * long-lived 100× stream whose keyspace outgrows any in-memory cap.
+    *
     * ONE ADVISOR PER logDir: the versioned state root lives next to
     * `logDir` and batch 0's fresh-lineage sweep deletes EVERY v* directory
     * under it — two advisor queries sharing a logDir would destroy each
@@ -80,7 +92,8 @@ object StreamingAdvisor {
       snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],
       stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts,
       checkpointDir: Option[String] = None,
-      approxCardinality: Boolean = false): StreamingQuery = {
+      approxCardinality: Boolean = false,
+      durableTail: Boolean = false): StreamingQuery = {
     val stateRoot = new Path(logDir.stripSuffix("/") + "_state")
     // resolve through the Hadoop FS of the state path itself — the SAME
     // resolver the parquet reads/writes use, so listing/deleting versions
@@ -134,11 +147,21 @@ object StreamingAdvisor {
         val mergedC = merged.cache()
         val n = mergedC.count()
         val bounded =
-          if (n > stateCap) {
+          if (n <= stateCap) mergedC
+          else if (durableTail) {
+            // spill tier: keep EVERYTHING on disk (one parquet row per
+            // distinct text — keyspace-sized, never history-sized); only
+            // the advice derivation below narrows to the heavy hitters
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"advisor state has $n distinct texts (> stateCap=$stateCap); " +
+                "durable-tail mode retains all on disk, advising from the " +
+                s"$stateCap most frequent")
+            mergedC
+          } else {
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
             mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-          } else mergedC
+          }
         val cur = new Path(stateRoot, s"v$batchId")
         bounded.write.mode("overwrite").parquet(cur.toString)
         mergedC.unpersist()
@@ -161,9 +184,18 @@ object StreamingAdvisor {
         // NonFatal, not a narrower type: the first version caught only the
         // require's IAE and the named dropped-view scenario (an
         // AnalysisException) still escaped.
+        val adviceInput = {
+          val full = spark.read.parquet(cur.toString)
+          // durable-tail state may hold a keyspace far past the cap; the
+          // scorer sees only the heavy hitters (same order as the prune),
+          // so advice-side work stays stateCap-bounded either way
+          if (durableTail && n > stateCap)
+            full.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+          else full
+        }
         val recs =
           try AnalysisPipeline.runFromCatalogStats(spark,
-              spark.read.parquet(cur.toString), nameFilter = nameFilter,
+              adviceInput, nameFilter = nameFilter,
               approxCardinality = approxCardinality)
             .collect()
             .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))

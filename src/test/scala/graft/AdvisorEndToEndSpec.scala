@@ -141,6 +141,53 @@ class AdvisorEndToEndSpec extends SparkSpec {
     assert(recMap.values.exists(_.nonEmpty), "all recommendations demoted")
   }
 
+  test("self-hosting parity: the self-captured log and an identical external log advise the same") {
+    import graft.pipeline.SelfHosting
+    // a workload with a clear frequency signal: 5× o_custkey join, 3×
+    // o_orderdate range, 1× o_totalprice filter
+    val workload =
+      Seq.fill(5)("SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey") ++
+      Seq.fill(3)("SELECT count(*) FROM orders WHERE o_orderdate >= DATE '1996-01-01'") ++
+      Seq("SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0")
+    // PATH A (self-hosting): execute the workload, let the session observe
+    // itself, and advise from its own captured log — the reference's
+    // system.runtime.queries loop fully native
+    val captured = SelfHosting.observedQueryLog(spark, sfDir, workload)
+      .collect() // 9 rows — the workload, not data
+    val fromListener = AnalysisPipeline.runFromCatalog(spark,
+      spark.createDataFrame(spark.sparkContext.parallelize(captured.toSeq),
+        SelfHosting.observedQueryLog(spark, sfDir, Nil).schema),
+      nameFilter = TableRegistry.profiledTables.toSet)
+      .collect().map(r => r.getAs[String]("view") ->
+        Option(r.getAs[String]("partition_spec"))).toMap
+    // PATH B (registry-driven): the SAME log CONTENT arrives as an external
+    // query log — shuffled row order, re-minted query ids, shifted create
+    // times. The advisor must be a pure function of log content: identical
+    // recommendation, full spec string, every table. (Exec durations stay
+    // as measured: duration weighting is a feature, so parity is only
+    // meaningful with the durations held equal.)
+    import spark.implicits._
+    val external = scala.util.Random.shuffle(captured.toSeq.zipWithIndex.map { case (r, i) =>
+      (s"ext-$i", r.getAs[String]("query"),
+        new java.sql.Timestamp(r.getAs[java.sql.Timestamp]("create_time").getTime + 3600000L),
+        r.getAs[Long]("execution_time_ms"), r.getAs[Long]("cpu_time_ms"),
+        r.getAs[Long]("scheduled_time_ms"), 0L, 0L, 0L)
+    }).toDF("query_id", "query", "create_time",
+      "execution_time_ms", "cpu_time_ms", "scheduled_time_ms",
+      "input_bytes", "peak_memory_bytes", "peak_total_memory_bytes")
+    val fromRegistry = AnalysisPipeline.runFromCatalog(spark, external,
+      nameFilter = TableRegistry.profiledTables.toSet)
+      .collect().map(r => r.getAs[String]("view") ->
+        Option(r.getAs[String]("partition_spec"))).toMap
+    assert(fromListener == fromRegistry,
+      s"listener $fromListener vs registry $fromRegistry")
+    // and the workload's hot join key won the orders recommendation
+    def top1(spec: Option[String]): Option[String] =
+      spec.map(s => graft.catalog.IcebergMeta.splitFragments(s).head)
+    assert(top1(fromListener("orders")).contains("o_custkey"),
+      s"expected o_custkey to win: ${fromListener("orders")}")
+  }
+
   test("catalog discovery resolves tables of a NON-current database") {
     // tables live in advdb while the session stays on default — profiling
     // must go through the fully-qualified name (a bare spark.table would

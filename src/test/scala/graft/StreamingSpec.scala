@@ -652,4 +652,70 @@ class StreamingSpec extends SparkSpec {
         s"capped stream ${snapshots.last.recs} vs restricted batch $direct")
     } finally query.stop()
   }
+
+  test("durable-tail advisor state exceeds stateCap and SURVIVES a restart with exact counts") {
+    // the spill tier: stateCap=2 against 5 distinct canned texts, processed
+    // across two batches WITH A RESTART between them. With durableTail the
+    // saturated keyspace degrades to disk instead of drops: the final state
+    // must hold ALL distinct texts with counts exactly equal to a batch
+    // aggregation of everything ever streamed — no text pruned, no
+    // pruned-and-reappearing text restarting from zero, across the restart.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    TableRegistry.table(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    val all = TableRegistry.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+
+    val stream = MemoryStream[(Long, Long, Double)]
+    val logStream = TableRegistry.queryLogFrom(
+      stream.toDF().toDF("event_id", "ts", "value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_durable").toString
+    val ckpt = s"$root/ckpt"
+    val snaps = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingAdvisor.Snapshot]()
+    val q1 = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), s"$root/log", snaps,
+      stateCap = 2, checkpointDir = Some(ckpt), durableTail = true)
+    try {
+      stream.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the checkpoint continues batch numbering, the durable state
+    // (already past the cap) must carry through
+    val q2 = graft.streaming.StreamingAdvisor.start(
+      spark, logStream, Set("supplier"), s"$root/log", snaps,
+      stateCap = 2, checkpointDir = Some(ckpt), durableTail = true)
+    try {
+      stream.addData(batch2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def stateRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query", "cnt", "sum_exec", "sum_priority")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val fullLog = TableRegistry.queryLogFrom(all.toDF("event_id", "ts", "value"))
+    val want = stateRows(graft.pipeline.AnalysisPipeline.textStatsOf(fullLog))
+    val got = stateRows(spark.read.parquet(s"$root/log_state/v1"))
+    assert(want.size > 2, s"fixture must exceed stateCap=2, got ${want.size} texts")
+    assert(got == want, s"durable state diverged:\n got $got\nwant $want")
+    // advice still derives from the heavy hitters only — same restricted-
+    // batch semantics as the lossy cap, now with exact underlying counts
+    val top2 = graft.pipeline.AnalysisPipeline.textStatsOf(fullLog)
+      .orderBy(desc("cnt"), asc("query")).limit(2)
+      .select("query").collect().map(_.getString(0)).toSeq
+    val direct = graft.pipeline.AnalysisPipeline.runFromCatalog(
+      spark, fullLog.where(col("query").isin(top2: _*)), nameFilter = Set("supplier"))
+      .collect().map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec"))).toSeq
+    val snapshots = {
+      import scala.jdk.CollectionConverters._
+      snaps.asScala.toSeq.sortBy(_.batchId)
+    }
+    assert(snapshots.map(_.batchId) == Seq(0L, 1L), snapshots.map(_.batchId).toString)
+    assert(snapshots.last.recs == direct,
+      s"durable-tail stream ${snapshots.last.recs} vs restricted batch $direct")
+  }
 }
