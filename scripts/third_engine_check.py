@@ -699,10 +699,15 @@ f = pd.DataFrame({"event_id": ev.event_id,
 f = f.sort_values(["value", "event_id"], ascending=[False, True]).head(10)
 check("sort_limit_topk", f)
 
-# agg_heavy_hitters: exact at capacity >= distinct — plain top-10 counts
+# agg_heavy_hitters: exact top-10 plus the Misra-Gries bound assertion —
+# the sketch side is Spark-internal, so the independent expectation for
+# mg_within_bound is TRUE (the guarantee true−est <= n/capacity holds for
+# any correct MG regardless of |distinct| vs capacity; the r9 sf1 stress
+# gate killed the old capacity>=distinct exactness premise)
 f = ev.groupby("user_id").size().reset_index(name="cnt")
 f = f.sort_values(["cnt", "user_id"], ascending=[False, True]).head(10)
 f["cnt"] = f["cnt"].astype("int64")
+f["mg_within_bound"] = True
 check("agg_heavy_hitters", f)
 
 # text_clean: lowercase, strip non-alphanumerics, collapse spaces, trim

@@ -201,20 +201,38 @@ object Queries3 {
           |ORDER BY nationkey""".stripMargin)),
 
     QSpec("agg_heavy_hitters",
-      // frequent-items sketch (native TypedImperativeAggregate, Misra-Gries):
-      // capacity ≥ |distinct| ⇒ exact counts regardless of merge order, so
-      // the oracle is a plain GROUP BY; the n/capacity error bound at
-      // adversarial capacity is asserted in FunctionsSpec.
+      // frequent-items sketch (native TypedImperativeAggregate, Misra-Gries)
+      // tested against its ACTUAL guarantee: true_count − estimate ≤
+      // n/capacity for every key (an absent key estimates 0). The hashed
+      // surface is the EXACT top-10 (plain GROUP BY — DuckDB-reproducible)
+      // plus a per-row assertion that the sketch honors the bound — the
+      // agg_approx_distinct banding pattern. The first version of this key
+      // emitted the sketch counts directly under a "capacity ≥ |distinct|
+      // ⇒ exact" premise, which silently BREAKS the oracle compare the
+      // moment distinct keys outgrow the capacity — found by the r9 sf1
+      // stress gate (1M events / ~100k users vs capacity 8192), exactly
+      // the 100 TB failure mode a fixed-premise key must not carry. The
+      // tight-capacity exactness itself stays pinned in FunctionsSpec.
       (s, dir) => {
         import graft.functions.HeavyHitters.heavyHitters
-        t(s, dir, "events")
-          .agg(heavyHitters(col("user_id"), 8192).as("hh"))
-          .select(explode(col("hh")).as("e"))
-          .select(col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+        val ev = t(s, dir, "events")
+        val sketch = ev
+          .agg(heavyHitters(col("user_id"), 8192).as("hh"), count(lit(1)).as("n"))
+          .select(explode(col("hh")).as("e"), col("n"))
+          .select(col("e.key").as("user_id"), col("e.cnt").as("mg"), col("n"))
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("user_id")).limit(10)
+        val total = ev.count() // scalar: the bound's n for keys absent from the sketch
+        exact.join(broadcast(sketch), Seq("user_id"), "left")
+          .select(col("user_id"), col("cnt"),
+            (col("cnt") - coalesce(col("mg"), lit(0L)) <=
+              lit(total) / lit(8192L)).as("mg_within_bound"))
+          .orderBy(desc("cnt"), asc("user_id"))
       },
       Some(
-        """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  TRUE AS mg_within_bound
+          |FROM events
           |GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin)),
 
     QSpec("text_clean",

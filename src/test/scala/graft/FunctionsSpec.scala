@@ -199,6 +199,29 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("agg_heavy_hitters key stays green when distinct keys EXCEED the sketch capacity") {
+    // the r9 sf1 stress finding: the key's first version emitted raw MG
+    // counts under a "capacity >= distinct => exact" premise, which broke
+    // the oracle compare at 1M events / ~100k users. The reworked key hashes
+    // the EXACT top-10 and band-asserts the sketch against its real
+    // guarantee — this regression reproduces the exposing condition
+    // (distinct = 20k >> capacity = 8192) at unit scale.
+    import spark.implicits._
+    val hot = (0L until 10L).flatMap(u => Seq.fill(50)(u))
+    val cold = 10L until 20010L
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_cap").toString
+    (hot ++ cold).zipWithIndex.map { case (u, i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("agg_heavy_hitters")(spark, dir).collect()
+    // the hashed surface is the exact top-10, regardless of sketch pressure
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 10L).map(u => (u, 50L)))
+    // and the sketch honored true - est <= n/capacity on every row
+    assert(out.forall(_.getBoolean(2)), out.mkString("; "))
+  }
+
   test("EpochNanosPushdownRule: exact on the integer lattice, all ops, both orientations") {
     // the rewrite must be value-identical to the raw arithmetic for every
     // comparison op, literal divisibility class, and operand orientation —
