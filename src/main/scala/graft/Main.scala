@@ -48,7 +48,15 @@ object Main {
         case f @ "--out-dir" => outDir = valueOf(f); i += 2
         case f @ "--time-filter" => timeFilter = Some(valueOf(f)); i += 2
         case "--execute" => execute = true; i += 1
-        case f @ "--catalog" => catalog = Some(valueOf(f)); i += 2
+        case f @ "--catalog" =>
+          // validate HERE: a scheme typo must fail before the (expensive)
+          // analysis run, like every other bad flag — not after it
+          val c = valueOf(f)
+          if (!c.startsWith("rest:")) {
+            System.err.println(s"unsupported --catalog '$c' (expected rest:<url>)")
+            sys.exit(2)
+          }
+          catalog = Some(c); i += 2
         case f @ "--namespace" => namespace = valueOf(f); i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
       }
@@ -78,26 +86,28 @@ object Main {
       ReportExporter.export(spark, sfDir, outDir, timeFilter)
       println(s"artifacts exported to $outDir/")
 
-      // `--catalog rest:<url>` routes every commit through the Iceberg REST
-      // catalog protocol (the service is the commit authority); anything
-      // else falls through to the filesystem probe per table
-      val restCat = catalog.collect { case c if c.startsWith("rest:") =>
-        graft.catalog.IcebergRest.Catalog(c.stripPrefix("rest:"), namespace)
-      }
-      catalog.filterNot(_.startsWith("rest:")).foreach { c =>
-        System.err.println(s"unsupported --catalog '$c' (expected rest:<url>)")
-        sys.exit(2)
-      }
+      // `--catalog rest:<url>` routes commits through the Iceberg REST
+      // catalog protocol (the service is the commit authority); tables the
+      // service does not serve fall through to the filesystem probe, and a
+      // commit failure on one view must not abort the remaining views
+      // (partial application with no report is worse than either outcome)
+      val restCat = catalog.map(c =>
+        graft.catalog.IcebergRest.Catalog(c.stripPrefix("rest:"), namespace))
 
       if (execute) {
         recs.filter(r => r.getAs[String]("partition_spec") != null).foreach { r =>
           val view = r.getAs[String]("view")
           val spec = r.getAs[String]("partition_spec")
           val tableDir = s"$sfDir/$view"
-          if (restCat.isDefined) {
-            val specId = graft.catalog.IcebergRest.applySpec(restCat.get, view, spec)
-            println(s"committed REPLACE PARTITION SPEC for $view via REST catalog " +
-              s"(default-spec-id $specId)")
+          if (restCat.exists(c => graft.catalog.IcebergRest.isIcebergTable(c, view))) {
+            try {
+              val specId = graft.catalog.IcebergRest.applySpec(restCat.get, view, spec)
+              println(s"committed REPLACE PARTITION SPEC for $view via REST catalog " +
+                s"(default-spec-id $specId)")
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"REST commit FAILED for $view: ${e.getMessage} " +
+                "— continuing with the remaining recommendations")
+            }
           } else if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {
             // S5 executed natively: the table is a filesystem Iceberg
             // table, so REPLACE PARTITION SPEC commits as real spec

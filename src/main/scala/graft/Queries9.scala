@@ -191,10 +191,21 @@ object Queries9 {
             round(col("med"), 6).as("med_r"),
             round(col("mad"), 6).as("mad_r"),
             col("n_outliers"),
+            // band floors SCALE WITH THE DISTRIBUTION (mad is its natural
+            // dispersion unit), not a fixed absolute: a group whose median
+            // sits near zero would make a |med|-relative band collapse to
+            // the absolute floor while GK's value error stays density-
+            // dependent (rank error maps to a value gap ~ fractions of
+            // mad) — the same fixed-premise class the r9 sf1 stress run
+            // killed in agg_heavy_hitters. 1e-6 remains only as the
+            // degenerate-group fallback (all-equal values ⇒ both sketches
+            // return the exact member, difference 0).
             (abs(col("amed") - col("med")) <=
-              greatest(lit(0.01) * abs(col("med")), lit(1e-6))).as("amed_within_1pct"),
+              greatest(lit(0.01) * abs(col("med")), lit(0.02) * col("mad"),
+                lit(1e-6))).as("amed_within_1pct"),
             (abs(col("amad") - col("mad")) <=
-              greatest(lit(0.02) * abs(col("mad")), lit(1e-6))).as("amad_within_2pct"),
+              greatest(lit(0.02) * abs(col("mad")), lit(0.01) * abs(col("med")),
+                lit(1e-6))).as("amad_within_2pct"),
             (abs(col("an_outliers") - col("n_outliers")).cast("double") <=
               greatest(col("n_outliers").cast("double") * lit(0.05), lit(2.0)))
               .as("outliers_within_5pct"))

@@ -72,7 +72,8 @@ object StreamingAdvisor {
     *
     * `durableTail` changes what saturation costs: when true, the FULL
     * merged state is retained in the versioned parquet (saturation degrades
-    * to DISK — distributed, restart-surviving — instead of dropped counts;
+    * to DISK instead of dropped counts — restart-surviving GIVEN a
+    * checkpoint, which durableTail therefore requires at start();
     * a pruned-and-reappearing text can no longer restart from zero, so the
     * lossy-counting caveat above vanishes and stream == batch equality is
     * unconditional), while the per-batch ADVICE derivation still reads only
@@ -94,6 +95,17 @@ object StreamingAdvisor {
       checkpointDir: Option[String] = None,
       approxCardinality: Boolean = false,
       durableTail: Boolean = false): StreamingQuery = {
+    // durableTail's whole promise is restart-surviving counts — but a
+    // restart WITHOUT a checkpoint renumbers batches from 0, and batch 0's
+    // fresh-lineage sweep (below) deletes every retained state version.
+    // Refuse the contradiction up front rather than silently dropping the
+    // durable tail on the first restart.
+    require(!durableTail || checkpointDir.isDefined ||
+      spark.conf.getOption("spark.sql.streaming.checkpointLocation").isDefined,
+      "durableTail requires a checkpointDir (or " +
+        "spark.sql.streaming.checkpointLocation): without one a restart " +
+        "renumbers batches from 0 and the fresh-lineage sweep deletes the " +
+        "retained state — the exact loss durableTail exists to prevent")
     val stateRoot = new Path(logDir.stripSuffix("/") + "_state")
     // resolve through the Hadoop FS of the state path itself — the SAME
     // resolver the parquet reads/writes use, so listing/deleting versions
