@@ -72,25 +72,36 @@ case class VectorDot(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val lenGuard =
-        if (nullAsNull)
-          s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }"
-        else ""
+      // `ev.isNull` may only be referenced when `nullable` is true: for a
+      // non-nullable expression, nullSafeCodeGen captures this body with the
+      // fresh `isNull_N` name and THEN swaps ev.isNull to FalseLiteral without
+      // ever declaring the variable, so any textual reference here emits
+      // uncompilable Java ("isNull_N is not an rvalue") and the projection
+      // silently falls back to interpreted eval — exactly on the
+      // literal-centroid paths this kernel exists to speed up (r9 verdict).
+      // nullAsNull forces nullable=true (see `nullable` above), so gating the
+      // isNull-touching branches on nullAsNull alone is sufficient.
       val nullElem =
         if (nullAsNull) s"{ ${ev.isNull} = true; break; }"
         else "{ /* skip null positions (SUM semantics) */ }"
-      s"""
-         |$lenGuard
-         |if (!${ev.isNull}) {
-         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) $nullElem
-         |    else { $acc += $a.getDouble($i) * $b.getDouble($i); }
-         |  }
-         |  ${ev.value} = $acc;
-         |}
-       """.stripMargin
+      val loop =
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) $nullElem
+           |  else { $acc += $a.getDouble($i) * $b.getDouble($i); }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      if (nullAsNull) {
+        s"""
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |if (!${ev.isNull}) {
+           |  $loop
+           |}
+         """.stripMargin
+      } else loop
     })
 
   override protected def withNewChildrenInternal(
