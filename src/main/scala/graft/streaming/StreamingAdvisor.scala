@@ -79,7 +79,12 @@ object StreamingAdvisor {
     * unconditional), while the per-batch ADVICE derivation still reads only
     * the `stateCap` most-frequent texts, keeping the scorer's distributed
     * work and the driver's parse load heavy-hitter-bounded on a keyspace
-    * far past the cap. The cost is state parquet sized by DISTINCT TEXTS
+    * far past the cap. The heavy-hitter head is materialized cap-sized
+    * (`h<batchId>` beside `v<batchId>`) from the same in-memory merge the
+    * state write consumes, so advising never re-sorts the on-disk tail:
+    * per-batch cost is ONE full-state pass (the merge itself — inherent to
+    * exact totals under versioned-state replay) plus O(batch + stateCap)
+    * advice work. The cost is state parquet sized by DISTINCT TEXTS
     * ever seen (not history — rows stay one-per-text), the right trade on a
     * long-lived 100× stream whose keyspace outgrows any in-memory cap.
     *
@@ -106,6 +111,17 @@ object StreamingAdvisor {
         "spark.sql.streaming.checkpointLocation): without one a restart " +
         "renumbers batches from 0 and the fresh-lineage sweep deletes the " +
         "retained state — the exact loss durableTail exists to prevent")
+    // STABLE query name, derived from logDir (one advisor per logDir is
+    // already the documented contract). Without it the session-global
+    // spark.sql.streaming.checkpointLocation satisfies the require above but
+    // resolves to <location>/<random-UUID> per start() — a restart gets a
+    // FRESH checkpoint, batchIds renumber from 0, and the batch-0 sweep
+    // deletes every retained state version: exactly the loss the guard's
+    // message says it prevents (r9 advice, medium). With a stable name the
+    // global conf resolves to <location>/<queryName> and genuinely resumes.
+    val stableName = "graft-advisor-" +
+      logDir.replaceAll("[^A-Za-z0-9._-]", "-").takeRight(40) +
+      "-" + Integer.toHexString(logDir.hashCode)
     val stateRoot = new Path(logDir.stripSuffix("/") + "_state")
     // resolve through the Hadoop FS of the state path itself — the SAME
     // resolver the parquet reads/writes use, so listing/deleting versions
@@ -113,6 +129,7 @@ object StreamingAdvisor {
     // silently see nothing on a cluster whose default FS is remote)
     val fs = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val writer = queryLogStream.writeStream.outputMode("append")
+      .queryName(stableName)
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -136,7 +153,8 @@ object StreamingAdvisor {
         // this too, harmlessly: it recomputes v0 from scratch anyway.
         if (batchId == 0L && fs.exists(stateRoot))
           fs.listStatus(stateRoot)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+            .filter(st => st.isDirectory &&
+              (st.getPath.getName.startsWith("v") || st.getPath.getName.startsWith("h")))
             .foreach(st => fs.delete(st.getPath, true))
         val versions =
           if (fs.exists(stateRoot))
@@ -158,8 +176,9 @@ object StreamingAdvisor {
         // detects overflow runs on the same cached frame)
         val mergedC = merged.cache()
         val n = mergedC.count()
+        val overCap = n > stateCap
         val bounded =
-          if (n <= stateCap) mergedC
+          if (!overCap) mergedC
           else if (durableTail) {
             // spill tier: keep EVERYTHING on disk (one parquet row per
             // distinct text — keyspace-sized, never history-sized); only
@@ -176,6 +195,24 @@ object StreamingAdvisor {
           }
         val cur = new Path(stateRoot, s"v$batchId")
         bounded.write.mode("overwrite").parquet(cur.toString)
+        // HEAVY-HITTER HEAD, maintained alongside the tail (r9 verdict #7):
+        // when the durable tail outgrows the cap, the advice derivation must
+        // NOT re-sort the full on-disk keyspace every batch (an
+        // O(state·log cap) disk pass per trigger at 100× keyspace). The head
+        // is derived HERE, from the SAME cached in-memory merge the state
+        // write just consumed — one extra TakeOrdered reduction over a frame
+        // already resident, no second full-state disk scan — and persisted
+        // cap-sized as h<batchId>, so the advice path below reads O(stateCap)
+        // rows regardless of tail size. Per-batch cost decomposition: the
+        // full-state pass is the MERGE itself (read v<prev> + groupBy +
+        // write v<cur> — inherent to exact totals under the versioned-state
+        // replay contract); advice work on top of it is O(batch + stateCap).
+        // 'h' prefix, not 'v…_head': the version listing above parses
+        // getName.drop(1).toLong, which "3_head" would crash.
+        val headPath = new Path(stateRoot, s"h$batchId")
+        if (durableTail && overCap)
+          mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+            .write.mode("overwrite").parquet(headPath.toString)
         mergedC.unpersist()
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
@@ -196,15 +233,13 @@ object StreamingAdvisor {
         // NonFatal, not a narrower type: the first version caught only the
         // require's IAE and the named dropped-view scenario (an
         // AnalysisException) still escaped.
-        val adviceInput = {
-          val full = spark.read.parquet(cur.toString)
-          // durable-tail state may hold a keyspace far past the cap; the
-          // scorer sees only the heavy hitters (same order as the prune),
-          // so advice-side work stays stateCap-bounded either way
-          if (durableTail && n > stateCap)
-            full.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-          else full
-        }
+        // durable-tail state may hold a keyspace far past the cap; the
+        // scorer reads the cap-sized head snapshot written above, so
+        // advice-side IO and the driver's parse load are O(stateCap) no
+        // matter how large the on-disk tail grows
+        val adviceInput =
+          if (durableTail && overCap) spark.read.parquet(headPath.toString)
+          else spark.read.parquet(cur.toString)
         val recs =
           try AnalysisPipeline.runFromCatalogStats(spark,
               adviceInput, nameFilter = nameFilter,
@@ -228,7 +263,12 @@ object StreamingAdvisor {
         // find it (a replay merges against versions < batchId — deleting
         // the merge source inside its consumer batch would lose all
         // history in that window). Steady state is two copies on disk.
-        prevVersions.dropRight(1).foreach(s => fs.delete(s.getPath, true))
+        prevVersions.dropRight(1).foreach { s =>
+          fs.delete(s.getPath, true)
+          // the paired head snapshot (if that batch was over-cap) ages out
+          // with its version — heads are derivable, never merge sources
+          fs.delete(new Path(stateRoot, "h" + s.getPath.getName.drop(1)), true)
+        }
         ()
         } finally batch.unpersist()
       }

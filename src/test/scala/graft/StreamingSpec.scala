@@ -717,5 +717,16 @@ class StreamingSpec extends SparkSpec {
     assert(snapshots.map(_.batchId) == Seq(0L, 1L), snapshots.map(_.batchId).toString)
     assert(snapshots.last.recs == direct,
       s"durable-tail stream ${snapshots.last.recs} vs restricted batch $direct")
+    // HEAVY-HITTER HEAD (r9 verdict #7): advice over a saturated durable
+    // tail must read a cap-sized head snapshot, not re-sort the full
+    // on-disk keyspace per batch. h1 must exist, hold EXACTLY stateCap
+    // rows, and equal the true top-2 of the full state by the advisor's
+    // (cnt desc, query asc) heavy-hitter order — i.e. the incremental head
+    // is the head a full sort would have produced.
+    val headRows = stateRows(spark.read.parquet(s"$root/log_state/h1"))
+    assert(headRows.size == 2, s"head must be cap-sized, got ${headRows.size}")
+    val wantHead = stateRows(graft.pipeline.AnalysisPipeline.textStatsOf(fullLog)
+      .orderBy(desc("cnt"), asc("query")).limit(2))
+    assert(headRows == wantHead, s"head diverged:\n got $headRows\nwant $wantHead")
   }
 }
