@@ -116,6 +116,63 @@ class AdvisorEndToEndSpec extends SparkSpec {
     assert(empty.head.accepted && empty.head.nRows == 0L)
   }
 
+  test("vet batches all of one view's fragments into a single pass (r9 #3)") {
+    import graft.recommend.Balance
+    // equivalence first: the grouping-sets pass must reproduce the
+    // one-at-a-time stats exactly, across fragment SHAPES (bare column,
+    // bucket(n, c), month(c)) and including a null-valued partition column
+    val withNulls = spark.range(20000).select(
+      when(col("id") % 100 === 0, lit(null)).otherwise(col("id") % 16).as("a"),
+      (col("id") % 7).as("b"),
+      timestamp_seconds(col("id") * 86400 % 63072000).as("ts"))
+    val frags = Seq("a", "b", "bucket(8, b)", "month(ts)")
+    val all = Balance.evidenceAll(withNulls, frags)
+    frags.foreach { f =>
+      val one = {
+        val (_, pv) = SpecParser.toColumn(f, withNulls)
+        val g = withNulls.groupBy(pv.as("pv")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)), sum("n"), max("n")).collect()(0)
+        (g.getLong(0), g.getLong(1), g.getLong(2))
+      }
+      assert((all(f).nPartitions, all(f).nRows, all(f).maxRows) == one,
+        s"batched evidence for '$f' diverged: ${all(f)} vs $one")
+    }
+    // job shape: 4 candidates on ONE view must cost ONE SQL execution
+    // (single scan + grouping-sets aggregate), not one job per candidate
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    // quiescence helper: listener delivery is async — wait until the count
+    // stops moving (value-stability, not a wall-clock bound on work)
+    def stableCount(): Int = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var prev = -1
+      var cur = execs.get()
+      while ((prev != cur || cur < 0) && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(300); cur = execs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      stableCount() // drain any straggler events from earlier actions
+      val before = execs.get()
+      val vetted = Balance.vet(
+        frags.zipWithIndex.map { case (f, i) => ("t", f, (i + 1).toLong, f) },
+        _ => withNulls, maxSkew = 1e9)
+      assert(vetted.size == 4 && vetted.forall(_.accepted))
+      val after = stableCount()
+      assert(after - before == 1,
+        s"4 candidates on one view cost ${after - before} SQL executions, want 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("runVetted: every recommendation flows through its own balance evidence") {
     val (recs, evidence) = AnalysisPipeline.runVetted(spark, sfDir, maxSkew = 8.0)
     val ev = evidence.collect()
