@@ -2195,6 +2195,26 @@ check("parse_query_columns", pd.DataFrame(
     [{"kind": kd, "name": n2, "total": np.int64(v)}
      for (kd, n2), v in sorted(acc.items())]))
 
+# parse_trino_dialect: hand-derived sqlglot-equivalent ground truth for the
+# seven canned Trino-only texts (Queries9.trinoDialectTexts) — one row per
+# (text, kind, name). Independent hand derivation: read each text, apply
+# Trino semantics (ARRAY[...] is a literal, "x" is an identifier, UNNEST's
+# argument columns are references), list what sqlglot would extract.
+TRINO_REFS = [
+    (0, "table", "events", 1), (0, "where_col", "user_id", 1),
+    (1, "table", "orders", 1), (1, "where_col", "o_totalprice", 1),
+    (2, "table", "orders", 1),
+    (3, "table", "lineitem", 1), (3, "where_col", "l_quantity", 1),
+    (4, "table", "events", 1), (4, "where_col", "value", 1),
+    (5, "table", "documents", 1), (5, "where_col", "doc_id", 1),
+    (6, "join_col", "l_orderkey", 1), (6, "join_col", "o_orderkey", 1),
+    (6, "table", "lineitem", 1), (6, "table", "orders", 1),
+    (6, "where_col", "o_custkey", 1),
+]
+check("parse_trino_dialect", pd.DataFrame(
+    [{"qk": np.int32(qk), "kind": kd, "name": n2, "cnt": np.int64(c_)}
+     for qk, kd, n2, c_ in sorted(TRINO_REFS)]))
+
 # scan_catalog_views / scan_catalog_live / scan_columns_meta: rebuild the
 # catalog rows straight from the parquet FOOTERS via pyarrow (independent
 # of both Spark's reader and the static oracle VALUES)

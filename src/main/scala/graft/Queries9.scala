@@ -313,5 +313,56 @@ object Queries9 {
            |    CAST(SUM(n) AS BIGINT), CAST(MAX(n) AS BIGINT) FROM c3)
            |SELECT candidate, n_partitions, n_rows, max_rows, $skew AS skew_r
            |FROM u ORDER BY candidate""".stripMargin
-      }))
+      }),
+
+    QSpec("parse_trino_dialect",
+      // P2 ingestion breadth (r9 verdict "What's missing #1"): a REAL Trino
+      // query log is full of Trino-only surface forms — ARRAY[…] literals,
+      // double-quoted identifiers, FETCH FIRST, TABLESAMPLE BERNOULLI,
+      // JSON casts, UNNEST table functions — that Catalyst's parser rejects
+      // (or, for ARRAY[…], silently mis-reads as a subscript on a column
+      // named `array`). QueryIntrospector.trinoToSpark pre-translates them;
+      // this key pins the (table, join_col, where_col) rows the shimmed
+      // parse extracts for one of each form against hand-derived sqlglot
+      // ground truth. Parsing is driver-side over seven constant texts
+      // (metadata-sized — no job runs until the VALUES-shaped result is
+      // consumed).
+      (s, dir) => {
+        import s.implicits._
+        val refRows = Queries9.trinoDialectTexts.flatMap { case (qk, q) =>
+          graft.introspect.QueryIntrospector.parse(s, q).toSeq.flatMap { r =>
+            r.tables.groupBy(identity).toSeq.map { case (n, v) =>
+              (qk, "table", n, v.size.toLong) } ++
+              r.joinColumns.toSeq.map { case (n, c) => (qk, "join_col", n, c.toLong) } ++
+              r.whereColumns.toSeq.map { case (n, c) => (qk, "where_col", n, c.toLong) }
+          }
+        }
+        refRows.toDF("qk", "kind", "name", "cnt").orderBy("qk", "kind", "name")
+      },
+      Some(
+        """SELECT qk, kind, name, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+          |  (0, 'table', 'events', 1), (0, 'where_col', 'user_id', 1),
+          |  (1, 'table', 'orders', 1), (1, 'where_col', 'o_totalprice', 1),
+          |  (2, 'table', 'orders', 1),
+          |  (3, 'table', 'lineitem', 1), (3, 'where_col', 'l_quantity', 1),
+          |  (4, 'table', 'events', 1), (4, 'where_col', 'value', 1),
+          |  (5, 'table', 'documents', 1), (5, 'where_col', 'doc_id', 1),
+          |  (6, 'join_col', 'l_orderkey', 1), (6, 'join_col', 'o_orderkey', 1),
+          |  (6, 'table', 'lineitem', 1), (6, 'table', 'orders', 1),
+          |  (6, 'where_col', 'o_custkey', 1)
+          |) AS t(qk, kind, name, cnt)
+          |ORDER BY qk, kind, name""".stripMargin))
+  )
+
+  /** One canned text per Trino-only surface form the shim translates —
+    * shared by the `parse_trino_dialect` key and its third-engine audit. */
+  val trinoDialectTexts: Seq[(Int, String)] = Seq(
+    0 -> "SELECT event_id FROM events WHERE contains(ARRAY[1, 2, 3], user_id)",
+    1 -> "SELECT \"o_comment\" FROM \"orders\" WHERE \"o_totalprice\" > 100.0",
+    2 -> "SELECT o_orderkey FROM orders ORDER BY o_totalprice FETCH FIRST 10 ROWS ONLY",
+    3 -> "SELECT l_orderkey FROM lineitem TABLESAMPLE BERNOULLI(10) WHERE l_quantity > 5",
+    4 -> "SELECT CAST(props AS JSON) FROM events WHERE value > 0.5 FETCH FIRST 5 ROWS ONLY",
+    5 -> "SELECT doc_id, tag FROM documents CROSS JOIN UNNEST(split(text, ',')) AS t(tag) WHERE doc_id > 10",
+    6 -> ("SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE contains(ARRAY[1, 2], o_custkey)"))
 }

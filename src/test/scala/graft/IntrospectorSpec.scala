@@ -122,6 +122,72 @@ class IntrospectorSpec extends SparkSpec {
       "CREATE VIEW v AS SELEKT nope FROMM t").isEmpty)
   }
 
+  test("Trino-dialect log queries extract the same refs sqlglot would (r9 #4)") {
+    // the shim only engages on Spark-parse failure, so each row here is a
+    // Trino-ONLY surface form; expectations are the (table, join-col,
+    // where-col) rows sqlglot's permissive dialect yields
+    val arrayLit = QueryIntrospector.parse(spark,
+      "SELECT event_id FROM events WHERE value IN (0.1, 0.5) AND contains(ARRAY[1, 2, 3], type_id)").get
+    assert(arrayLit.tables == Seq("events"))
+    assert(arrayLit.whereColumns == Map("value" -> 1, "type_id" -> 1))
+
+    val nested = QueryIntrospector.parse(spark,
+      "SELECT ARRAY[ARRAY[o_orderkey], ARRAY[o_custkey]] FROM orders").get
+    assert(nested.allColumns == Map("o_orderkey" -> 1, "o_custkey" -> 1))
+
+    val quoted = QueryIntrospector.parse(spark,
+      "SELECT \"weird col\" FROM \"my table\" WHERE \"weird col\" > 5 AND ARRAY[1] IS NOT NULL").get
+    assert(quoted.tables == Seq("my table"))
+    assert(quoted.whereColumns == Map("weird col" -> 1))
+
+    val fetch = QueryIntrospector.parse(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice FETCH FIRST 10 ROWS ONLY").get
+    assert(fetch.tables == Seq("orders"))
+    assert(fetch.allColumns == Map("o_orderkey" -> 1, "o_totalprice" -> 1))
+
+    val sample = QueryIntrospector.parse(spark,
+      "SELECT l_orderkey FROM lineitem TABLESAMPLE BERNOULLI(10) WHERE l_quantity > 5").get
+    assert(sample.tables == Seq("lineitem"))
+    assert(sample.whereColumns == Map("l_quantity" -> 1))
+
+    val casts = QueryIntrospector.parse(spark,
+      "SELECT CAST(json_parse(payload) AS JSON), CAST(o_orderkey AS VARBINARY), " +
+        "CAST(o_orderdate AS TIMESTAMP(3) WITH TIME ZONE) AS json FROM orders").get
+    assert(casts.tables == Seq("orders"))
+    assert(casts.allColumns.keySet == Set("payload", "o_orderkey", "o_orderdate"))
+
+    val unnest = QueryIntrospector.parse(spark,
+      "SELECT doc_id, tag FROM documents CROSS JOIN UNNEST(split(text, ',')) AS t(tag) WHERE doc_id > 10").get
+    assert(unnest.tables == Seq("documents"))
+    assert(unnest.whereColumns == Map("doc_id" -> 1))
+    assert(unnest.allColumns.contains("text"), unnest.allColumns.toString)
+
+    val ordinal = QueryIntrospector.parse(spark,
+      "SELECT tag, n FROM documents, UNNEST(split(text, ',')) WITH ORDINALITY AS t(tag, n)").get
+    assert(ordinal.tables == Seq("documents"))
+    assert(ordinal.allColumns.contains("text"))
+
+    // approx_distinct needs NO translation: unresolved function names parse,
+    // and the argument column is exactly what usage counting consumes
+    val approx = QueryIntrospector.parse(spark,
+      "SELECT approx_distinct(o_custkey) FROM orders WHERE o_totalprice > 100").get
+    assert(approx.allColumns.contains("o_custkey"))
+
+    // literal content is untouchable: the ARRAY[ inside a string literal
+    // must come through verbatim while the one outside is translated
+    val lit = QueryIntrospector.parse(spark,
+      "SELECT o_comment FROM orders WHERE o_comment = 'keep ARRAY[1] intact' AND contains(ARRAY[2], o_orderkey)").get
+    assert(lit.whereColumns == Map("o_comment" -> 1, "o_orderkey" -> 1))
+
+    // alias positions named like Trino types are NOT rewritten
+    val alias = QueryIntrospector.parse(spark,
+      "SELECT o_orderkey AS json FROM orders FETCH FIRST 5 ROWS ONLY").get
+    assert(alias.allColumns == Map("o_orderkey" -> 1))
+
+    // and genuine garbage still degrades to None through both dialects
+    assert(QueryIntrospector.parse(spark, "SELECT ARRAY[1 FROM nope").isEmpty)
+  }
+
   test("workloadTexts heavy-hitter selector: frequency order, text tiebreak, cap, null drop") {
     // THE shared selector (every driver-side text collect funnels through
     // it): most-frequent first, ties broken by text ascending, nulls
