@@ -217,16 +217,25 @@ object Queries3 {
         import graft.functions.HeavyHitters.heavyHitters
         val ev = t(s, dir, "events")
         val sketch = ev
-          .agg(heavyHitters(col("user_id"), 8192).as("hh"), count(lit(1)).as("n"))
-          .select(explode(col("hh")).as("e"), col("n"))
-          .select(col("e.key").as("user_id"), col("e.cnt").as("mg"), col("n"))
+          .agg(heavyHitters(col("user_id"), 8192).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.key").as("user_id"), col("e.cnt").as("mg"))
         val exact = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("user_id")).limit(10)
-        val total = ev.count() // scalar: the bound's n for keys absent from the sketch
+        // the bound's n as a BROADCAST SCALAR COLUMN, not a driver-side
+        // ev.count() at build time (r9 advice): an eager count in the query
+        // BUILDER made merely constructing this DataFrame — plan dumps,
+        // explain gates, building all queries without executing — trigger a
+        // full events scan as a side job. Cross-joined single-row aggregates
+        // stay lazy and the scalar reaches every row without a shuffle.
+        // Joined (not taken from the sketch rows) so a top-10 key ABSENT
+        // from the sketch still sees n rather than null.
+        val totals = ev.agg(count(lit(1)).as("n"))
         exact.join(broadcast(sketch), Seq("user_id"), "left")
+          .crossJoin(broadcast(totals))
           .select(col("user_id"), col("cnt"),
             (col("cnt") - coalesce(col("mg"), lit(0L)) <=
-              lit(total) / lit(8192L)).as("mg_within_bound"))
+              col("n") / lit(8192L)).as("mg_within_bound"))
           .orderBy(desc("cnt"), asc("user_id"))
       },
       Some(

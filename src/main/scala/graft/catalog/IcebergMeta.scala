@@ -411,12 +411,26 @@ object IcebergMeta {
     // dropped. Re-reading the committed file and comparing against our own
     // bytes turns that silent supersession into a loud failure (the
     // competitor's commit remains intact and authoritative).
+    // The verification read is DIAGNOSTIC: at this point the commit itself
+    // has already succeeded (v-file written, hint swung). A transient
+    // re-read failure must not be reported as a commit failure — the caller
+    // would re-issue a committed spec change (r9 advice). Retry once, then
+    // fail with an explicitly inconclusive message distinct from the
+    // supersession signal below.
+    def readCommitted(): String = {
+      val in = filesystem.open(target)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
     val committed =
-      try {
-        val in = filesystem.open(target)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      } catch { case e: Exception => throw new java.io.IOException(
-        s"commit verification failed: cannot re-read $target after hint swing", e) }
+      try readCommitted()
+      catch { case _: Exception =>
+        try readCommitted()
+        catch { case e: Exception => throw new java.io.IOException(
+          s"commit verification INCONCLUSIVE: cannot re-read $target after " +
+            "the hint swing — the commit may well have SUCCEEDED (v-file " +
+            "written and hint swung); verify the table state before " +
+            "re-issuing this spec change", e) }
+      }
     if (committed != new String(docBytes, "UTF-8"))
       throw new java.io.IOException(
         s"commit superseded: $target holds a concurrent committer's document " +

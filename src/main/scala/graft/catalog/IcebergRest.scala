@@ -128,7 +128,14 @@ object IcebergRest {
     }
     val lastPartitionId = (m.raw \ "last-partition-id") match {
       case JInt(n) => Some(n.toInt)
-      case _ => m.specs.values.flatten.map(_.fieldId).maxOption
+      // absent (typical of format-version-1 documents): OMIT the
+      // requirement. The earlier guess (max field id parsed client-side)
+      // 409s DETERMINISTICALLY whenever the service tracks a different
+      // value — the retry recomputes the same guess from the same absent
+      // key and the commit fails loudly with no actual concurrency
+      // (r9 advice). The uuid + default-spec-id asserts still fence every
+      // real conflict this client can observe.
+      case _ => None
     }
     val requirements = JArray(List(
       uuid.map(u => JObject("type" -> JString("assert-table-uuid"),

@@ -47,9 +47,10 @@ class IcebergRestSpec extends SparkSpec {
     * add-spec with a SERVER-assigned spec-id (so the client's
     * set-default-spec -1 indirection is actually exercised) and validates
     * every requirement the client sends — mismatches get the spec's 409. */
-  private class StubCatalog {
-    val state = new AtomicReference[JObject](initialMeta)
+  private class StubCatalog(initial: JObject) {
+    val state = new AtomicReference[JObject](initial)
     @volatile var commits = 0
+    @volatile var lastRequirements: List[JValue] = Nil
 
     private def jint(v: JValue): Option[BigInt] = v match {
       case JInt(n) => Some(n); case _ => None
@@ -112,6 +113,7 @@ class IcebergRestSpec extends SparkSpec {
             scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString)
           // honest requirement validation, per the public REST spec
           val reqs = (body \ "requirements").asInstanceOf[JArray].arr
+          lastRequirements = reqs
           val failed = reqs.exists { r =>
             (r \ "type") match {
               case JString("assert-table-uuid") =>
@@ -149,8 +151,12 @@ class IcebergRestSpec extends SparkSpec {
     }
   }
 
-  private def withStub(test: (StubCatalog, IcebergRest.Catalog) => Unit): Unit = {
-    val stub = new StubCatalog
+  private def withStub(test: (StubCatalog, IcebergRest.Catalog) => Unit): Unit =
+    withStubMeta(initialMeta)(test)
+
+  private def withStubMeta(initial: JObject)(
+      test: (StubCatalog, IcebergRest.Catalog) => Unit): Unit = {
+    val stub = new StubCatalog(initial)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) =>
       try stub.handle(ex) catch {
@@ -256,6 +262,30 @@ class IcebergRestSpec extends SparkSpec {
       IcebergRest.applySpec(cat, "orders", block)
       assert(IcebergRest.partitionSpecString(cat, "orders") ==
         "month(o_orderdate), bucket(4, o_orderkey)")
+    }
+  }
+
+  test("v1 metadata without last-partition-id: requirement OMITTED, not guessed (r9 advice)") {
+    // format-version-1 documents typically lack last-partition-id; the
+    // client used to GUESS it from parsed spec field ids and assert the
+    // guess — when the service tracks a different value the 409 is
+    // deterministic, the retry recomputes the same guess, and the commit
+    // fails loudly with no actual concurrency. The fix omits the assert
+    // when the key is absent (uuid + default-spec-id still fence real
+    // conflicts).
+    val v1 = JObject(initialMeta.obj.filterNot(_._1 == "last-partition-id"))
+    withStubMeta(v1) { (stub, cat) =>
+      val specId = IcebergRest.replacePartitionSpec(cat, "orders", Seq("month(o_orderdate)"))
+      assert(specId == 1, s"commit must succeed first try, got spec $specId")
+      assert(stub.commits == 1)
+      assert(stub.lastRequirements.nonEmpty)
+      assert(!stub.lastRequirements.exists(r =>
+        (r \ "type") == JString("assert-last-assigned-partition-id")),
+        s"client must omit the assert for keyless metadata: ${stub.lastRequirements}")
+      // the uuid and spec-id fences are still present
+      assert(stub.lastRequirements.exists(r => (r \ "type") == JString("assert-table-uuid")))
+      assert(stub.lastRequirements.exists(r =>
+        (r \ "type") == JString("assert-default-spec-id")))
     }
   }
 
