@@ -15,12 +15,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.Main [--sf-dir DIR] [--out-dir DIR] [--time-filter SQL] [--execute]
-  *              [--catalog rest:URL] [--namespace NS]
+  *              [--catalog rest:URL | hms:thrift://host:port/db] [--namespace NS]
   *
   * `--catalog rest:<url>` (with `--execute`) commits every recommendation
   * through the Iceberg REST catalog protocol at `<url>` (namespace
   * `--namespace`, default `default`) instead of probing filesystem tables —
   * the deployment shape where a catalog service owns the metadata pointer.
+  * `--catalog hms:thrift://host:port/db` does the same through a Hive
+  * Metastore (pointer swap under an exclusive HMS table lock — the
+  * reference's hive.metastore.uri deployment shape, config.py:16).
   *
   * `--time-filter` is a SQL predicate over the QUERY LOG, whose `ts` column
   * is epoch-nanos BIGINT (the engine-wide contract) — e.g.
@@ -52,10 +55,13 @@ object Main {
           // validate HERE: a scheme typo must fail before the (expensive)
           // analysis run, like every other bad flag — not after it
           val c = valueOf(f)
-          if (!c.startsWith("rest:")) {
-            System.err.println(s"unsupported --catalog '$c' (expected rest:<url>)")
+          if (!c.startsWith("rest:") && !c.startsWith("hms:")) {
+            System.err.println(
+              s"unsupported --catalog '$c' (expected rest:<url> or hms:thrift://host:port/db)")
             sys.exit(2)
           }
+          if (c.startsWith("hms:")) // URI shape fails fast too
+            graft.catalog.IcebergHms.parseUri(c.stripPrefix("hms:"))
           catalog = Some(c); i += 2
         case f @ "--namespace" => namespace = valueOf(f); i += 2
         case other => System.err.println(s"unknown arg: $other"); sys.exit(2)
@@ -91,8 +97,10 @@ object Main {
       // service does not serve fall through to the filesystem probe, and a
       // commit failure on one view must not abort the remaining views
       // (partial application with no report is worse than either outcome)
-      val restCat = catalog.map(c =>
+      val restCat = catalog.filter(_.startsWith("rest:")).map(c =>
         graft.catalog.IcebergRest.Catalog(c.stripPrefix("rest:"), namespace))
+      val hmsCat = catalog.filter(_.startsWith("hms:")).map(c =>
+        graft.catalog.IcebergHms.parseUri(c.stripPrefix("hms:")))
 
       if (execute) {
         recs.filter(r => r.getAs[String]("partition_spec") != null).foreach { r =>
@@ -106,6 +114,15 @@ object Main {
                 s"(default-spec-id $specId)")
             } catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"REST commit FAILED for $view: ${e.getMessage} " +
+                "— continuing with the remaining recommendations")
+            }
+          } else if (hmsCat.exists(c => graft.catalog.IcebergHms.isIcebergTable(c, view))) {
+            try {
+              val loc = graft.catalog.IcebergHms.applySpec(spark, hmsCat.get, view, spec)
+              println(s"committed REPLACE PARTITION SPEC for $view via HMS catalog " +
+                s"(metadata $loc)")
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"HMS commit FAILED for $view: ${e.getMessage} " +
                 "— continuing with the remaining recommendations")
             }
           } else if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {

@@ -1,0 +1,187 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.metastore.api.{CheckLockRequest, LockComponent, LockLevel, LockRequest, LockState, LockType, ThriftHiveMetastore, UnlockRequest}
+import org.apache.spark.sql.SparkSession
+import org.apache.thrift.protocol.TBinaryProtocol
+import org.apache.thrift.transport.TSocket
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** S5 over the Hive-Metastore thrift protocol — the third catalog surface
+  * beside filesystem/HadoopTables ([[IcebergMeta]]) and REST
+  * ([[IcebergRest]]), closing the reference's `hive.metastore.uri` deployment
+  * shape (README.md:113, config.py:16) natively instead of delegating to a
+  * Trino cluster.
+  *
+  * Iceberg-on-HMS layout (public contract, iceberg-hive-metastore's
+  * HiveTableOperations): the metastore's Table entry carries a
+  * `metadata_location` parameter pointing at the CURRENT metadata JSON on the
+  * table's filesystem; a commit writes a new metadata document beside the old
+  * one and swaps the pointer via `alter_table`, serialized under an EXCLUSIVE
+  * HMS table lock (lock → poll while WAITING → alter → unlock), recording
+  * `previous_metadata_location` for lineage. The document itself is the same
+  * spec JSON every other surface reads, so the whole resolve pipeline —
+  * [[IcebergMeta.parseMetadata]], [[IcebergMeta.buildReplacementSpec]],
+  * [[IcebergMeta.replacementDocument]] — is reused verbatim; only the
+  * pointer read and the locked swap are HMS-specific.
+  *
+  * The resolve runs entirely UNDER the exclusive lock (unlike iceberg-core's
+  * resolve-outside, recheck-inside): advisor spec commits are rare,
+  * metadata-sized operations, and holding the lock for the extra
+  * milliseconds buys unconditional serializability — no base-pointer
+  * recheck, no retry loop, no deterministic-conflict failure mode at all.
+  */
+object IcebergHms {
+
+  /** `hms:thrift://host:port/db` ← Main's `--catalog` syntax. */
+  final case class Catalog(host: String, port: Int, db: String)
+
+  def parseUri(uri: String): Catalog = {
+    val m = "(?:thrift://)?([^:/]+):(\\d+)/(.+)".r
+    uri match {
+      case m(h, p, db) => Catalog(h, p.toInt, db)
+      case _ => throw new IllegalArgumentException(
+        s"HMS catalog URI must look like thrift://host:port/db, got '$uri'")
+    }
+  }
+
+  /** The metadata_location table parameter (the Iceberg-on-HMS pointer). */
+  private val MetadataLocation = "metadata_location"
+  private val PreviousMetadataLocation = "previous_metadata_location"
+
+  /** How long to poll a WAITING lock before giving up (ms). The HMS lock
+    * queue grants exclusive locks in order; a stuck competitor must not
+    * wedge the advisor forever. Overridable for tests. */
+  private[graft] var LockTimeoutMs: Long = 30000L
+  private[graft] var LockPollMs: Long = 200L
+
+  private def withClient[T](cat: Catalog)(f: ThriftHiveMetastore.Iface => T): T = {
+    val sock = new TSocket(cat.host, cat.port)
+    sock.open()
+    try f(new ThriftHiveMetastore.Client(new TBinaryProtocol(sock)))
+    finally sock.close()
+  }
+
+  /** Current metadata-document location for `table`, from the pointer
+    * parameter — fails actionably when the table exists but is not an
+    * Iceberg table (no pointer). */
+  def metadataLocation(cat: Catalog, table: String): String =
+    withClient(cat) { cli => metadataLocationVia(cli, cat, table) }
+
+  private def metadataLocationVia(cli: ThriftHiveMetastore.Iface,
+      cat: Catalog, table: String): String = {
+    val t = cli.get_table(cat.db, table)
+    Option(t.getParameters).map(_.get(MetadataLocation)).filter(_ != null)
+      .getOrElse(throw new IllegalArgumentException(
+        s"${cat.db}.$table has no $MetadataLocation parameter — " +
+          "registered in this metastore, but not as an Iceberg table"))
+  }
+
+  /** Load current metadata through the metastore pointer. Returns the parsed
+    * meta and the document location it came from. */
+  def loadTable(spark: SparkSession, cat: Catalog,
+      table: String): (IcebergMeta.TableMeta, String) =
+    withClient(cat) { cli => loadVia(spark, cli, cat, table) }
+
+  private def loadVia(spark: SparkSession, cli: ThriftHiveMetastore.Iface,
+      cat: Catalog, table: String): (IcebergMeta.TableMeta, String) = {
+    val loc = metadataLocationVia(cli, cat, table)
+    val p = new Path(loc)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val json = JsonMethods.parse(txt) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(
+        s"$loc is not a JSON object: ${other.getClass.getSimpleName}")
+    }
+    // HMS owns the pointer; the filesystem v<N> numbering does not apply
+    (IcebergMeta.parseMetadata(loc, json, -1), loc)
+  }
+
+  /** `$metadata`-style probe: does this metastore serve `table` as Iceberg? */
+  def isIcebergTable(cat: Catalog, table: String): Boolean =
+    try { metadataLocation(cat, table); true } catch { case _: Exception => false }
+
+  /** Current default spec in the reference's fragment syntax — the HMS twin
+    * of [[IcebergMeta.partitionSpecString]]/[[IcebergRest.partitionSpecString]]. */
+  def partitionSpecString(spark: SparkSession, cat: Catalog, table: String): String = {
+    val (m, _) = loadTable(spark, cat, table)
+    val byId = m.schemaIds.map(_.swap)
+    m.specs.getOrElse(m.defaultSpecId, Nil)
+      .map(IcebergMeta.renderField(_, id => byId.getOrElse(id, s"col_$id")))
+      .mkString(", ")
+  }
+
+  private def acquireLock(cli: ThriftHiveMetastore.Iface, cat: Catalog,
+      table: String): Long = {
+    val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE, cat.db)
+    comp.setTablename(table)
+    val req = new LockRequest(java.util.List.of(comp),
+      System.getProperty("user.name", "graft"),
+      java.net.InetAddress.getLocalHost.getHostName)
+    var resp = cli.lock(req)
+    val deadline = System.nanoTime() + LockTimeoutMs * 1000000L
+    while (resp.getState == LockState.WAITING && System.nanoTime() < deadline) {
+      Thread.sleep(LockPollMs)
+      resp = cli.check_lock(new CheckLockRequest(resp.getLockid))
+    }
+    if (resp.getState != LockState.ACQUIRED) {
+      // held-but-not-acquired must be released or it wedges the lock queue
+      try cli.unlock(new UnlockRequest(resp.getLockid)) catch { case _: Exception => () }
+      throw new java.io.IOException(
+        s"could not acquire exclusive HMS lock on ${cat.db}.$table " +
+          s"within ${LockTimeoutMs}ms (state ${resp.getState}) — " +
+          "a concurrent committer holds it; retry later")
+    }
+    resp.getLockid
+  }
+
+  /** Iceberg-on-HMS metadata file naming: `<n>-<uuid>.metadata.json`, n
+    * parsed from the current document's name and incremented (falls back to
+    * 0 for unrecognized names — the uuid keeps it collision-free). */
+  private[catalog] def nextMetadataPath(currentLoc: String): Path = {
+    val cur = new Path(currentLoc)
+    val n = "^(\\d+)-.*".r.findFirstMatchIn(cur.getName).map(_.group(1).toInt + 1).getOrElse(0)
+    new Path(cur.getParent, f"$n%05d-${java.util.UUID.randomUUID()}.metadata.json")
+  }
+
+  /** REPLACE PARTITION SPEC through the metastore. Returns the new
+    * metadata-document location the pointer now holds. */
+  def replacePartitionSpec(spark: SparkSession, cat: Catalog, table: String,
+      fragments: Seq[String]): String = withClient(cat) { cli =>
+    val lockId = acquireLock(cli, cat, table)
+    try {
+      // resolve under the lock: the read pointer cannot move before the swap
+      val (m, baseLoc) = loadVia(spark, cli, cat, table)
+      val (newSpecId, fields) =
+        IcebergMeta.buildReplacementSpec(m, fragments, s"${cat.db}.$table")
+      val updated = IcebergMeta.replacementDocument(m, newSpecId, fields)
+      val target = nextMetadataPath(baseLoc)
+      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(target, false) // uuid-fresh name; never overwrite
+      try out.write(JsonMethods.pretty(JsonMethods.render(updated)).getBytes("UTF-8"))
+      finally out.close()
+      val t = cli.get_table(cat.db, table)
+      t.getParameters.put(PreviousMetadataLocation, baseLoc)
+      t.getParameters.put(MetadataLocation, target.toString)
+      cli.alter_table(cat.db, table, t)
+      target.toString
+    } finally {
+      try cli.unlock(new UnlockRequest(lockId))
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"failed to release HMS lock $lockId on ${cat.db}.$table: ${e.getMessage} " +
+            "(the metastore's lock reaper will expire it)")
+      }
+    }
+  }
+
+  /** Apply an advisor script's rendered spec block — the `--execute
+    * --catalog hms:<uri>` path, twin of [[IcebergMeta.applySpec]] and
+    * [[IcebergRest.applySpec]]. */
+  def applySpec(spark: SparkSession, cat: Catalog, table: String,
+      partitionSpec: String): String =
+    replacePartitionSpec(spark, cat, table, IcebergMeta.splitFragments(partitionSpec))
+}

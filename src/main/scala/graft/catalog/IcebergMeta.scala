@@ -325,10 +325,12 @@ object IcebergMeta {
     * @param fragments reference-syntax spec fragments, in order
     * @return the committed metadata version
     */
-  def replacePartitionSpec(spark: SparkSession, tableDir: String,
-      fragments: Seq[String]): Int = {
-    val m = read(spark, tableDir)
-    val (newSpecId, fields) = buildReplacementSpec(m, fragments, tableDir)
+  /** The updated metadata DOCUMENT for a replacement spec — the assembly
+    * shared by every catalog surface that writes documents itself (the
+    * filesystem path below, the HMS path in [[IcebergHms]]; the REST path
+    * sends updates instead, the service assembles). */
+  private[catalog] def replacementDocument(m: TableMeta,
+      newSpecId: Int, fields: Seq[SpecField]): JObject = {
     val maxFieldId = math.max(999, m.specs.values.flatten.map(_.fieldId).maxOption.getOrElse(999))
     val specJson = JObject(
       "spec-id" -> JInt(newSpecId),
@@ -347,7 +349,7 @@ object IcebergMeta {
       if (m.formatVersion == 1)
         List("partition-spec" -> fieldsJson(fields))
       else Nil
-    val updated: JObject = JObject(m.raw.obj.filterNot { case (k, _) =>
+    JObject(m.raw.obj.filterNot { case (k, _) =>
       Set("partition-specs", "default-spec-id", "last-partition-id",
         "last-updated-ms", "partition-spec").contains(k)
     } ++ List(
@@ -356,6 +358,13 @@ object IcebergMeta {
       // monotonic: an all-reused-field spec must not regress the high-water mark
       "last-partition-id" -> JInt(math.max(maxFieldId, fields.map(_.fieldId).max)),
       "last-updated-ms" -> JInt(System.currentTimeMillis())) ++ v1Flat)
+  }
+
+  def replacePartitionSpec(spark: SparkSession, tableDir: String,
+      fragments: Seq[String]): Int = {
+    val m = read(spark, tableDir)
+    val (newSpecId, fields) = buildReplacementSpec(m, fragments, tableDir)
+    val updated: JObject = replacementDocument(m, newSpecId, fields)
 
     val dir = metadataDir(tableDir)
     val filesystem = fs(spark, dir)
