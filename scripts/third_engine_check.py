@@ -1963,6 +1963,24 @@ for cl in sorted(km_acc):
                      "centroid": rN(s_[p] / n, 6), "n": np.int64(n)})
 check("kmeans_iterate", pd.DataFrame(rows))
 
+# embedding_pca_power: 3 power-iteration rounds on the mean-centered
+# embeddings, v0 = 1/sqrt(64) — same algorithm, independent numpy arithmetic
+pca_X = np.stack([VEC[i] for i in sorted(VEC)])
+pca_mu = pca_X.mean(axis=0)
+pca_Xc = pca_X - pca_mu
+pca_v = np.full(64, 1.0 / np.sqrt(64.0))
+pca_lam = 0.0
+for _ in range(3):
+    pca_w = pca_Xc.T @ (pca_Xc @ pca_v)
+    pca_n = np.sqrt((pca_w * pca_w).sum())
+    if pca_n == 0.0:
+        break
+    pca_lam = pca_n / (len(pca_X) - 1)
+    pca_v = pca_w / pca_n
+check("embedding_pca_power", pd.DataFrame(
+    [{"pos": np.int32(j + 1), "loading": rN(pca_v[j], 6),
+      "eigenvalue": rN(pca_lam, 6)} for j in range(64)]))
+
 # rank_fusion_rrf: RRF(k=60) of the exact and quantized top-10
 rrf_acc = {}
 for rk, (_, i) in enumerate(ex_rows, start=1):

@@ -351,7 +351,53 @@ object Queries9 {
           |  (6, 'table', 'lineitem', 1), (6, 'table', 'orders', 1),
           |  (6, 'where_col', 'o_custkey', 1)
           |) AS t(qk, kind, name, cnt)
-          |ORDER BY qk, kind, name""".stripMargin))
+          |ORDER BY qk, kind, name""".stripMargin)),
+
+    QSpec("embedding_pca_power",
+      // Top principal component of the mean-centered embeddings — 3 rounds
+      // of distributed power iteration (ext/SimSearch.pcaTopComponent), the
+      // whitening / "all-but-the-top" kernel of embedding post-processing.
+      // Per round: one scan computing d_i = v·eᵢ − v·μ (codegen VectorDot
+      // against the literal direction) and one O(dim)-group shuffle for
+      // w_j = Σ dᵢ·e_ij − μ_j·Σ dᵢ; only dim doubles reach the driver, no
+      // covariance matrix is ever materialized. Deterministic: v₀ = 1/√dim,
+      // no RNG; cross-row double sums commute ~1e-15, round(6) is 9 orders
+      // coarser (the agg_vector_centroid contract). The oracle replays the
+      // same 3 iterations as chained CTEs.
+      (s, dir) => {
+        import s.implicits._
+        val (v, lam) =
+          graft.ext.SimSearch.pcaTopComponent(s, t(s, dir, "embeddings"), iters = 3)
+        v.zipWithIndex.toSeq.map { case (x, i) => (i + 1, x, lam) }
+          .toDF("pos", "loading_raw", "ev_raw")
+          .select(col("pos"), round(col("loading_raw"), 6).as("loading"),
+            round(col("ev_raw"), 6).as("eigenvalue"))
+          .orderBy("pos")
+      },
+      Some {
+        def iter(k: Int, prev: String): String =
+          s"""d$k AS (SELECT e.vec_id, SUM((e.v[$prev.j] - mu.m) * $prev.x) AS d
+             |  FROM e CROSS JOIN $prev JOIN mu ON mu.j = $prev.j GROUP BY 1),
+             |w$k AS (SELECT idx.j, SUM((e.v[idx.j] - mu.m) * d$k.d) AS w
+             |  FROM e JOIN d$k USING (vec_id) CROSS JOIN idx
+             |  JOIN mu ON mu.j = idx.j GROUP BY 1),
+             |l$k AS (SELECT sqrt(SUM(w * w)) AS l FROM w$k),
+             |v$k AS (SELECT w$k.j, w$k.w / l$k.l AS x FROM w$k, l$k)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |idx AS (SELECT CAST(r.i AS INT) AS j FROM range(1, 65) r(i)),
+           |mu AS (SELECT idx.j AS j, AVG(e.v[idx.j]) AS m
+           |  FROM e CROSS JOIN idx GROUP BY 1),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+           |v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS x FROM idx),
+           |${iter(1, "v0")},
+           |${iter(2, "v1")},
+           |${iter(3, "v2")}
+           |SELECT v3.j AS pos, ROUND(v3.x, 6) AS loading,
+           |  ROUND(l3.l / (nn.n - 1), 6) AS eigenvalue
+           |FROM v3, l3, nn ORDER BY pos""".stripMargin
+      })
   )
 
   /** One canned text per Trino-only surface form the shim translates —

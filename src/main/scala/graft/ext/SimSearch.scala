@@ -230,6 +230,73 @@ object SimSearch {
     (cents, inertias.toSeq)
   }
 
+  /** Top principal component of the MEAN-CENTERED embeddings via `iters`
+    * rounds of distributed power iteration — the core kernel of embedding
+    * whitening / "all-but-the-top" post-processing (a standard
+    * representation cleanup before similarity retrieval; the dominant
+    * direction is usually a corpus-frequency artifact worth projecting out).
+    *
+    * Never materializes a covariance matrix: each round applies the scatter
+    * matrix XᶜᵀXᶜ to the current direction as TWO streaming forms of the
+    * same pass — d_i = v·e_i − v·μ per row (codegen [[dot]] against the
+    * literal direction), then w_j = Σ_i d_i·e_ij − μ_j·Σ_i d_i as a
+    * posexplode + per-dimension weighted sum. One scan + one O(dim)-group
+    * shuffle per round; only `dim` doubles ever reach the driver. At 100 TB
+    * that is `iters` linear passes over a cached projection — the
+    * O(dim²)-state Gram-accumulation alternative saves passes but each
+    * executor task would carry a dim×dim partial, the wrong trade for tall
+    * skinny data and small iters.
+    *
+    * Deterministic by construction: v₀ = 1/√dim (no RNG), every per-row
+    * reduction is the ascending-order codegen fold, and cross-row sums
+    * commute to ~1e-15 relative — the same reproducibility contract as
+    * [[kmeansRun]] (oracle rounds at 6 dp, ~7 orders coarser).
+    *
+    * Assumes fixed-width vectors (every row carries all `dim` positions —
+    * the embeddings-table contract). Returns (unit direction, top
+    * eigenvalue of the COVARIANCE matrix, i.e. ‖Xᶜᵀ Xᶜ v‖ / (n−1)). A
+    * degenerate corpus (n < 2 or zero scatter) returns v₀ with eigenvalue
+    * 0 rather than dividing by zero. */
+  def pcaTopComponent(spark: SparkSession, emb: DataFrame, iters: Int = 3)
+      : (Array[Double], Double) = {
+    val e = emb.select(asDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = e.select(size(col("v")).as("d")).limit(1).collect()
+      if (first.isEmpty) return (Array.empty[Double], 0.0)
+      val dim = first(0).getInt(0)
+      val muRows = e.select(posexplode(col("v")))
+        .groupBy("pos").agg(avg("col").as("m"), count(lit(1)).as("cnt"))
+        .collect()
+      val mu = muRows.sortBy(_.getInt(0)).map(_.getDouble(1))
+      val n = muRows.head.getLong(2)
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      var it = if (n < 2) iters else 0 // degenerate corpus: skip, λ stays 0
+      while (it < iters) {
+        val vLit = array(v.toIndexedSeq.map(lit): _*)
+        val muDotV = mu.zip(v).map { case (m, x) => m * x }.sum
+        val rows = e
+          .withColumn("d", dot(col("v"), vLit) - lit(muDotV))
+          .select(col("d"), posexplode(col("v")))
+          .groupBy("pos")
+          .agg(sum(col("col") * col("d")).as("svd"), sum(col("d")).as("sd"))
+          .collect()
+          .sortBy(_.getInt(0))
+        // every row carries every pos, so the per-pos Σd is the global Σd
+        val w = rows.map(r => r.getDouble(1) - mu(r.getInt(0)) * r.getDouble(2))
+        val wNorm = math.sqrt(w.map(x => x * x).sum)
+        if (wNorm == 0.0) it = iters // zero scatter: any direction, λ stays 0
+        else {
+          lambda = wNorm / (n - 1).toDouble
+          v = w.map(_ / wNorm)
+          it += 1
+        }
+      }
+      (v, lambda)
+    } finally e.unpersist()
+  }
+
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, cacheKey: Option[String] = None): DataFrame = {
     val centroids = seedCentroids(emb, nCentroids, cacheKey)

@@ -467,4 +467,35 @@ class ExtSpec extends SparkSpec {
     assert(top.head._1 == 1L)
     assert(top.forall(t => !t._2.isNaN))
   }
+
+  test("pcaTopComponent: recovers a planted dominant direction; degenerate inputs stay finite") {
+    import spark.implicits._
+    // planted structure: variance concentrated on axis 2 (values ±10),
+    // small deterministic noise on axis 5 — the unit direction must load
+    // ~entirely on axis 2 after 3 rounds, whatever its sign
+    val planted = (0 until 200).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = if (i % 2 == 0) 10.0f else -10.0f
+      v(5) = (i % 7).toFloat * 0.01f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (v, lam) = graft.ext.SimSearch.pcaTopComponent(spark, planted, iters = 3)
+    assert(math.abs(v(2)) > 0.999, v.toSeq.toString)
+    assert(math.abs(lam - 100.0) < 1.0, s"eigenvalue $lam, want ~100 (±10 on one axis)")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+
+    // empty corpus: empty direction, zero eigenvalue, no division by zero
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val (ve, le) = graft.ext.SimSearch.pcaTopComponent(spark, empty)
+    assert(ve.isEmpty && le == 0.0)
+
+    // single row / zero scatter: v0 back, eigenvalue 0 (centered data is 0)
+    val one = Seq((1L, Seq.fill(4)(3.0f))).toDF("vec_id", "embedding")
+    val (v1, l1) = graft.ext.SimSearch.pcaTopComponent(spark, one)
+    assert(l1 == 0.0 && v1.length == 4 && math.abs(v1(0) - 0.5) < 1e-12)
+    val const = Seq((1L, Seq.fill(4)(3.0f)), (2L, Seq.fill(4)(3.0f)))
+      .toDF("vec_id", "embedding")
+    val (v2, l2) = graft.ext.SimSearch.pcaTopComponent(spark, const)
+    assert(l2 == 0.0 && math.abs(v2(0) - 0.5) < 1e-12, "zero scatter keeps v0, lambda 0")
+  }
 }
