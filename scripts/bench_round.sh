@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Per-round bench protocol (r9 verdict items 5+6): produce BOTH scale points
+# with loadavg stamps so the round's perf claim never rests on one
+# cross-day single:
+#
+#   1. BENCH_PAIR_r<N>.json — interleaved A/B pair vs a baseline ref at
+#      sf0.1 (scripts/bench_pair.sh), the honest same-day delta.
+#   2. BENCH_SF1_r<N>.json  — one stamped run at the sf1 stress fixture
+#      (10× the largest driver SF), tracking scale drift round over round
+#      instead of rediscovering it.
+#
+# Usage: scripts/bench_round.sh <round> <baseline-git-ref> [sf1Dir]
+#   e.g. scripts/bench_round.sh 10 5e21a6b /tmp/graft_stress/sf1
+set -euo pipefail
+
+ROUND="${1:?usage: bench_round.sh <round> <baseline-git-ref> [sf1Dir]}"
+REF="${2:?usage: bench_round.sh <round> <baseline-git-ref> [sf1Dir]}"
+SF1="${3:-/tmp/graft_stress/sf1}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+
+echo "== interleaved pair vs $REF at sf0.1 ==" >&2
+scripts/bench_pair.sh "$REF" /root/testdata/sf0.1 | tail -1 \
+  > "BENCH_PAIR_r${ROUND}.json"
+cat "BENCH_PAIR_r${ROUND}.json" >&2
+
+if [ -d "$SF1" ]; then
+  echo "== sf1 stress bench ($SF1) ==" >&2
+  LOAD="$(cut -d' ' -f1 /proc/loadavg)"
+  LINE="$(SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep -o '{"metric".*}' | tail -1)"
+  python3 - "$LOAD" "$SF1" <<EOF > "BENCH_SF1_r${ROUND}.json"
+import json, sys
+d = json.loads('''$LINE''')
+d["loadavg_at_start"] = float(sys.argv[1])
+d["sf_dir"] = sys.argv[2]
+print(json.dumps(d))
+EOF
+  cat "BENCH_SF1_r${ROUND}.json" >&2
+else
+  echo "WARN: sf1 fixture $SF1 missing — run scripts/make_stress_fixtures.py first" >&2
+fi

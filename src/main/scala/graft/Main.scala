@@ -128,9 +128,17 @@ object Main {
           } else if (graft.catalog.IcebergMeta.isIcebergTable(spark, tableDir)) {
             // S5 executed natively: the table is a filesystem Iceberg
             // table, so REPLACE PARTITION SPEC commits as real spec
-            // evolution against its metadata (cli.py:124-133's execute)
-            val v = graft.catalog.IcebergMeta.applySpec(spark, tableDir, spec)
-            println(s"committed REPLACE PARTITION SPEC for $view (metadata v$v)")
+            // evolution against its metadata (cli.py:124-133's execute).
+            // Guarded like the catalog branches: one failed commit (e.g. a
+            // supersession or an inconclusive verification) must not abort
+            // the remaining views
+            try {
+              val v = graft.catalog.IcebergMeta.applySpec(spark, tableDir, spec)
+              println(s"committed REPLACE PARTITION SPEC for $view (metadata v$v)")
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"filesystem commit FAILED for $view: ${e.getMessage} " +
+                "— continuing with the remaining recommendations")
+            }
           } else {
             // parquet fixture: materialize the first partition key as a
             // real partitioned layout (the physical effect of the spec);

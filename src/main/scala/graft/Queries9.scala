@@ -363,7 +363,11 @@ object Queries9 {
       // covariance matrix is ever materialized. Deterministic: v₀ = 1/√dim,
       // no RNG; cross-row double sums commute ~1e-15, round(6) is 9 orders
       // coarser (the agg_vector_centroid contract). The oracle replays the
-      // same 3 iterations as chained CTEs.
+      // same 3 iterations as chained CTEs — the restart-FREE path only: a
+      // null-space restart at this fixture would make the engine diverge
+      // from the oracle's division-by-zero and fail LOUDLY, so equality
+      // also certifies no restart fired (the restart contract itself is
+      // unit-tested on a simplex corpus in ExtSpec).
       (s, dir) => {
         import s.implicits._
         val (v, lam) =

@@ -56,8 +56,13 @@ object IcebergHms {
   private[graft] var LockTimeoutMs: Long = 30000L
   private[graft] var LockPollMs: Long = 200L
 
+  /** Transport deadline (connect AND per-read). Without it LockTimeoutMs
+    * only bounds the WAITING poll — a hung (accepting, never answering)
+    * metastore would block every thrift read forever. */
+  private[graft] var SocketTimeoutMs: Int = 30000
+
   private def withClient[T](cat: Catalog)(f: ThriftHiveMetastore.Iface => T): T = {
-    val sock = new TSocket(cat.host, cat.port)
+    val sock = new TSocket(cat.host, cat.port, SocketTimeoutMs)
     sock.open()
     try f(new ThriftHiveMetastore.Client(new TBinaryProtocol(sock)))
     finally sock.close()
@@ -89,15 +94,8 @@ object IcebergHms {
     val loc = metadataLocationVia(cli, cat, table)
     val p = new Path(loc)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val json = JsonMethods.parse(txt) match {
-      case o: JObject => o
-      case other => throw new IllegalArgumentException(
-        s"$loc is not a JSON object: ${other.getClass.getSimpleName}")
-    }
     // HMS owns the pointer; the filesystem v<N> numbering does not apply
-    (IcebergMeta.parseMetadata(loc, json, -1), loc)
+    (IcebergMeta.readDocument(fs, p, -1), loc)
   }
 
   /** `$metadata`-style probe: does this metastore serve `table` as Iceberg? */
@@ -105,14 +103,10 @@ object IcebergHms {
     try { metadataLocation(cat, table); true } catch { case _: Exception => false }
 
   /** Current default spec in the reference's fragment syntax — the HMS twin
-    * of [[IcebergMeta.partitionSpecString]]/[[IcebergRest.partitionSpecString]]. */
-  def partitionSpecString(spark: SparkSession, cat: Catalog, table: String): String = {
-    val (m, _) = loadTable(spark, cat, table)
-    val byId = m.schemaIds.map(_.swap)
-    m.specs.getOrElse(m.defaultSpecId, Nil)
-      .map(IcebergMeta.renderField(_, id => byId.getOrElse(id, s"col_$id")))
-      .mkString(", ")
-  }
+    * of [[IcebergMeta.partitionSpecString]]/[[IcebergRest.partitionSpecString]],
+    * through the ONE shared renderer. */
+  def partitionSpecString(spark: SparkSession, cat: Catalog, table: String): String =
+    IcebergMeta.specString(loadTable(spark, cat, table)._1)
 
   private def acquireLock(cli: ThriftHiveMetastore.Iface, cat: Catalog,
       table: String): Long = {
@@ -122,20 +116,28 @@ object IcebergHms {
       System.getProperty("user.name", "graft"),
       java.net.InetAddress.getLocalHost.getHostName)
     var resp = cli.lock(req)
-    val deadline = System.nanoTime() + LockTimeoutMs * 1000000L
-    while (resp.getState == LockState.WAITING && System.nanoTime() < deadline) {
-      Thread.sleep(LockPollMs)
-      resp = cli.check_lock(new CheckLockRequest(resp.getLockid))
+    // From here the lock request is ENQUEUED server-side: every exit that
+    // is not a successful ACQUIRED return must release it — including a
+    // check_lock transport error mid-poll — or the abandoned entry blocks
+    // every later committer until the metastore's lock reaper expires it.
+    var acquired = false
+    try {
+      val deadline = System.nanoTime() + LockTimeoutMs * 1000000L
+      while (resp.getState == LockState.WAITING && System.nanoTime() < deadline) {
+        Thread.sleep(LockPollMs)
+        resp = cli.check_lock(new CheckLockRequest(resp.getLockid))
+      }
+      if (resp.getState != LockState.ACQUIRED)
+        throw new java.io.IOException(
+          s"could not acquire exclusive HMS lock on ${cat.db}.$table " +
+            s"within ${LockTimeoutMs}ms (state ${resp.getState}) — " +
+            "a concurrent committer holds it; retry later")
+      acquired = true
+      resp.getLockid
+    } finally {
+      if (!acquired)
+        try cli.unlock(new UnlockRequest(resp.getLockid)) catch { case _: Exception => () }
     }
-    if (resp.getState != LockState.ACQUIRED) {
-      // held-but-not-acquired must be released or it wedges the lock queue
-      try cli.unlock(new UnlockRequest(resp.getLockid)) catch { case _: Exception => () }
-      throw new java.io.IOException(
-        s"could not acquire exclusive HMS lock on ${cat.db}.$table " +
-          s"within ${LockTimeoutMs}ms (state ${resp.getState}) — " +
-          "a concurrent committer holds it; retry later")
-    }
-    resp.getLockid
   }
 
   /** Iceberg-on-HMS metadata file naming: `<n>-<uuid>.metadata.json`, n

@@ -111,15 +111,7 @@ object IcebergMeta {
     val ver = v.getOrElse(throw new IllegalArgumentException(
       s"$tableDir has no Iceberg metadata (no version-hint.text and no v*.metadata.json)"))
     val p = new Path(metadataDir(tableDir), s"v$ver.metadata.json")
-    val filesystem = fs(spark, p)
-    val in = filesystem.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val json = JsonMethods.parse(txt) match {
-      case o: JObject => o
-      case other => throw new IllegalArgumentException(
-        s"$p is not a JSON object: ${other.getClass.getSimpleName}")
-    }
-    parseMetadata(p.toString, json, ver)
+    readDocument(fs(spark, p), p, ver)
   }
 
   /** Parse one table-metadata DOCUMENT (the spec's JSON object, wherever it
@@ -198,12 +190,32 @@ object IcebergMeta {
   /** The current default partition spec as the comma-joined fragment string
     * the advisor emits ("" for unpartitioned) — the native twin of the
     * reference's `SELECT partition_spec FROM …."$metadata"`. */
-  def partitionSpecString(spark: SparkSession, tableDir: String): String = {
-    val m = read(spark, tableDir)
+  def partitionSpecString(spark: SparkSession, tableDir: String): String =
+    specString(read(spark, tableDir))
+
+  /** The same rendering over an already-loaded meta — THE one renderer all
+    * three catalog surfaces (filesystem here, [[IcebergRest]],
+    * [[IcebergHms]]) share, so the fragment syntax cannot drift per
+    * catalog. */
+  def specString(m: TableMeta): String = {
     val byId = m.schemaIds.map(_.swap)
     m.specs.getOrElse(m.defaultSpecId, Nil)
       .map(renderField(_, id => byId.getOrElse(id, s"col_$id")))
       .mkString(", ")
+  }
+
+  /** Read one metadata DOCUMENT from a filesystem path and parse it —
+    * shared by the versioned read above and the HMS pointer read. `ver` is
+    * the caller's version notion (-1 when a catalog service owns it). */
+  private[catalog] def readDocument(fs: FileSystem, p: Path, ver: Int): TableMeta = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val json = JsonMethods.parse(txt) match {
+      case o: JObject => o
+      case other => throw new IllegalArgumentException(
+        s"$p is not a JSON object: ${other.getClass.getSimpleName}")
+    }
+    parseMetadata(p.toString, json, ver)
   }
 
   /** Fragment syntax → metadata transform. Mirrors

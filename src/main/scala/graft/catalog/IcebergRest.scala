@@ -113,13 +113,8 @@ object IcebergRest {
 
   /** The current default partition spec in the reference's fragment syntax
     * — the REST twin of [[IcebergMeta.partitionSpecString]]. */
-  def partitionSpecString(cat: Catalog, table: String): String = {
-    val (m, _) = loadTable(cat, table)
-    val byId = m.schemaIds.map(_.swap)
-    m.specs.getOrElse(m.defaultSpecId, Nil)
-      .map(IcebergMeta.renderField(_, id => byId.getOrElse(id, s"col_$id")))
-      .mkString(", ")
-  }
+  def partitionSpecString(cat: Catalog, table: String): String =
+    IcebergMeta.specString(loadTable(cat, table)._1)
 
   private def commitBody(cat: Catalog, table: String, m: TableMeta,
       newSpecId: Int, fields: Seq[SpecField]): String = {

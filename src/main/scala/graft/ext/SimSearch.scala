@@ -256,7 +256,10 @@ object SimSearch {
     * the embeddings-table contract). Returns (unit direction, top
     * eigenvalue of the COVARIANCE matrix, i.e. ‖Xᶜᵀ Xᶜ v‖ / (n−1)). A
     * degenerate corpus (n < 2 or zero scatter) returns v₀ with eigenvalue
-    * 0 rather than dividing by zero. */
+    * 0 rather than dividing by zero. A start that lands in the scatter
+    * matrix's null space despite real variance (probability-simplex
+    * embeddings make v₀ = uniform exactly that) triggers one deterministic
+    * deflected restart on the max-scatter axis — see the in-loop proof. */
   def pcaTopComponent(spark: SparkSession, emb: DataFrame, iters: Int = 3)
       : (Array[Double], Double) = {
     val e = emb.select(asDouble(col("embedding")).as("v"))
@@ -271,8 +274,10 @@ object SimSearch {
       val mu = muRows.sortBy(_.getInt(0)).map(_.getDouble(1))
       val n = muRows.head.getLong(2)
       var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      val muLit = array(mu.toIndexedSeq.map(lit): _*)
       var lambda = 0.0
       var it = if (n < 2) iters else 0 // degenerate corpus: skip, λ stays 0
+      var restarted = false
       while (it < iters) {
         val vLit = array(v.toIndexedSeq.map(lit): _*)
         val muDotV = mu.zip(v).map { case (m, x) => m * x }.sum
@@ -280,14 +285,32 @@ object SimSearch {
           .withColumn("d", dot(col("v"), vLit) - lit(muDotV))
           .select(col("d"), posexplode(col("v")))
           .groupBy("pos")
-          .agg(sum(col("col") * col("d")).as("svd"), sum(col("d")).as("sd"))
+          .agg(sum(col("col") * col("d")).as("svd"), sum(col("d")).as("sd"),
+            // per-axis scatter, for the null-space restart below — one fused
+            // multiply-add per element inside the same pass, no extra scan
+            sum(pow(col("col") - element_at(muLit, col("pos") + 1), 2)).as("scat"))
           .collect()
           .sortBy(_.getInt(0))
         // every row carries every pos, so the per-pos Σd is the global Σd
         val w = rows.map(r => r.getDouble(1) - mu(r.getInt(0)) * r.getDouble(2))
         val wNorm = math.sqrt(w.map(x => x * x).sum)
-        if (wNorm == 0.0) it = iters // zero scatter: any direction, λ stays 0
-        else {
+        if (wNorm == 0.0) {
+          // w = XᶜᵀXᶜv = 0 means v is in the scatter matrix's NULL SPACE —
+          // which does NOT imply the corpus is degenerate (e.g. probability-
+          // simplex embeddings: every centered row ⊥ the uniform start).
+          // Restart on the max-scatter axis e_k: Xᶜe_k is centered column k,
+          // and (XᶜᵀXᶜe_k)_k = Σᵢ(e_ik−μ_k)² = scat_k > 0, so ONE restart
+          // provably escapes the null space. Only when every axis has zero
+          // scatter (a constant corpus) is λ = 0 the true answer.
+          val scats = rows.map(_.getDouble(3))
+          val kMax = scats.indices.maxBy(scats)
+          if (scats(kMax) == 0.0 || restarted) it = iters // genuinely degenerate
+          else {
+            restarted = true
+            v = Array.tabulate(dim)(j => if (j == kMax) 1.0 else 0.0)
+            // retry the SAME round from the deflected start (it unchanged)
+          }
+        } else {
           lambda = wNorm / (n - 1).toDouble
           v = w.map(_ / wNorm)
           it += 1

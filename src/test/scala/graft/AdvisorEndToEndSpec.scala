@@ -148,26 +148,21 @@ class AdvisorEndToEndSpec extends SparkSpec {
           case _ => ()
         }
     }
-    // quiescence helper: listener delivery is async — wait until the count
-    // stops moving (value-stability, not a wall-clock bound on work)
-    def stableCount(): Int = {
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var prev = -1
-      var cur = execs.get()
-      while ((prev != cur || cur < 0) && System.nanoTime() < deadline) {
-        prev = cur; Thread.sleep(300); cur = execs.get()
-      }
-      cur
+    // deterministic delivery: drain the listener bus before reading the
+    // counter on either side (quiescence-polling flakes under host load —
+    // the ListenerSpec lesson)
+    def drained(): Int = {
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      execs.get()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      stableCount() // drain any straggler events from earlier actions
-      val before = execs.get()
+      val before = drained() // flush stragglers from earlier actions
       val vetted = Balance.vet(
         frags.zipWithIndex.map { case (f, i) => ("t", f, (i + 1).toLong, f) },
         _ => withNulls, maxSkew = 1e9)
       assert(vetted.size == 4 && vetted.forall(_.accepted))
-      val after = stableCount()
+      val after = drained()
       assert(after - before == 1,
         s"4 candidates on one view cost ${after - before} SQL executions, want 1")
     } finally spark.sparkContext.removeSparkListener(listener)

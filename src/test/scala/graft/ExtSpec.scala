@@ -497,5 +497,19 @@ class ExtSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val (v2, l2) = graft.ext.SimSearch.pcaTopComponent(spark, const)
     assert(l2 == 0.0 && math.abs(v2(0) - 0.5) < 1e-12, "zero scatter keeps v0, lambda 0")
+
+    // null-space start with REAL variance (the code-review finding):
+    // one-hot rows sum to a constant, so every centered row is orthogonal
+    // to the uniform v0 — without the deflected restart this returned
+    // (v0, 0) for a corpus whose true top component is (1,-1)/sqrt(2)
+    val simplex = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val (vs, ls) = graft.ext.SimSearch.pcaTopComponent(spark, simplex, iters = 3)
+    assert(ls > 0.0, s"restart must recover the planted variance, got lambda $ls")
+    assert(math.abs(math.abs(vs(0)) - math.sqrt(0.5)) < 1e-9, vs.toSeq.toString)
+    assert(math.abs(vs(0) + vs(1)) < 1e-9, s"components must oppose: ${vs.toSeq}")
+    // true covariance eigenvalue of the ±0.5 two-point corpus: n/(2(n-1))
+    assert(math.abs(ls - 100.0 / 198.0) < 1e-9, s"lambda $ls")
   }
 }

@@ -184,6 +184,17 @@ class IntrospectorSpec extends SparkSpec {
       "SELECT o_orderkey AS json FROM orders FETCH FIRST 5 ROWS ONLY").get
     assert(alias.allColumns == Map("o_orderkey" -> 1))
 
+    // an identifier ENDING in 'array' is a subscripted column, not a Trino
+    // array literal — the boundary must keep its reference intact
+    val subscript = QueryIntrospector.parse(spark,
+      "SELECT id FROM t WHERE tags_array[1] = 5 FETCH FIRST 10 ROWS ONLY").get
+    assert(subscript.whereColumns == Map("tags_array" -> 1), subscript.whereColumns.toString)
+
+    // Trino's count-less FETCH FIRST ROW ONLY defaults to 1 row
+    val rowOnly = QueryIntrospector.parse(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC FETCH FIRST ROW ONLY").get
+    assert(rowOnly.tables == Seq("orders"))
+
     // and genuine garbage still degrades to None through both dialects
     assert(QueryIntrospector.parse(spark, "SELECT ARRAY[1 FROM nope").isEmpty)
   }
