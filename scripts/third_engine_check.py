@@ -1471,6 +1471,24 @@ f = pd.DataFrame({"split": f["split"], "n": f["size"].astype("int64"),
                   "max_id": f["max"].astype("int64")}).sort_values("split")
 check("split_train_test", f)
 
+# shard_manifest: murmur3(seed 42) pmod 16 shard assignment + per-shard
+# manifest (count, total chars, id range, integer-exact balance ratio)
+sm = dc.assign(shard=[((murmur_long(int(v), 42) % 16) + 16) % 16
+                      for v in dc.doc_id])
+sm_g = sm.groupby("shard").agg(
+    n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"),
+    min_id=("doc_id", "min"), max_id=("doc_id", "max")).reset_index()
+sm_all, sm_n = int(sm_g.n_docs.sum()), len(sm_g)
+f = pd.DataFrame({
+    "shard": sm_g["shard"].astype("int32"),
+    "n_docs": sm_g["n_docs"].astype("int64"),
+    "total_chars": sm_g["total_chars"].astype("int64"),
+    "min_id": sm_g["min_id"].astype("int64"),
+    "max_id": sm_g["max_id"].astype("int64"),
+    "balance_r": [ratioR(int(n) * sm_n, sm_all, 6) for n in sm_g.n_docs],
+}).sort_values("shard")
+check("shard_manifest", f)
+
 # multimodal_frames: ceil(utf8 byte length / 256) synthetic frame count
 f = pd.DataFrame({
     "doc_id": dc.doc_id.astype("int64"),
@@ -1980,6 +1998,26 @@ for _ in range(3):
 check("embedding_pca_power", pd.DataFrame(
     [{"pos": np.int32(j + 1), "loading": rN(pca_v[j], 6),
       "eigenvalue": rN(pca_lam, 6)} for j in range(64)]))
+
+# embedding_abtt: strip mean + the top component above, cosine top-10 vs
+# query vec 0 — rank on the ROUNDED similarity with vec_id tiebreak, the
+# engine/oracle ordering contract
+abtt_X = pca_Xc - np.outer(pca_Xc @ pca_v, pca_v)
+abtt_ids = sorted(VEC)
+abtt_q = abtt_X[abtt_ids.index(0)]
+abtt_qn = np.sqrt((abtt_q * abtt_q).sum())
+abtt_rows = []
+for _i, _vid in enumerate(abtt_ids):
+    if _vid == 0:
+        continue
+    _x = abtt_X[_i]
+    _n = np.sqrt((_x * _x).sum())
+    if _n == 0.0:
+        continue
+    abtt_rows.append((int(_vid), rN((_x @ abtt_q) / (_n * abtt_qn), 6)))
+abtt_rows.sort(key=lambda t: (-t[1], t[0]))
+check("embedding_abtt", pd.DataFrame(
+    [{"vec_id": np.int64(v), "cos": c} for v, c in abtt_rows[:10]]))
 
 # rank_fusion_rrf: RRF(k=60) of the exact and quantized top-10
 rrf_acc = {}

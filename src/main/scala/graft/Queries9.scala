@@ -353,6 +353,48 @@ object Queries9 {
           |) AS t(qk, kind, name, cnt)
           |ORDER BY qk, kind, name""".stripMargin)),
 
+    QSpec("shard_manifest",
+      // Export planning for a corpus write: deterministic shard assignment
+      // (murmur3(doc_id) pmod 16 — the split_train_test hash family: no RNG
+      // state, stable under re-runs and any partitioning) plus the per-shard
+      // manifest row a distributed writer plans from — doc count, total
+      // characters (the bytes proxy this fixture carries), id range, and the
+      // integer-exact balance ratio of the shard against the mean. One
+      // groupBy with O(shards) groups; the manifest is metadata-sized at any
+      // corpus scale, and the assignment column doubles as the physical
+      // repartition key for the write itself.
+      (s, dir) => {
+        val sharded = t(s, dir, "documents")
+          .withColumn("shard", pmod(hash(col("doc_id")), lit(16)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        val total = sharded.agg(sum("n_docs").as("all_docs"),
+          count(lit(1)).as("n_shards"))
+        sharded.crossJoin(broadcast(total))
+          .withColumn("balance_r", graft.ext.ExactMath.ratioRounded(
+            col("n_docs").cast("decimal(38,0)") * col("n_shards").cast("decimal(38,0)"),
+            col("all_docs"), 6))
+          .select("shard", "n_docs", "total_chars", "min_id", "max_id", "balance_r")
+          .orderBy("shard")
+      },
+      Some(Queries.murmurCte("documents", "doc_id", 42) + {
+        val bal = graft.ext.ExactMath.ratioRoundedSql(
+          "n_docs::HUGEINT * n_shards", "all_docs", 6)
+        s""", sharded AS (
+           |  SELECT ((sh % 16) + 16) % 16 AS shard,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           |    MIN(d.doc_id) AS min_id, MAX(d.doc_id) AS max_id
+           |  FROM msigned JOIN documents d ON d.doc_id = msigned.v
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+           |    CAST(COUNT(*) AS BIGINT) AS n_shards FROM sharded)
+           |SELECT shard, n_docs, total_chars, min_id, max_id, $bal AS balance_r
+           |FROM sharded, tot ORDER BY shard""".stripMargin
+      })),
+
     QSpec("embedding_pca_power",
       // Top principal component of the mean-centered embeddings — 3 rounds
       // of distributed power iteration (ext/SimSearch.pcaTopComponent), the
@@ -378,31 +420,72 @@ object Queries9 {
             round(col("ev_raw"), 6).as("eigenvalue"))
           .orderBy("pos")
       },
-      Some {
-        def iter(k: Int, prev: String): String =
-          s"""d$k AS (SELECT e.vec_id, SUM((e.v[$prev.j] - mu.m) * $prev.x) AS d
-             |  FROM e CROSS JOIN $prev JOIN mu ON mu.j = $prev.j GROUP BY 1),
-             |w$k AS (SELECT idx.j, SUM((e.v[idx.j] - mu.m) * d$k.d) AS w
-             |  FROM e JOIN d$k USING (vec_id) CROSS JOIN idx
-             |  JOIN mu ON mu.j = idx.j GROUP BY 1),
-             |l$k AS (SELECT sqrt(SUM(w * w)) AS l FROM w$k),
-             |v$k AS (SELECT w$k.j, w$k.w / l$k.l AS x FROM w$k, l$k)""".stripMargin
-        s"""WITH e AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |idx AS (SELECT CAST(r.i AS INT) AS j FROM range(1, 65) r(i)),
-           |mu AS (SELECT idx.j AS j, AVG(e.v[idx.j]) AS m
-           |  FROM e CROSS JOIN idx GROUP BY 1),
-           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
-           |v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS x FROM idx),
-           |${iter(1, "v0")},
-           |${iter(2, "v1")},
-           |${iter(3, "v2")}
-           |SELECT v3.j AS pos, ROUND(v3.x, 6) AS loading,
-           |  ROUND(l3.l / (nn.n - 1), 6) AS eigenvalue
-           |FROM v3, l3, nn ORDER BY pos""".stripMargin
-      })
+      Some(pcaOracleCtes +
+        """
+          |SELECT v3.j AS pos, ROUND(v3.x, 6) AS loading,
+          |  ROUND(l3.l / (nn.n - 1), 6) AS eigenvalue
+          |FROM v3, l3, nn ORDER BY pos""".stripMargin)),
+
+    QSpec("embedding_abtt",
+      // All-but-the-top retrieval (X16 composed into its end effect): strip
+      // the corpus mean and the power-iteration top component from every
+      // embedding, then rank the top-10 cosine neighbors of query vec 0 in
+      // the whitened space. The per-row transform is a codegen'd HOF against
+      // LITERAL mean/direction arrays (one scan, no shuffle); ranking is the
+      // same broadcast-query TakeOrdered as simsearch_topk. Ordering uses
+      // the ROUNDED similarity with vec_id tiebreak so the rank cannot hinge
+      // on ~1e-15 cross-row summation jitter between engines. The oracle
+      // replays the full chain: 3 PCA iterations, the projection removal,
+      // and the cosine ranking.
+      (s, dir) => graft.ext.SimSearch.abttTopK(
+        s, t(s, dir, "embeddings"), queryVecId = 0, k = 10),
+      Some(pcaOracleCtes +
+        """,
+          |vdm AS (SELECT SUM(v3.x * mu.m) AS s FROM v3 JOIN mu USING (j)),
+          |di AS (SELECT e.vec_id, SUM(e.v[v3.j] * v3.x) AS d
+          |  FROM e CROSS JOIN v3 GROUP BY 1),
+          |tr AS (SELECT e.vec_id, v3.j AS j,
+          |    e.v[v3.j] - mu.m - v3.x * (di.d - vdm.s) AS x
+          |  FROM e JOIN di USING (vec_id) CROSS JOIN v3
+          |  JOIN mu ON mu.j = v3.j CROSS JOIN vdm),
+          |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM tr GROUP BY 1),
+          |qt AS (SELECT j, x FROM tr WHERE vec_id = 0),
+          |qn AS (SELECT n AS qn FROM nrm WHERE vec_id = 0),
+          |sim AS (SELECT tr.vec_id, SUM(tr.x * qt.x) AS dt
+          |  FROM tr JOIN qt USING (j) WHERE tr.vec_id <> 0 GROUP BY 1)
+          |SELECT sim.vec_id, ROUND(sim.dt / (nrm.n * qn.qn), 6) AS cos
+          |FROM sim JOIN nrm USING (vec_id) CROSS JOIN qn
+          |WHERE nrm.n > 0
+          |ORDER BY ROUND(sim.dt / (nrm.n * qn.qn), 6) DESC, vec_id
+          |LIMIT 10""".stripMargin))
   )
+
+  /** Chained-CTE replay of [[graft.ext.SimSearch.pcaTop]]'s three power-
+    * iteration rounds (e/idx/mu/nn/v0 then d_k/w_k/l_k/v_k per round) —
+    * shared by the `embedding_pca_power` and `embedding_abtt` oracles so
+    * the two replays cannot drift. Ends after v3 (no trailing newline);
+    * callers append `\nSELECT …` or `,\n<more CTEs>`. */
+  private def pcaOracleCtes: String = {
+    def iter(k: Int, prev: String): String =
+      s"""d$k AS (SELECT e.vec_id, SUM((e.v[$prev.j] - mu.m) * $prev.x) AS d
+         |  FROM e CROSS JOIN $prev JOIN mu ON mu.j = $prev.j GROUP BY 1),
+         |w$k AS (SELECT idx.j, SUM((e.v[idx.j] - mu.m) * d$k.d) AS w
+         |  FROM e JOIN d$k USING (vec_id) CROSS JOIN idx
+         |  JOIN mu ON mu.j = idx.j GROUP BY 1),
+         |l$k AS (SELECT sqrt(SUM(w * w)) AS l FROM w$k),
+         |v$k AS (SELECT w$k.j, w$k.w / l$k.l AS x FROM w$k, l$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |idx AS (SELECT CAST(r.i AS INT) AS j FROM range(1, 65) r(i)),
+       |mu AS (SELECT idx.j AS j, AVG(e.v[idx.j]) AS m
+       |  FROM e CROSS JOIN idx GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+       |v0 AS (SELECT j, CAST(0.125 AS DOUBLE) AS x FROM idx),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}""".stripMargin
+  }
 
   /** One canned text per Trino-only surface form the shim translates —
     * shared by the `parse_trino_dialect` key and its third-engine audit. */

@@ -262,11 +262,20 @@ object SimSearch {
     * deflected restart on the max-scatter axis — see the in-loop proof. */
   def pcaTopComponent(spark: SparkSession, emb: DataFrame, iters: Int = 3)
       : (Array[Double], Double) = {
+    val (v, lam, _) = pcaTop(spark, emb, iters)
+    (v, lam)
+  }
+
+  /** [[pcaTopComponent]] plus the corpus mean it already computed — the
+    * internal form [[abttTopK]] builds on (ABTT needs μ for the centering,
+    * and recomputing it would be a redundant pass). */
+  private[graft] def pcaTop(spark: SparkSession, emb: DataFrame, iters: Int = 3)
+      : (Array[Double], Double, Array[Double]) = {
     val e = emb.select(asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val first = e.select(size(col("v")).as("d")).limit(1).collect()
-      if (first.isEmpty) return (Array.empty[Double], 0.0)
+      if (first.isEmpty) return (Array.empty[Double], 0.0, Array.empty[Double])
       val dim = first(0).getInt(0)
       val muRows = e.select(posexplode(col("v")))
         .groupBy("pos").agg(avg("col").as("m"), count(lit(1)).as("cnt"))
@@ -316,8 +325,40 @@ object SimSearch {
           it += 1
         }
       }
-      (v, lambda)
+      (v, lambda, mu)
     } finally e.unpersist()
+  }
+
+  /** All-but-the-top retrieval: strip the corpus's dominant direction
+    * (and the mean) from every embedding before cosine ranking — the
+    * standard post-processing that stops a frequency-artifact axis from
+    * dominating similarity. Transform per row: e′ = (e − μ) − v·(vᵀ(e−μ)),
+    * all as codegen'd expressions against the LITERAL direction/mean (one
+    * scan, no shuffle, no join for the transform; the ranking is the same
+    * broadcast-query TakeOrdered as [[topK]]). Rank order uses the ROUNDED
+    * similarity (6 dp) with vec_id tiebreak, so engine-vs-oracle ordering
+    * cannot hinge on the ~1e-15 cross-row summation jitter. Zero-norm rows
+    * AFTER the transform (vectors that were pure mean + top-direction) are
+    * excluded like [[withNorm]] does for raw zero vectors. */
+  def abttTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
+      iters: Int = 3): DataFrame = {
+    val (pc, _, mu) = pcaTop(spark, emb, iters)
+    val vLit = array(pc.toIndexedSeq.map(lit): _*)
+    val muLit = array(mu.toIndexedSeq.map(lit): _*)
+    val vDotMu = pc.zip(mu).map { case (a, b) => a * b }.sum
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("d", dot(col("v"), vLit) - lit(vDotMu)) // vᵀ(e−μ)
+      .withColumn("t", transform(col("v"), (x, i) =>
+        x - element_at(muLit, i + 1) - element_at(vLit, i + 1) * col("d")))
+      .withColumn("nrm", norm(col("t")))
+    val q = e.where(col("vec_id") === queryVecId)
+      .select(col("t").as("qt"), col("nrm").as("qn"))
+    e.where(col("vec_id") =!= queryVecId && col("nrm") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("t"), col("qt")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
   }
 
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
