@@ -222,4 +222,39 @@ class PropertySpec extends SparkSpec {
       assert(df >= 3, r.toString) // the emitted slice respects its own predicate
     }
   }
+
+  test("trinoToSpark never touches string-literal content (mask round-trip invariant)") {
+    // Adversarial literal contents: every trigger token the shim rewrites,
+    // quote escapes, placeholder-shaped text, unicode. Embedded as a SQL
+    // literal, each must come through the full rewrite pipeline VERBATIM —
+    // and since nothing outside the literal is Trino-shaped, the whole text
+    // must be the identity.
+    val contents = Seq(
+      "ARRAY[1, 2, 3]", "FETCH FIRST 10 ROWS ONLY", "CAST(x AS JSON)",
+      "TABLESAMPLE BERNOULLI(10)", "  7  ", "' 3 '", "it''s",
+      "TIMESTAMP WITH TIME ZONE", "CROSS JOIN UNNEST(a) AS t(c)",
+      "\"quoted\"", "日本語 ARRAY[ mixed", "",
+      "nested '' doubled '' quotes", "back`tick` and $dollar")
+    contents.foreach { c =>
+      val esc = c.replace("'", "''")
+      val sql = s"SELECT col_a FROM some_table WHERE note = '$esc' AND x > 1"
+      val out = graft.introspect.QueryIntrospector.trinoToSpark(sql)
+      assert(out == sql, s"literal content mangled:\n in  $sql\n out $out")
+    }
+    // randomized sweep: arbitrary printable content round-trips
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abc '[](),\"` 123ARRAYFETCH日".toCharArray
+    (1 to 200).foreach { _ =>
+      val c = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val esc = c.replace("'", "''")
+      val sql = s"SELECT a FROM t WHERE s = '$esc'"
+      val out = graft.introspect.QueryIntrospector.trinoToSpark(sql)
+      assert(out == sql, s"random literal mangled:\n in  $sql\n out $out")
+    }
+    // and rewrites OUTSIDE literals still fire with hostile literals nearby
+    val mixed = graft.introspect.QueryIntrospector.trinoToSpark(
+      "SELECT a FROM t WHERE s = 'ARRAY[9]' AND contains(ARRAY[1], b) FETCH FIRST 2 ROWS ONLY")
+    assert(mixed == "SELECT a FROM t WHERE s = 'ARRAY[9]' AND contains(array(1), b) LIMIT 2",
+      mixed)
+  }
 }
