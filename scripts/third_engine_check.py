@@ -1471,6 +1471,26 @@ f = pd.DataFrame({"split": f["split"], "n": f["size"].astype("int64"),
                   "max_id": f["max"].astype("int64")}).sort_values("split")
 check("split_train_test", f)
 
+# drift_psi: population stability index over doc-length buckets,
+# src0-9 (ref) vs src10-19 (cand), +0.5 Laplace smoothing
+dp = dc.assign(side=["ref" if int(s_[3:]) < 10 else "cand" for s_ in dc.source],
+               bucket=[min(int(n) // 50, 12) for n in dc.n_chars])
+dp_c = dp.groupby("bucket").agg(
+    n_ref=("side", lambda x: int((x == "ref").sum())),
+    n_cand=("side", lambda x: int((x == "cand").sum()))).reset_index()
+dp_ta, dp_tb, dp_nb = int(dp_c.n_ref.sum()), int(dp_c.n_cand.sum()), len(dp_c)
+dp_p = (dp_c.n_ref + 0.5) / (dp_ta + 0.5 * dp_nb)
+dp_q = (dp_c.n_cand + 0.5) / (dp_tb + 0.5 * dp_nb)
+dp_term = (dp_p - dp_q) * np.log(dp_p / dp_q)
+f = pd.DataFrame({
+    "bucket": dp_c["bucket"].astype("int32"),
+    "n_ref": dp_c["n_ref"].astype("int64"),
+    "n_cand": dp_c["n_cand"].astype("int64"),
+    "psi_term": [rN(v, 6) for v in dp_term],
+    "psi_total": rN(float(dp_term.sum()), 6),
+}).sort_values("bucket")
+check("drift_psi", f)
+
 # shard_manifest: murmur3(seed 42) pmod 16 shard assignment + per-shard
 # manifest (count, total chars, id range, integer-exact balance ratio)
 sm = dc.assign(shard=[((murmur_long(int(v), 42) % 16) + 16) % 16

@@ -395,6 +395,60 @@ object Queries9 {
            |FROM sharded, tot ORDER BY shard""".stripMargin
       })),
 
+    QSpec("drift_psi",
+      // Distribution drift between corpus slices — the population stability
+      // index over the doc-length distribution, reference sources (src0-9)
+      // vs candidate sources (src10-19). The monitoring shape for "did this
+      // snapshot's data shift?": bucket the metric (width-50 chars, capped),
+      // count per side in ONE pass (conditional sums — no second scan, no
+      // join), Laplace-smooth the proportions (+0.5 per bucket, so an
+      // empty-on-one-side bucket contributes a finite term instead of ±inf),
+      // psi_term = (p−q)·ln(p/q) per bucket and the total cross-joined as a
+      // broadcast scalar (NOT a global window — that would single-partition
+      // the frame). O(buckets) groups at any corpus size; ln's last-ulp
+      // engine variance is ~9 orders below the round(6) surface.
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          when(substring(col("source"), 4, 10).cast("int") < 10, "ref")
+            .otherwise("cand").as("side"),
+          least(expr("n_chars div 50"), lit(12L)).cast("int").as("bucket"))
+        val c = d.groupBy("bucket").agg(
+          sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("side") === "cand", 1L).otherwise(0L)).as("n_cand"))
+        val tot = c.agg(sum("n_ref").as("ta"), sum("n_cand").as("tb"),
+          count(lit(1)).as("nb"))
+        val terms = c.crossJoin(broadcast(tot)).select(
+          col("bucket"), col("n_ref"), col("n_cand"),
+          ((col("n_ref") + lit(0.5)) / (col("ta") + lit(0.5) * col("nb"))).as("p"),
+          ((col("n_cand") + lit(0.5)) / (col("tb") + lit(0.5) * col("nb"))).as("q"))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        val total = terms.agg(sum("term").as("psi"))
+        terms.crossJoin(broadcast(total))
+          .select(col("bucket"), col("n_ref"), col("n_cand"),
+            round(col("term"), 6).as("psi_term"),
+            round(col("psi"), 6).as("psi_total"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH d AS (SELECT CASE WHEN CAST(source[4:] AS INT) < 10
+          |      THEN 'ref' ELSE 'cand' END AS side,
+          |    CAST(LEAST(n_chars // 50, 12) AS INT) AS bucket FROM documents),
+          |c AS (SELECT bucket,
+          |    CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          |    CAST(SUM(CASE WHEN side = 'cand' THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+          |  FROM d GROUP BY 1),
+          |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS ta,
+          |    CAST(SUM(n_cand) AS BIGINT) AS tb,
+          |    CAST(COUNT(*) AS BIGINT) AS nb FROM c),
+          |x AS (SELECT bucket, n_ref, n_cand,
+          |    (n_ref + 0.5) / (ta + 0.5 * nb) AS p,
+          |    (n_cand + 0.5) / (tb + 0.5 * nb) AS q FROM c, t),
+          |y AS (SELECT bucket, n_ref, n_cand, (p - q) * ln(p / q) AS term FROM x),
+          |s AS (SELECT SUM(term) AS psi FROM y)
+          |SELECT bucket, n_ref, n_cand, ROUND(term, 6) AS psi_term,
+          |  ROUND(psi, 6) AS psi_total
+          |FROM y, s ORDER BY bucket""".stripMargin)),
+
     QSpec("embedding_pca_power",
       // Top principal component of the mean-centered embeddings — 3 rounds
       // of distributed power iteration (ext/SimSearch.pcaTopComponent), the
