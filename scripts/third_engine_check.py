@@ -2615,6 +2615,83 @@ check("cohort_retention", pd.DataFrame(
     [{"cohort_week": np.int64(cw), "week_offset": np.int64(off),
       "n_users": np.int64(n)} for (cw, off), n in sorted(cells.items())]))
 
+# doc_quality_logreg: 3-step full-batch GD distillation of the integer
+# quality heuristic (labels exact); rounded-margin accuracy
+lr_sp = [s_.split(" ") for s_ in dc.text]
+def _lr_qm(sp):
+    n = len(sp)
+    stop = sum(1 for t_ in sp if t_ in ("the", "a"))
+    sl = sum(len(t_) for t_ in sp)
+    num = 4 * min(n, 100) * n + 300 * stop + 30 * min(sl, 10 * n)
+    den = 1000 * n
+    return (2000000 * num + den) // (2 * den)
+lr_y = np.array([1.0 if _lr_qm(sp) >= 400000 else 0.0 for sp in lr_sp])
+lr_ntok = np.array([len(sp) for sp in lr_sp], dtype="float64")
+lr_x = np.column_stack([
+    np.ones(len(dc)),
+    np.minimum(dc.n_chars.to_numpy(), 2000) / 2000.0,
+    lr_ntok / np.maximum(dc.n_chars.to_numpy(), 1),
+    np.array([sum(1 for t_ in sp if t_ == "the") for sp in lr_sp])
+    / np.maximum(lr_ntok, 1)])
+lr_w = np.zeros(4)
+for _ in range(3):
+    lr_r = lr_y - 1.0 / (1.0 + np.exp(-(lr_x @ lr_w)))
+    lr_w = lr_w + 2.0 * (lr_x.T @ lr_r) / len(lr_y)
+lr_m = np.array([rH(v, 6) for v in lr_x @ lr_w])
+lr_ok = int(((lr_m > 0) == (lr_y == 1.0)).sum())
+check("doc_quality_logreg", pd.DataFrame(
+    {"pos": np.arange(4, dtype="int32"),
+     "weight": [rH(v, 6) for v in lr_w],
+     "accuracy": ratioR(lr_ok, len(lr_y), 6)}))
+
+# dedup_ngram_containment: inter/min over distinct 3-shingles, doc_id < 500
+csub = {did: sh for did, sh in doc_shset.items() if did < 500}
+rows = []
+for a in sorted(csub):
+    for b in sorted(csub):
+        if a >= b:
+            continue
+        inter = len(csub[a] & csub[b])
+        if inter == 0:
+            continue
+        c = ratioR(inter, min(len(csub[a]), len(csub[b])), 6)
+        if c >= 0.5:
+            rows.append({"a_id": a, "b_id": b, "containment": c})
+check("dedup_ngram_containment",
+      pd.DataFrame(rows, columns=["a_id", "b_id", "containment"]))
+
+# tokenizer_fertility: per-lang chars/token and bytes/char, integer-exact
+fr = dc.assign(n_tok=[len(sp) for sp in lr_sp],
+               n_bytes=[len(s_.encode("utf-8")) for s_ in dc.text]) \
+    .groupby("lang").agg(n_docs=("doc_id", "size"),
+                         total_tokens=("n_tok", "sum"),
+                         total_chars=("n_chars", "sum"),
+                         total_bytes=("n_bytes", "sum")).reset_index()
+check("tokenizer_fertility", pd.DataFrame(
+    {"lang": fr["lang"], "n_docs": fr["n_docs"].astype("int64"),
+     "total_tokens": fr["total_tokens"].astype("int64"),
+     "total_chars": fr["total_chars"].astype("int64"),
+     "total_bytes": fr["total_bytes"].astype("int64"),
+     "chars_per_token": [ratioR(c_, t_, 6) for c_, t_ in
+                         zip(fr.total_chars, fr.total_tokens)],
+     "bytes_per_char": [ratioR(b_, c_, 6) for b_, c_ in
+                        zip(fr.total_bytes, fr.total_chars)]}).sort_values("lang"))
+
+# mixture_epochs: α=0.5 weights in micros, 2×-corpus budget allocation,
+# epochs in millis — all integer-exact past the single sqrt
+me = dc.assign(n_tok=[len(sp) for sp in lr_sp]).groupby("source") \
+    .n_tok.sum().reset_index().rename(columns={"n_tok": "n_tokens"})
+me_mx = int(me.n_tokens.max())
+me_w = [int(rH(math.sqrt(int(v) / me_mx) * 1000000, 0)) for v in me.n_tokens]
+me_sw, me_tot = sum(me_w), int(me.n_tokens.sum())
+me_alloc = [int(ratioR(2 * me_tot * w_, me_sw, 0)) for w_ in me_w]
+check("mixture_epochs", pd.DataFrame(
+    {"source": me["source"], "n_tokens": me["n_tokens"].astype("int64"),
+     "w_micros": np.array(me_w, dtype="int64"),
+     "alloc_tokens": np.array(me_alloc, dtype="int64"),
+     "epochs": [ratioR(a_, int(n_), 3) for a_, n_ in
+                zip(me_alloc, me.n_tokens)]}).sort_values("source"))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -211,6 +211,40 @@ object Dedup {
     out
   }
 
+  /** Near-superset containment dedup: C(a,b) = |A∩B| / min(|A|,|B|) over
+    * distinct w-shingles — a truncation or embedded quotation scores 1.0
+    * where Jaccard divides by the union and under-reads it (the fixture's
+    * prefix-truncated near-dups: containment 1.0 vs jaccard ≈0.97; a
+    * 10%-prefix quote: ≈1.0 vs ≈0.1). Candidate generation is the same
+    * inverted-index equi-join as [[exactJaccard]] — never all-pairs — and
+    * deliberately shares its DfMemo key, so a pipeline running both
+    * metrics pays for ONE shingle pass. Unlike the irrational cosines,
+    * count/min(count) is a rational that can sit exactly on a rounding
+    * half-boundary, so the ratio goes through [[ExactMath.ratioRounded]],
+    * not float round. Same id-cap bounded-verification contract as
+    * [[exactJaccard]]. */
+  def exactContainment(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      threshold: Double, idCap: Long, cacheKey: Option[String] = None): DataFrame = {
+    val sh = DfMemo.cached(spark, cacheKey, s"jaccard_sh:$shingleW:$idCap",
+      persistUnkeyed = true) {
+      docs.where(col("doc_id") < idCap)
+        .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+        .withColumn("n", size(col("sh")))
+    }
+    val inv = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+    val a = inv.select(col("g"), col("doc_id").as("a_id"), col("n").as("na"))
+    val b = inv.select(col("g"), col("doc_id").as("b_id"), col("n").as("nb"))
+    a.join(b, Seq("g"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        ExactMath.ratioRounded(col("inter"), least(col("na"), col("nb")), 6))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding-cosine near-dedup: a row is a duplicate iff an
     * earlier-id row has cosine ≥ threshold; survivors are returned. Exact
     * within an id cap (the oracle-able form); at scale the pair generation
