@@ -2615,8 +2615,9 @@ check("cohort_retention", pd.DataFrame(
     [{"cohort_week": np.int64(cw), "week_offset": np.int64(off),
       "n_users": np.int64(n)} for (cw, off), n in sorted(cells.items())]))
 
-# doc_quality_logreg: 3-step full-batch GD distillation of the integer
-# quality heuristic (labels exact); rounded-margin accuracy
+# doc_quality_logreg: 12-step full-batch GD distillation of the integer
+# quality heuristic (labels exact, teacher-aligned features); the x3
+# feature keeps the engine's SEQUENCED sum/n then /10 division order
 lr_sp = [s_.split(" ") for s_ in dc.text]
 def _lr_qm(sp):
     n = len(sp)
@@ -2626,23 +2627,76 @@ def _lr_qm(sp):
     den = 1000 * n
     return (2000000 * num + den) // (2 * den)
 lr_y = np.array([1.0 if _lr_qm(sp) >= 400000 else 0.0 for sp in lr_sp])
-lr_ntok = np.array([len(sp) for sp in lr_sp], dtype="float64")
+lr_ntok = np.array([max(len(sp), 1) for sp in lr_sp], dtype="float64")
 lr_x = np.column_stack([
     np.ones(len(dc)),
-    np.minimum(dc.n_chars.to_numpy(), 2000) / 2000.0,
-    lr_ntok / np.maximum(dc.n_chars.to_numpy(), 1),
-    np.array([sum(1 for t_ in sp if t_ == "the") for sp in lr_sp])
-    / np.maximum(lr_ntok, 1)])
+    np.minimum([len(sp) for sp in lr_sp], 100) / 100.0,
+    np.array([sum(1 for t_ in sp if t_ in ("the", "a")) for sp in lr_sp])
+    / lr_ntok,
+    np.minimum(np.array([sum(len(t_) for t_ in sp) for sp in lr_sp])
+               / lr_ntok / 10.0, 1.0)])
 lr_w = np.zeros(4)
-for _ in range(3):
+for _ in range(12):
     lr_r = lr_y - 1.0 / (1.0 + np.exp(-(lr_x @ lr_w)))
-    lr_w = lr_w + 2.0 * (lr_x.T @ lr_r) / len(lr_y)
+    lr_w = lr_w + 4.0 * (lr_x.T @ lr_r) / len(lr_y)
 lr_m = np.array([rH(v, 6) for v in lr_x @ lr_w])
 lr_ok = int(((lr_m > 0) == (lr_y == 1.0)).sum())
 check("doc_quality_logreg", pd.DataFrame(
     {"pos": np.arange(4, dtype="int32"),
      "weight": [rH(v, 6) for v in lr_w],
      "accuracy": ratioR(lr_ok, len(lr_y), 6)}))
+
+# quality_calibration: reliability curve of the learned filter — bucket by
+# ROUNDED predicted probability, observed positive rate per bucket
+qc_p = np.array([rH(v, 6) for v in 1.0 / (1.0 + np.exp(-(lr_x @ lr_w)))])
+qc_b = np.minimum(np.floor(qc_p * 5).astype(int), 4)
+rows = []
+for b_ in sorted(set(qc_b)):
+    m_ = qc_b == b_
+    n_ = int(m_.sum())
+    npos = int(lr_y[m_].sum())
+    rows.append({"bucket": np.int32(b_), "n_docs": np.int64(n_),
+                 "n_pos": np.int64(npos),
+                 "mean_pred": rH(float(qc_p[m_].mean()), 6),
+                 "pos_rate": ratioR(npos, n_, 6)})
+check("quality_calibration", pd.DataFrame(rows))
+
+# lang_id_confusion: marker-intersect argmax vs ground-truth lang label
+_conf_markers = [("de", {"der", "und", "die"}), ("en", {"the", "a", "of"}),
+                 ("es", {"el", "la", "de"}), ("fr", {"le", "la", "et"}),
+                 ("zh", {"的", "是", "了"})]
+def _conf_pred(sp):
+    toks = set(sp)
+    best_l, best_s = _conf_markers[0][0], len(toks & _conf_markers[0][1])
+    for l_, ws_ in _conf_markers[1:]:
+        s_ = len(toks & ws_)
+        if s_ > best_s:
+            best_l, best_s = l_, s_
+    return best_l
+cf = pd.DataFrame({"lang": dc.lang,
+                   "lang_pred": [_conf_pred(sp) for sp in lr_sp]})
+cf_c = cf.groupby(["lang", "lang_pred"]).size().reset_index(name="n_docs")
+cf_t = cf_c.groupby("lang").n_docs.sum().to_dict()
+check("lang_id_confusion", pd.DataFrame(
+    {"lang": cf_c["lang"], "lang_pred": cf_c["lang_pred"],
+     "n_docs": cf_c["n_docs"].astype("int64"),
+     "share_of_lang": [ratioR(int(n_), int(cf_t[l_]), 6)
+                       for l_, n_ in zip(cf_c.lang, cf_c.n_docs)]}
+).sort_values(["lang", "lang_pred"]))
+
+# curation_attrition: per-stage funnel counts (lang → quality → exact-dup)
+at_pred = [_conf_pred(sp) for sp in lr_sp]
+at_qm = [_lr_qm(sp) for sp in lr_sp]
+at_k1 = [p_ == "en" for p_ in at_pred]
+at_k2 = [k_ and q_ >= 400000 for k_, q_ in zip(at_k1, at_qm)]
+at_n0, at_n1 = len(dc), int(sum(at_k1))
+at_n2 = int(sum(at_k2))
+at_n3 = len({t_ for t_, k_ in zip(dc.text, at_k2) if k_})
+check("curation_attrition", pd.DataFrame(
+    [{"stage": "1_lang", "n_in": at_n0, "n_dropped": at_n0 - at_n1, "n_out": at_n1},
+     {"stage": "2_quality", "n_in": at_n1, "n_dropped": at_n1 - at_n2, "n_out": at_n2},
+     {"stage": "3_exact_dup", "n_in": at_n2, "n_dropped": at_n2 - at_n3, "n_out": at_n3}]
+).astype({"n_in": "int64", "n_dropped": "int64", "n_out": "int64"}))
 
 # dedup_ngram_containment: inter/min over distinct 3-shingles, doc_id < 500
 csub = {did: sh for did, sh in doc_shset.items() if did < 500}

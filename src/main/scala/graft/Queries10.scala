@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.TableRegistry
-import graft.ext.{Dedup, ExactMath, QualityModel}
+import graft.ext.{Dedup, ExactMath, QualityModel, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,39 @@ object Queries10 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableRegistry.table(s, dir, name)
+
+  /** Chained-CTE replay of [[graft.ext.QualityModel]]'s feature build and
+    * canonical training schedule (d → f → w0 → … → w12) — shared by the
+    * `doc_quality_logreg` and `quality_calibration` oracles so the two
+    * replays cannot drift (the pcaOracleCtes discipline). Feature SQL
+    * mirrors QualityModel.features op-for-op, including x3's SEQUENCED
+    * sum/n-then-/10 divisions (a fused sum/(10n) rounds differently).
+    * Ends after the final weight CTE (name it via [[logregFinalW]]); no
+    * trailing comma — callers append `,\n<more CTEs>` or `\nSELECT`. */
+  private def logregFinalW: String = s"w${QualityModel.trainSteps}"
+  private def logregOracleCtes: String = {
+    def step(k: Int, prev: String): String = {
+      val z = s"($prev.b0*x0 + $prev.b1*x1 + $prev.b2*x2 + $prev.b3*x3)"
+      val sig = s"1/(1 + exp(-$z))"
+      (0 to 3).map(j =>
+        s"MAX($prev.b$j) + ${QualityModel.trainEta}*AVG((y - $sig)*x$j) AS b$j")
+        .mkString(s"w$k AS (SELECT ", ", ", s" FROM f, $prev)")
+    }
+    val steps = (1 to QualityModel.trainSteps)
+      .map(k => step(k, s"w${k - 1}")).mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, sp,
+       |    ${graft.ext.TextAnalysis.qualityMicrosSql("sp")} AS qm
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+       |f AS (SELECT doc_id,
+       |    CASE WHEN qm >= ${QualityModel.labelThresholdMicros} THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    CAST(LEAST(len(sp), 100) AS DOUBLE)/100 AS x1,
+       |    CAST(len(list_filter(sp, t -> t = 'the' OR t = 'a')) AS DOUBLE)/GREATEST(len(sp), 1) AS x2,
+       |    LEAST(CAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)/GREATEST(len(sp), 1)/10, 1.0) AS x3
+       |  FROM d),
+       |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+       |$steps""".stripMargin
+  }
 
   /** Per-language fertility rollup over (doc_id, text, lang, n_chars) —
     * factored out of the QSpec so the multibyte behavior is unit-testable
@@ -44,21 +77,23 @@ object Queries10 {
     QSpec("doc_quality_logreg",
       // Learned quality filter: distill the integer-exact qualityMicros
       // heuristic (the teacher) into a 4-feature logistic regression via 3
-      // deterministic full-batch gradient steps (w₀=0, η=2). Each step is
-      // one scan aggregating 4 means (map-side combine, 4 doubles to the
-      // driver) — model cost is O(steps) scans at any corpus size. The
-      // surface is the trained model itself (weights, rounded 6) plus its
-      // training accuracy, computed from the ROUNDED margin so the
-      // correct-count cannot flip on ~1e-15 cross-engine summation jitter.
-      // The oracle replays the 3 steps as chained CTEs (w0 → w1 → w2 → w3),
-      // exactly the embedding_pca_power replay discipline.
+      // deterministic full-batch gradient steps (w₀=0, the canonical
+      // QualityModel schedule). Each step is one scan aggregating 4 means
+      // (map-side combine, 4 doubles to the driver) — model cost is
+      // O(steps) scans at any corpus size. The surface is the trained
+      // model itself (weights, rounded 6) plus its training accuracy,
+      // computed from the ROUNDED margin so the correct-count cannot flip
+      // on ~1e-15 cross-engine summation jitter. The oracle replays every
+      // step as chained CTEs (w0 → … → w12), exactly the
+      // embedding_pca_power replay discipline.
       (s, dir) => {
         import s.implicits._
         val feat = graft.ext.DfMemo.cached(s, Some(dir), "logreg_feat",
           persistUnkeyed = true) {
           QualityModel.features(t(s, dir, "documents"))
         }
-        val w = QualityModel.train(feat, steps = 3, eta = 2.0)
+        val w = QualityModel.train(feat,
+          QualityModel.trainSteps, QualityModel.trainEta)
         val acc = feat
           .select(when((round(QualityModel.margin(w), 6) > 0) ===
             (col("y") === 1.0d), 1L).otherwise(0L).as("ok"))
@@ -71,37 +106,16 @@ object Queries10 {
           .orderBy("pos")
       },
       Some {
-        def step(k: Int, prev: String): String = {
-          val z = s"($prev.b0*x0 + $prev.b1*x1 + $prev.b2*x2 + $prev.b3*x3)"
-          val sig = s"1/(1 + exp(-$z))"
-          (0 to 3).map(j =>
-            s"MAX($prev.b$j) + 2.0*AVG((y - $sig)*x$j) AS b$j")
-            .mkString(s"w$k AS (SELECT ", ", ", s" FROM f, $prev)")
-        }
-        s"""WITH d AS (SELECT doc_id, n_chars, sp,
-           |    (2000000 * (4 * LEAST(len(sp),100) * len(sp)
-           |      + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
-           |      + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
-           |      + 1000 * len(sp)) // (2000 * len(sp)) AS qm
-           |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS sp FROM documents)),
-           |f AS (SELECT doc_id,
-           |    CASE WHEN qm >= ${QualityModel.labelThresholdMicros} THEN 1.0 ELSE 0.0 END AS y,
-           |    1.0 AS x0,
-           |    CAST(LEAST(n_chars, 2000) AS DOUBLE)/2000 AS x1,
-           |    CAST(len(sp) AS DOUBLE)/GREATEST(n_chars, 1) AS x2,
-           |    CAST(len(list_filter(sp, t -> t = 'the')) AS DOUBLE)/GREATEST(len(sp), 1) AS x3
-           |  FROM d),
-           |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
-           |${step(1, "w0")},
-           |${step(2, "w1")},
-           |${step(3, "w2")},
-           |m AS (SELECT CASE WHEN (ROUND(w3.b0*x0 + w3.b1*x1 + w3.b2*x2 + w3.b3*x3, 6) > 0)
-           |      = (y = 1.0) THEN 1 ELSE 0 END AS ok FROM f, w3),
-           |acc AS (SELECT ${ExactMath.ratioRoundedSql("SUM(ok)", "COUNT(*)", 6)} AS accuracy FROM m)
-           |SELECT p.pos, ROUND(CASE p.pos WHEN 0 THEN w3.b0 WHEN 1 THEN w3.b1
-           |    WHEN 2 THEN w3.b2 ELSE w3.b3 END, 6) AS weight, acc.accuracy
-           |FROM (SELECT unnest([0, 1, 2, 3]) AS pos) p, w3, acc
-           |ORDER BY pos""".stripMargin
+        val fw = logregFinalW
+        logregOracleCtes +
+          s""",
+             |m AS (SELECT CASE WHEN (ROUND($fw.b0*x0 + $fw.b1*x1 + $fw.b2*x2 + $fw.b3*x3, 6) > 0)
+             |      = (y = 1.0) THEN 1 ELSE 0 END AS ok FROM f, $fw),
+             |acc AS (SELECT ${ExactMath.ratioRoundedSql("SUM(ok)", "COUNT(*)", 6)} AS accuracy FROM m)
+             |SELECT p.pos, ROUND(CASE p.pos WHEN 0 THEN $fw.b0 WHEN 1 THEN $fw.b1
+             |    WHEN 2 THEN $fw.b2 ELSE $fw.b3 END, 6) AS weight, acc.accuracy
+             |FROM (SELECT unnest([0, 1, 2, 3]) AS pos) p, $fw, acc
+             |ORDER BY pos""".stripMargin
       }),
 
     QSpec("dedup_ngram_containment",
@@ -205,6 +219,131 @@ object Queries10 {
            |  FROM w, t)
            |SELECT source, n_tokens, w_micros, alloc_tokens,
            |  ${ExactMath.ratioRoundedSql("alloc_tokens", "n_tokens", 3)} AS epochs
-           |FROM a ORDER BY source""".stripMargin))
+           |FROM a ORDER BY source""".stripMargin)),
+
+    QSpec("quality_calibration",
+      // Reliability curve of the learned filter (X20) against its teacher:
+      // bucket docs by ROUNDED predicted probability (5 equal-width bins;
+      // the rounded-margin trick again, so bin membership cannot flip on
+      // 1e-15 summation jitter) and report observed positive rate per bin —
+      // the calibration table an ML-ops owner reads before trusting the
+      // filter's scores as sampling weights. Shares the cached feature
+      // frame AND the replayed CTE chain with doc_quality_logreg (one
+      // renderer, the pcaOracleCtes discipline). One grouped aggregation
+      // over O(bins) groups; pos_rate integer-exact through ExactMath.
+      (s, dir) => {
+        val feat = graft.ext.DfMemo.cached(s, Some(dir), "logreg_feat",
+          persistUnkeyed = true) {
+          QualityModel.features(t(s, dir, "documents"))
+        }
+        val w = QualityModel.train(feat,
+          QualityModel.trainSteps, QualityModel.trainEta)
+        val p = round(lit(1.0d) / (lit(1.0d) + exp(-QualityModel.margin(w))), 6)
+        feat.select(col("y"), p.as("p"))
+          .withColumn("bucket", least(floor(col("p") * 5).cast("int"), lit(4)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y").cast("long")).as("n_pos"),
+            round(avg("p"), 6).as("mean_pred"))
+          .select(col("bucket"), col("n_docs"), col("n_pos"), col("mean_pred"),
+            ExactMath.ratioRounded(col("n_pos"), col("n_docs"), 6).as("pos_rate"))
+          .orderBy("bucket")
+      },
+      Some {
+        val fw = logregFinalW
+        logregOracleCtes +
+          s""",
+             |pr AS (SELECT y,
+             |    ROUND(1/(1 + exp(-($fw.b0*x0 + $fw.b1*x1 + $fw.b2*x2 + $fw.b3*x3))), 6) AS p
+             |  FROM f, $fw),
+             |b AS (SELECT CAST(LEAST(FLOOR(p * 5), 4) AS INT) AS bucket, y, p FROM pr),
+             |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+             |    ROUND(AVG(p), 6) AS mean_pred
+             |  FROM b GROUP BY bucket)
+             |SELECT bucket, n_docs, n_pos, mean_pred,
+             |  ${ExactMath.ratioRoundedSql("n_pos", "n_docs", 6)} AS pos_rate
+             |FROM g ORDER BY bucket""".stripMargin
+      }),
+
+    QSpec("lang_id_confusion",
+      // Language-ID evaluation: confusion matrix of the marker-intersect
+      // predictor against the table's ground-truth lang label, with each
+      // cell's share of its true language (the per-class recall diagonal an
+      // evaluation harness reads). Cells are O(langs²) — the grouped count
+      // is the only corpus-sized pass; per-lang totals join back broadcast.
+      // The oracle re-derives the prediction through the ONE shared argmax
+      // renderer (TextAnalysis.langIdCaseSql), so predictor and replay
+      // cannot drift.
+      (s, dir) => {
+        val cells = TextAnalysis.withLangIdIntersect(
+          t(s, dir, "documents"), "text", "lang_pred")
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = cells.groupBy("lang").agg(sum("n_docs").as("n_lang"))
+        cells.join(broadcast(totals), Seq("lang"))
+          .select(col("lang"), col("lang_pred"), col("n_docs"),
+            ExactMath.ratioRounded(col("n_docs"), col("n_lang"), 6)
+              .as("share_of_lang"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(
+        s"""WITH p AS (SELECT lang, ${TextAnalysis.langIdCaseSql("sp")} AS lang_pred
+           |  FROM (SELECT lang, string_split(text, ' ') AS sp FROM documents) d),
+           |c AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM p GROUP BY 1, 2),
+           |tt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+           |SELECT c.lang, c.lang_pred, c.n_docs,
+           |  ${ExactMath.ratioRoundedSql("c.n_docs", "tt.n_lang", 6)} AS share_of_lang
+           |FROM c JOIN tt ON c.lang = tt.lang
+           |ORDER BY c.lang, c.lang_pred""".stripMargin)),
+
+    QSpec("curation_attrition",
+      // Per-stage attrition of the curation cascade — the funnel
+      // observability a pipeline owner reads to see WHERE documents die:
+      // stage 1 keeps predicted-English, stage 2 keeps teacher-quality ≥
+      // the X20 threshold, stage 3 keeps one doc per exact text. All
+      // counts integer-exact; the cascade is ONE scan computing the stage
+      // flags plus a distinct-count for the dedup stage (survivor count =
+      // COUNT(DISTINCT text) among stage-2 keepers — no join needed for
+      // counts), assembled into 3 rows via stack. Both heuristics render
+      // through their single shared oracle generators.
+      (s, dir) => {
+        val flagged = TextAnalysis.withLangIdIntersect(
+          t(s, dir, "documents"), "text", "lang_pred")
+          .withColumn("qm", TextAnalysis.qualityMicros(col("text"), Seq("the", "a")))
+          .select(col("text"),
+            (col("lang_pred") === "en").as("k1"),
+            (col("lang_pred") === "en" &&
+              col("qm") >= QualityModel.labelThresholdMicros).as("k2"))
+        flagged.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("k1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("k2"), 1L).otherwise(0L)).as("n2"),
+          countDistinct(when(col("k2"), col("text"))).as("n3"))
+          .selectExpr(
+            """stack(3,
+              |  '1_lang', n_total, n1,
+              |  '2_quality', n1, n2,
+              |  '3_exact_dup', n2, n3) as (stage, n_in, n_out)""".stripMargin)
+          .withColumn("n_dropped", col("n_in") - col("n_out"))
+          .select("stage", "n_in", "n_dropped", "n_out")
+          .orderBy("stage")
+      },
+      Some(
+        s"""WITH d AS (SELECT text, string_split(text, ' ') AS sp FROM documents),
+           |p AS (SELECT text, ${TextAnalysis.langIdCaseSql("sp")} AS lang_pred,
+           |    ${TextAnalysis.qualityMicrosSql("sp")} AS qm
+           |  FROM d),
+           |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           |    CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN lang_pred = 'en' AND qm >= ${QualityModel.labelThresholdMicros} THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(COUNT(DISTINCT CASE WHEN lang_pred = 'en' AND qm >= ${QualityModel.labelThresholdMicros} THEN text END) AS BIGINT) AS n3
+           |  FROM p)
+           |SELECT stage, n_in, n_in - n_out AS n_dropped, n_out FROM (
+           |  SELECT '1_lang' AS stage, n_total AS n_in, n1 AS n_out FROM s
+           |  UNION ALL SELECT '2_quality', n1, n2 FROM s
+           |  UNION ALL SELECT '3_exact_dup', n2, n3 FROM s) u
+           |ORDER BY stage""".stripMargin))
   )
 }

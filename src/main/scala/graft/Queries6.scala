@@ -124,23 +124,12 @@ object Queries6 {
           .orderBy("source")
       },
       Some {
-        val score = graft.ext.TextAnalysis.defaultMarkers.map { case (lang, ws) =>
-          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
-        }
-        val Seq(de, en, es, fr, zh) = score.map(_._2): @unchecked
+        import graft.ext.TextAnalysis.{langIdCaseSql, qualityMicrosSql}
         s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp FROM documents),
            |scored AS (
            |  SELECT doc_id, source, text,
-           |    CASE
-           |      WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-           |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-           |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
-           |      WHEN $fr >= $zh THEN 'fr'
-           |      ELSE 'zh' END AS lang_pred,
-           |    ((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
-           |      + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
-           |      + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
-           |      + 1000 * len(sp)) // (2000 * len(sp))) AS qm
+           |    ${langIdCaseSql("sp")} AS lang_pred,
+           |    (${qualityMicrosSql("sp")}) AS qm
            |  FROM d),
            |fi AS (SELECT text, MIN(doc_id) AS first_id FROM d GROUP BY text),
            |j AS (SELECT s.source, s.lang_pred, s.qm,

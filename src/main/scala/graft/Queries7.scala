@@ -598,7 +598,7 @@ object Queries7 {
           .orderBy("cluster_id")
       },
       Some(
-        """WITH RECURSIVE sh AS (
+        s"""WITH RECURSIVE sh AS (
           |  SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
           |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp
@@ -624,10 +624,7 @@ object Queries7 {
           |  FROM lab GROUP BY cluster_id
           |), q AS (
           |  SELECT doc_id,
-          |    CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
-          |          + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
-          |          + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
-          |          + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality
+          |    CAST(${graft.ext.TextAnalysis.qualityMicrosSql("sp")} AS DOUBLE) / 1000000 AS quality
           |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents WHERE doc_id < 500) d
           |), r AS (
           |  SELECT lab.cluster_id, lab.doc_id, sz.cluster_size, q.quality,

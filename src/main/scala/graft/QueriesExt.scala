@@ -518,13 +518,10 @@ object QueriesExt {
           TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
         .orderBy("doc_id"),
       Some(
-        """SELECT doc_id,
-          |  CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
-          |        + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
-          |        + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
-          |        + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality
-          |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
-          |ORDER BY doc_id""".stripMargin)),
+        s"""SELECT doc_id,
+           |  CAST(${TextAnalysis.qualityMicrosSql("sp")} AS DOUBLE) / 1000000 AS quality
+           |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d
+           |ORDER BY doc_id""".stripMargin)),
 
     QSpec("lang_id",
       // marker-token language ID, distinct-match scoring: one codegen
@@ -535,23 +532,13 @@ object QueriesExt {
         t(s, dir, "documents"), "text", "lang_pred")
         .groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred"),
-      Some {
-        // replicate the fold's first-max-in-order argmax as nested CASE;
-        // list_intersect dedups in both engines, so scores line up exactly
-        val score = TextAnalysis.defaultMarkers.map { case (lang, ws) =>
-          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
-        }
-        val Seq(de, en, es, fr, zh) = score.map(_._2)
+      Some(
+        // first-max-in-order argmax rendered by the ONE shared generator
+        // (TextAnalysis.langIdCaseSql) — see its scaladoc
         s"""SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-           |  SELECT CASE
-           |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-           |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-           |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
-           |    WHEN $fr >= $zh THEN 'fr'
-           |    ELSE 'zh' END AS lang_pred
+           |  SELECT ${TextAnalysis.langIdCaseSql("sp")} AS lang_pred
            |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) d
-           |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
-      }),
+           |) p GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
     QSpec("quality_repetition",
       // Gopher-style duplicate-bigram fraction: flags boilerplate/spam in
@@ -590,29 +577,16 @@ object QueriesExt {
           .select(col("doc_id"), col("quality"))
           .orderBy("doc_id")
       },
-      Some {
-        val score = TextAnalysis.defaultMarkers.map { case (lang, ws) =>
-          lang -> s"len(list_intersect(sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
-        }
-        val Seq(de, en, es, fr, zh) = score.map(_._2)
+      Some(
         s"""WITH scored AS (
            |  SELECT doc_id, text,
-           |    CAST((2000000 * (4 * LEAST(len(sp), 100) * len(sp)
-           |          + 300 * len(list_filter(sp, t -> t = 'the' OR t = 'a'))
-           |          + 30 * LEAST(list_sum(list_transform(sp, t -> CAST(length(t) AS BIGINT))), 10 * len(sp)))
-           |          + 1000 * len(sp)) // (2000 * len(sp)) AS DOUBLE) / 1000000 AS quality,
-           |    CASE
-           |      WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-           |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-           |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
-           |      WHEN $fr >= $zh THEN 'fr'
-           |      ELSE 'zh' END AS lang_pred
+           |    CAST(${TextAnalysis.qualityMicrosSql("sp")} AS DOUBLE) / 1000000 AS quality,
+           |    ${TextAnalysis.langIdCaseSql("sp")} AS lang_pred
            |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d),
            |pass AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
            |keep AS (SELECT MIN(doc_id) AS doc_id FROM pass GROUP BY text)
            |SELECT p.doc_id, p.quality FROM pass p JOIN keep k ON p.doc_id = k.doc_id
-           |ORDER BY p.doc_id""".stripMargin
-      }),
+           |ORDER BY p.doc_id""".stripMargin)),
 
     QSpec("doc_fingerprint",
       (s, dir) => t(s, dir, "documents")

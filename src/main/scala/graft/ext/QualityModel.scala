@@ -29,22 +29,36 @@ object QualityModel {
     * (42–46% positive), so the learned boundary is never degenerate. */
   val labelThresholdMicros = 400000L
 
-  /** Feature frame: (doc_id, y, x0..x3) — bias, capped length, token
-    * density, "the"-frequency. All per-row exact: each feature is one
-    * integer ratio evaluated in a single IEEE division, identical on every
-    * engine. One scan, no shuffle. */
+  /** Canonical training schedule for the declared surface keys (and their
+    * oracle replays): 12 steps at η=4 reaches 0.976 training accuracy and
+    * spreads predictions across 4 of 5 calibration bins at sf0.01. Float
+    * audit: per-step jitter amplification ≤ ~2×, so the ~1e-15 cross-engine
+    * seed grows to at most ~4e-12 over 12 steps — still 6 orders below the
+    * round(6) surfaces. */
+  val trainSteps = 12
+  val trainEta = 4.0
+
+  /** Feature frame: (doc_id, y, x0..x3) — bias, capped token count,
+    * stopword ratio, capped average token length: the same three signals
+    * the teacher composites (so the linear model can actually learn it —
+    * 0.976 training accuracy at sf0.01 vs 0.58 for length/density
+    * features), which is exactly a distillation's job. Per-row exact:
+    * every feature is a fixed chain of IEEE ops on integers, identical on
+    * every engine (x3's two divisions are sequenced sum/n then /10 — the
+    * replays MUST keep that order, a fused sum/(10n) rounds differently).
+    * One scan, no shuffle. */
   def features(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     docs.select(
       col("doc_id"),
       when(TextAnalysis.qualityMicros(col("text"), Seq("the", "a")) >=
         labelThresholdMicros, 1.0d).otherwise(0.0d).as("y"),
       lit(1.0d).as("x0"),
-      (least(col("n_chars"), lit(2000L)).cast("double") / 2000.0d).as("x1"),
-      (size(toks).cast("double") /
-        greatest(col("n_chars"), lit(1L)).cast("double")).as("x2"),
-      (size(filter(toks, t => t === "the")).cast("double") /
-        greatest(size(toks), lit(1)).cast("double")).as("x3"))
+      (least(size(toks), lit(100)).cast("double") / 100.0d).as("x1"),
+      (size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTok).as("x2"),
+      least(sumLen.cast("double") / nTok / lit(10.0d), lit(1.0d)).as("x3"))
   }
 
   /** The margin w·x as a column over a [[features]] frame. */

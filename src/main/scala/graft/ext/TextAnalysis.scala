@@ -58,6 +58,17 @@ object TextAnalysis {
     ldiv(lit(2000000L) * num + den, lit(2L) * den)
   }
 
+  /** DuckDB twin of [[qualityMicros]] (stopwords fixed to the engine-wide
+    * 'the'/'a' set) over a pre-split token-list column — ONE renderer for
+    * every oracle that re-derives the teacher score (quality_score,
+    * doc_quality_logreg, quality_calibration, curation_attrition), so the
+    * integer formula cannot drift between replays. */
+  def qualityMicrosSql(sp: String): String =
+    s"(2000000 * (4 * LEAST(len($sp), 100) * len($sp)" +
+      s" + 300 * len(list_filter($sp, t -> t = 'the' OR t = 'a'))" +
+      s" + 30 * LEAST(list_sum(list_transform($sp, t -> CAST(length(t) AS BIGINT))), 10 * len($sp)))" +
+      s" + 1000 * len($sp)) // (2000 * len($sp))"
+
   /** Marker-word language ID: per language, count tokens in its marker set;
     * predict the argmax (ties → lexicographically first language). A real
     * system uses char-n-gram profiles; the *shape* (per-language score +
@@ -84,6 +95,27 @@ object TextAnalysis {
       case ((bestScore, bestLang), (lang, s)) =>
         (greatest(bestScore, s), when(s > bestScore, lit(lang)).otherwise(bestLang))
     }._2
+  }
+
+  /** DuckDB twin of the marker-intersect argmax ([[withLangIdIntersect]])
+    * as oracle-SQL text, over a pre-split token-list column — ONE renderer
+    * shared by every oracle that re-derives the prediction (lang_id,
+    * lang_id_confusion, curation_attrition), so the nested-CASE
+    * first-max-in-order tie-break cannot drift between them. list_intersect
+    * dedups in both engines, matching array_intersect's distinct-match
+    * scoring. */
+  def langIdCaseSql(sp: String,
+      markers: Seq[(String, Seq[String])] = defaultMarkers): String = {
+    val score = markers.map { case (lang, ws) =>
+      lang -> s"len(list_intersect($sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
+    }
+    val Seq(de, en, es, fr, zh) = score.map(_._2)
+    s"""CASE
+       |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+       |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+       |    WHEN $fr >= $zh THEN 'fr'
+       |    ELSE 'zh' END""".stripMargin
   }
 
   /** Character-trigram language ID (the real n-gram heuristic shape): per

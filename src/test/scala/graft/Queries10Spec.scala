@@ -77,6 +77,51 @@ class Queries10Spec extends SparkSpec {
     }
   }
 
+  test("curation funnel stages chain and never create documents") {
+    val rows = SparkEntry.queries("curation_attrition")(spark, sfDir)
+      .collect().sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_lang", "2_quality", "3_exact_dup"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"), s"stage grew: $r")
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"), s"drop mismatch: $r")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"),
+        s"funnel gap between ${a.getAs[String]("stage")} and ${b.getAs[String]("stage")}")
+    }
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.head.getAs[Long]("n_in") == total)
+  }
+
+  test("confusion matrix cells partition the corpus; shares sum to 1 per lang") {
+    val rows = SparkEntry.queries("lang_id_confusion")(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      val s = cells.map(_.getAs[Double]("share_of_lang")).sum
+      assert(math.abs(s - 1.0) <= 5e-6 * cells.length,
+        s"$lang shares sum to $s over ${cells.length} cells")
+    }
+  }
+
+  test("calibration buckets are coherent with their bounds") {
+    val rows = SparkEntry.queries("quality_calibration")(spark, sfDir).collect()
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(b >= 0 && b <= 4, s"bucket out of range: $r")
+      // bucket 4 also holds p = 1.0; others span [b/5, (b+1)/5)
+      assert(mp >= b / 5.0 - 1e-6 && mp <= (b + 1) / 5.0 + 1e-6,
+        s"mean_pred outside bucket: $r")
+      assert(pr >= 0.0 && pr <= 1.0, s"pos_rate out of range: $r")
+    }
+  }
+
   test("fertility flags multibyte scripts via bytes_per_char") {
     import spark.implicits._
     // the fixture corpus is ASCII-only, so plant a CJK doc: 的/是/了 are
