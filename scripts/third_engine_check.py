@@ -2746,6 +2746,45 @@ check("mixture_epochs", pd.DataFrame(
      "epochs": [ratioR(a_, int(n_), 3) for a_, n_ in
                 zip(me_alloc, me.n_tokens)]}).sort_values("source"))
 
+# corpus_diff: snapshot A (drop id%10=3) vs B (drop id%10=7, revise id%5=0)
+cd_a = {int(i_): t_ for i_, t_ in zip(dc.doc_id, dc.text) if int(i_) % 10 != 3}
+cd_b = {int(i_): (t_ + " rev2" if int(i_) % 5 == 0 else t_)
+        for i_, t_ in zip(dc.doc_id, dc.text) if int(i_) % 10 != 7}
+cd_src = dict(zip((int(i_) for i_ in dc.doc_id), dc.source))
+cd_acc = {}
+for i_ in set(cd_a) | set(cd_b):
+    s_ = cd_src[i_]
+    st = cd_acc.setdefault(s_, [0, 0, 0, 0])
+    if i_ not in cd_a:
+        st[0] += 1
+    elif i_ not in cd_b:
+        st[1] += 1
+    elif cd_a[i_] != cd_b[i_]:
+        st[2] += 1
+    else:
+        st[3] += 1
+check("corpus_diff", pd.DataFrame(
+    [{"source": s_, "n_added": np.int64(v[0]), "n_removed": np.int64(v[1]),
+      "n_changed": np.int64(v[2]), "n_unchanged": np.int64(v[3])}
+     for s_, v in sorted(cd_acc.items())]))
+
+# zipf_fit: OLS of ln(freq) on ln(rank) over the top-30 token types,
+# total order (cnt desc, tok asc)
+zf_cnt = {}
+for sp in lr_sp:
+    for t_ in sp:
+        zf_cnt[t_] = zf_cnt.get(t_, 0) + 1
+zf_top = sorted(zf_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+zf_x = np.log(np.arange(1, len(zf_top) + 1, dtype="float64"))
+zf_y = np.log(np.array([c_ for _, c_ in zf_top], dtype="float64"))
+zf_n = float(len(zf_top))
+zf_sx, zf_sy = zf_x.sum(), zf_y.sum()
+zf_sxy, zf_sxx = (zf_x * zf_y).sum(), (zf_x * zf_x).sum()
+zf_slope = (zf_n * zf_sxy - zf_sx * zf_sy) / (zf_n * zf_sxx - zf_sx * zf_sx)
+check("zipf_fit", pd.DataFrame(
+    [{"n_tokens": np.int32(len(zf_top)), "slope": rH(zf_slope, 6),
+      "intercept": rH((zf_sy - zf_slope * zf_sx) / zf_n, 6)}]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -76,8 +76,8 @@ object Queries10 {
 
     QSpec("doc_quality_logreg",
       // Learned quality filter: distill the integer-exact qualityMicros
-      // heuristic (the teacher) into a 4-feature logistic regression via 3
-      // deterministic full-batch gradient steps (w₀=0, the canonical
+      // heuristic (the teacher) into a 4-feature logistic regression via
+      // deterministic full-batch gradient descent (w₀=0, the canonical
       // QualityModel schedule). Each step is one scan aggregating 4 means
       // (map-side combine, 4 doubles to the driver) — model cost is
       // O(steps) scans at any corpus size. The surface is the trained
@@ -92,7 +92,7 @@ object Queries10 {
           persistUnkeyed = true) {
           QualityModel.features(t(s, dir, "documents"))
         }
-        val w = QualityModel.train(feat,
+        val w = QualityModel.trainCached(s, dir, feat,
           QualityModel.trainSteps, QualityModel.trainEta)
         val acc = feat
           .select(when((round(QualityModel.margin(w), 6) > 0) ===
@@ -236,7 +236,7 @@ object Queries10 {
           persistUnkeyed = true) {
           QualityModel.features(t(s, dir, "documents"))
         }
-        val w = QualityModel.train(feat,
+        val w = QualityModel.trainCached(s, dir, feat,
           QualityModel.trainSteps, QualityModel.trainEta)
         val p = round(lit(1.0d) / (lit(1.0d) + exp(-QualityModel.margin(w))), 6)
         feat.select(col("y"), p.as("p"))
@@ -344,6 +344,99 @@ object Queries10 {
            |  SELECT '1_lang' AS stage, n_total AS n_in, n1 AS n_out FROM s
            |  UNION ALL SELECT '2_quality', n1, n2 FROM s
            |  UNION ALL SELECT '3_exact_dup', n2, n3 FROM s) u
-           |ORDER BY stage""".stripMargin))
+           |ORDER BY stage""".stripMargin)),
+
+    QSpec("corpus_diff",
+      // Snapshot diff — the dataset-versioning report (what changed between
+      // corpus builds): per source, docs added / removed / changed /
+      // unchanged between two deterministically-derived snapshots (A drops
+      // id%10=3, B drops id%10=7 and revises every id%5=0 text). One
+      // full-outer join keyed on doc_id; the engine compares 32-byte sha2
+      // digests so document BODIES never ride the diff shuffle at scale —
+      // the oracle compares raw texts, which also certifies the digest
+      // comparison agrees with text equality on this corpus. All counts
+      // integer-exact.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.where(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+        val revised = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+        val b = docs.where(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("doc_id_b"), col("source").as("source_b"),
+            sha2(revised, 256).as("hb"))
+        a.join(b, col("doc_id") === col("doc_id_b"), "full_outer")
+          .select(coalesce(col("source"), col("source_b")).as("source"),
+            when(col("doc_id").isNull, 1L).otherwise(0L).as("a"),
+            when(col("doc_id_b").isNull, 1L).otherwise(0L).as("r"),
+            when(col("doc_id").isNotNull && col("doc_id_b").isNotNull &&
+              col("h") =!= col("hb"), 1L).otherwise(0L).as("c"),
+            when(col("doc_id").isNotNull && col("doc_id_b").isNotNull &&
+              col("h") === col("hb"), 1L).otherwise(0L).as("u"))
+          .groupBy("source")
+          .agg(sum("a").as("n_added"), sum("r").as("n_removed"),
+            sum("c").as("n_changed"), sum("u").as("n_unchanged"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH a AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 3),
+          |b AS (SELECT doc_id, source,
+          |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 7)
+          |SELECT COALESCE(a.source, b.source) AS source,
+          |  CAST(SUM(CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+          |  CAST(SUM(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+          |    AND a.text <> b.text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+          |    AND a.text = b.text THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QSpec("zipf_fit",
+      // Zipf-law fit over the token frequency head: OLS slope/intercept of
+      // ln(freq) on ln(rank) for the top-30 types — the sanity dial a
+      // corpus owner reads against the ~−1 power law (synthetic or
+      // template-heavy corpora bend it). Rank order is made TOTAL
+      // (cnt desc, tok asc) so both engines pick identical top-30 rows and
+      // identical ranks; ln of integer counts is the same IEEE value
+      // everywhere, and the five OLS sums run over 30 rows (round(6)
+      // swallows summation-order jitter). Scale shape: one corpus-sized
+      // token aggregation, then TakeOrdered 30 rows — the window ranks the
+      // CONSTANT-size head, never the vocabulary.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val top = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(30)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        val sums = top
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("cnt").cast("double")).as("yv"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum("x").as("sx"), sum("yv").as("sy"),
+            sum(col("x") * col("yv")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        sums.select(col("n").cast("int").as("n_tokens"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      },
+      Some(
+        """WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok),
+          |top AS (SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+          |  FROM tc ORDER BY cnt DESC, tok LIMIT 30),
+          |v AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS yv FROM top),
+          |sagg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(yv) AS sy,
+          |    SUM(x*yv) AS sxy, SUM(x*x) AS sxx FROM v)
+          |SELECT CAST(n AS INT) AS n_tokens,
+          |  ROUND((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+          |  ROUND((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6) AS intercept
+          |FROM sagg""".stripMargin))
   )
 }

@@ -122,6 +122,32 @@ class Queries10Spec extends SparkSpec {
     }
   }
 
+  test("corpus diff counts reconcile with the snapshot derivations") {
+    val rows = SparkEntry.queries("corpus_diff")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    val nA = docs.where("doc_id % 10 != 3").count()
+    val nB = docs.where("doc_id % 10 != 7").count()
+    val added = rows.map(_.getAs[Long]("n_added")).sum
+    val removed = rows.map(_.getAs[Long]("n_removed")).sum
+    val changed = rows.map(_.getAs[Long]("n_changed")).sum
+    val unchanged = rows.map(_.getAs[Long]("n_unchanged")).sum
+    assert(removed + changed + unchanged == nA, "A-side rows must partition")
+    assert(added + changed + unchanged == nB, "B-side rows must partition")
+    // every surviving id%5=0 doc is a revision; no other doc changes
+    val wantChanged = docs.where(
+      "doc_id % 5 = 0 AND doc_id % 10 != 3 AND doc_id % 10 != 7").count()
+    assert(changed == wantChanged, s"changed $changed vs derived $wantChanged")
+    assert(added + removed + changed + unchanged >= total / 2)
+  }
+
+  test("zipf fit reads a negative power-law slope on the token head") {
+    val r = SparkEntry.queries("zipf_fit")(spark, sfDir).head()
+    assert(r.getAs[Int]("n_tokens") > 5)
+    assert(r.getAs[Double]("slope") < 0.0,
+      s"rank-frequency slope must be negative: $r")
+  }
+
   test("fertility flags multibyte scripts via bytes_per_char") {
     import spark.implicits._
     // the fixture corpus is ASCII-only, so plant a CJK doc: 的/是/了 are

@@ -729,4 +729,46 @@ class StreamingSpec extends SparkSpec {
       .orderBy(desc("cnt"), asc("query")).limit(2))
     assert(headRows == wantHead, s"head diverged:\n got $headRows\nwant $wantHead")
   }
+  test("streaming PSI monitor converges to the batch drift_psi total") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // ref/cand slices exactly as the batch key derives them
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val isRef = substring(col("source"), 4, 10).cast("int") < 10
+    val ref = graft.streaming.StreamingDrift.histogram(docs.where(isRef))
+    val cand = docs.where(!isRef)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+    val query = graft.streaming.StreamingDrift.monitor(
+      stream.toDF().toDF("doc_id", "n_chars"), ref, ckpt) {
+      (id, p) => seen.add((id, p)); ()
+    }
+    try {
+      // three uneven micro-batches; PSI after the LAST must equal the
+      // batch key's psi_total (the mid-stream values are the monitor's
+      // whole point: drift visible before the slice completes)
+      val (b1, rest) = cand.splitAt(cand.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); query.processAllAvailable() }
+      val got = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.sortBy(_._1)
+      }
+      assert(got.map(_._1) == Seq(0L, 1L, 2L), got.map(_._1).toString)
+      val want = SparkEntry.queries("drift_psi")(spark, sfDir)
+        .select("psi_total").head().getDouble(0)
+      val streamedPsi = BigDecimal(got.last._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(streamedPsi == want,
+        s"streamed PSI $streamedPsi vs batch psi_total $want")
+      // and the monitor moved: mid-stream PSI differs from the final one
+      assert(got.head._2 != got.last._2, s"PSI never moved: $got")
+    } finally query.stop()
+  }
 }
