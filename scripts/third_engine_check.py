@@ -2785,6 +2785,108 @@ check("zipf_fit", pd.DataFrame(
     [{"n_tokens": np.int32(len(zf_top)), "slope": rH(zf_slope, 6),
       "intercept": rH((zf_sy - zf_slope * zf_sx) / zf_n, 6)}]))
 
+# --- batch-11: cluster-partitioned semantic ops + selection/scheduling ---
+# dedup_semantic + cluster_assign_stats share the scaled-k assignment:
+# k = max(8, raw_count//256), seeds = first k NONZERO-norm vecs by id.
+b11_ids = [i for i in sorted(VEC) if NRM[i] > 0]
+b11_k = max(8, len(VEC) // 256)
+b11_cents = [(ci, VEC[vid], seqsum(VEC[vid] * VEC[vid]))
+             for ci, vid in enumerate(b11_ids[:b11_k])]
+b11_asg, b11_m = {}, {}
+for i in b11_ids:
+    v = VEC[i]
+    best = min(((seqdot(v, cv) * -2.0 + c2, ci) for ci, cv, c2 in b11_cents))
+    b11_asg[i], b11_m[i] = best[1], best[0]
+b11_members = {}
+for i in b11_ids:
+    b11_members.setdefault(b11_asg[i], []).append(i)
+sd_rows = []
+for cl in sorted(b11_members):
+    mem = b11_members[cl]
+    dup = set()
+    for x in range(len(mem)):
+        for y in range(x + 1, len(mem)):
+            a_, b_ = mem[x], mem[y]
+            c = rN(seqdot(VEC[a_], VEC[b_]) / (NRM[a_] * NRM[b_]), 6)
+            if c >= 0.9:
+                dup.add(b_)
+    sd_rows.append({"cluster": np.int32(cl), "n_vecs": np.int64(len(mem)),
+                    "n_dup": np.int64(len(dup)),
+                    "n_kept": np.int64(len(mem) - len(dup))})
+check("dedup_semantic", pd.DataFrame(sd_rows))
+
+cs_rows = []
+for cl in sorted(b11_members):
+    mem = b11_members[cl]
+    inert = sum(int(rH((seqsum(VEC[i] * VEC[i]) + b11_m[i]) * 1000000.0, 0))
+                for i in mem)
+    cs_rows.append({"cluster": np.int32(cl), "n_vecs": np.int64(len(mem)),
+                    "inertia_micros": np.int64(inert),
+                    "mean_dist2": ratioR(inert, len(mem) * 1000000, 6)})
+check("cluster_assign_stats", pd.DataFrame(cs_rows))
+
+# select_dsir: per-token milli log-ratio target (src<10) vs candidate,
+# integer-exact per-doc sums, top-20 by (score desc, doc_id)
+ds_ct, ds_cc = {}, {}
+ds_isref = [int(s_[3:]) < 10 for s_ in dc.source]
+for sp, ir in zip(lr_sp, ds_isref):
+    tgt = ds_ct if ir else ds_cc
+    for t_ in sp:
+        tgt[t_] = tgt.get(t_, 0) + 1
+ds_vocab = set(ds_ct) | set(ds_cc)
+ds_nt, ds_nc, ds_v = sum(ds_ct.values()), sum(ds_cc.values()), len(ds_vocab)
+ds_w = {t_: int(rH(1000.0 * math.log(
+    float((2 * ds_ct.get(t_, 0) + 1) * (2 * ds_nc + ds_v)) /
+    float((2 * ds_cc.get(t_, 0) + 1) * (2 * ds_nt + ds_v))), 0))
+    for t_ in ds_vocab}
+ds_docs = []
+for did, src, sp, ir in zip(dc.doc_id, dc.source, lr_sp, ds_isref):
+    if ir:
+        continue
+    ds_docs.append((int(did), src, len(sp), sum(ds_w[t_] for t_ in sp)))
+ds_top = sorted(ds_docs, key=lambda r: (-r[3], r[0]))[:20]
+check("select_dsir", pd.DataFrame(
+    [{"doc_id": np.int64(d_), "source": s_, "n_tok": np.int64(n_),
+      "score_milli": np.int64(sc), "avg_milli": ratioR(sc, n_, 3)}
+     for d_, s_, n_, sc in ds_top]))
+
+# doc_ppl_bigram: corpus bigram LM, per-bigram-type milli NLL, exact sums
+pb_c12 = {}
+pb_doc_bgs = {}
+for did, sp in zip(dc.doc_id, lr_sp):
+    if len(sp) < 2:
+        continue
+    bgs = [sp[i] + " " + sp[i + 1] for i in range(len(sp) - 1)]
+    pb_doc_bgs[int(did)] = bgs
+    for bg in bgs:
+        pb_c12[bg] = pb_c12.get(bg, 0) + 1
+pb_c1 = {}
+for bg, c_ in pb_c12.items():
+    w1 = bg.split(" ", 1)[0]
+    pb_c1[w1] = pb_c1.get(w1, 0) + c_
+pb_v = len(pb_c1)
+pb_w = {bg: int(rH(1000.0 * math.log(
+    float(2 * pb_c1[bg.split(" ", 1)[0]] + pb_v) / float(2 * c_ + 1)), 0))
+    for bg, c_ in pb_c12.items()}
+pb_rows = []
+for did in sorted(pb_doc_bgs):
+    bgs = pb_doc_bgs[did]
+    nll = sum(pb_w[bg] for bg in bgs)
+    pb_rows.append({"doc_id": np.int64(did), "n_bigrams": np.int64(len(bgs)),
+                    "nll_milli": np.int64(nll),
+                    "avg_milli": ratioR(nll, len(bgs), 3)})
+check("doc_ppl_bigram", pd.DataFrame(pb_rows))
+
+# curriculum_order: per-source length rank, interleaved head of 50
+cu = dc[["doc_id", "source", "n_chars"]].copy()
+cu = cu.sort_values(["n_chars", "doc_id"])
+cu["rn"] = cu.groupby("source").cumcount() + 1
+cu = cu.sort_values(["rn", "source"]).head(50).reset_index(drop=True)
+check("curriculum_order", pd.DataFrame(
+    [{"position": np.int64(i + 1), "doc_id": np.int64(r.doc_id),
+      "source": r.source, "n_chars": np.int64(r.n_chars),
+      "rn": np.int64(r.rn)} for i, r in cu.iterrows()]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

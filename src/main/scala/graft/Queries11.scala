@@ -1,0 +1,276 @@
+package graft
+
+import graft.catalog.TableRegistry
+import graft.ext.{ExactMath, SimSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-11 — corpus-scale curation operators beyond the batch-10 learned
+  * tier: cluster-partitioned semantic dedup (the SemDeDup shape: Abbas et
+  * al. 2023, arXiv:2303.09540), clustering observability, DSIR-style
+  * importance selection (Xie et al. 2023, arXiv:2302.03169), bigram-LM
+  * perplexity scoring (the CCNet/KenLM filter shape), and deterministic
+  * curriculum scheduling.
+  *
+  * Numeric discipline (the batch-10 lessons, applied throughout):
+  * - `ln` enters only on ratios of INTEGER-exact products whose operands
+  *   are identical longs on every engine — the input double is the same
+  *   IEEE value everywhere, and each ln is rounded to integer milli-units
+  *   PER TYPE before any summation, so per-doc totals are integer sums
+  *   with no float-summation-order exposure at all.
+  * - every ratio surfaces through [[ExactMath.ratioRounded]] (HALF_UP in
+  *   exact integer arithmetic).
+  * - ordering keys are integers or rounded values (never raw doubles), so
+  *   head selection cannot flip on last-ulp jitter.
+  */
+object Queries11 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    TableRegistry.table(s, dir, name)
+
+  /** The [[SimSearch.assignClusters]] frame at corpus-scaled k, memoized
+    * seeds per (session, fixture dir). */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.assignClusters(emb, SimSearch.scaledK(emb, Some(dir)), Some(dir))
+  }
+
+  /** Shared oracle CTE chain: nonzero-norm vectors, the scaled-k centroid
+    * head, and the nearest-centroid assignment (same −2·v·c + ‖c‖² ranking
+    * and low-index tie-break as the engine fold), carrying the assigned
+    * minimum m for distance math. Ends after `asg` — callers append. */
+  private val assignCtes: String =
+    """WITH e AS (SELECT vec_id, v FROM (
+      |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |    FROM embeddings) raw
+      |  WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+      |kk AS (SELECT GREATEST(8, COUNT(*) // 256) AS k FROM embeddings),
+      |cent AS (SELECT ci, cv, c2 FROM (
+      |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv,
+      |      list_sum(list_transform(v, x -> x*x)) AS c2 FROM e) c, kk
+      |  WHERE c.ci < kk.k),
+      |asg AS (SELECT vec_id, v, ci AS cluster, m FROM (
+      |    SELECT e.vec_id, e.v, cent.ci,
+      |      list_sum(list_transform(range(len(e.v)), i -> e.v[i+1]*cent.cv[i+1])) * -2.0 + cent.c2 AS m,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(len(e.v)), i -> e.v[i+1]*cent.cv[i+1])) * -2.0 + cent.c2,
+      |        cent.ci) AS rk
+      |    FROM e, cent) r WHERE rk = 1)""".stripMargin
+
+  def specs: Seq[QSpec] = Seq(
+
+    QSpec("dedup_semantic",
+      // SemDeDup (cluster-then-dedup): k-means-assign every embedding to
+      // one of k = max(8, n/256) seed centroids, then detect near-dups
+      // (cos ≥ 0.9, the dedup_embedding_cosine threshold) ONLY within a
+      // cluster, dropping the higher vec_id of each pair (the keep-first
+      // policy every dedup key uses). Scale shape: k grows with the corpus
+      // so expected cluster size stays ~256 — pairwise work is O(n · 256)
+      // total however large n gets, vs the exact key's documented O(cap²);
+      // the self-join shuffles on the cluster id, bodies ride it once.
+      // Surface = per-cluster population / dropped / kept, all
+      // integer-exact. The driver fixture plants NO semantic near-dups
+      // (max pairwise cos ≈ 0.6 at every SF), so n_dup = 0 is the honest
+      // corpus answer here — the oracle still pins the scaled-k assignment
+      // populations, and the drop path itself is pinned by Queries11Spec's
+      // planted-duplicate case.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimSearch.semanticDedup(emb, SimSearch.scaledK(emb, Some(dir)),
+          threshold = 0.9, cacheKey = Some(dir))
+      },
+      Some(
+        s"""$assignCtes,
+           |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+           |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+           |d AS (SELECT DISTINCT b_id FROM p WHERE cos >= 0.9)
+           |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |  CAST(SUM(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |  CAST(COUNT(*) - SUM(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM asg LEFT JOIN d ON asg.vec_id = d.b_id
+           |GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    QSpec("cluster_assign_stats",
+      // Clustering observability for the SemDeDup index: per-cluster
+      // population and mean squared distance to the assigned centroid.
+      // ‖v−c*‖² = ‖v‖² + min(−2·v·c + ‖c‖²) — the min is the SAME
+      // per-centroid doubles the assignment fold ranks, so distance and
+      // assignment can never disagree. Each distance is rounded to integer
+      // MICROS before aggregation (per-row, order-free), the cluster sums
+      // are exact integer sums, and the mean is ExactMath — no
+      // float-summation-order exposure. One scan + one O(k)-group shuffle.
+      (s, dir) => assigned(s, dir)
+        .withColumn("d2_micros",
+          round((SimSearch.dot(col("v"), col("v")) + col("m")) * lit(1000000.0d), 0)
+            .cast("long"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("d2_micros").as("inertia_micros"))
+        .select(col("cluster"), col("n_vecs"), col("inertia_micros"),
+          ExactMath.ratioRounded(col("inertia_micros"),
+            col("n_vecs") * lit(1000000L), 6).as("mean_dist2"))
+        .orderBy("cluster"),
+      Some(
+        s"""$assignCtes,
+           |d AS (SELECT cluster,
+           |    CAST(ROUND((list_sum(list_transform(v, x -> x*x)) + m) * 1000000.0, 0) AS BIGINT) AS d2_micros
+           |  FROM asg),
+           |g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |    CAST(SUM(d2_micros) AS BIGINT) AS inertia_micros
+           |  FROM d GROUP BY cluster)
+           |SELECT cluster, n_vecs, inertia_micros,
+           |  ${ExactMath.ratioRoundedSql("inertia_micros", "n_vecs * 1000000", 6)} AS mean_dist2
+           |FROM g ORDER BY cluster""".stripMargin)),
+
+    QSpec("select_dsir",
+      // DSIR-shaped importance selection: score every CANDIDATE doc
+      // (sources src10+) by how much more likely its tokens are under the
+      // TARGET unigram distribution (sources src0-9, the drift_psi split)
+      // than under the candidate distribution — per-token log ratio of
+      // Laplace-smoothed probabilities, summed per doc; top-20 by score.
+      // Determinism: the ln argument is a ratio of integer-exact long
+      // products ((2c_t+1)(2N_c+V)) / ((2c_c+1)(2N_t+V)) — identical IEEE
+      // input everywhere — rounded to integer MILLI-units per token TYPE
+      // before the per-doc sum, so doc scores are exact integers and the
+      // top-20 order (score desc, doc_id) cannot jitter. Scale shape: two
+      // corpus scans (type counts; doc join on the token hash), weight
+      // frame is vocabulary-sized, head is TakeOrdered. Long products hold
+      // to ~10^18 token corpora; beyond that lift them to decimal(38,0).
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          (substring(col("source"), 4, 10).cast("int") < 10).as("is_ref"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tc = toks.groupBy("tok").agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("ct"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+        val tot = tc.agg(sum("ct").as("nt"), sum("cc").as("nc"),
+          count(lit(1)).as("vsz"))
+        val w = tc.crossJoin(broadcast(tot)).select(col("tok"),
+          round(log(((col("ct") * 2 + 1) * (col("nc") * 2 + col("vsz"))).cast("double") /
+            ((col("cc") * 2 + 1) * (col("nt") * 2 + col("vsz"))).cast("double")) * 1000.0, 0)
+            .cast("long").as("milli"))
+        toks.where(!col("is_ref"))
+          .join(w, "tok")
+          .groupBy("doc_id")
+          .agg(min("source").as("source"), count(lit(1)).as("n_tok"),
+            sum("milli").as("score_milli"))
+          .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("source"), col("n_tok"), col("score_milli"),
+            ExactMath.ratioRounded(col("score_milli"), col("n_tok"), 3).as("avg_milli"))
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, source,
+           |    CAST(source[4:] AS INT) < 10 AS is_ref,
+           |    unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tc AS (SELECT tok,
+           |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+           |  FROM toks GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cc) AS BIGINT) AS nc,
+           |    CAST(COUNT(*) AS BIGINT) AS vsz FROM tc),
+           |w AS (SELECT tok,
+           |    CAST(ROUND(ln(CAST((ct*2 + 1) * (nc*2 + vsz) AS DOUBLE) /
+           |      CAST((cc*2 + 1) * (nt*2 + vsz) AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS milli
+           |  FROM tc, tot),
+           |d AS (SELECT doc_id, MIN(source) AS source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_tok,
+           |    CAST(SUM(milli) AS BIGINT) AS score_milli
+           |  FROM toks JOIN w USING (tok) WHERE NOT is_ref GROUP BY doc_id)
+           |SELECT doc_id, source, n_tok, score_milli,
+           |  ${ExactMath.ratioRoundedSql("score_milli", "n_tok", 3)} AS avg_milli
+           |FROM d ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QSpec("doc_ppl_bigram",
+      // Bigram-LM negative log-likelihood per doc (the CCNet/KenLM
+      // perplexity-filter shape, one order up from doc_lm_quality's
+      // unigram): train bigram counts on the corpus itself, score each doc
+      // by Σ −ln p(w2|w1) with p = (2c₁₂+1)/(2c₁+V) Laplace-smoothed over
+      // V = distinct context types. Same integer-milli discipline as
+      // select_dsir: each bigram TYPE's −ln p is rounded to milli-units
+      // once (identical IEEE input from integer-exact longs), per-doc
+      // totals are exact integer sums, the mean is ExactMath. Scale shape:
+      // c₁ and V derive FROM the bigram-type frame (no extra corpus pass) —
+      // one bigram-count shuffle + one doc-join shuffle, both on the
+      // bigram string key.
+      (s, dir) => {
+        val bi = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        val c12 = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("c12").as("c1"))
+        val v = c1.agg(count(lit(1)).as("vsz"))
+        val w = c12.withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(c1, "w1").crossJoin(broadcast(v))
+          .select(col("bg"),
+            round(log((col("c1") * 2 + col("vsz")).cast("double") /
+              (col("c12") * 2 + 1).cast("double")) * 1000.0, 0)
+              .cast("long").as("milli"))
+        bi.join(w, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("milli").as("nll_milli"))
+          .select(col("doc_id"), col("n_bigrams"), col("nll_milli"),
+            ExactMath.ratioRounded(col("nll_milli"), col("n_bigrams"), 3).as("avg_milli"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           |bi AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS bg
+           |  FROM sp WHERE len(sp) >= 2),
+           |c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY bg),
+           |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |  FROM c12 GROUP BY 1),
+           |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM c1),
+           |w AS (SELECT bg,
+           |    CAST(ROUND(ln(CAST(c1.c1*2 + vsz AS DOUBLE) /
+           |      CAST(c12.c12*2 + 1 AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS milli
+           |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, v),
+           |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(milli) AS BIGINT) AS nll_milli
+           |  FROM bi JOIN w USING (bg) GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, nll_milli,
+           |  ${ExactMath.ratioRoundedSql("nll_milli", "n_bigrams", 3)} AS avg_milli
+           |FROM d ORDER BY doc_id""".stripMargin)),
+
+    QSpec("curriculum_order",
+      // Deterministic curriculum schedule: rank docs within each source by
+      // length (shortest-first — the classic easy-to-hard proxy), then
+      // interleave sources round-robin by (rank, source) so every training
+      // prefix mixes all sources at matched difficulty. Surface = the
+      // first 50 schedule positions. Scale shape: the per-source rank is a
+      // source-partitioned window (parallel across sources); the global
+      // interleave order is only MATERIALIZED for the constant-size head
+      // (TakeOrdered 50, then a 50-row window for positions) — at full
+      // scale the schedule is a sorted WRITE on the same (rn, source) key,
+      // never a single-partition window.
+      (s, dir) => {
+        val r = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id")))
+            .cast("long"))
+        r.orderBy(col("rn"), col("source")).limit(50)
+          .withColumn("position",
+            row_number().over(Window.orderBy(col("rn"), col("source"))).cast("long"))
+          .select(col("position"), col("doc_id"), col("source"),
+            col("n_chars"), col("rn"))
+          .orderBy("position")
+      },
+      Some(
+        """WITH r AS (SELECT doc_id, source, n_chars,
+          |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+          |  FROM documents),
+          |h AS (SELECT doc_id, source, n_chars, rn FROM r ORDER BY rn, source LIMIT 50)
+          |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS position,
+          |  doc_id, source, n_chars, rn
+          |FROM h ORDER BY position""".stripMargin))
+  )
+}

@@ -136,7 +136,80 @@ object SimSearch {
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
     val it = centroidMemo.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+    val sit = sizeMemo.entrySet().iterator()
+    while (sit.hasNext) if (sit.next().getKey._1 eq spark) sit.remove()
     DfMemo.clear(spark)
+  }
+
+  private val sizeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Long]()
+
+  /** Corpus-scaled cluster count k = max(8, n div 256): SemDeDup-style
+    * clustering keeps the EXPECTED cluster size constant (~256) as the
+    * corpus grows, so within-cluster pairwise work stays O(n · 256), never
+    * O(n² / k) with a stale fixed k. The count is a build-time driver
+    * action by necessity (k shapes the plan's literal centroid set,
+    * exactly like [[seedCentroids]]'s collect) — memoized per (session,
+    * corpus) so repeated builds over one fixture cost one metadata-sized
+    * job total. */
+  def scaledK(emb: DataFrame, cacheKey: Option[String] = None): Int = {
+    val n = cacheKey match {
+      case Some(k) =>
+        sizeMemo.computeIfAbsent((emb.sparkSession, k), _ => emb.count())
+      case None => emb.count()
+    }
+    math.max(8L, n / 256L).toInt
+  }
+
+  /** The MINIMUM of [[nearestCentroid]]'s ranking quantity m = −2·v·c +
+    * ‖c‖² over the centroid set — ‖v−c*‖² for the assigned centroid is
+    * then ‖v‖² + m without extracting the argmin's operand (`least` and
+    * the assignment fold see identical per-centroid doubles, so the pair
+    * is always consistent). */
+  def nearestCentroidM(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val ms = centroids.map { case (_, c) =>
+      val c2 = c.map(x => x * x).sum
+      dot(v, array(c.toIndexedSeq.map(lit): _*)) * -2.0 + lit(c2)
+    }
+    least(ms.toIndexedSeq: _*)
+  }
+
+  /** (vec_id, v, cluster, m) — every nonzero-norm embedding assigned to
+    * its nearest of the first-k seed centroids as a shuffle-free
+    * literal-centroid projection (the kmeans_iterate E-step), carrying the
+    * assigned minimum m for distance math. Zero-norm vectors are excluded
+    * up front (cosine consumers — the norm-site rule above). */
+  def assignClusters(emb: DataFrame, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val cents = seedCentroids(emb, k, cacheKey)
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .where(norm(col("v")) > 0)
+      .withColumn("cluster", nearestCentroid(col("v"), cents))
+      .withColumn("m", nearestCentroidM(col("v"), cents))
+  }
+
+  /** SemDeDup core: within each cluster of [[assignClusters]], flag the
+    * higher vec_id of every pair with round(cos, 6) ≥ threshold and report
+    * per-cluster (n_vecs, n_dup, n_kept). The pairwise self-join is keyed
+    * on the cluster id, so with corpus-scaled k (see [[scaledK]]) total
+    * pair work stays O(n · expected-cluster-size). */
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+      cacheKey: Option[String] = None): DataFrame = {
+    val e = assignClusters(emb, k, cacheKey)
+    val a = e.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("cluster").as("cluster_b"), col("vec_id").as("b_id"),
+      col("v").as("bv"))
+    val dups = a.join(b,
+        col("cluster") === col("cluster_b") && col("a_id") < col("b_id"))
+      .where(round(cosine(col("av"), col("bv")), 6) >= threshold)
+      .select(col("b_id")).distinct()
+    e.join(dups, col("vec_id") === col("b_id"), "left_outer")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("cluster"), col("n_vecs"), col("n_dup"),
+        (col("n_vecs") - col("n_dup")).as("n_kept"))
+      .orderBy("cluster")
   }
 
   /** Deterministic seed "centroids": the first n vectors by vec_id,

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.SimSearch
+import org.apache.spark.sql.functions._
+
+/** Batch-11 operator semantics: semantic dedup drops a planted exact
+  * duplicate (and only it), the scaled-k assignment partitions the corpus,
+  * DSIR selection surfaces only candidate-side docs in score order, the
+  * bigram NLL is coherent per doc, and the curriculum head interleaves
+  * sources at matched difficulty. */
+class Queries11Spec extends SparkSpec {
+
+  test("semantic dedup drops a planted duplicate, keeps first by id") {
+    import spark.implicits._
+    // 23 mutually-orthogonal one-hot vectors (pairwise cos = 0), plus vec
+    // 23 = an exact copy of vec 10: identical vectors share a nearest
+    // centroid by construction, cos = 1 ≥ 0.9, higher id dropped — and no
+    // other pair can cross any threshold.
+    val base = (0 until 23).map { i =>
+      (i.toLong, Array.tabulate(23)(j => if (j == i) 1.0f else 0.0f))
+    }
+    val planted = base :+ ((23L, base(10)._2))
+    val emb = planted.toDF("vec_id", "embedding")
+    val out = SimSearch.semanticDedup(emb, k = 4, threshold = 0.9).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == 24L)
+    assert(out.map(_.getAs[Long]("n_dup")).sum == 1L,
+      s"exactly the planted copy must drop: ${out.mkString(", ")}")
+    assert(out.forall(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dup")))
+  }
+
+  test("scaled-k cluster assignment partitions the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val stats = SparkEntry.queries("cluster_assign_stats")(spark, sfDir).collect()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == emb.count(),
+      "every nonzero-norm vector lands in exactly one cluster")
+    assert(stats.forall(_.getAs[Double]("mean_dist2") >= 0.0))
+    assert(stats.map(_.getAs[Int]("cluster")).distinct.length == stats.length)
+  }
+
+  test("dsir selection is candidate-only and score-ordered") {
+    val rows = SparkEntry.queries("select_dsir")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("source").drop(3).toInt >= 10),
+      "reference-side docs must never be selected")
+    val scores = rows.map(_.getAs[Long]("score_milli"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"head must be score-descending: ${scores.mkString(",")}")
+  }
+
+  test("bigram NLL is nonnegative and counts bigrams per doc") {
+    val rows = SparkEntry.queries("doc_ppl_bigram")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("nll_milli") >= 0L),
+      "smoothed bigram probabilities are < 1, so every NLL is positive")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("want"))
+      .where(col("want") >= 1)
+    val got = SparkEntry.queries("doc_ppl_bigram")(spark, sfDir)
+      .select("doc_id", "n_bigrams")
+    assert(got.join(docs, "doc_id").where(col("n_bigrams") =!= col("want"))
+      .count() == 0, "n_bigrams must equal token count - 1")
+  }
+
+  test("curriculum head interleaves sources at matched rank") {
+    val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
+    // schedule is (rn, source)-ordered: ranks never decrease, and within a
+    // rank the sources are in order
+    val keys = rows.map(r => (r.getAs[Long]("rn"), r.getAs[String]("source")))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+      s"head must be (rn, source)-ordered: ${keys.take(10).mkString(",")}")
+    // within each source the schedule is easy-to-hard
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("n_chars"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
