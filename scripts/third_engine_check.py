@@ -2887,6 +2887,53 @@ check("curriculum_order", pd.DataFrame(
       "source": r.source, "n_chars": np.int64(r.n_chars),
       "rn": np.int64(r.rn)} for i, r in cu.iterrows()]))
 
+# mine_hard_negatives: top-5 different-label cosine neighbors of anchors 0-7
+hn_rows = []
+for qid in [i for i in sorted(VEC) if i < 8 and NRM[i] > 0]:
+    ql = int(VLBL[qid])
+    cand = [(rN(seqdot(VEC[i], VEC[qid]) / (NRM[i] * NRM[qid]), 6), i)
+            for i in VEC if i >= 8 and NRM[i] > 0 and int(VLBL[i]) != ql]
+    top = sorted(cand, key=lambda x: (-x[0], x[1]))[:5]
+    for rk, (c, i) in enumerate(top, 1):
+        hn_rows.append({"q_id": np.int64(qid), "q_label": np.int32(ql),
+                        "rank": np.int32(rk), "vec_id": np.int64(i),
+                        "neg_label": np.int32(int(VLBL[i])), "cos": c})
+check("mine_hard_negatives", pd.DataFrame(hn_rows))
+
+# sample_weight_systematic: per-source weighted systematic picks
+sw_rows = []
+for src in sorted(set(dc.source)):
+    sub = dc[dc.source == src].sort_values("doc_id")
+    total = int(sub.n_chars.sum())
+    step = max(1, total // 16)
+    cum = 0
+    for _, r in sub.iterrows():
+        prev = cum
+        cum += int(r.n_chars)
+        if cum // step > prev // step:
+            sw_rows.append({"doc_id": np.int64(r.doc_id), "source": src,
+                            "n_chars": np.int64(r.n_chars),
+                            "cum_w": np.int64(cum), "step": np.int64(step)})
+check("sample_weight_systematic", pd.DataFrame(sw_rows))
+
+# privacy_k_anon_report: (lang, source, 100-char band) QI groups, k = 5
+ka_g = {}
+for lg, src, nch in zip(dc.lang, dc.source, dc.n_chars):
+    key = (lg, src, int(nch) // 100)
+    ka_g[key] = ka_g.get(key, 0) + 1
+ka_acc = {}
+for (lg, _, _), n_ in ka_g.items():
+    st = ka_acc.setdefault(lg, [0, 0, 0, 0])
+    st[0] += 1
+    st[2] += n_
+    if n_ < 5:
+        st[1] += 1
+        st[3] += n_
+check("privacy_k_anon_report", pd.DataFrame(
+    [{"lang": lg, "n_groups": np.int64(v[0]), "n_small_groups": np.int64(v[1]),
+      "n_docs": np.int64(v[2]), "n_docs_at_risk": np.int64(v[3]),
+      "risk_share": ratioR(v[3], v[2], 6)} for lg, v in sorted(ka_acc.items())]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

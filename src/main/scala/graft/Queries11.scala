@@ -271,6 +271,99 @@ object Queries11 {
           |h AS (SELECT doc_id, source, n_chars, rn FROM r ORDER BY rn, source LIMIT 50)
           |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS position,
           |  doc_id, source, n_chars, rn
-          |FROM h ORDER BY position""".stripMargin))
+          |FROM h ORDER BY position""".stripMargin)),
+
+    QSpec("mine_hard_negatives",
+      // Hard-negative mining for contrastive embedding training: for each
+      // of the first 8 anchors, the 5 most-similar vectors with a
+      // DIFFERENT label (the boundary-hugging negatives a triplet/InfoNCE
+      // loss wants). Anchors broadcast, corpus scans once, label
+      // inequality applied before any distance math, bounded-heap TopKRows
+      // rollup — no window over the corpus, no shuffle of vector bodies.
+      // Ranking on (rounded cos desc, vec_id) is jitter-proof.
+      (s, dir) => SimSearch.hardNegatives(s, t(s, dir, "embeddings"),
+        nQueries = 8, k = 5),
+      Some(
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+          |  FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+          |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+          |  FROM n WHERE vec_id < 8),
+          |p AS (SELECT q_id, q_label, vec_id, label AS neg_label,
+          |    ROUND(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*qv[i])) / (nrm*qn), 6) AS cos
+          |  FROM n, q WHERE vec_id >= 8 AND label <> q_label),
+          |r AS (SELECT q_id, q_label, vec_id, neg_label, cos,
+          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          |  FROM p)
+          |SELECT q_id, q_label, rank, vec_id, neg_label, cos
+          |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    QSpec("sample_weight_systematic",
+      // Deterministic weighted systematic sampling (the reproducible
+      // importance-sampling pass a corpus build wants instead of RNG):
+      // within each source, walk docs in id order accumulating weight
+      // (n_chars); a doc is selected exactly when its weight interval
+      // crosses a multiple of step = max(1, source_total div 16) — docs
+      // are picked proportionally to weight, ~16 per source, same picks on
+      // every engine and every re-run. One shuffle (the source-partitioned
+      // window serves both the running and total sums); all arithmetic
+      // integer-exact. Output is O(sources × 16) at ANY corpus size.
+      (s, dir) => {
+        val byId = Window.partitionBy("source").orderBy("doc_id")
+        val all = Window.partitionBy("source")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("cum_w", sum("n_chars").over(
+            byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("step",
+            greatest(lit(1L), expr("sum(n_chars) over (partition by source) div 16")))
+          .where(expr("cum_w div step") > expr("(cum_w - n_chars) div step"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("cum_w"), col("step"))
+          .orderBy("source", "doc_id")
+      },
+      Some(
+        """WITH w AS (SELECT doc_id, source, n_chars,
+          |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+          |    CAST(GREATEST(1, SUM(n_chars) OVER (PARTITION BY source) // 16) AS BIGINT) AS step
+          |  FROM documents)
+          |SELECT doc_id, source, n_chars, cum_w, step
+          |FROM w WHERE cum_w // step > (cum_w - n_chars) // step
+          |ORDER BY source, doc_id""".stripMargin)),
+
+    QSpec("privacy_k_anon_report",
+      // k-anonymity governance report over the quasi-identifier
+      // (lang, source, 100-char length band): per language, how many QI
+      // groups exist, how many fall under k = 5 members, and what share
+      // of documents sits in those re-identifiable groups. Two grouped
+      // aggregations (QI groups, then language rollup), O(groups) rows
+      // after the first — the standard privacy screen before corpus
+      // release, integer-exact throughout.
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("band"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum("n").as("n_docs"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_docs_at_risk"))
+        .select(col("lang"), col("n_groups"), col("n_small_groups"),
+          col("n_docs"), col("n_docs_at_risk"),
+          ExactMath.ratioRounded(col("n_docs_at_risk"), col("n_docs"), 6)
+            .as("risk_share"))
+        .orderBy("lang"),
+      Some(
+        s"""WITH g AS (SELECT lang, source, n_chars // 100 AS band,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2, 3)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           |  CAST(SUM(n) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+           |  ${ExactMath.ratioRoundedSql("SUM(CASE WHEN n < 5 THEN n ELSE 0 END)", "SUM(n)", 6)} AS risk_share
+           |FROM g GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -529,6 +529,37 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each of the first
+    * `nQueries` anchor vectors, the k most-cosine-similar vectors carrying
+    * a DIFFERENT label — the negatives that sit closest to the decision
+    * boundary. Same broadcast-anchors shape as [[knnJoin]] (anchor set is
+    * tiny by construction; corpus side scans once, never shuffles by
+    * value) with the label inequality applied BEFORE any distance math,
+    * and the same bounded-heap TopKRows rollup (exchange carries
+    * O(anchors × partitions × k) rows). */
+  def hardNegatives(spark: SparkSession, emb: DataFrame, nQueries: Long,
+      k: Int): DataFrame = {
+    import graft.functions.TopKRows.topKRows
+    val n = emb.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .where(col("nrm") > 0)
+    val q = n.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    n.where(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(q))
+      .where(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .groupBy("q_id", "q_label")
+      .agg(topKRows(struct(col("cos"), col("vec_id"), col("label")), k).as("top"))
+      .select(col("q_id"), col("q_label"), posexplode(col("top")))
+      .select(col("q_id"), col("q_label"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vec_id"), col("col.label").as("neg_label"), col("col.cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Brute-force top-k neighbors by int8-quantized cosine (recall vs the
     * exact [[topK]] is asserted in ExtSpec). */
   def quantizedTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,

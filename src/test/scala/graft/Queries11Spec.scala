@@ -62,6 +62,43 @@ class Queries11Spec extends SparkSpec {
       .count() == 0, "n_bigrams must equal token count - 1")
   }
 
+  test("hard negatives never share the anchor's label and rank by cos") {
+    val rows = SparkEntry.queries("mine_hard_negatives")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("neg_label") != r.getAs[Int]("q_label")),
+      "a hard negative with the anchor's own label is a false negative")
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"per-anchor ranks must be cos-descending: ${byRank.mkString(",")}")
+    }
+  }
+
+  test("systematic sampling picks ~16 per source, proportional to weight") {
+    val rows = SparkEntry.queries("sample_weight_systematic")(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(bySrc.values.forall(n => n >= 8 && n <= 17),
+      s"each source should yield ~16 picks: $bySrc")
+    // selection is exactly the step-boundary crossing rule
+    rows.foreach { r =>
+      val (w, cum, step) = (r.getAs[Long]("n_chars"), r.getAs[Long]("cum_w"),
+        r.getAs[Long]("step"))
+      assert(cum / step > (cum - w) / step, s"non-crossing row selected: $r")
+    }
+  }
+
+  test("k-anonymity report partitions docs and bounds the risk share") {
+    val rows = SparkEntry.queries("privacy_k_anon_report")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_at_risk") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_small_groups") <= r.getAs[Long]("n_groups"))
+      val share = r.getAs[Double]("risk_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
