@@ -343,4 +343,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
     assert(!plan.toLowerCase.contains("unix_micros"), plan)
   }
+
+  test("hard-negative mining broadcasts anchors — corpus never shuffles by value") {
+    // the contrastive-miner scale contract (same family as
+    // decontaminate_embedding): the 8-anchor side broadcasts, pair work
+    // rides a single corpus scan, and the only exchange after it is the
+    // bounded-heap TopKRows partial aggregation
+    val df = Queries.allSpecs.find(_.name == "mine_hard_negatives").get.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("partial_topkrows"), plan)
+  }
+
+  test("semantic dedup pairs through an EQUI join on the cluster id") {
+    // SemDeDup's whole point is that pairing is cluster-local: the pair
+    // join must key on the cluster id (shuffle/broadcast HASH join), never
+    // degenerate to a nested-loop over the corpus.
+    val df = Queries.allSpecs.find(_.name == "dedup_semantic").get.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dsir scoring scans documents at most twice, totals ride a 1-row broadcast") {
+    // two passes by design (vocabulary counts; candidate-doc join) — a
+    // third scan would mean the scalar totals or the weight frame
+    // re-derived the corpus
+    val df = Queries.allSpecs.find(_.name == "select_dsir").get.fn(spark, sfDir)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"documents scanned $scans times:\n$plan")
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
 }
