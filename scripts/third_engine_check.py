@@ -2934,6 +2934,33 @@ check("privacy_k_anon_report", pd.DataFrame(
       "n_docs": np.int64(v[2]), "n_docs_at_risk": np.int64(v[3]),
       "risk_share": ratioR(v[3], v[2], 6)} for lg, v in sorted(ka_acc.items())]))
 
+# simsearch_pq: 8x8 product quantization, 4 codes/subspace, ADC top-10
+pq_ids = [i for i in sorted(VEC) if NRM[i] > 0]
+pq_sub = {(s, c): VEC[pq_ids[c]][s*8:(s+1)*8]
+          for s in range(8) for c in range(4)}
+pq_q = VEC[0]
+pq_qd = {(s, c): int(rH(seqdot(pq_q[s*8:(s+1)*8], pq_sub[(s, c)]) * 1e6, 0))
+         for s in range(8) for c in range(4)}
+pq_c2 = {(s, c): seqsum(pq_sub[(s, c)] * pq_sub[(s, c)])
+         for s in range(8) for c in range(4)}
+pq_c2m = {k_: int(rH(v_ * 1e6, 0)) for k_, v_ in pq_c2.items()}
+pq_rows = []
+for i in pq_ids:
+    if i == 0:
+        continue
+    am = rm = 0
+    for s in range(8):
+        vs = VEC[i][s*8:(s+1)*8]
+        code = min((seqdot(vs, pq_sub[(s, c)]) * -2.0 + pq_c2[(s, c)], c)
+                   for c in range(4))[1]
+        am += pq_qd[(s, code)]
+        rm += pq_c2m[(s, code)]
+    if rm > 0:
+        pq_rows.append((rN((am / 1e6) / (math.sqrt(rm / 1e6) * NRM[0]), 6), i))
+pq_top = sorted(pq_rows, key=lambda x: (-x[0], x[1]))[:10]
+check("simsearch_pq", pd.DataFrame(
+    [{"vec_id": np.int64(i), "pq_cos": c} for c, i in pq_top]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -364,6 +364,47 @@ object Queries11 {
            |  CAST(SUM(n) AS BIGINT) AS n_docs,
            |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
            |  ${ExactMath.ratioRoundedSql("SUM(CASE WHEN n < 5 THEN n ELSE 0 END)", "SUM(n)", 6)} AS risk_share
-           |FROM g GROUP BY lang ORDER BY lang""".stripMargin))
+           |FROM g GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QSpec("simsearch_pq",
+      // Product-quantization retrieval (the IVF-PQ compression half): 8×8
+      // subspaces, 4 codes each (first-4 seed slices), asymmetric-distance
+      // top-10 vs query vec 0. Codebook and query tables are plan-time
+      // literals rounded to integer micros, so scoring is 8 exact long
+      // lookups per row after 32 8-dim codegen dots for encoding — one
+      // scan, no shuffle, TakeOrdered head. The oracle replays the
+      // sub-assignment with the engine's own −2·v·c + ‖c‖² ranking and the
+      // same micro-rounded tables.
+      (s, dir) => SimSearch.pqTopK(s, t(s, dir, "embeddings"),
+        queryVecId = 0, k = 10, cacheKey = Some(dir)),
+      Some(
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |nz AS (SELECT vec_id, v FROM e WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+          |seed AS (SELECT ci, v FROM (
+          |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v FROM nz) s
+          |  WHERE ci < 4),
+          |subm AS (SELECT r.s, seed.ci, seed.v[r.s*8+1 : r.s*8+8] AS cs,
+          |    list_sum(list_transform(seed.v[r.s*8+1 : r.s*8+8], x -> x*x)) AS c2
+          |  FROM seed CROSS JOIN range(8) r(s)),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |qt AS (SELECT s, ci,
+          |    CAST(ROUND(list_sum(list_transform(range(8), i -> qv[s*8+i+1] * cs[i+1])) * 1000000.0, 0) AS BIGINT) AS qdot_m,
+          |    CAST(ROUND(c2 * 1000000.0, 0) AS BIGINT) AS c2_m
+          |  FROM subm, q),
+          |qn AS (SELECT sqrt(list_sum(list_transform(qv, x -> x*x))) AS qn FROM q),
+          |enc AS (SELECT vec_id, s, ci AS code FROM (
+          |    SELECT n.vec_id, sm.s, sm.ci,
+          |      row_number() OVER (PARTITION BY n.vec_id, sm.s ORDER BY
+          |        list_sum(list_transform(range(8), i -> n.v[sm.s*8+i+1] * sm.cs[i+1])) * -2.0 + sm.c2,
+          |        sm.ci) AS rk
+          |    FROM nz n CROSS JOIN subm sm WHERE n.vec_id <> 0) z WHERE rk = 1),
+          |agg AS (SELECT vec_id, CAST(SUM(qt.qdot_m) AS BIGINT) AS am,
+          |    CAST(SUM(qt.c2_m) AS BIGINT) AS rm
+          |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.ci
+          |  GROUP BY vec_id)
+          |SELECT vec_id,
+          |  ROUND((CAST(am AS DOUBLE)/1000000.0) / (sqrt(CAST(rm AS DOUBLE)/1000000.0) * qn.qn), 6) AS pq_cos
+          |FROM agg, qn WHERE rm > 0
+          |ORDER BY pq_cos DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

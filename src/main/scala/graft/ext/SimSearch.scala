@@ -560,6 +560,66 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Product-quantization top-k (the IVF-PQ compression half, Jégou et al.
+    * 2011): split the 64-dim space into 8 × 8-dim subspaces, quantize each
+    * subvector to its nearest of 4 deterministic sub-centroids (the first-4
+    * seed vectors' slices — the [[seedCentroids]] discipline), and rank by
+    * asymmetric distance: the query precomputes one dot per (subspace,
+    * code) so scoring a vector is EIGHT table lookups, not a 64-dim dot.
+    *
+    * Scale shape: the codebook is a plan-time literal (8×4×8 doubles), the
+    * whole retrieval is ONE scan — 32 8-dim codegen dots per row for
+    * encoding, integer adds for the score — into TakeOrdered. No shuffle,
+    * no join; at 100 TB the codes would be precomputed once at ingest and
+    * scoring drops to the 8 lookups alone.
+    *
+    * Numeric discipline: the per-(subspace, code) query-dot and ‖c‖²
+    * tables are rounded to integer MICROS at plan time (both engines round
+    * the same IEEE doubles — ascending-fold sums everywhere), so per-vector
+    * accumulation is exact long addition; floats re-enter only in the
+    * final score = (Σqdot) / (√(Σ‖c‖²) · ‖q‖), an identical op sequence on
+    * identical inputs. */
+  def pqTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val nSub = 8; val dSub = 8; val nCodes = 4
+    val seeds = seedCentroids(emb, nCodes, cacheKey)
+    require(seeds.length == nCodes, s"corpus has < $nCodes nonzero vectors")
+    // sub-centroids [s][c] and their ‖c‖² (ascending-fold sums)
+    val subC = Array.tabulate(nSub, nCodes) { (s, c) =>
+      seeds(c)._2.slice(s * dSub, (s + 1) * dSub)
+    }
+    val qv = withNorm(emb).where(col("vec_id") === queryVecId)
+      .select(col("v"), col("nrm")).collect()(0)
+    val q = qv.getSeq[Double](0).toArray
+    val qn = qv.getDouble(1)
+    def fdot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    def micros(x: Double): Long =
+      BigDecimal(x * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qdotM = Array.tabulate(nSub, nCodes) { (s, c) =>
+      micros(fdot(q.slice(s * dSub, (s + 1) * dSub), subC(s)(c)))
+    }
+    val c2M = Array.tabulate(nSub, nCodes) { (s, c) => micros(fdot(subC(s)(c), subC(s)(c))) }
+    val e = withNorm(emb).where(col("vec_id") =!= queryVecId)
+    val withCodes = (0 until nSub).foldLeft(e) { (df, s) =>
+      val cents = (0 until nCodes).map(c => (c, subC(s)(c))).toArray
+      df.withColumn(s"code$s",
+        nearestCentroid(slice(col("v"), s * dSub + 1, dSub), cents))
+    }
+    def lut(table: Array[Array[Long]], s: Int): Column =
+      element_at(array(table(s).toIndexedSeq.map(lit): _*), col(s"code$s") + 1)
+    val am = (0 until nSub).map(s => lut(qdotM, s)).reduce(_ + _)
+    val rm = (0 until nSub).map(s => lut(c2M, s)).reduce(_ + _)
+    withCodes
+      .select(col("vec_id"), am.as("am"), rm.as("rm"))
+      .where(col("rm") > 0)
+      .select(col("vec_id"),
+        round((col("am").cast("double") / 1000000.0d) /
+          (sqrt(col("rm").cast("double") / 1000000.0d) * lit(qn)), 6).as("pq_cos"))
+      .orderBy(desc("pq_cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Brute-force top-k neighbors by int8-quantized cosine (recall vs the
     * exact [[topK]] is asserted in ExtSpec). */
   def quantizedTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,

@@ -99,6 +99,40 @@ class Queries11Spec extends SparkSpec {
     }
   }
 
+  test("PQ reconstructs codebook seeds exactly: ADC score = true cosine") {
+    import spark.implicits._
+    // 12 deterministic 64-dim vectors; vecs 0-3 are the seeds, so each
+    // seed's subvectors quantize to THEMSELVES (distance 0) and its ADC
+    // score must equal its true cosine to the query up to the 1e-6
+    // table-micro rounding (≤ 8 half-micros per sum).
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (math.sin(i * 64 + d) + 0.1).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = SimSearch.pqTopK(spark, emb, queryVecId = 0, k = 12)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pq_cos")).toMap
+    def fdot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val dv = vecs.map { case (i, v) => i -> v.map(_.toDouble) }.toMap
+    val q = dv(0L)
+    (1L to 3L).foreach { i =>
+      val trueCos = fdot(q, dv(i)) / (math.sqrt(fdot(dv(i), dv(i))) * math.sqrt(fdot(q, q)))
+      assert(math.abs(out(i) - trueCos) <= 2e-4,
+        s"seed $i ADC ${out(i)} vs true $trueCos")
+    }
+  }
+
+  test("PQ head recalls part of the exact head and ranks descending") {
+    val p = SparkEntry.queries("simsearch_pq")(spark, sfDir).collect()
+    val exact = SparkEntry.queries("simsearch_topk")(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(p.length == 10)
+    val scores = p.map(_.getAs[Double]("pq_cos"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(p.map(_.getAs[Long]("vec_id")).count(exact) >= 1,
+      "a 4-code-per-subspace ADC should still surface some exact neighbors")
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
