@@ -2961,6 +2961,53 @@ pq_top = sorted(pq_rows, key=lambda x: (-x[0], x[1]))[:10]
 check("simsearch_pq", pd.DataFrame(
     [{"vec_id": np.int64(i), "pq_cos": c} for c, i in pq_top]))
 
+# source_token_entropy: per-source entropy + KL to corpus, integer milli
+se_cst = {}
+for src, sp in zip(dc.source, lr_sp):
+    for t_ in sp:
+        se_cst[(src, t_)] = se_cst.get((src, t_), 0) + 1
+se_ns, se_ntypes, se_cc = {}, {}, {}
+for (src, t_), c_ in se_cst.items():
+    se_ns[src] = se_ns.get(src, 0) + c_
+    se_ntypes[src] = se_ntypes.get(src, 0) + 1
+    se_cc[t_] = se_cc.get(t_, 0) + c_
+se_nc = sum(se_cc.values())
+se_acc = {}
+for (src, t_), c_ in se_cst.items():
+    hm = int(rH(1000.0 * math.log(float(se_ns[src]) / float(c_)), 0))
+    klm = int(rH(1000.0 * math.log(float(c_ * se_nc) /
+                                   float(se_cc[t_] * se_ns[src])), 0))
+    st = se_acc.setdefault(src, [0, 0])
+    st[0] += c_ * hm
+    st[1] += c_ * klm
+check("source_token_entropy", pd.DataFrame(
+    [{"source": src, "n_tokens": np.int64(se_ns[src]),
+      "n_types": np.int64(se_ntypes[src]),
+      "entropy_milli": ratioR(v[0], se_ns[src], 3),
+      "kl_milli": ratioR(v[1], se_ns[src], 3)}
+     for src, v in sorted(se_acc.items())]))
+
+# source_overlap_matrix: pairwise distinct-3-shingle overlap
+so_sets = {}
+for src, sp in zip(dc.source, lr_sp):
+    s_ = so_sets.setdefault(src, set())
+    if len(sp) < 3:
+        s_.add(" ".join(sp))
+    else:
+        for i in range(len(sp) - 2):
+            s_.add(sp[i] + " " + sp[i + 1] + " " + sp[i + 2])
+so_rows = []
+so_srcs = sorted(so_sets)
+for x in range(len(so_srcs)):
+    for y in range(x + 1, len(so_srcs)):
+        a_, b_ = so_srcs[x], so_srcs[y]
+        inter = len(so_sets[a_] & so_sets[b_])
+        na, nb = len(so_sets[a_]), len(so_sets[b_])
+        so_rows.append({"src_a": a_, "src_b": b_, "n_inter": np.int64(inter),
+                        "jaccard": ratioR(inter, na + nb - inter, 6),
+                        "containment": ratioR(inter, min(na, nb), 6)})
+check("source_overlap_matrix", pd.DataFrame(so_rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

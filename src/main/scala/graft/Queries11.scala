@@ -405,6 +405,112 @@ object Queries11 {
           |SELECT vec_id,
           |  ROUND((CAST(am AS DOUBLE)/1000000.0) / (sqrt(CAST(rm AS DOUBLE)/1000000.0) * qn.qn), 6) AS pq_cos
           |FROM agg, qn WHERE rm > 0
-          |ORDER BY pq_cos DESC, vec_id LIMIT 10""".stripMargin))
+          |ORDER BY pq_cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    QSpec("source_token_entropy",
+      // Corpus-composition dial: per-source unigram entropy (diversity)
+      // and KL divergence to the corpus-wide distribution (how atypical a
+      // source's language is) — the two numbers a mixture designer reads
+      // before setting weights. Same integer-milli discipline as
+      // select_dsir: each token TYPE's ln is taken on a ratio of
+      // integer-exact long products, rounded to milli-nats per type, then
+      // per-source totals are exact integer Σ c·milli, surfaced through
+      // ExactMath. Scale shape: one token-count shuffle on (source, tok),
+      // a vocabulary-sized corpus-count join, O(sources) output.
+      (s, dir) => {
+        val cst = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val totals = cst.groupBy("source").agg(sum("c").as("n_s"),
+          count(lit(1)).as("n_types"))
+        val corpus = cst.groupBy("tok").agg(sum("c").as("cc"))
+        val tot = corpus.agg(sum("cc").as("n_c"))
+        cst.join(corpus, "tok").join(broadcast(totals), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"), col("n_types"), col("c"),
+            round(log(col("n_s").cast("double") / col("c").cast("double")) * 1000.0, 0)
+              .cast("long").as("h_milli"),
+            round(log((col("c") * col("n_c")).cast("double") /
+              (col("cc") * col("n_s")).cast("double")) * 1000.0, 0)
+              .cast("long").as("kl_milli"))
+          .groupBy("source")
+          .agg(min("n_s").as("n_tokens"), min("n_types").as("n_types"),
+            sum(col("c") * col("h_milli")).as("h_sum"),
+            sum(col("c") * col("kl_milli")).as("kl_sum"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            ExactMath.ratioRounded(col("h_sum"), col("n_tokens"), 3)
+              .as("entropy_milli"),
+            ExactMath.ratioRounded(col("kl_sum"), col("n_tokens"), 3)
+              .as("kl_milli"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |cst AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+           |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+           |    CAST(COUNT(*) AS BIGINT) AS n_types FROM cst GROUP BY source),
+           |corpus AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM cst GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n_c FROM corpus),
+           |m AS (SELECT cst.source, n_s, n_types, c,
+           |    CAST(ROUND(ln(CAST(n_s AS DOUBLE) / CAST(c AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS h_milli,
+           |    CAST(ROUND(ln(CAST(c * n_c AS DOUBLE) / CAST(cc * n_s AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS kl_milli
+           |  FROM cst JOIN corpus USING (tok) JOIN totals ON cst.source = totals.source, tot),
+           |g AS (SELECT source, MIN(n_s) AS n_tokens, MIN(n_types) AS n_types,
+           |    CAST(SUM(c * h_milli) AS BIGINT) AS h_sum,
+           |    CAST(SUM(c * kl_milli) AS BIGINT) AS kl_sum
+           |  FROM m GROUP BY source)
+           |SELECT source, n_tokens, n_types,
+           |  ${ExactMath.ratioRoundedSql("h_sum", "n_tokens", 3)} AS entropy_milli,
+           |  ${ExactMath.ratioRoundedSql("kl_sum", "n_tokens", 3)} AS kl_milli
+           |FROM g ORDER BY source""".stripMargin)),
+
+    QSpec("source_overlap_matrix",
+      // Pairwise source redundancy: for every source pair, the count of
+      // shared distinct 3-shingles plus Jaccard and containment — the
+      // matrix that tells a mixture designer which sources duplicate each
+      // other before weights are spent on both. Inverted-index shape: the
+      // per-shingle source list NEVER materializes pairs beyond the
+      // shingle's own sources (≤ sources each), so total pair work is
+      // O(shingles · sources) worst-case and O(shingles) typical — never
+      // doc-pairwise. Engine joins on the 64-bit shingle hash (the
+      // span_dup_fraction collision argument), the oracle on shingle
+      // identity. Output O(sources²) rows, all ratios ExactMath.
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("source"),
+            explode(array_distinct(graft.ext.Dedup.shingles(col("text"), 3))).as("sh"))
+          .select(col("source"), xxhash64(col("sh")).as("shh"))
+          .distinct()
+        val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        val inter = sh.join(sh.select(col("source").as("src_b"), col("shh")), "shh")
+          .where(col("source") < col("src_b"))
+          .groupBy(col("source").as("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(perSrc.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
+          .join(broadcast(perSrc.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_inter"),
+            ExactMath.ratioRounded(col("n_inter"),
+              col("na") + col("nb") - col("n_inter"), 6).as("jaccard"),
+            ExactMath.ratioRounded(col("n_inter"),
+              least(col("na"), col("nb")), 6).as("containment"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        s"""WITH sh AS (SELECT DISTINCT source, sh FROM (
+           |    SELECT source, unnest(CASE WHEN len(sp) < 3 THEN [text]
+           |      ELSE list_transform(range(1, len(sp) - 1),
+           |        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+           |    FROM (SELECT source, text, string_split(text, ' ') AS sp FROM documents) d)),
+           |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+           |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, n_inter,
+           |  ${ExactMath.ratioRoundedSql("n_inter", "pa.n_sh + pb.n_sh - n_inter", 6)} AS jaccard,
+           |  ${ExactMath.ratioRoundedSql("n_inter", "LEAST(pa.n_sh, pb.n_sh)", 6)} AS containment
+           |FROM inter JOIN per pa ON src_a = pa.source JOIN per pb ON src_b = pb.source
+           |ORDER BY src_a, src_b""".stripMargin))
   )
 }

@@ -133,6 +133,33 @@ class Queries11Spec extends SparkSpec {
       "a 4-code-per-subspace ADC should still surface some exact neighbors")
   }
 
+  test("entropy is positive, KL nonnegative, totals reconcile") {
+    val rows = SparkEntry.queries("source_token_entropy")(spark, sfDir).collect()
+    val tokTotal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == tokTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("entropy_milli") > 0.0)
+      // Gibbs: KL ≥ 0 exactly; per-type milli rounding can shift the
+      // integer total by at most 0.5 milli-nats per token
+      assert(r.getAs[Double]("kl_milli") >= -1.0, r.toString)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("overlap matrix covers every source pair; jaccard <= containment <= 1") {
+    val rows = SparkEntry.queries("source_overlap_matrix")(spark, sfDir).collect()
+    val nSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected all ${nSrc * (nSrc - 1) / 2} pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (j, c) = (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"))
+      assert(j <= c + 1e-9 && c <= 1.0 && j >= 0.0, r.toString)
+    }
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
