@@ -3008,6 +3008,35 @@ for x in range(len(so_srcs)):
                         "containment": ratioR(inter, min(na, nb), 6)})
 check("source_overlap_matrix", pd.DataFrame(so_rows))
 
+# bm25_topk: rational-k1/b BM25 over {join, vector, dup}, integer micros
+bm_q = ("join", "vector", "dup")
+bm_dl = {int(d_): len(sp) for d_, sp in zip(dc.doc_id, lr_sp)}
+bm_nd, bm_tt = len(bm_dl), sum(bm_dl.values())
+bm_tf = {}
+for d_, sp in zip(dc.doc_id, lr_sp):
+    for t_ in sp:
+        if t_ in bm_q:
+            bm_tf[(int(d_), t_)] = bm_tf.get((int(d_), t_), 0) + 1
+bm_df = {}
+for (_, t_) in bm_tf:
+    bm_df[t_] = bm_df.get(t_, 0) + 1
+bm_idf = {t_: int(rH(1000.0 * math.log(
+    float(2 * bm_nd + 2) / float(2 * d_ + 1)), 0))
+    for t_, d_ in bm_df.items()}
+bm_doc = {}
+for (d_, t_), tf_ in bm_tf.items():
+    num = bm_idf[t_] * 44 * bm_tt * tf_ * 1000
+    den = tf_ * 20 * bm_tt + bm_tt * 6 + bm_dl[d_] * bm_nd * 18
+    sm = (2 * num + den) // (2 * den)
+    nterm, tot = bm_doc.get(d_, (0, 0))
+    bm_doc[d_] = (nterm + 1, tot + sm)
+bm_top = sorted(((d_, v[0], v[1]) for d_, v in bm_doc.items()),
+                key=lambda r: (-r[2], r[0]))[:20]
+check("bm25_topk", pd.DataFrame(
+    [{"doc_id": np.int64(d_), "n_terms": np.int64(n_),
+      "score_micros": np.int64(s_), "bm25": ratioR(s_, 1000000, 6)}
+     for d_, n_, s_ in bm_top]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -511,6 +511,76 @@ object Queries11 {
            |  ${ExactMath.ratioRoundedSql("n_inter", "pa.n_sh + pb.n_sh - n_inter", 6)} AS jaccard,
            |  ${ExactMath.ratioRoundedSql("n_inter", "LEAST(pa.n_sh, pb.n_sh)", 6)} AS containment
            |FROM inter JOIN per pa ON src_a = pa.source JOIN per pb ON src_b = pb.source
-           |ORDER BY src_a, src_b""".stripMargin))
+           |ORDER BY src_a, src_b""".stripMargin)),
+
+    QSpec("bm25_topk",
+      // BM25 retrieval (Lucene-standard nonnegative idf, k1 = 1.2,
+      // b = 0.75)
+      // for the query {join, vector, dup} — the lexical-ranking
+      // counterpart of the embedding retrievers. k1 = 6/5 and b = 3/4 are
+      // RATIONAL, so the whole per-(doc, term) score reduces to
+      //   idf · 44·T·tf / (20·T·tf + 6·T + 18·dl·D)
+      // (T = corpus tokens, D = docs, dl = doc length) — integer
+      // numerator/denominator with idf = ln(1 + (N−df+½)/(df+½)) =
+      // ln((2N+2)/(2df+1)) in milli-nats (ln of an integer-product ratio,
+      // the select_dsir discipline; the Lucene form is STRICTLY POSITIVE,
+      // so every integer division below sees nonnegative operands — no
+      // floor-vs-truncate exposure), rounded to
+      // integer MICROS per term, summed exactly per doc; the top-20 ranks
+      // on the integer micros (desc, doc_id) so order cannot jitter.
+      // Decimal(38,0) products — no overflow cliff at 100 TB token counts.
+      // Scale shape: one token scan serves dl and tf (the tf branch is
+      // pre-filtered to the 3 query terms before its shuffle); df/idf and
+      // corpus stats are metadata-sized broadcasts; TakeOrdered head.
+      (s, dir) => {
+        val qTerms = Seq("join", "vector", "dup")
+        val dec = "decimal(38,0)"
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+        val tf = toks.where(col("tok").isin(qTerms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"),
+            round(log((col("nd") * 2 + 2).cast("double") /
+              (col("df") * 2 + 1).cast("double")) * 1000.0, 0)
+              .cast("long").as("idf_milli"))
+        val num = col("idf_milli").cast(dec) * 44 * col("tt").cast(dec) *
+          col("tf").cast(dec) * 1000
+        val den = col("tf").cast(dec) * 20 * col("tt").cast(dec) +
+          col("tt").cast(dec) * 6 + col("dl").cast(dec) * col("nd").cast(dec) * 18
+        tf.join(broadcast(idf), "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            ExactMath.ratioRounded(num, den, 0).cast("long").as("sm"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum("sm").as("score_micros"))
+          .orderBy(col("score_micros").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("n_terms"), col("score_micros"),
+            ExactMath.ratioRounded(col("score_micros"), lit(1000000L), 6)
+              .as("bm25"))
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+           |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+           |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           |  WHERE tok IN ('join', 'vector', 'dup') GROUP BY 1, 2),
+           |idf AS (SELECT tok,
+           |    CAST(ROUND(ln(CAST(nd*2 + 2 AS DOUBLE) / CAST(df*2 + 1 AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS idf_milli
+           |  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok), stats),
+           |term AS (SELECT doc_id,
+           |    CAST(${ExactMath.ratioRoundedSql(
+                  "idf_milli::HUGEINT * 44 * tt * tf * 1000",
+                  "tf::HUGEINT * 20 * tt + tt::HUGEINT * 6 + dl::HUGEINT * nd * 18", 0)} AS BIGINT) AS sm
+           |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), stats),
+           |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           |    CAST(SUM(sm) AS BIGINT) AS score_micros
+           |  FROM term GROUP BY doc_id)
+           |SELECT doc_id, n_terms, score_micros,
+           |  ${ExactMath.ratioRoundedSql("score_micros", "1000000", 6)} AS bm25
+           |FROM d ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

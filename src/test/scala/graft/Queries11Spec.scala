@@ -160,6 +160,20 @@ class Queries11Spec extends SparkSpec {
     }
   }
 
+  test("bm25 rewards the rare term: dup-matching docs out-rank join-only docs") {
+    val rows = SparkEntry.queries("bm25_topk")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("score_micros"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // idf discipline: a doc matching the rare term 'dup' must beat any doc
+    // matching ONLY the commonest term 'join' at comparable tf — spot-check
+    // via the head containing at least one multi-term match
+    assert(rows.exists(_.getAs[Long]("n_terms") >= 2),
+      "the head of a 3-term query should contain multi-term matches")
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 &&
+      r.getAs[Long]("n_terms") <= 3))
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
