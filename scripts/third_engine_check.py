@@ -3037,6 +3037,38 @@ check("bm25_topk", pd.DataFrame(
       "score_micros": np.int64(s_), "bm25": ratioR(s_, 1000000, 6)}
      for d_, n_, s_ in bm_top]))
 
+# heldout_ppl: bigram LM from the murmur3 80% split, scored on the 20%
+hp_train = {int(d_): ((murmur_long(int(d_), 42) % 100) + 100) % 100 < 80
+            for d_ in dc.doc_id}
+hp_c12 = {}
+for d_, sp in zip(dc.doc_id, lr_sp):
+    if len(sp) < 2 or not hp_train[int(d_)]:
+        continue
+    for i in range(len(sp) - 1):
+        bg = sp[i] + " " + sp[i + 1]
+        hp_c12[bg] = hp_c12.get(bg, 0) + 1
+hp_c1 = {}
+for bg, c_ in hp_c12.items():
+    w1 = bg.split(" ", 1)[0]
+    hp_c1[w1] = hp_c1.get(w1, 0) + c_
+hp_v = len(hp_c1)
+hp_rows = []
+for d_, sp in zip(dc.doc_id, lr_sp):
+    if len(sp) < 2 or hp_train[int(d_)]:
+        continue
+    nll = 0
+    for i in range(len(sp) - 1):
+        bg = sp[i] + " " + sp[i + 1]
+        c12_ = hp_c12.get(bg, 0)
+        c1_ = hp_c1.get(bg.split(" ", 1)[0], 0)
+        nll += int(rH(1000.0 * math.log(
+            float(2 * c1_ + hp_v) / float(2 * c12_ + 1)), 0))
+    nb = len(sp) - 1
+    hp_rows.append({"doc_id": np.int64(d_), "n_bigrams": np.int64(nb),
+                    "nll_milli": np.int64(nll),
+                    "avg_milli": ratioR(nll, nb, 3)})
+check("heldout_ppl", pd.DataFrame(hp_rows).sort_values("doc_id"))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

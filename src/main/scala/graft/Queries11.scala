@@ -581,6 +581,69 @@ object Queries11 {
            |  FROM term GROUP BY doc_id)
            |SELECT doc_id, n_terms, score_micros,
            |  ${ExactMath.ratioRoundedSql("score_micros", "1000000", 6)} AS bm25
-           |FROM d ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin))
+           |FROM d ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QSpec("heldout_ppl",
+      // HELD-OUT perplexity — the no-leakage eval twin of doc_ppl_bigram:
+      // the bigram LM trains on the murmur3 80% split (split_train_test's
+      // exact hash rule) and scores ONLY the held-out 20%. Unseen bigrams
+      // and unseen contexts degrade smoothly through the same Laplace
+      // formula (coalesce both counts to 0: an unseen context scores
+      // ln(V) — the uniform-over-vocabulary floor). Same integer-milli
+      // discipline; train counts never see test docs, so this is the
+      // number a curation pipeline can legitimately report as model-ready
+      // eval evidence. Scale shape identical to doc_ppl_bigram plus two
+      // vocabulary-keyed left joins.
+      (s, dir) => {
+        val bi = t(s, dir, "documents")
+          .withColumn("is_train", pmod(hash(col("doc_id")), lit(100)) < 80)
+          .select(col("doc_id"), col("is_train"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("is_train"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        val c12 = bi.where(col("is_train")).groupBy("bg").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("c12").as("c1"))
+        val v = c1.agg(count(lit(1)).as("vsz"))
+        bi.where(!col("is_train"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(c12, Seq("bg"), "left_outer")
+          .join(c1, Seq("w1"), "left_outer")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((coalesce(col("c1"), lit(0L)) * 2 + col("vsz")).cast("double") /
+              (coalesce(col("c12"), lit(0L)) * 2 + 1).cast("double")) * 1000.0, 0)
+              .cast("long").as("milli"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("milli").as("nll_milli"))
+          .select(col("doc_id"), col("n_bigrams"), col("nll_milli"),
+            ExactMath.ratioRounded(col("nll_milli"), col("n_bigrams"), 3).as("avg_milli"))
+          .orderBy("doc_id")
+      },
+      Some(Queries.murmurCte("documents", "doc_id", 42) +
+        s""",
+           |sp AS (SELECT doc_id, string_split(text, ' ') AS sp,
+           |    ((sh % 100) + 100) % 100 < 80 AS is_train
+           |  FROM documents JOIN msigned ON doc_id = msigned.v),
+           |bi AS (SELECT doc_id, is_train,
+           |    unnest(list_transform(range(1, len(sp)), i -> sp[i] || ' ' || sp[i+1])) AS bg
+           |  FROM sp WHERE len(sp) >= 2),
+           |c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi WHERE is_train GROUP BY bg),
+           |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |  FROM c12 GROUP BY 1),
+           |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM c1),
+           |sc AS (SELECT t.doc_id,
+           |    CAST(ROUND(ln(CAST(COALESCE(c1.c1, 0)*2 + vsz AS DOUBLE) /
+           |      CAST(COALESCE(c12.c12, 0)*2 + 1 AS DOUBLE)) * 1000.0, 0) AS BIGINT) AS milli
+           |  FROM (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bi WHERE NOT is_train) t
+           |  LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1), v),
+           |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(milli) AS BIGINT) AS nll_milli
+           |  FROM sc GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, nll_milli,
+           |  ${ExactMath.ratioRoundedSql("nll_milli", "n_bigrams", 3)} AS avg_milli
+           |FROM d ORDER BY doc_id""".stripMargin))
   )
 }

@@ -174,6 +174,26 @@ class Queries11Spec extends SparkSpec {
       r.getAs[Long]("n_terms") <= 3))
   }
 
+  test("held-out ppl scores only test docs and exceeds in-corpus ppl") {
+    val rows = SparkEntry.queries("heldout_ppl")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val testIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod(hash(col("doc_id")), lit(100)) >= 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => testIds(r.getAs[Long]("doc_id"))),
+      "a train-split doc leaked into the held-out eval")
+    // generalization gap: the same docs scored by the all-corpus LM
+    // (doc_ppl_bigram trains on everything incl. them) must look easier
+    val full = SparkEntry.queries("doc_ppl_bigram")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_milli")).toMap
+    val (harder, total) = rows.foldLeft((0, 0)) { case ((h, t), r) =>
+      val id = r.getAs[Long]("doc_id")
+      (h + (if (r.getAs[Long]("nll_milli") >= full(id)) 1 else 0), t + 1)
+    }
+    assert(harder * 2 > total,
+      s"held-out NLL should usually exceed the leaky in-corpus NLL ($harder/$total)")
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
