@@ -486,9 +486,14 @@ object Queries11 {
           .where(col("source") < col("src_b"))
           .groupBy(col("source").as("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(broadcast(perSrc.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
-          .join(broadcast(perSrc.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+        // the MATRIX includes disjoint pairs at n_inter = 0 (the skew
+        // fixture surfaced them) — enumerate all pairs from the tiny
+        // per-source frame and left-join the overlap counts
+        perSrc.select(col("source").as("src_a"), col("n_sh").as("na"))
+          .crossJoin(broadcast(perSrc.select(col("source").as("src_b"), col("n_sh").as("nb"))))
+          .where(col("src_a") < col("src_b"))
+          .join(inter, Seq("src_a", "src_b"), "left_outer")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
           .select(col("src_a"), col("src_b"), col("n_inter"),
             ExactMath.ratioRounded(col("n_inter"),
               col("na") + col("nb") - col("n_inter"), 6).as("jaccard"),
@@ -503,14 +508,18 @@ object Queries11 {
            |        i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
            |    FROM (SELECT source, text, string_split(text, ' ') AS sp FROM documents) d)),
            |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
-           |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+           |ov AS (SELECT a.source AS src_a, b.source AS src_b,
            |    CAST(COUNT(*) AS BIGINT) AS n_inter
            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-           |  GROUP BY 1, 2)
+           |  GROUP BY 1, 2),
+           |inter AS (SELECT pa.source AS src_a, pb.source AS src_b,
+           |    pa.n_sh AS na, pb.n_sh AS nb, COALESCE(ov.n_inter, 0) AS n_inter
+           |  FROM per pa JOIN per pb ON pa.source < pb.source
+           |  LEFT JOIN ov ON pa.source = ov.src_a AND pb.source = ov.src_b)
            |SELECT src_a, src_b, n_inter,
-           |  ${ExactMath.ratioRoundedSql("n_inter", "pa.n_sh + pb.n_sh - n_inter", 6)} AS jaccard,
-           |  ${ExactMath.ratioRoundedSql("n_inter", "LEAST(pa.n_sh, pb.n_sh)", 6)} AS containment
-           |FROM inter JOIN per pa ON src_a = pa.source JOIN per pb ON src_b = pb.source
+           |  ${ExactMath.ratioRoundedSql("n_inter", "na + nb - n_inter", 6)} AS jaccard,
+           |  ${ExactMath.ratioRoundedSql("n_inter", "LEAST(na, nb)", 6)} AS containment
+           |FROM inter
            |ORDER BY src_a, src_b""".stripMargin)),
 
     QSpec("bm25_topk",
