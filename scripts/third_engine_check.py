@@ -3069,6 +3069,29 @@ for d_, sp in zip(dc.doc_id, lr_sp):
                     "avg_milli": ratioR(nll, nb, 3)})
 check("heldout_ppl", pd.DataFrame(hp_rows).sort_values("doc_id"))
 
+# drift_timeline: per-day event-type PSI vs the overall mix
+dt_day = ev.ts.values.astype("datetime64[us]").astype("int64") * 1000 // 86400000000000
+dt_c = {}
+for d_, t_ in zip(dt_day, ev.event_type):
+    dt_c[(int(d_), t_)] = dt_c.get((int(d_), t_), 0) + 1
+dt_nd, dt_ct = {}, {}
+for (d_, t_), c_ in dt_c.items():
+    dt_nd[d_] = dt_nd.get(d_, 0) + c_
+    dt_ct[t_] = dt_ct.get(t_, 0) + c_
+dt_n, dt_nt = sum(dt_ct.values()), len(dt_ct)
+dt_rows = []
+for d_ in sorted(dt_nd):
+    psi = 0.0
+    for t_ in sorted(dt_ct):
+        if (d_, t_) not in dt_c:
+            continue
+        p = (dt_c[(d_, t_)] + 0.5) / (dt_nd[d_] + 0.5 * dt_nt)
+        q = (dt_ct[t_] + 0.5) / (dt_n + 0.5 * dt_nt)
+        psi += (p - q) * math.log(p / q)
+    dt_rows.append({"day": np.int64(d_), "n_events": np.int64(dt_nd[d_]),
+                    "psi": rH(psi, 6)})
+check("drift_timeline", pd.DataFrame(dt_rows))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

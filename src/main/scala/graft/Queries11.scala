@@ -653,6 +653,48 @@ object Queries11 {
            |  FROM sc GROUP BY doc_id)
            |SELECT doc_id, n_bigrams, nll_milli,
            |  ${ExactMath.ratioRoundedSql("nll_milli", "n_bigrams", 3)} AS avg_milli
-           |FROM d ORDER BY doc_id""".stripMargin))
+           |FROM d ORDER BY doc_id""".stripMargin)),
+
+    QSpec("drift_timeline",
+      // Temporal drift monitoring — drift_psi's time axis: per UTC day,
+      // the population stability index of that day's event-type
+      // distribution against the whole stream's mix (the "when did the
+      // workload change?" dial; the source-slice PSI answers "which
+      // slice?"). Same Laplace smoothing and op order as drift_psi; one
+      // (day, type) count pass feeds day totals AND the overall mix (no
+      // second scan), both joined back as broadcasts. O(days × types)
+      // rows before the O(days) rollup at any stream length.
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+        val dayTot = c.groupBy("day").agg(sum("c").as("n_d"))
+        val overall = c.groupBy("event_type").agg(sum("c").as("c_t"))
+        val tot = overall.agg(sum("c_t").as("n"), count(lit(1)).as("nt"))
+        c.join(broadcast(dayTot), "day")
+          .join(broadcast(overall), "event_type")
+          .crossJoin(broadcast(tot))
+          .select(col("day"), col("n_d"), col("c"),
+            ((col("c") + lit(0.5)) / (col("n_d") + lit(0.5) * col("nt"))).as("p"),
+            ((col("c_t") + lit(0.5)) / (col("n") + lit(0.5) * col("nt"))).as("q"))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+          .groupBy("day")
+          .agg(min("n_d").as("n_events"), round(sum("term"), 6).as("psi"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+          |    CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM events GROUP BY 1, 2),
+          |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n_d FROM c GROUP BY day),
+          |ov AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS c_t FROM c GROUP BY event_type),
+          |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nt FROM ov),
+          |x AS (SELECT day, n_d, c,
+          |    (c + 0.5) / (n_d + 0.5 * nt) AS p,
+          |    (c_t + 0.5) / (n + 0.5 * nt) AS q
+          |  FROM c JOIN dt USING (day) JOIN ov USING (event_type), tot)
+          |SELECT day, MIN(n_d) AS n_events,
+          |  ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
+          |FROM x GROUP BY day ORDER BY day""".stripMargin))
   )
 }

@@ -194,6 +194,25 @@ class Queries11Spec extends SparkSpec {
       s"held-out NLL should usually exceed the leaky in-corpus NLL ($harder/$total)")
   }
 
+  test("drift timeline partitions the stream by day, psi near zero for iid days") {
+    val rows = SparkEntry.queries("drift_timeline")(spark, sfDir).collect()
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+    val days = rows.map(_.getAs[Long]("day"))
+    assert(days.sorted.sameElements(days) && days.distinct.length == days.length)
+    // the generator draws each day from one distribution, so PSI reads
+    // sampling noise only — but at this tiny SF a day holds just a
+    // handful of events and smoothing noise can brush the 0.25 alert
+    // line, so bound loosely; ≥ 0 up to rounding (it is an f-divergence)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= -1e-6 && psi < 1.0, s"day ${r.getAs[Long]("day")}: psi $psi")
+    }
+    // and across the month the TYPICAL day must read no-drift
+    val median = rows.map(_.getAs[Double]("psi")).sorted.apply(rows.length / 2)
+    assert(median < 0.25, s"median daily psi $median should read no-drift")
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
