@@ -418,9 +418,13 @@ object Queries11 {
       // ExactMath. Scale shape: one token-count shuffle on (source, tok),
       // a vocabulary-sized corpus-count join, O(sources) output.
       (s, dir) => {
-        val cst = t(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        // memoized + persisted: three consumers below (per-source totals,
+        // corpus counts, the scored join) read this vocabulary-sized frame
+        val cst = graft.ext.DfMemo.cached(s, Some(dir), "srctokcnt") {
+          t(s, dir, "documents")
+            .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+            .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        }
         val totals = cst.groupBy("source").agg(sum("c").as("n_s"),
           count(lit(1)).as("n_types"))
         val corpus = cst.groupBy("tok").agg(sum("c").as("cc"))
@@ -476,11 +480,15 @@ object Queries11 {
       // span_dup_fraction collision argument), the oracle on shingle
       // identity. Output O(sources²) rows, all ratios ExactMath.
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("source"),
-            explode(array_distinct(graft.ext.Dedup.shingles(col("text"), 3))).as("sh"))
-          .select(col("source"), xxhash64(col("sh")).as("shh"))
-          .distinct()
+        // memoized + persisted: the per-source sizes and BOTH sides of the
+        // inverted-index self-join read this distinct-shingle frame
+        val sh = graft.ext.DfMemo.cached(s, Some(dir), "srcshingle") {
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(array_distinct(graft.ext.Dedup.shingles(col("text"), 3))).as("sh"))
+            .select(col("source"), xxhash64(col("sh")).as("shh"))
+            .distinct()
+        }
         val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
         val inter = sh.join(sh.select(col("source").as("src_b"), col("shh")), "shh")
           .where(col("source") < col("src_b"))

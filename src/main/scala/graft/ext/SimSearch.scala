@@ -181,11 +181,22 @@ object SimSearch {
     * up front (cosine consumers — the norm-site rule above). */
   def assignClusters(emb: DataFrame, k: Int,
       cacheKey: Option[String] = None): DataFrame = {
-    val cents = seedCentroids(emb, k, cacheKey)
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .where(norm(col("v")) > 0)
-      .withColumn("cluster", nearestCentroid(col("v"), cents))
-      .withColumn("m", nearestCentroidM(col("v"), cents))
+    def build: DataFrame = {
+      val cents = seedCentroids(emb, k, cacheKey)
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .where(norm(col("v")) > 0)
+        .withColumn("cluster", nearestCentroid(col("v"), cents))
+        .withColumn("m", nearestCentroidM(col("v"), cents))
+    }
+    // memoized + persisted per (corpus, k): the SemDeDup pair join reads
+    // this frame from BOTH sides and the stats key reads it again — one
+    // k-literal projection pass serves all of them (at 100 TB the
+    // equivalent is materializing the assignment once at index-build time)
+    cacheKey match {
+      case Some(ck) =>
+        DfMemo.cached(emb.sparkSession, Some(s"$ck:k$k"), "clusterassign")(build)
+      case None => build
+    }
   }
 
   /** SemDeDup core: within each cluster of [[assignClusters]], flag the
