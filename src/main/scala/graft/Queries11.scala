@@ -143,9 +143,14 @@ object Queries11 {
         val toks = t(s, dir, "documents").select(col("doc_id"), col("source"),
           (substring(col("source"), 4, 10).cast("int") < 10).as("is_ref"),
           explode(split(col("text"), " ")).as("tok"))
-        val tc = toks.groupBy("tok").agg(
-          sum(when(col("is_ref"), 1L).otherwise(0L)).as("ct"),
-          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+        // memoized + persisted: the totals scalar and the weight frame
+        // both derive from this vocabulary-sized count — without the cache
+        // AQE may or may not reuse the underlying corpus scan between them
+        val tc = graft.ext.DfMemo.cached(s, Some(dir), "dsirtc") {
+          toks.groupBy("tok").agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("ct"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+        }
         val tot = tc.agg(sum("ct").as("nt"), sum("cc").as("nc"),
           count(lit(1)).as("vsz"))
         val w = tc.crossJoin(broadcast(tot)).select(col("tok"),

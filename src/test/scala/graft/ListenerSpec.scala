@@ -117,7 +117,11 @@ class ListenerSpec extends SparkSpec {
       // Balance.evidence collects ONE stats row per what-if job (the
       // grouped counts collapse to a single aggregate before collect);
       // candidate lists are topN × views — catalog-bounded, never data
-      "Balance.scala")
+      "Balance.scala",
+      // StreamingDrift collects per-batch BUCKET histograms only — 13
+      // (bucket, count) rows per micro-batch regardless of stream length;
+      // the doc stream itself is never retained (X29 scale note)
+      "StreamingDrift.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)

@@ -370,13 +370,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsir scoring scans documents at most twice, totals ride a 1-row broadcast") {
-    // two passes by design (vocabulary counts; candidate-doc join) — a
-    // third scan would mean the scalar totals or the weight frame
-    // re-derived the corpus
+    // two passes by design (vocabulary counts — memoized, so the totals
+    // scalar and the weight frame share ONE build; candidate-doc join). A
+    // cached frame's plan string embeds its build plan (one scan mention
+    // per InMemoryTableScan consumer), so count SCAN OPERATORS, not
+    // mentions: FileScan lines referencing documents.
     val df = Queries.allSpecs.find(_.name == "select_dsir").get.fn(spark, sfDir)
     df.collect()
     val plan = planOf(df).split("== Initial Plan ==")(0)
-    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
     assert(scans <= 2, s"documents scanned $scans times:\n$plan")
     assert(plan.contains("BroadcastExchange"), plan)
   }
