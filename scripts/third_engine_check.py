@@ -3092,6 +3092,25 @@ for d_ in sorted(dt_nd):
                     "psi": rH(psi, 6)})
 check("drift_timeline", pd.DataFrame(dt_rows))
 
+# scd2_intervals: lead-window validity chain per user (< 20), ns epochs
+sc_ns = ev.ts.values.astype("datetime64[us]").astype("int64") * 1000
+sc_rows = []
+sc_by_user = {}
+for eid, uid, et, ns in zip(ev.event_id, ev.user_id, ev.event_type, sc_ns):
+    if int(uid) < 20:
+        sc_by_user.setdefault(int(uid), []).append((int(ns), int(eid), et))
+for uid in sorted(sc_by_user):
+    evs = sorted(sc_by_user[uid])
+    for i, (ns, eid, et) in enumerate(evs):
+        nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+        sc_rows.append({"user_id": np.int64(uid), "event_id": np.int64(eid),
+                        "event_type": et, "valid_from": np.int64(ns),
+                        "valid_to": (np.int64(nxt) if nxt is not None else pd.NA),
+                        "is_current": nxt is None})
+sc_f = pd.DataFrame(sc_rows)
+sc_f["valid_to"] = sc_f["valid_to"].astype("Int64")
+check("scd2_intervals", sc_f)
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

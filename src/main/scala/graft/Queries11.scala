@@ -708,6 +708,35 @@ object Queries11 {
           |  FROM c JOIN dt USING (day) JOIN ov USING (event_type), tot)
           |SELECT day, MIN(n_d) AS n_events,
           |  ROUND(SUM((p - q) * ln(p / q)), 6) AS psi
-          |FROM x GROUP BY day ORDER BY day""".stripMargin))
+          |FROM x GROUP BY day ORDER BY day""".stripMargin)),
+
+    QSpec("scd2_intervals",
+      // Slowly-changing-dimension type 2 from a change log — the
+      // warehouse-modeling sibling of cdc_merge_upsert's latest-wins:
+      // every change event becomes a version row with
+      // [valid_from, valid_to) from the NEXT change of the same key
+      // (lead window; null valid_to = the current version). The window
+      // orders on (ts, event_id) so simultaneous events still produce a
+      // total, engine-independent interval chain. One shuffle on the
+      // entity key, parallel across keys at any history length; the
+      // user_id < 20 cap bounds the DECLARED surface only — the build is
+      // the same plan uncapped.
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .where(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some(
+        """SELECT user_id, event_id, event_type,
+          |  epoch_ns(ts) AS valid_from,
+          |  LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS valid_to,
+          |  LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL AS is_current
+          |FROM events WHERE user_id < 20
+          |ORDER BY user_id, valid_from, event_id""".stripMargin))
   )
 }

@@ -213,6 +213,21 @@ class Queries11Spec extends SparkSpec {
     assert(median < 0.25, s"median daily psi $median should read no-drift")
   }
 
+  test("scd2 intervals chain gaplessly with exactly one current row per key") {
+    val rows = SparkEntry.queries("scd2_intervals")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val chain = rs.sortBy(r => (r.getAs[Long]("valid_from"), r.getAs[Long]("event_id")))
+      assert(chain.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $uid must have exactly one open version")
+      assert(chain.last.getAs[Boolean]("is_current"))
+      chain.zip(chain.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+          s"user $uid: interval chain must be gapless")
+      }
+    }
+  }
+
   test("curriculum head interleaves sources at matched rank") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to rows.length).toSeq)
