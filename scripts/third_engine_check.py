@@ -3111,6 +3111,92 @@ sc_f = pd.DataFrame(sc_rows)
 sc_f["valid_to"] = sc_f["valid_to"].astype("Int64")
 check("scd2_intervals", sc_f)
 
+# drift_ks: integer-exact two-sample KS on n_chars, src0-9 vs src10-19
+ks_side = dc.source.str[3:].astype(int) < 10
+ks_cnt = {}
+for nch, is_ref in zip(dc.n_chars.astype(int), ks_side):
+    cr, cc = ks_cnt.get(nch, (0, 0))
+    ks_cnt[nch] = (cr + (1 if is_ref else 0), cc + (0 if is_ref else 1))
+ks_nr = sum(c[0] for c in ks_cnt.values())
+ks_nc = sum(c[1] for c in ks_cnt.values())
+kr = kc = 0
+ks_best = None  # (gap, n_chars) — max gap, smallest length tie-break
+for nch in sorted(ks_cnt):
+    kr += ks_cnt[nch][0]
+    kc += ks_cnt[nch][1]
+    gap = abs(kr * ks_nc - kc * ks_nr)  # python ints: exact at any size
+    if ks_best is None or gap > ks_best[0]:
+        ks_best = (gap, nch)
+check("drift_ks", pd.DataFrame([{
+    "n_ref": np.int64(ks_nr), "n_cand": np.int64(ks_nc),
+    "ks_at": np.int32(ks_best[1]),
+    "ks_d": ratioR(ks_best[0], ks_nr * ks_nc, 6)}]))
+
+# quality_gopher_rules: per-source integer rule battery
+gr_acc = {}
+for src, nch, txt in zip(dc.source, dc.n_chars.astype(int), dc.text):
+    sp = txt.split(" ")
+    n = len(sp)
+    ch = nch - (n - 1)
+    st = sum(1 for tk in sp if tk in ("the", "a"))
+    if n >= 2:
+        bi = [sp[i] + " " + sp[i + 1] for i in range(n - 1)]
+        tbi, dbi = len(bi), len(set(bi))
+    else:
+        tbi = dbi = 0
+    r1 = 20 <= n <= 90
+    r2 = 3 * n <= ch <= 5 * n
+    r3 = st >= 2
+    r4 = (tbi - dbi) * 20 <= tbi
+    a = gr_acc.setdefault(src, [0, 0, 0, 0, 0, 0])
+    a[0] += 1
+    a[1] += r1; a[2] += r2; a[3] += r3; a[4] += r4
+    a[5] += r1 and r2 and r3 and r4
+check("quality_gopher_rules", pd.DataFrame(
+    [{"source": src, "n_docs": np.int64(a[0]), "p_len": np.int64(a[1]),
+      "p_wordlen": np.int64(a[2]), "p_stop": np.int64(a[3]),
+      "p_rep": np.int64(a[4]), "n_pass": np.int64(a[5]),
+      "pass_frac": ratioR(a[5], a[0], 6)}
+     for src, a in sorted(gr_acc.items())]))
+
+# simsearch_hamming: sign-bit codes, Hamming-nearest 50, exact re-rank top-10
+hm_q = VEC[0]
+hm_rows = []
+for i, v in VEC.items():
+    if i == 0 or NRM[i] == 0:
+        continue
+    ham = int(sum(1 for a, b in zip(v, hm_q) if (a >= 0) != (b >= 0)))
+    hm_rows.append((ham, i))
+hm_cand = sorted(hm_rows)[:50]
+hm_rr = sorted(
+    ((rN(seqdot(VEC[i], hm_q) / (NRM[i] * NRM[0]), 6), ham, i)
+     for ham, i in hm_cand), key=lambda x: (-x[0], x[2]))[:10]
+check("simsearch_hamming", pd.DataFrame(
+    [{"rank": np.int32(r + 1), "vec_id": np.int64(i),
+      "hamming": np.int32(ham), "cos": c}
+     for r, (c, ham, i) in enumerate(hm_rr)]))
+
+# simsearch_matryoshka: prefix-32 micro-rounded stage-1, top-100, re-rank
+mt_qp = hm_q[:32]
+mt_qpn = math.sqrt(seqsum(mt_qp * mt_qp))
+mt_rows = []
+for i, v in VEC.items():
+    if i == 0 or NRM[i] == 0:
+        continue
+    pn = math.sqrt(seqsum(v[:32] * v[:32]))
+    if pn == 0:
+        continue
+    s1 = int(rN(seqdot(v[:32], mt_qp) / (pn * mt_qpn) * 1e6, 0))
+    mt_rows.append((-s1, i))
+mt_cand = sorted(mt_rows)[:100]
+mt_rr = sorted(
+    ((rN(seqdot(VEC[i], hm_q) / (NRM[i] * NRM[0]), 6), -negs1, i)
+     for negs1, i in mt_cand), key=lambda x: (-x[0], x[2]))[:10]
+check("simsearch_matryoshka", pd.DataFrame(
+    [{"rank": np.int32(r + 1), "vec_id": np.int64(i),
+      "s1_micros": np.int64(s1), "cos": c}
+     for r, (c, s1, i) in enumerate(mt_rr)]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

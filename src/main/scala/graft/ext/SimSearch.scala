@@ -648,4 +648,83 @@ object SimSearch {
       .orderBy(desc("qcos"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Sign-bit binary code of a double vector (one long, 64 dims — see
+    * [[graft.functions.SignPack]]). */
+  def signCode(v: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SignPack(
+      GraftColumnBridge.expression(v)))
+  }
+
+  /** Binary-hash two-stage retrieval: sign-bit binarize every vector to one
+    * 64-bit code (1 bit/dim — a 512× compression of fp64), take the `cand`
+    * Hamming-nearest codes to the query's code, then re-rank those few by
+    * exact cosine and keep the top `k`.
+    *
+    * 100 TB posture: the corpus-wide stage is ONE fused codegen scan — pack
+    * (SignPack) → XOR → popcount (`bit_count`) → TakeOrderedAndProject on
+    * (hamming, vec_id) — 2 ALU ops of distance math per vector instead of a
+    * 64-FLOP dot product, no shuffle, no window over the corpus. The exact
+    * re-rank touches only the `cand`-row candidate set (constant-sized, a
+    * single in-memory window). Candidate selection and final order both
+    * break ties on vec_id, so the result is deterministic on every engine.
+    */
+  def hammingTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+      k: Int, cand: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(emb).withColumn("code", signCode(col("v")))
+    val q = e.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("code").as("qcode"))
+    e.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", bit_count(col("code").bitwiseXOR(col("qcode"))))
+      .orderBy(asc("hamming"), asc("vec_id")).limit(cand)
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("vec_id"), col("hamming"), col("cos"))
+      .orderBy("rank")
+  }
+
+  /** Matryoshka (prefix-dimension) two-stage retrieval: score every vector
+    * by the cosine of its first `prefixDim` dimensions (MRL-trained
+    * embeddings concentrate signal in the prefix — Kusupati et al. 2022,
+    * arXiv:2205.13147), keep the `cand` best, re-rank those by full-dim
+    * cosine and return the top `k`.
+    *
+    * 100 TB posture: the corpus-wide stage reads only `prefixDim` of `dim`
+    * values per vector (with a columnar layout that is proportionally less
+    * IO and exactly proportionally fewer FLOPs) and ends in
+    * TakeOrderedAndProject — no shuffle, no corpus window; the full-dim math
+    * touches only the constant-sized candidate set. The stage-1 score is
+    * rounded to integer MICROS before ranking, so the candidate cut cannot
+    * flip on last-ulp float jitter between engines; both stages tie-break
+    * on vec_id. Vectors with an all-zero prefix have no stage-1 direction
+    * and are excluded (same contract as withNorm's zero-norm drop).
+    */
+  def matryoshkaTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+      prefixDim: Int, cand: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(emb)
+      .withColumn("pv", slice(col("v"), 1, prefixDim))
+      .withColumn("pnrm", norm(col("pv")))
+      .where(col("pnrm") > 0)
+    val q = e.where(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"),
+        col("pv").as("qpv"), col("pnrm").as("qpnrm"))
+    e.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("s1_micros",
+        round(dot(col("pv"), col("qpv")) / (col("pnrm") * col("qpnrm"))
+          * lit(1000000.0d), 0).cast("long"))
+      .orderBy(desc("s1_micros"), asc("vec_id")).limit(cand)
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("vec_id"), col("s1_micros"), col("cos"))
+      .orderBy("rank")
+  }
 }

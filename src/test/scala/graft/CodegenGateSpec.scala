@@ -112,6 +112,23 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("SignPack compiles over nullable and non-nullable children") {
+    for (nullable <- Seq(true, false)) {
+      val arrT = if (nullable) dArrN else dArrNN
+      val child = BoundReference(0, arrT, nullable = nullable)
+      val baseRows = Seq(
+        row(darr(1.0, -2.0, 0.0, -0.0)), // −0.0 ≥ 0: bit set, like SQL >=
+        row(darr()),
+        row(new GenericArrayData(Array.tabulate[Any](70)(i => i.toDouble - 35)))) // > 64 dims
+      val nullElem = if (nullable)
+        Seq(row(new GenericArrayData(Array[Any](1.0, null, -3.0)))) else Nil
+      val nullRow = if (nullable) Seq(row(null)) else Nil
+      gate(SignPack(child), baseRows ++ nullElem ++ nullRow)
+    }
+    // literal child (the simsearch_hamming query-code path)
+    gate(SignPack(Literal.create(Array(0.5, -0.5, 0.0), dArrNN)), Seq(row()))
+  }
+
   test("IcebergBucket compiles over nullable and non-nullable children") {
     for (nullable <- Seq(true, false)) {
       val nullRow = if (nullable) Seq(row(null)) else Nil
@@ -135,6 +152,7 @@ class CodegenGateSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
       for (k <- Seq("kmeans_iterate", "simsearch_ivf", "simsearch_quant",
+          "simsearch_hamming", "simsearch_matryoshka",
           "dedup_simhash", "dedup_minhash", "transform_bucket_iceberg")) {
         val n = SparkEntry.queries(k)(spark, sfDir).count()
         assert(n > 0, s"$k returned no rows under CODEGEN_ONLY")

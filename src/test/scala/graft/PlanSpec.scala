@@ -383,4 +383,22 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"documents scanned $scans times:\n$plan")
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("two-stage retrievers: corpus stage ends in TakeOrdered, query side broadcasts") {
+    // simsearch_hamming / simsearch_matryoshka: the only corpus-wide work
+    // is one scan joined (broadcast-nested-loop against the ONE query row)
+    // and cut by TakeOrderedAndProject on an integer key. A sort-merge join
+    // or a global Sort here would mean the candidate stage shuffles the
+    // corpus; the exact re-rank may do what it likes — it sees ≤ `cand`
+    // rows by construction.
+    for (key <- Seq("simsearch_hamming", "simsearch_matryoshka")) {
+      val df = Queries.allSpecs.find(_.name == key).get.fn(spark, sfDir)
+      df.collect()
+      val plan = planOf(df).split("== Initial Plan ==")(0)
+      assert(plan.contains("TakeOrderedAndProject"), s"$key:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$key must not shuffle or loop the corpus:\n$plan")
+      assert(plan.contains("BroadcastExchange"), s"$key query row must broadcast:\n$plan")
+    }
+  }
 }
