@@ -3197,6 +3197,128 @@ check("simsearch_matryoshka", pd.DataFrame(
       "s1_micros": np.int64(s1), "cos": c}
      for r, (c, s1, i) in enumerate(mt_rr)]))
 
+# text_normalize_nfc: unicodedata NFC (the same UAX #15 algorithm)
+import unicodedata
+nfc_acc = {}
+for src, txt in zip(dc.source, dc.text):
+    nf = unicodedata.normalize("NFC", txt)
+    a = nfc_acc.setdefault(src, [0, 0, 0, 0])
+    a[0] += 1
+    a[1] += (nf != txt)
+    a[2] += len(txt)
+    a[3] += len(nf)
+check("text_normalize_nfc", pd.DataFrame(
+    [{"source": src, "n_docs": np.int64(a[0]), "n_changed": np.int64(a[1]),
+      "chars_before": np.int64(a[2]), "chars_after": np.int64(a[3])}
+     for src, a in sorted(nfc_acc.items())]))
+
+# text_script_mix: explicit codepoint-range classes (identical on all engines)
+sm_acc = {}
+for src, txt in zip(dc.source, dc.text):
+    al = cj = cm = 0
+    for ch in txt:
+        o = ord(ch)
+        if (65 <= o <= 90) or (97 <= o <= 122):
+            al += 1
+        elif 0x4E00 <= o <= 0x9FFF:
+            cj += 1
+        elif 0x0300 <= o <= 0x036F:
+            cm += 1
+    a = sm_acc.setdefault(src, [0, 0, 0, 0])
+    a[0] += len(txt); a[1] += al; a[2] += cj; a[3] += cm
+check("text_script_mix", pd.DataFrame(
+    [{"source": src, "n_chars": np.int64(a[0]), "ascii_letters": np.int64(a[1]),
+      "cjk_chars": np.int64(a[2]), "combining_marks": np.int64(a[3]),
+      "other_chars": np.int64(a[0] - a[1] - a[2] - a[3])}
+     for src, a in sorted(sm_acc.items())]))
+
+# epoch_repeat_plan: mixture_epochs' integer chain + murmur ppm pick
+er_tok = {}
+for src, txt in zip(dc.source, dc.text):
+    er_tok[src] = er_tok.get(src, 0) + len(txt.split(" "))
+er_max = max(er_tok.values())
+er_w = {s_: int(rN(math.sqrt(er_tok[s_] / er_max) * 1e6, 0)) for s_ in er_tok}
+er_sumw = sum(er_w.values())
+er_total = sum(er_tok.values())
+er_plan = {}
+for s_ in er_tok:
+    # ratioRounded(2·total·w, sum_w, 0) kept in pure ints (no float hop —
+    # past 2^53 the ratioR float return would lose the low bits)
+    x = 2 * er_total * er_w[s_]
+    alloc = (2 * x + er_sumw) // (2 * er_sumw)
+    er_plan[s_] = (alloc // er_tok[s_], ((alloc % er_tok[s_]) * 1000000) // er_tok[s_])
+er_acc = {}
+for src, did in zip(dc.source, dc.doc_id.astype(int)):
+    h = ((murmur_long(did, 42) % 1000000) + 1000000) % 1000000
+    a = er_acc.setdefault(src, [0, 0])
+    a[0] += 1
+    a[1] += (h < er_plan[src][1])
+check("epoch_repeat_plan", pd.DataFrame(
+    [{"source": src, "n_docs": np.int64(a[0]),
+      "base_epochs": np.int64(er_plan[src][0]),
+      "frac_ppm": np.int64(er_plan[src][1]),
+      "n_extra": np.int64(a[1]),
+      "planned_instances": np.int64(a[0] * er_plan[src][0] + a[1])}
+     for src, a in sorted(er_acc.items())]))
+
+# dedup_exact_normalized: NFC + casefold(simple) + whitespace collapse
+import re as _re
+dn_keep = {}
+dn_rows_src = []
+for did, src, txt in zip(dc.doc_id.astype(int), dc.source, dc.text):
+    # explicit class — python \s is Unicode-aware (NBSP etc.), the engines'
+    # classes are ASCII; the key contract pins [ \t\n\x0B\f\r]
+    # (.strip(" ") not .strip(): python strip() is Unicode-aware too, while
+    # Spark/DuckDB trim() strip spaces only)
+    k = _re.sub(r"[ \t\n\x0b\f\r]+", " ",
+                unicodedata.normalize("NFC", txt).lower()).strip(" ")
+    dn_rows_src.append((did, src, k))
+    if k not in dn_keep or did < dn_keep[k]:
+        dn_keep[k] = did
+dn_acc = {}
+for did, src, k in dn_rows_src:
+    a = dn_acc.setdefault(src, [0, 0, 0])
+    a[0] += 1
+    if did == dn_keep[k]:
+        a[1] += 1
+    else:
+        a[2] += 1
+check("dedup_exact_normalized", pd.DataFrame(
+    [{"source": src, "n_docs": np.int64(a[0]), "n_kept": np.int64(a[1]),
+      "n_dropped": np.int64(a[2])} for src, a in sorted(dn_acc.items())]))
+
+# embedding_qa_report: dim/finite/zero-norm screens + integer-micro norms
+qa_micros = []
+qa_bad_dim = qa_nonfinite = qa_zero = 0
+for i, v in VEC.items():
+    if len(v) != 64:
+        qa_bad_dim += 1
+        continue
+    if not np.isfinite(v).all():
+        qa_nonfinite += 1
+        continue
+    m = int(rN(math.sqrt(seqsum(v * v)) * 1e6, 0))
+    qa_micros.append(m)
+    qa_zero += (m == 0)
+qa_micros.sort()
+def qa_pct(p):
+    # linear interpolation between integer micros; ROUND half-up at unit
+    f = p * (len(qa_micros) - 1)
+    lo = int(math.floor(f))
+    hi = min(lo + 1, len(qa_micros) - 1)
+    return int(rN(qa_micros[lo] + (qa_micros[hi] - qa_micros[lo]) * (f - lo), 0))
+check("embedding_qa_report", pd.DataFrame([{
+    "n_vecs": np.int64(len(VEC)), "n_bad_dim": np.int64(qa_bad_dim),
+    "n_nonfinite": np.int64(qa_nonfinite), "n_zero_norm": np.int64(qa_zero),
+    "norm_p50_micros": np.int64(qa_pct(0.5)),
+    "norm_p95_micros": np.int64(qa_pct(0.95))}]))
+
+# agg_hll_mergeable: exact distincts; sketch assertions must read True
+check("agg_hll_mergeable", pd.DataFrame([{
+    "exact_users": np.int64(ev.user_id.nunique()),
+    "n_shards": np.int64(ev.event_type.nunique()),
+    "merged_within_5pct": True, "merged_equals_direct": True}]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

@@ -17,6 +17,36 @@ object Queries10 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableRegistry.table(s, dir, name)
 
+  /** The α=0.5 mixture allocation plan — (source, n_tokens, w_micros,
+    * alloc_tokens) for a 2×-corpus token budget. ONE definition shared by
+    * `mixture_epochs` (epoch ratios) and `epoch_repeat_plan` (per-doc
+    * repeat counts) so the sqrt-weight/ratioRounded chain cannot drift
+    * between the two keys and their oracles. Float enters exactly once
+    * (sqrt·1e6 → integer micros); the allocation is integer arithmetic in
+    * decimal(38,0) — budget×weight never transits a Long. The per-source
+    * token rollup is memoized (persisted O(sources) rows) because it feeds
+    * three consumers: the weights, the max scalar and the totals scalar. */
+  private[graft] def mixtureAllocPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val ps = graft.ext.DfMemo.cached(s, Some(dir), "mixture_ps",
+      persistUnkeyed = true) {
+      t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    }
+    val mx = ps.agg(max("n_tokens").as("max_tokens"))
+    val w = ps.crossJoin(broadcast(mx)).select(
+      col("source"), col("n_tokens"),
+      round(sqrt(col("n_tokens").cast("double") / col("max_tokens")) * 1e6)
+        .cast("long").as("w_micros"))
+    val tots = w.agg(sum("w_micros").as("sum_w"), sum("n_tokens").as("total_tok"))
+    w.crossJoin(broadcast(tots))
+      .withColumn("alloc_tokens", ExactMath.ratioRounded(
+        lit(2L).cast(d) * col("total_tok").cast(d) * col("w_micros").cast(d),
+        col("sum_w"), 0).cast("long"))
+      .select(col("source"), col("n_tokens"), col("w_micros"), col("alloc_tokens"))
+  }
+
   /** Chained-CTE replay of [[graft.ext.QualityModel]]'s feature build and
     * canonical training schedule (d → f → w0 → … → w12) — shared by the
     * `doc_quality_logreg` and `quality_calibration` oracles so the two
@@ -179,28 +209,9 @@ object Queries10 {
       // Shapes: one token-count aggregation (O(sources) groups), two
       // broadcast scalars, zero data-proportional shuffles.
       (s, dir) => {
-        // the per-source token rollup feeds THREE consumers (weights, the
-        // max scalar, the totals scalar) — persist the O(sources)-row
-        // result so the corpus-sized token-count scan runs once, not per
-        // branch (the plan otherwise re-scans parquet under each scalar)
-        val ps = graft.ext.DfMemo.cached(s, Some(dir), "mixture_ps",
-          persistUnkeyed = true) {
-          t(s, dir, "documents")
-            .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-            .groupBy("source").agg(sum("n_tok").as("n_tokens"))
-        }
-        val mx = ps.agg(max("n_tokens").as("max_tokens"))
-        val w = ps.crossJoin(broadcast(mx)).select(
-          col("source"), col("n_tokens"),
-          round(sqrt(col("n_tokens").cast("double") / col("max_tokens")) * 1e6)
-            .cast("long").as("w_micros"))
-        val tots = w.agg(sum("w_micros").as("sum_w"), sum("n_tokens").as("total_tok"))
-        val d = "decimal(38,0)"
-        val alloc = ExactMath.ratioRounded(
-          lit(2L).cast(d) * col("total_tok").cast(d) * col("w_micros").cast(d),
-          col("sum_w"), 0).cast("long")
-        w.crossJoin(broadcast(tots))
-          .withColumn("alloc_tokens", alloc)
+        // the weight/allocation chain is the SHARED mixtureAllocPlan —
+        // one definition for this key and epoch_repeat_plan (X52)
+        mixtureAllocPlan(s, dir)
           .select(col("source"), col("n_tokens"), col("w_micros"), col("alloc_tokens"),
             ExactMath.ratioRounded(col("alloc_tokens"), col("n_tokens"), 3).as("epochs"))
           .orderBy("source")

@@ -221,5 +221,266 @@ object Queries12 {
           |SELECT rank, vec_id, s1_micros, cos FROM (
           |  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
           |    vec_id, s1_micros, cos FROM rr) x
-          |WHERE rank <= 10 ORDER BY rank""".stripMargin)))
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    QSpec("text_normalize_nfc",
+      // Unicode NFC hygiene audit: per source, how many docs change under
+      // canonical composition and the char counts before/after — the
+      // report that tells a multilingual pipeline whether decomposed forms
+      // are defeating its sha2 dedup keys and splitting token types. The
+      // normalization itself is the codegen NfcNormalize kernel (UAX #15 —
+      // the identical algorithm DuckDB's nfc_normalize and python's
+      // unicodedata bind, so all three engines agree byte-for-byte). One
+      // scan + O(sources) groups; the fixture corpus is ASCII, so
+      // n_changed = 0 everywhere is the honest corpus answer — the change
+      // path is pinned by Queries12Spec's planted decomposed-é doc.
+      (s, dir) => {
+        val n = TextAnalysis.nfc(col("text"))
+        t(s, dir, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("cb"),
+            length(n).cast("long").as("ca"),
+            (col("text") =!= n).as("chg"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("chg"), 1L).otherwise(0L)).as("n_changed"),
+            sum("cb").as("chars_before"),
+            sum("ca").as("chars_after"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          |  CAST(SUM(length(text)) AS BIGINT) AS chars_before,
+          |  CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS chars_after
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("text_script_mix",
+      // Unicode script composition per source: ASCII letters, CJK unified
+      // ideographs (U+4E00–9FFF), combining diacritics (U+0300–036F) and
+      // everything else — the multilingual-corpus composition dial (script
+      // mix drives tokenizer choice and per-script quality thresholds).
+      // Classes are EXPLICIT codepoint ranges, not regex script properties:
+      // \p{IsHan} (Java), \p{Han} (RE2) and python's unicodedata don't
+      // agree on property coverage, but a range is the same on every
+      // engine. Counting is length(text) − length(regexp_replace(…)) —
+      // per-row codegen regex (the pii_redact precedent), one scan,
+      // O(sources) groups. ASCII fixture ⇒ cjk/marks = 0 is the honest
+      // corpus answer; planted CJK pinned in Queries12Spec.
+      (s, dir) => {
+        def cnt(pat: String) =
+          (length(col("text")) - length(regexp_replace(col("text"), pat, ""))).cast("long")
+        t(s, dir, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("nc"),
+            cnt("[A-Za-z]").as("al"),
+            cnt("[\\x{4E00}-\\x{9FFF}]").as("cj"),
+            cnt("[\\x{0300}-\\x{036F}]").as("cm"))
+          .groupBy("source")
+          .agg(sum("nc").as("n_chars"),
+            sum("al").as("ascii_letters"),
+            sum("cj").as("cjk_chars"),
+            sum("cm").as("combining_marks"),
+            (sum("nc") - sum("al") - sum("cj") - sum("cm")).as("other_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """SELECT source,
+          |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+          |  CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS ascii_letters,
+          |  CAST(SUM(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g'))) AS BIGINT) AS cjk_chars,
+          |  CAST(SUM(length(text) - length(regexp_replace(text, '[\x{0300}-\x{036F}]', '', 'g'))) AS BIGINT) AS combining_marks,
+          |  CAST(SUM(length(regexp_replace(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z]', '', 'g'), '[\x{4E00}-\x{9FFF}]', '', 'g'), '[\x{0300}-\x{036F}]', '', 'g'))) AS BIGINT) AS other_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("agg_hll_mergeable",
+      // The MERGEABLE-sketch scale pattern: per-shard (event_type) HLL
+      // sketches (lgK=14 Datasketches) union to the SAME registers as one
+      // direct pass — the property that lets 1000 executors sketch their
+      // partitions independently and a coordinator merge O(shards) byte
+      // arrays instead of re-scanning 100 TB. Driver-visible columns are
+      // the exact distinct counts plus ASSERTIONS (the agg_approx_distinct
+      // discipline): merged estimate within 5% of exact, and merged
+      // ESTIMATE == direct-build ESTIMATE. (Estimate equality, not register
+      // bytes: Datasketches may back the two paths with different
+      // estimators/target types, so serialized forms aren't comparable —
+      // the user-visible contract is that sharded+merged answers match the
+      // one-pass answer, which is exactly what this asserts.)
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val merged = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+        ev.agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            countDistinct(col("event_type")).as("n_shards"),
+            expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("d"))
+          .crossJoin(broadcast(merged))
+          .select(col("exact_users"), col("n_shards"),
+            (abs(col("m") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("merged_within_5pct"),
+            (col("m") === col("d")).as("merged_equals_direct"))
+      },
+      Some(
+        """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_shards,
+          |  TRUE AS merged_within_5pct, TRUE AS merged_equals_direct
+          |FROM events""".stripMargin)),
+
+    QSpec("epoch_repeat_plan",
+      // Executable form of mixture_epochs' fractional epochs: a source
+      // planned for e.g. 2.4 epochs repeats every doc twice and gives a
+      // deterministic 40%-of-docs subset (murmur3(doc_id) ppm threshold —
+      // split_train_test's hash family, so the subset is stable under any
+      // partitioning, re-run or engine) a third instance. Surface = per
+      // source: docs, whole-epoch base, fractional ppm, extra-instance
+      // count and total planned instances. Integer-exact end to end: base
+      // and ppm come from ExactMath.intDiv in decimal(38,0) (alloc × 1e6
+      // would overflow a Long at 100 TB token counts), the pick is an
+      // integer hash compare. Shapes: the per-source token rollup is the
+      // SAME memoized frame mixture_epochs builds (one corpus scan serves
+      // both keys), the plan is O(sources) rows broadcast onto one
+      // documents scan, one O(sources)-group shuffle.
+      (s, dir) => {
+        val d = "decimal(38,0)"
+        // the weight/allocation chain is Queries10.mixtureAllocPlan — ONE
+        // definition shared with mixture_epochs, so the two keys (and
+        // their oracles) cannot drift
+        val plan = Queries10.mixtureAllocPlan(s, dir)
+          .select(col("source"),
+            ExactMath.intDiv(col("alloc_tokens"), col("n_tokens")).as("base_epochs"),
+            ExactMath.intDiv(
+              (col("alloc_tokens") % col("n_tokens")).cast(d) * lit(1000000L).cast(d),
+              col("n_tokens")).as("frac_ppm"))
+        t(s, dir, "documents")
+          .select(col("source"), pmod(hash(col("doc_id")), lit(1000000)).as("h"))
+          .join(broadcast(plan), Seq("source"))
+          .groupBy("source", "base_epochs", "frac_ppm")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("h") < col("frac_ppm"), 1L).otherwise(0L)).as("n_extra"))
+          .select(col("source"), col("n_docs"), col("base_epochs"), col("frac_ppm"),
+            col("n_extra"),
+            (col("n_docs") * col("base_epochs") + col("n_extra")).as("planned_instances"))
+          .orderBy("source")
+      },
+      Some(Queries.murmurCte("documents", "doc_id", 42) +
+        s""", ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |mx AS (SELECT MAX(n_tokens) AS max_tokens FROM ps),
+           |w AS (SELECT source, n_tokens,
+           |    CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE) / max_tokens) * 1000000) AS BIGINT) AS w_micros
+           |  FROM ps, mx),
+           |t AS (SELECT CAST(SUM(w_micros) AS BIGINT) AS sum_w,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS total_tok FROM w),
+           |a AS (SELECT source, n_tokens,
+           |    CAST(${ExactMath.ratioRoundedSql("2::HUGEINT * total_tok * w_micros", "sum_w", 0)} AS BIGINT) AS alloc_tokens
+           |  FROM w, t),
+           |plan AS (SELECT source,
+           |    CAST(alloc_tokens // n_tokens AS BIGINT) AS base_epochs,
+           |    CAST(((alloc_tokens % n_tokens)::HUGEINT * 1000000) // n_tokens AS BIGINT) AS frac_ppm
+           |  FROM a),
+           |dx AS (SELECT d.source, ((sh % 1000000) + 1000000) % 1000000 AS h
+           |  FROM documents d JOIN msigned m ON d.doc_id = m.v)
+           |SELECT dx.source, CAST(COUNT(*) AS BIGINT) AS n_docs, base_epochs, frac_ppm,
+           |  CAST(SUM(CASE WHEN h < frac_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+           |  CAST(COUNT(*) * base_epochs + SUM(CASE WHEN h < frac_ppm THEN 1 ELSE 0 END) AS BIGINT) AS planned_instances
+           |FROM dx JOIN plan ON dx.source = plan.source
+           |GROUP BY dx.source, base_epochs, frac_ppm ORDER BY dx.source""".stripMargin)),
+
+    QSpec("dedup_exact_normalized",
+      // Normalization-aware exact dedup: NFC-compose (X49's kernel), case-
+      // fold and collapse whitespace BEFORE the dedup key — the pass that
+      // catches "Café␣␣X" vs "café x", byte-different twins plain
+      // sha2 dedup misses. Keep-first (min doc_id per normalized key, the
+      // engine-wide policy); surface = per-source docs/kept/dropped. The
+      // normalization chain is codegen end to end (NfcNormalize → lower →
+      // regexp_replace → trim → sha2); shuffle rows carry only the 32-byte
+      // digest + ids, never bodies (the dedup_exact shape). ASCII
+      // single-space fixture ⇒ result equals plain exact dedup — the
+      // honest corpus answer; the normalized-twin drop path is pinned in
+      // Queries12Spec. Oracle groups on the normalized TEXT itself,
+      // certifying the digest compare agrees with text equality (the
+      // corpus_diff discipline). Case-fold caveat: Spark lower(),
+      // DuckDB lower() and python .lower() agree on the simple 1:1
+      // mappings (all this corpus has); locale-sensitive forms (Turkish
+      // dotted İ) are out of contract. The whitespace class is EXPLICIT
+      // ([ \t\n\x0B\f\r]) because `\s` means three different things here —
+      // Java default ASCII, RE2 without \x0B, python Unicode-aware — and
+      // an NBSP doc would dedup differently per engine under bare \s.
+      (s, dir) => {
+        val norm = sha2(trim(regexp_replace(
+          lower(TextAnalysis.nfc(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ")), 256)
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"), norm.as("k"))
+        val keep = d.groupBy("k").agg(min("doc_id").as("keep_id"))
+        d.join(keep, Seq("k"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH n AS (SELECT doc_id, source,
+          |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS k
+          |  FROM documents),
+          |keep AS (SELECT k, MIN(doc_id) AS keep_id FROM n GROUP BY k)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+          |FROM n JOIN keep USING (k) GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("embedding_qa_report",
+      // Vector-store intake QA: the screen a pipeline runs BEFORE building
+      // any index on a new embedding batch — wrong-dimension rows (break
+      // every fixed-dim kernel), non-finite elements (NaN poisons cosine
+      // top-k ordering, ±Inf poisons normalization), zero-norm vectors
+      // (undefined direction — every retriever here drops them), and the
+      // norm distribution (p50/p95 — a collapsed or exploding norm spread
+      // flags a bad encoder run). One scan; norms fold through VectorDot
+      // only for clean rows (NaN/Inf must not enter the percentile input).
+      // Percentile surface is INTEGER micros: interpolation between
+      // integer micros lands on exact .5 halves (representable doubles),
+      // where round-to-unit agrees on every engine — whereas /1e6 first
+      // would put the half at the 7th decimal, the engine-ambiguous
+      // boundary ExactMath exists to avoid. The healthy fixture reads
+      // all-zeros on every defect column — the honest corpus answer;
+      // planted defects pinned in Queries12Spec.
+      (s, dir) => {
+        val v = SimSearch.asDouble(col("embedding"))
+        val nonfinite = exists(v, x => isnan(x) || x === Double.PositiveInfinity
+          || x === Double.NegativeInfinity)
+        val base = t(s, dir, "embeddings").select(
+          lit(1L).as("one"),
+          (size(col("embedding")) =!= 64).as("bad_dim"),
+          nonfinite.as("bad_val"),
+          when(!nonfinite && size(col("embedding")) === 64,
+            round(SimSearch.norm(v) * 1e6).cast("long")).as("nrm_micros"))
+        base.agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("bad_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+          sum(when(!col("bad_dim") && col("bad_val"), 1L).otherwise(0L)).as("n_nonfinite"),
+          sum(when(col("nrm_micros") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+          round(expr("percentile(nrm_micros, 0.5D)"), 0).cast("long").as("norm_p50_micros"),
+          round(expr("percentile(nrm_micros, 0.95D)"), 0).cast("long").as("norm_p95_micros"))
+      },
+      Some(
+        """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          |    len(embedding) <> 64 AS bad_dim,
+          |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+          |      OR CAST(x AS DOUBLE) = CAST('inf' AS DOUBLE)
+          |      OR CAST(x AS DOUBLE) = CAST('-inf' AS DOUBLE))) > 0 AS bad_val
+          |  FROM embeddings),
+          |m AS (SELECT bad_dim, bad_val,
+          |    CASE WHEN NOT bad_val AND NOT bad_dim
+          |      THEN CAST(ROUND(sqrt(list_sum(list_transform(v, x -> x*x))) * 1000000) AS BIGINT)
+          |      ELSE NULL END AS nrm_micros
+          |  FROM e)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |  CAST(SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+          |  CAST(SUM(CASE WHEN NOT bad_dim AND bad_val THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+          |  CAST(SUM(CASE WHEN nrm_micros = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+          |  CAST(ROUND(quantile_cont(nrm_micros, 0.5), 0) AS BIGINT) AS norm_p50_micros,
+          |  CAST(ROUND(quantile_cont(nrm_micros, 0.95), 0) AS BIGINT) AS norm_p95_micros
+          |FROM m""".stripMargin)))
 }

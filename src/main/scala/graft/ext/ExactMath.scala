@@ -44,6 +44,15 @@ object ExactMath {
     units.cast("double") / scale.toDouble
   }
 
+  /** Truncating integer division lifted to decimal(38,0) — for quotients
+    * whose intermediate products overflow Long (same contract as
+    * [[ratioRounded]]: a ≥ 0, b > 0, so truncation = floor and the result
+    * matches DuckDB `//` on every engine). Returns LongType. */
+  def intDiv(a: Column, b: Column): Column = {
+    val d = "decimal(38,0)"
+    ldiv(a.cast(d), b.cast(d))
+  }
+
   /** The DuckDB twin of [[ratioRounded]] as oracle-SQL text. HUGEINT keeps
     * the 2·10^places·a product exact for any BIGINT inputs. */
   def ratioRoundedSql(a: String, b: String, places: Int): String = {

@@ -12,6 +12,14 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization (codegen — see
+    * [[graft.functions.NfcNormalize]]). */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.NfcNormalize(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
     * of token beyond the first 4 (deterministic stand-in for a real BPE
     * vocabulary, which isn't available offline). */

@@ -129,6 +129,19 @@ class CodegenGateSpec extends SparkSpec {
     gate(SignPack(Literal.create(Array(0.5, -0.5, 0.0), dArrNN)), Seq(row()))
   }
 
+  test("NfcNormalize compiles over nullable and non-nullable children") {
+    for (nullable <- Seq(true, false)) {
+      val child = BoundReference(0, StringType, nullable = nullable)
+      val rows = Seq(
+        row(UTF8String.fromString("plain ascii")),
+        row(UTF8String.fromString("e\u0301 decomposed")), // composes to U+00E9
+        row(UTF8String.fromString("\u00e9 precomposed")),
+        row(UTF8String.fromString(""))) ++
+        (if (nullable) Seq(row(null)) else Nil)
+      gate(NfcNormalize(child), rows)
+    }
+  }
+
   test("IcebergBucket compiles over nullable and non-nullable children") {
     for (nullable <- Seq(true, false)) {
       val nullRow = if (nullable) Seq(row(null)) else Nil

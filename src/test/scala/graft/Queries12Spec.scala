@@ -104,6 +104,92 @@ class Queries12Spec extends SparkSpec {
       "a zero-prefix vector has no stage-1 score and must not surface")
   }
 
+  test("NFC audit: decomposed text changes and shrinks, precomposed doesn't") {
+    val dir = docsDir(Seq(
+      (0L, "caf" + "e\u0301", "src0"), // decomposed: 5 codepoints → 4
+      (1L, "caf\u00e9", "src1")))      // precomposed: already NFC
+    val rows = SparkEntry.queries("text_normalize_nfc")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("src0").getAs[Long]("n_changed") == 1L)
+    assert(rows("src0").getAs[Long]("chars_before") == 5L)
+    assert(rows("src0").getAs[Long]("chars_after") == 4L)
+    assert(rows("src1").getAs[Long]("n_changed") == 0L)
+    assert(rows("src1").getAs[Long]("chars_before") == 4L)
+    assert(rows("src1").getAs[Long]("chars_after") == 4L)
+  }
+
+  test("script mix counts explicit codepoint ranges exactly") {
+    // a b ␣ 中 文 ␣ e ́(U+0301) !  → 9 cp: 3 ascii letters, 2 CJK, 1 mark, 3 other
+    val dir = docsDir(Seq((0L, "ab \u4e2d\u6587 e\u0301!", "src0")))
+    val r = SparkEntry.queries("text_script_mix")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_chars") == 9L, r.toString)
+    assert(r.getAs[Long]("ascii_letters") == 3L, r.toString)
+    assert(r.getAs[Long]("cjk_chars") == 2L, r.toString)
+    assert(r.getAs[Long]("combining_marks") == 1L, r.toString)
+    assert(r.getAs[Long]("other_chars") == 3L, r.toString)
+  }
+
+  test("epoch repeat plan: deterministic picks, sane bases, ppm-shaped extras") {
+    val run1 = SparkEntry.queries("epoch_repeat_plan")(spark, sfDir).collect()
+    val run2 = SparkEntry.queries("epoch_repeat_plan")(spark, sfDir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "hash-threshold picks must be identical across runs")
+    run1.foreach { r =>
+      val (nd, base, ppm, extra, planned) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("base_epochs"), r.getAs[Long]("frac_ppm"),
+        r.getAs[Long]("n_extra"), r.getAs[Long]("planned_instances"))
+      assert(base >= 1L, s"2x-corpus budget implies at least one full epoch: $r")
+      assert(ppm >= 0L && ppm < 1000000L, r.toString)
+      assert(extra >= 0L && extra <= nd, r.toString)
+      assert(planned == nd * base + extra, r.toString)
+      // murmur picks are uniform: the realized extra share tracks frac_ppm
+      // (25 docs/source at sf0.001 → binomial sd ≈ 0.1; ±0.35 is 3.5σ)
+      assert(math.abs(extra.toDouble / nd - ppm / 1e6) <= 0.35,
+        s"extra share drifted from the planned ppm: $r")
+    }
+  }
+
+  test("normalized dedup drops NFC/case/whitespace twins, keeps first") {
+    val dir = docsDir(Seq(
+      (0L, "Cafe\u0301  X", "src0"), // decomposed e+U+0301, double space, caps
+      (1L, "café x", "src1"),   // normalized twin of doc 0 → dropped
+      (2L, "espresso y", "src1")))    // distinct → kept
+    val rows = SparkEntry.queries("dedup_exact_normalized")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("src0").getAs[Long]("n_kept") == 1L, rows.toString)
+    assert(rows("src1").getAs[Long]("n_dropped") == 1L,
+      s"the normalized twin (higher id) must drop: $rows")
+    assert(rows("src1").getAs[Long]("n_kept") == 1L, rows.toString)
+  }
+
+  test("embedding QA flags planted dim/NaN/zero defects, clean fixture reads zero") {
+    import spark.implicits._
+    val clean = SparkEntry.queries("embedding_qa_report")(spark, sfDir).collect()(0)
+    assert(clean.getAs[Long]("n_bad_dim") == 0L, clean.toString)
+    assert(clean.getAs[Long]("n_nonfinite") == 0L, clean.toString)
+    assert(clean.getAs[Long]("n_zero_norm") == 0L, clean.toString)
+    assert(clean.getAs[Long]("norm_p95_micros") >= clean.getAs[Long]("norm_p50_micros"))
+
+    // planted: 1 wrong-dim, 1 NaN, 1 +Inf, 1 zero vector, 2 clean unit vecs
+    val dir = java.nio.file.Files.createTempDirectory("graft_q12_emb").toString
+    Seq(
+      (0L, Array.fill(64)(0.0f).updated(0, 1.0f)),
+      (1L, Array.fill(64)(0.0f).updated(1, 1.0f)),
+      (2L, Array.fill(32)(1.0f)),                          // bad dim
+      (3L, Array.fill(64)(0.0f).updated(5, Float.NaN)),    // NaN
+      (4L, Array.fill(64)(0.0f).updated(6, Float.PositiveInfinity)), // Inf
+      (5L, Array.fill(64)(0.0f)))                          // zero norm
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("embedding_qa_report")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vecs") == 6L, r.toString)
+    assert(r.getAs[Long]("n_bad_dim") == 1L, r.toString)
+    assert(r.getAs[Long]("n_nonfinite") == 2L, r.toString)
+    assert(r.getAs[Long]("n_zero_norm") == 1L, r.toString)
+    // clean norms are 1e6, 1e6, 0 → p50 = 1e6 exactly
+    assert(r.getAs[Long]("norm_p50_micros") == 1000000L, r.toString)
+  }
+
   test("two-stage retrievers keep usable recall vs the exact retriever") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = SimSearch.topK(spark, emb, queryVecId = 0, k = 10)
