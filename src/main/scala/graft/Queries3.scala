@@ -90,10 +90,10 @@ object Queries3 {
       // (same parameters as dedup_ngram_jaccard): every doc labelled with
       // the min reachable doc_id + component size; singletons included
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pairs = Dedup.exactJaccard(s, docs, shingleW = 3,
-          threshold = 0.2, idCap = 500, cacheKey = Some(dir)).select("a_id", "b_id")
-        Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+        // the labels frame is memoized: cluster_keep_policy consumes the
+        // SAME star-contraction over the same jaccard pairs — one iterative
+        // clustering pass serves both keys (the DfMemo sketch discipline)
+        Dedup.jaccardClustersMemo(s, dir)
       },
       Some(
         """WITH RECURSIVE sh AS (

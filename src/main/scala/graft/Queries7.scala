@@ -583,9 +583,9 @@ object Queries7 {
       // sketch passes the dedup keys already share.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = Dedup.exactJaccard(s, docs, shingleW = 3,
-          threshold = 0.2, idCap = 500, cacheKey = Some(dir)).select("a_id", "b_id")
-        val cl = Dedup.clusters(s, docs.where(col("doc_id") < 500), pairs)
+        // same memoized labels frame as dedup_cluster — see
+        // Dedup.jaccardClustersMemo (one star-contraction pass, two keys)
+        val cl = Dedup.jaccardClustersMemo(s, dir)
         val q = docs.select(col("doc_id"),
           TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("quality"))
         val w = Window.partitionBy("cluster_id")

@@ -274,6 +274,19 @@ object Dedup {
     * grouped-min aggregations + two equi-joins over the CURRENT edge set
     * (which only shrinks toward a star forest); edges/labels live in
     * executors, the driver sees only convergence metadata. */
+  /** The (doc_id, cluster_id, cluster_size) labels of the capped
+    * n-gram-Jaccard near-dup graph (shingleW 3, threshold 0.2, id < 500 —
+    * dedup_ngram_jaccard's parameters), memoized per (session, dir):
+    * `dedup_cluster` surfaces it directly and `cluster_keep_policy` ranks
+    * within it, so ONE iterative star-contraction pass serves both keys. */
+  def jaccardClustersMemo(spark: SparkSession, dir: String): DataFrame =
+    DfMemo.cached(spark, Some(dir), "jaccclusters") {
+      val docs = graft.catalog.TableRegistry.table(spark, dir, "documents")
+      val pairs = exactJaccard(spark, docs, shingleW = 3,
+        threshold = 0.2, idCap = 500, cacheKey = Some(dir)).select("a_id", "b_id")
+      clusters(spark, docs.where(col("doc_id") < 500), pairs)
+    }
+
   def clusters(spark: SparkSession, nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val (labels, rounds, converged) = starContractionLabels(nodes, pairs, maxIters)
