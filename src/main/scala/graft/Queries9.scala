@@ -466,8 +466,8 @@ object Queries9 {
       // unit-tested on a simplex corpus in ExtSpec).
       (s, dir) => {
         import s.implicits._
-        val (v, lam) =
-          graft.ext.SimSearch.pcaTopComponent(s, t(s, dir, "embeddings"), iters = 3)
+        val (v, lam) = graft.ext.SimSearch.pcaTopComponent(
+          s, t(s, dir, "embeddings"), iters = 3, cacheKey = Some(dir))
         v.zipWithIndex.toSeq.map { case (x, i) => (i + 1, x, lam) }
           .toDF("pos", "loading_raw", "ev_raw")
           .select(col("pos"), round(col("loading_raw"), 6).as("loading"),
@@ -492,7 +492,8 @@ object Queries9 {
       // replays the full chain: 3 PCA iterations, the projection removal,
       // and the cosine ranking.
       (s, dir) => graft.ext.SimSearch.abttTopK(
-        s, t(s, dir, "embeddings"), queryVecId = 0, k = 10),
+        s, t(s, dir, "embeddings"), queryVecId = 0, k = 10,
+        cacheKey = Some(dir)),
       Some(pcaOracleCtes +
         """,
           |vdm AS (SELECT SUM(v3.x * mu.m) AS s FROM v3 JOIN mu USING (j)),

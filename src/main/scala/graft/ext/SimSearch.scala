@@ -344,16 +344,32 @@ object SimSearch {
     * matrix's null space despite real variance (probability-simplex
     * embeddings make v₀ = uniform exactly that) triggers one deterministic
     * deflected restart on the max-scatter axis — see the in-loop proof. */
-  def pcaTopComponent(spark: SparkSession, emb: DataFrame, iters: Int = 3)
-      : (Array[Double], Double) = {
-    val (v, lam, _) = pcaTop(spark, emb, iters)
+  def pcaTopComponent(spark: SparkSession, emb: DataFrame, iters: Int = 3,
+      cacheKey: Option[String] = None): (Array[Double], Double) = {
+    val (v, lam, _) = pcaTop(spark, emb, iters, cacheKey)
     (v, lam)
   }
+
+  /** Memoized pcaTop results — the power iteration is a deterministic
+    * driver-side fold (a handful of small aggregate jobs), so
+    * embedding_pca_power and embedding_abtt share ONE run per
+    * (session, dir, iters) instead of each paying the full chain (the
+    * centroidMemo discipline). */
+  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (Array[Double], Double, Array[Double])]()
 
   /** [[pcaTopComponent]] plus the corpus mean it already computed — the
     * internal form [[abttTopK]] builds on (ABTT needs μ for the centering,
     * and recomputing it would be a redundant pass). */
-  private[graft] def pcaTop(spark: SparkSession, emb: DataFrame, iters: Int = 3)
+  private[graft] def pcaTop(spark: SparkSession, emb: DataFrame, iters: Int = 3,
+      cacheKey: Option[String] = None): (Array[Double], Double, Array[Double]) =
+    cacheKey match {
+      case Some(k) => pcaMemo.computeIfAbsent((spark, k, iters),
+        _ => pcaTopCompute(spark, emb, iters))
+      case None => pcaTopCompute(spark, emb, iters)
+    }
+
+  private def pcaTopCompute(spark: SparkSession, emb: DataFrame, iters: Int)
       : (Array[Double], Double, Array[Double]) = {
     val e = emb.select(asDouble(col("embedding")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -425,8 +441,8 @@ object SimSearch {
     * AFTER the transform (vectors that were pure mean + top-direction) are
     * excluded like [[withNorm]] does for raw zero vectors. */
   def abttTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
-      iters: Int = 3): DataFrame = {
-    val (pc, _, mu) = pcaTop(spark, emb, iters)
+      iters: Int = 3, cacheKey: Option[String] = None): DataFrame = {
+    val (pc, _, mu) = pcaTop(spark, emb, iters, cacheKey)
     val vLit = array(pc.toIndexedSeq.map(lit): _*)
     val muLit = array(mu.toIndexedSeq.map(lit): _*)
     val vDotMu = pc.zip(mu).map { case (a, b) => a * b }.sum
