@@ -257,4 +257,50 @@ class PropertySpec extends SparkSpec {
     assert(mixed == "SELECT a FROM t WHERE s = 'ARRAY[9]' AND contains(array(1), b) LIMIT 2",
       mixed)
   }
+
+  test("SignPack matches a reference bit fold on random vectors (incl. signed zero)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300) {
+      Array.fill(rnd.nextInt(70)) {
+        rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => -0.0
+          case _ => rnd.nextGaussian()
+        }
+      }
+    }
+    def reference(v: Array[Double]): Long = {
+      var code = 0L
+      v.take(64).zipWithIndex.foreach { case (x, i) =>
+        if (x >= 0.0) code |= (1L << i) // -0.0 >= 0.0 is true, like the SQL compare
+      }
+      code
+    }
+    val got = rows.toDF("v")
+      .select(graft.ext.SimSearch.signCode(col("v")).as("c"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case (v, c) =>
+      assert(c == reference(v), s"vector ${v.mkString(",")}")
+    }
+  }
+
+  test("NfcNormalize is idempotent and equals java.text.Normalizer on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // mix ASCII, precomposed/decomposed accents, CJK and bare combining marks
+    val alphabet = ("abc XY9 \u00e9\u00c5" + "e\u0301A\u030a\u4e2d\u6587" + "\u0301").toCharArray
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val out = rows.toDF("t")
+      .select(col("t"), graft.ext.TextAnalysis.nfc(col("t")).as("n1"))
+      .withColumn("n2", graft.ext.TextAnalysis.nfc(col("n1")))
+      .collect()
+    out.foreach { r =>
+      val (t, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n1 == java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC),
+        s"engine NFC diverged from the JDK on ${t.map(_.toInt).mkString(",")}")
+      assert(n2 == n1, s"NFC must be idempotent: ${t.map(_.toInt).mkString(",")}")
+    }
+  }
 }
