@@ -56,6 +56,32 @@ object StreamingUsage {
     slidingCounts(events, withWatermarkCol = false)
       .orderBy("window_start", "event_type")
 
+  /** Windowed approximate distinct users via MERGEABLE Datasketches HLL —
+    * the streaming face of `agg_hll_mergeable` (X51). Each micro-batch's
+    * partial sketches merge into the state-store buffer exactly like
+    * per-shard sketches merge in the batch key, so the stream keeps
+    * O(windows × types) sketch BYTES of state — never a distinct-user set,
+    * which is the difference between bounded state and an unbounded
+    * keyspace at stream scale. Register-max merging is order-independent,
+    * so the estimate is identical however the input is micro-batched
+    * (StreamingSpec proves == the batch twin across a 3-batch split).
+    * Works on both batch and streaming inputs (the windowedCounts twin
+    * discipline). */
+  def windowedDistinctUsers(events: DataFrame, withWatermarkCol: Boolean): DataFrame = {
+    val src = withEventTime(events, watermark = withWatermarkCol)
+    src.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("approx_users"), col("cnt"))
+  }
+
+  /** Batch twin of [[windowedDistinctUsers]]. */
+  def windowedDistinctUsersBatchTwin(events: DataFrame): DataFrame =
+    windowedDistinctUsers(events, withWatermarkCol = false)
+      .orderBy("window_start", "event_type")
+
   /** Batch sessionization: split each user's events into sessions separated
     * by gaps > gapMinutes (lag → gap-break flag → running sum as session
     * index → group). Input ts is epoch-nanos bigint. Output

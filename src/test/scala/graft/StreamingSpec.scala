@@ -67,6 +67,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed HLL distinct == batch twin across a 3-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = TableRegistry.table(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq
+
+    // THREE micro-batches: the whole point is that per-batch partial
+    // sketches MERGE in the state store — register-max is order-independent,
+    // so the final estimates must be identical to one batch pass
+    val stream = MemoryStream[(Long, Long, String)]
+    val thirds = events.grouped(math.max(1, events.size / 3 + 1)).toSeq
+    val streamed = StreamingUsage.windowedDistinctUsers(
+      stream.toDF().toDF("ts", "user_id", "event_type"), withWatermarkCol = true)
+    val qname = s"stream_hll_${System.nanoTime()}"
+    val query = streamed.writeStream
+      .format("memory").queryName(qname).outputMode("complete").start()
+    try {
+      thirds.foreach { b => stream.addData(b); query.processAllAvailable() }
+      val got = spark.table(qname)
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = StreamingUsage.windowedDistinctUsersBatchTwin(
+        TableRegistry.table(spark, sfDir, "events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == want, "micro-batched sketch merge must equal the one-pass batch sketch")
+      assert(want.nonEmpty)
+      // the estimates are within the sketch band of the exact distincts
+      val exact = TableRegistry.table(spark, sfDir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(countDistinct("user_id").as("exact"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("exact"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      want.foreach { case (ws, et, approx, _) =>
+        val ex = exact((ws, et))
+        assert(math.abs(approx - ex).toDouble / ex <= 0.05,
+          s"window $ws/$et: sketch $approx vs exact $ex drifted past 5%")
+      }
+    } finally query.stop()
+  }
+
   test("streaming watermarked dropDuplicates emits exactly the batch-distinct key set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
