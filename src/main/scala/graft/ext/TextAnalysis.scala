@@ -117,13 +117,18 @@ object TextAnalysis {
     val score = markers.map { case (lang, ws) =>
       lang -> s"len(list_intersect($sp, [${ws.map(w => s"'$w'").mkString(", ")}]))"
     }
-    val Seq(de, en, es, fr, zh) = score.map(_._2)
-    s"""CASE
-       |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-       |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-       |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
-       |    WHEN $fr >= $zh THEN 'fr'
-       |    ELSE 'zh' END""".stripMargin
+    // generated from the markers list itself (not a hardcoded 5-language
+    // destructure — r10 advice): language i wins iff its score >= every
+    // LATER language's score, which is exactly the fold's first-max-in-order
+    // tie-break; the last language is the ELSE arm.
+    if (score.size == 1) s"'${score.head._1}'"
+    else {
+      val whens = score.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+        val laters = score.drop(i + 1).map(_._2)
+        s"    WHEN ${laters.map(l => s"$s >= $l").mkString(" AND ")} THEN '$lang'"
+      }
+      ("CASE" +: whens :+ s"    ELSE '${score.last._1}' END").mkString("\n")
+    }
   }
 
   /** Character-trigram language ID (the real n-gram heuristic shape): per

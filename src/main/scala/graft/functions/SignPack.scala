@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   * vector would need an `array<long>` code (documented contract, not a
   * silent wrap).
   *
+  * NaN yields a ZERO bit (Java's `NaN >= 0.0` is false); DuckDB's float
+  * total order ranks NaN above everything, so its `v[i] >= 0` would set
+  * the bit — the engines DISAGREE on NaN elements. Out of contract today
+  * (embedding_qa_report screens non-finite rows before any vector reaches
+  * this kernel), recorded so a future fixture with NaNs fails the
+  * simsearch_hamming oracle loudly for the right reason rather than
+  * looking like a packing bug.
+  *
   * Why a native expression: binarization runs once per corpus vector on
   * the retrieval hot path (simsearch_hamming's candidate stage), and the
   * HOF formulation `aggregate(transform(sequence(...)))` is interpreted —
