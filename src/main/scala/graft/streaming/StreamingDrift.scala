@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -12,12 +13,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale design: the only state is the candidate bucket histogram — 13
   * longs, metadata-sized at any stream length — merged additively per
   * batch (each batch contributes one O(buckets) grouped count; the doc
-  * stream itself is never retained). Additive merge means the monitor is
-  * replay-idempotent per batch id if the caller checkpoints the histogram
-  * beside its sink offsets (the StreamingAdvisor versioned-state pattern);
-  * this in-process form keeps it on the driver because 13 longs IS the
-  * checkpoint payload, and the batch-twin test proves the math, not the
-  * durability story.
+  * stream itself is never retained).
+  *
+  * Durability (r10 verdict #1): the histogram is persisted VERSIONED BY
+  * BATCH ID beside the checkpoint — the StreamingAdvisor pattern
+  * ([[StreamingAdvisor.start]]), shrunk to a 13-line text file because 13
+  * longs never justify a Spark write job:
+  *
+  *   - RESTART-SURVIVABLE: a checkpointed restart resumes batch ids where
+  *     they left off and the next batch merges against the last persisted
+  *     version (< its own id), so pre-restart counts are never lost.
+  *   - REPLAY-IDEMPOTENT: a batch replayed after a lost commit recomputes
+  *     from versions STRICTLY BELOW its own id and OVERWRITES its version,
+  *     so a crash between foreachBatch and the streaming commit cannot
+  *     double-count. `onBatch` re-fires with the same (batchId, psi) pair —
+  *     consumers keying on batchId see an identical replacement.
+  *   - FRESH LINEAGE on batch 0: a restart WITHOUT a checkpoint renumbers
+  *     batches from 0; the sweep deletes every surviving version so a dead
+  *     lineage's counts can never re-enter the merge (same rationale as
+  *     the advisor's batch-0 sweep).
+  *
+  * Steady state is two versions on disk (current + the one a replayed
+  * batch would merge from). All file IO goes through the Hadoop FileSystem
+  * of the state path itself, so the state lands wherever the checkpoint
+  * does (local, HDFS, S3).
   *
   * PSI math is bucket-ordered and Laplace-smoothed exactly like the batch
   * key: buckets present in NEITHER slice are excluded from the bucket
@@ -49,21 +68,70 @@ object StreamingDrift {
     }.sum
   }
 
+  /** One sorted "bucket count" line per bucket. Plain create(overwrite):
+    * a half-written version can only exist for the batch that crashed
+    * mid-write, and that batch's replay overwrites it before any later
+    * batch could read it (versions only become merge bases once their
+    * batch's streaming commit landed). */
+  private def writeHist(fs: FileSystem, path: Path, h: Map[Int, Long]): Unit = {
+    val out = fs.create(path, true)
+    try out.write(h.toSeq.sorted.map { case (b, c) => s"$b $c" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readHist(fs: FileSystem, path: Path): Map[Int, Long] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l => val Array(b, c) = l.split(" ", 2); b.toInt -> c.toLong }
+      .toMap
+    finally in.close()
+  }
+
   /** Start the monitor over a streaming (…, n_chars) frame: per
-    * micro-batch, merge the batch's bucket counts into the running
-    * candidate histogram and invoke `onBatch(batchId, psiSoFar)`. */
+    * micro-batch, merge the batch's bucket counts into the persisted
+    * candidate histogram (versioned at `<checkpoint>_state/v<batchId>`)
+    * and invoke `onBatch(batchId, psiSoFar)`. */
   def monitor(docs: DataFrame, ref: Map[Int, Long], checkpoint: String)(
       onBatch: (Long, Double) => Unit): StreamingQuery = {
-    val state = scala.collection.mutable.Map.empty[Int, Long]
+    val stateRoot = new Path(checkpoint.stripSuffix("/") + "_state")
+    // resolve through the Hadoop FS of the state path itself — the same
+    // resolver the checkpoint uses (driver-local java.io.File would
+    // silently see nothing on a cluster whose default FS is remote)
+    val fs = stateRoot.getFileSystem(
+      docs.sparkSession.sessionState.newHadoopConf())
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-        batch.select(bucketOf.as("bucket")).groupBy("bucket").count()
-          .collect()
-          .foreach(r => state.update(r.getInt(0),
-            state.getOrElse(r.getInt(0), 0L) + r.getLong(1)))
-        onBatch(id, psi(ref, state.toMap))
+        // fresh lineage: an un-checkpointed restart renumbers from 0 while
+        // the previous run's versions survive — left in place they'd merge
+        // a dead lineage's counts into this one
+        if (id == 0L && fs.exists(stateRoot))
+          fs.listStatus(stateRoot).filter(_.getPath.getName.startsWith("v"))
+            .foreach(st => fs.delete(st.getPath, true))
+        val versions =
+          if (fs.exists(stateRoot))
+            fs.listStatus(stateRoot).map(_.getPath)
+              .filter(_.getName.startsWith("v"))
+              .sortBy(_.getName.drop(1).toLong)
+          else Array.empty[Path]
+        // strictly below this id: a REPLAYED batch must not merge the
+        // half-committed version its first attempt wrote
+        val prev = versions.filter(_.getName.drop(1).toLong < id)
+        val base = prev.lastOption.map(readHist(fs, _))
+          .getOrElse(Map.empty[Int, Long])
+        val delta = batch.select(bucketOf.as("bucket")).groupBy("bucket")
+          .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val merged = (base.keySet ++ delta.keySet).iterator
+          .map(b => b -> (base.getOrElse(b, 0L) + delta.getOrElse(b, 0L)))
+          .toMap
+        writeHist(fs, new Path(stateRoot, s"v$id"), merged)
+        // keep the version just merged from: a replay of THIS batch still
+        // needs it (steady state: two versions on disk)
+        prev.dropRight(1).foreach(fs.delete(_, true))
+        onBatch(id, psi(ref, merged))
       }
       .start()
   }

@@ -814,4 +814,71 @@ class StreamingSpec extends SparkSpec {
       assert(got.head._2 != got.last._2, s"PSI never moved: $got")
     } finally query.stop()
   }
+
+  test("streaming PSI monitor survives crash+replay and a checkpointed restart") {
+    // The two lifecycle faults the r10 verdict flagged against the
+    // in-process form: (a) a batch replayed after a lost commit must not
+    // double-add its counts; (b) a checkpointed restart must resume with
+    // the pre-restart histogram, not an empty one. Simulated exactly like
+    // the advisor's fault test: run batch 0, stop, delete the checkpoint's
+    // commits/0 (state write survived; the commit is "lost"), restart →
+    // Spark replays batch 0 → stream batch 1 → final PSI must equal the
+    // batch drift_psi total over everything streamed once.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val isRef = substring(col("source"), 4, 10).cast("int") < 10
+    val ref = graft.streaming.StreamingDrift.histogram(docs.where(isRef))
+    val cand = docs.where(!isRef)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect().toSeq
+    val (b1, b2) = cand.splitAt(cand.size / 2)
+
+    val stream = MemoryStream[(Long, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_crash").toString
+    def start() = graft.streaming.StreamingDrift.monitor(
+      stream.toDF().toDF("doc_id", "n_chars"), ref, ckpt) {
+      (id, p) => seen.add((id, p)); ()
+    }
+
+    // --- batch 0, then "crash" between state write and commit ---
+    val q1 = start()
+    try { stream.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val v0 = new java.io.File(s"${ckpt}_state/v0")
+    assert(v0.isFile, "expected persisted histogram version v0")
+    val v0Before = v0.lastModified
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.isFile, "expected a commit marker for batch 0")
+    assert(commit0.delete())
+    val crc0 = new java.io.File(s"$ckpt/commits/.0.crc")
+    if (crc0.isFile) assert(crc0.delete())
+
+    // --- restart: replay batch 0, then process batch 1 ---
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replay of batch 0 (no new data needed)
+      stream.addData(b2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
+    // the replay really happened and re-fired onBatch with the SAME pair
+    assert(v0.lastModified > v0Before, "replay did not rewrite v0")
+    assert(got.map(_._1) == Seq(0L, 0L, 1L), got.map(_._1).toString)
+    assert(got(0)._2 == got(1)._2,
+      s"replayed batch 0 PSI drifted: ${got(0)._2} vs ${got(1)._2}")
+    // restart+replay lost nothing and double-counted nothing: the final
+    // PSI equals the batch key's total over the full candidate slice
+    val want = SparkEntry.queries("drift_psi")(spark, sfDir)
+      .select("psi_total").head().getDouble(0)
+    val streamedPsi = BigDecimal(got.last._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(streamedPsi == want,
+      s"streamed PSI after crash+replay $streamedPsi vs batch psi_total $want")
+  }
 }
