@@ -30,10 +30,16 @@ if [ -d "$SF1" ]; then
   LINE="$(SPARK_GRAFT_SF_DIR="$SF1" sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1)"
   python3 - "$LOAD" "$SF1" <<EOF > "BENCH_SF1_r${ROUND}.json"
-import json, sys
+import json, os, sys
 d = json.loads('''$LINE''')
 d["loadavg_at_start"] = float(sys.argv[1])
 d["sf_dir"] = sys.argv[2]
+# fold in the FULL per-key map graft.Bench wrote beside the run (the stdout
+# line keeps only the headline keys so the driver's tail capture stays short)
+pk = d.get("perkey_file", "")
+if pk and os.path.isfile(pk):
+    with open(pk) as f:
+        d["queries"] = json.load(f)["queries"]
 print(json.dumps(d))
 EOF
   cat "BENCH_SF1_r${ROUND}.json" >&2

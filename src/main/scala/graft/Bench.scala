@@ -122,7 +122,18 @@ object Bench {
     // "total" records and double-count), and the big line's run total is
     // named total_sec — NOT value — so a per_query consumer can't misread
     // the whole-run figure as a per-query one.
-    println(s"""{"metric":"per_query","total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}""")
+    val perQueryLine =
+      s"""{"metric":"per_query","total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
+    println(perQueryLine)
+    // …and the SAME record as a file in the working dir: the driver's
+    // log-tail capture window is ~2 KB, so the full per-key map above is
+    // head-clipped past parseability in the round artifact (r10 verdict
+    // "What's wrong #2"). The file is the durable, always-parseable copy;
+    // the final total line below carries its name.
+    val perkeyFile = s"bench_perkey_$sfName.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
+      (perQueryLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => } // bench output must never sink on a read-only CWD
     // one-time session cost (JIT + codegen + cache builds), as its own metric
     // line so it can be tracked round-over-round without polluting the total
     println(s"""{"metric":"warmup_sec","value":${fmt(warmupSec)},"unit":"sec","sf":"$sfName"}""")
@@ -133,7 +144,7 @@ object Bench {
       "dedup_minhash", "simsearch_topk", "score_partition")
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt2(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns,"perkey_file":"$perkeyFile","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }
