@@ -88,18 +88,37 @@ object StreamingAdvisor {
     * ever seen (not history — rows stay one-per-text), the right trade on a
     * long-lived 100× stream whose keyspace outgrows any in-memory cap.
     *
+    * `compactEvery` amortizes the per-batch STATE WRITE (r10 verdict #3):
+    * the merge itself must read base + deltas every batch (inherent to
+    * exact totals under versioned-state replay), but rewriting the FULL
+    * state per batch is not. With compactEvery = N > 1, in-between batches
+    * persist ONLY their own per-text aggregates as a delta (`d<batchId>`,
+    * O(batch) rows), and every Nth batch compacts base + pending deltas
+    * into a fresh full version (`v<batchId>`). Per-batch IO is therefore
+    * O(batch + compacted-state) read + O(batch) write, with an O(state)
+    * write only at compactions. Replay stays idempotent: a replayed batch
+    * recomputes from versions AND deltas strictly below its own id and
+    * overwrites whichever file its first attempt wrote. One semantic
+    * shift in non-durable over-cap mode: the heavy-hitter PRUNE now lands
+    * at compactions instead of every batch (strictly FEWER prune points,
+    * so the lossy-counting error can only shrink); advice derivation is
+    * cap-bounded per batch either way. The default (1) preserves the
+    * compact-every-batch behavior exactly.
+    *
     * ONE ADVISOR PER logDir: the versioned state root lives next to
-    * `logDir` and batch 0's fresh-lineage sweep deletes EVERY v* directory
-    * under it — two advisor queries sharing a logDir would destroy each
-    * other's live state on restart. Give each advisor its own logDir
-    * (and checkpointDir); there is no cross-query fencing. */
+    * `logDir` and batch 0's fresh-lineage sweep deletes EVERY v-, d- and
+    * h-prefixed directory under it — two advisor queries sharing a logDir would
+    * destroy each other's live state on restart. Give each advisor its own
+    * logDir (and checkpointDir); there is no cross-query fencing. */
   def start(spark: SparkSession, queryLogStream: DataFrame,
       nameFilter: String => Boolean, logDir: String,
       snapshots: java.util.concurrent.ConcurrentLinkedQueue[Snapshot],
       stateCap: Int = 10 * AnalysisPipeline.maxWorkloadTexts,
       checkpointDir: Option[String] = None,
       approxCardinality: Boolean = false,
-      durableTail: Boolean = false): StreamingQuery = {
+      durableTail: Boolean = false,
+      compactEvery: Int = 1): StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
     // durableTail's whole promise is restart-surviving counts — but a
     // restart WITHOUT a checkpoint renumbers batches from 0, and batch 0's
     // fresh-lineage sweep (below) deletes every retained state version.
@@ -151,50 +170,73 @@ object StreamingAdvisor {
         // ids pass theirs, silently merging a dead lineage's aggregates
         // (double-counted history). A checkpointed replay of batch 0 hits
         // this too, harmlessly: it recomputes v0 from scratch anyway.
-        if (batchId == 0L && fs.exists(stateRoot))
-          fs.listStatus(stateRoot)
-            .filter(st => st.isDirectory &&
-              (st.getPath.getName.startsWith("v") || st.getPath.getName.startsWith("h")))
-            .foreach(st => fs.delete(st.getPath, true))
-        val versions =
+        def listBy(prefix: String): Array[Path] =
           if (fs.exists(stateRoot))
             fs.listStatus(stateRoot)
-              .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-              .sortBy(_.getPath.getName.drop(1).toLong)
-          else Array.empty[org.apache.hadoop.fs.FileStatus]
-        val prevVersions = versions.filter(_.getPath.getName.drop(1).toLong < batchId)
-        val merged = prevVersions.lastOption match {
-          case Some(prev) =>
-            spark.read.parquet(prev.getPath.toString).unionByName(batchStats)
-              .groupBy("query")
-              .agg(sum("cnt").as("cnt"), sum("sum_exec").as("sum_exec"),
-                sum("sum_priority").as("sum_priority"))
-          case None => batchStats
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+              .map(_.getPath).sortBy(_.getName.drop(1).toLong)
+          else Array.empty[Path]
+        if (batchId == 0L && fs.exists(stateRoot))
+          fs.listStatus(stateRoot)
+            .filter(st => st.isDirectory && "vdh".contains(st.getPath.getName.take(1)))
+            .foreach(st => fs.delete(st.getPath, true))
+        val prevVersions = listBy("v").filter(_.getName.drop(1).toLong < batchId)
+        val baseId = prevVersions.lastOption
+          .map(_.getName.drop(1).toLong).getOrElse(-1L)
+        // deltas pending since the base compaction — merge sources exactly
+        // like the base itself; a REPLAYED batch excludes its own first
+        // attempt's file (strictly-below filter), so replay overwrites
+        // instead of double-counting
+        val pendingDeltas = listBy("d").filter { p =>
+          val j = p.getName.drop(1).toLong; j > baseId && j < batchId
         }
+        val mergeSources =
+          prevVersions.lastOption.map(p => spark.read.parquet(p.toString)).toSeq ++
+            pendingDeltas.map(p => spark.read.parquet(p.toString)) :+ batchStats
+        val merged =
+          if (mergeSources.sizeIs == 1) batchStats
+          else mergeSources.reduce(_ unionByName _)
+            .groupBy("query")
+            .agg(sum("cnt").as("cnt"), sum("sum_exec").as("sum_exec"),
+              sum("sum_priority").as("sum_priority"))
         // bound the carried state: top-stateCap texts by frequency (state
         // is metadata-sized, so the TakeOrdered is cheap; the count that
         // detects overflow runs on the same cached frame)
         val mergedC = merged.cache()
         val n = mergedC.count()
         val overCap = n > stateCap
-        val bounded =
-          if (!overCap) mergedC
-          else if (durableTail) {
-            // spill tier: keep EVERYTHING on disk (one parquet row per
-            // distinct text — keyspace-sized, never history-sized); only
-            // the advice derivation below narrows to the heavy hitters
-            org.slf4j.LoggerFactory.getLogger(getClass).info(
-              s"advisor state has $n distinct texts (> stateCap=$stateCap); " +
-                "durable-tail mode retains all on disk, advising from the " +
-                s"$stateCap most frequent")
-            mergedC
-          } else {
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
-            mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-          }
+        // compact when the delta window since the base is full (or there is
+        // no base yet — batch 0 always compacts so a base always exists)
+        val compacting = compactEvery <= 1 || baseId < 0 ||
+          (batchId - baseId) >= compactEvery
         val cur = new Path(stateRoot, s"v$batchId")
-        bounded.write.mode("overwrite").parquet(cur.toString)
+        if (compacting) {
+          val bounded =
+            if (!overCap) mergedC
+            else if (durableTail) {
+              // spill tier: keep EVERYTHING on disk (one parquet row per
+              // distinct text — keyspace-sized, never history-sized); only
+              // the advice derivation below narrows to the heavy hitters
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"advisor state has $n distinct texts (> stateCap=$stateCap); " +
+                  "durable-tail mode retains all on disk, advising from the " +
+                  s"$stateCap most frequent")
+              mergedC
+            } else {
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
+              mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+            }
+          bounded.write.mode("overwrite").parquet(cur.toString)
+        } else {
+          // delta batch: ONLY this batch's own aggregates ride to disk —
+          // the O(batch) write the compaction schedule exists to buy. The
+          // full merged frame stays in memory (cached above) for the head
+          // and advice derivations below; the next batch re-derives it
+          // from v<base> + d* deltas.
+          batchStats.write.mode("overwrite")
+            .parquet(new Path(stateRoot, s"d$batchId").toString)
+        }
         // HEAVY-HITTER HEAD, maintained alongside the tail (r9 verdict #7):
         // when the durable tail outgrows the cap, the advice derivation must
         // NOT re-sort the full on-disk keyspace every batch (an
@@ -213,7 +255,6 @@ object StreamingAdvisor {
         if (durableTail && overCap)
           mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
             .write.mode("overwrite").parquet(headPath.toString)
-        mergedC.unpersist()
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
         // what a fresh advisor run must reflect)
@@ -237,9 +278,15 @@ object StreamingAdvisor {
         // scorer reads the cap-sized head snapshot written above, so
         // advice-side IO and the driver's parse load are O(stateCap) no
         // matter how large the on-disk tail grows
+        // delta batches have no materialized full version to re-read; their
+        // advice derives from the SAME cached in-memory merge the persisted
+        // form reflects (cap-narrowed in non-durable over-cap mode, exactly
+        // like the persisted compaction would be)
         val adviceInput =
           if (durableTail && overCap) spark.read.parquet(headPath.toString)
-          else spark.read.parquet(cur.toString)
+          else if (compacting) spark.read.parquet(cur.toString)
+          else if (overCap) mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+          else mergedC
         val recs =
           try AnalysisPipeline.runFromCatalogStats(spark,
               adviceInput, nameFilter = nameFilter,
@@ -258,17 +305,21 @@ object StreamingAdvisor {
         // queue see doubled entries for that batch
         snapshots.removeIf(_.batchId == batchId)
         snapshots.add(Snapshot(batchId, recs))
-        // keep the version just merged from: if this batch crashes AFTER
-        // this point but BEFORE the streaming commit, the replay must still
-        // find it (a replay merges against versions < batchId — deleting
-        // the merge source inside its consumer batch would lose all
-        // history in that window). Steady state is two copies on disk.
-        prevVersions.dropRight(1).foreach { s =>
-          fs.delete(s.getPath, true)
-          // the paired head snapshot (if that batch was over-cap) ages out
-          // with its version — heads are derivable, never merge sources
-          fs.delete(new Path(stateRoot, "h" + s.getPath.getName.drop(1)), true)
-        }
+        mergedC.unpersist()
+        // keep everything this batch merged FROM: if it crashes AFTER this
+        // point but BEFORE the streaming commit, the replay must still find
+        // v<base> and the pending deltas (a replay merges against files
+        // < batchId — deleting a merge source inside its consumer batch
+        // would lose all history in that window). Deletable: versions
+        // BEFORE the base, deltas already folded INTO the base, and stale
+        // heads (derivable, never merge sources). Steady state: two full
+        // versions + at most 2·compactEvery deltas on disk.
+        prevVersions.dropRight(1).foreach(p => fs.delete(p, true))
+        if (baseId >= 0)
+          listBy("d").filter(_.getName.drop(1).toLong <= baseId)
+            .foreach(p => fs.delete(p, true))
+        listBy("h").filter(_.getName.drop(1).toLong < batchId)
+          .foreach(p => fs.delete(p, true))
         ()
         } finally batch.unpersist()
       }
