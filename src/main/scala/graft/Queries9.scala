@@ -324,7 +324,7 @@ object Queries9 {
       // named `array`). QueryIntrospector.trinoToSpark pre-translates them;
       // this key pins the (table, join_col, where_col) rows the shimmed
       // parse extracts for one of each form against hand-derived sqlglot
-      // ground truth. Parsing is driver-side over seven constant texts
+      // ground truth. Parsing is driver-side over ten constant texts
       // (metadata-sized — no job runs until the VALUES-shaped result is
       // consumed).
       (s, dir) => {
@@ -349,7 +349,11 @@ object Queries9 {
           |  (5, 'table', 'documents', 1), (5, 'where_col', 'doc_id', 1),
           |  (6, 'join_col', 'l_orderkey', 1), (6, 'join_col', 'o_orderkey', 1),
           |  (6, 'table', 'lineitem', 1), (6, 'table', 'orders', 1),
-          |  (6, 'where_col', 'o_custkey', 1)
+          |  (6, 'where_col', 'o_custkey', 1),
+          |  (7, 'table', 'events', 1), (7, 'where_col', 'ts', 1),
+          |  (8, 'table', 'orders', 1),
+          |  (8, 'where_col', 'o_clerk', 1), (8, 'where_col', 'o_custkey', 1),
+          |  (9, 'table', 'events', 1), (9, 'where_col', 'props', 1)
           |) AS t(qk, kind, name, cnt)
           |ORDER BY qk, kind, name""".stripMargin)),
 
@@ -552,5 +556,15 @@ object Queries9 {
     4 -> "SELECT CAST(props AS JSON) FROM events WHERE value > 0.5 FETCH FIRST 5 ROWS ONLY",
     5 -> "SELECT doc_id, tag FROM documents CROSS JOIN UNNEST(split(text, ',')) AS t(tag) WHERE doc_id > 10",
     6 -> ("SELECT o_orderkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
-      "WHERE contains(ARRAY[1, 2], o_custkey)"))
+      "WHERE contains(ARRAY[1, 2], o_custkey)"),
+    // r10 verdict #4 tier: the AT TIME ZONE operator (fails the plain
+    // Spark parse; the shim rewrites it operator-for-operator), plus the
+    // function-call-shaped forms ROW(…) and TRY(…) that parse natively as
+    // unresolved functions — pinned here so a parser regression that
+    // starts rejecting them is caught by the oracle, not a real log
+    7 -> ("SELECT event_id FROM events " +
+      "WHERE (ts AT TIME ZONE 'UTC') > TIMESTAMP '2020-01-01 00:00:00'"),
+    8 -> "SELECT o_orderkey FROM orders WHERE ROW(o_custkey, o_clerk) = ROW(1, 'Clerk#1')",
+    9 -> ("SELECT TRY(100.0 / value) FROM events " +
+      "WHERE TRY(CAST(props AS JSON)) IS NOT NULL"))
 }

@@ -159,8 +159,18 @@ object QueryIntrospector {
     *     `SELECT x AS json` are NOT touched — the rewrite anchors inside a
     *     parenthesized cast, one nesting level deep)
     *   - `TIMESTAMP[(p)] WITH TIME ZONE` → `TIMESTAMP`
+    *   - `a AT TIME ZONE b`      → `a + b` (operator-for-operator: the
+    *     refs on BOTH sides survive — a column-valued zone stays a column
+    *     reference — and the result is parsed, never executed)
     *   - `[CROSS JOIN | ,] UNNEST(…) [WITH ORDINALITY] AS a(c…)` →
     *     `LATERAL VIEW [pos]explode(…) a AS c…`
+    * Function-call-SHAPED Trino forms need no rewrite at all: `TRY(…)`,
+    * `ROW(…)` value constructors, `at_timezone(…)`, `approx_distinct(…)`
+    * parse in Spark dialect as unresolved functions with their argument
+    * columns intact (pinned in IntrospectorSpec). Still unsupported, by
+    * design (degrade-to-empty like the reference's sqlglot warn-and-skip):
+    * `MATCH_RECOGNIZE`, `ROW`/structural TYPES in casts (`CAST(x AS
+    * ROW(a int))`), `LISTAGG … WITHIN GROUP`.
     * String literals are masked during every rewrite — their content is
     * untouchable. */
   private[graft] def trinoToSpark(sql: String): String = {
@@ -178,6 +188,12 @@ object QueryIntrospector {
       .replaceAllIn(s, "TABLESAMPLE ($1 PERCENT)")
     s = "(?i)TIMESTAMP(?:\\s*\\(\\d+\\))?\\s+WITH\\s+TIME\\s+ZONE".r
       .replaceAllIn(s, "TIMESTAMP")
+    // the AT TIME ZONE OPERATOR becomes `+`: operator-for-operator keeps
+    // both operands as live expressions (only reference extraction must
+    // survive — the result is parsed, never executed — so the zone's
+    // semantics may drop but a column-valued zone stays a counted column
+    // reference; a literal zone is masked and survives verbatim)
+    s = "(?i)\\s+AT\\s+TIME\\s+ZONE\\s+".r.replaceAllIn(s, " + ")
     // cast-target types, anchored inside a paren group (≤1 nested level in
     // the cast argument) so SELECT-list aliases named `json` survive
     val inner = "(?:[^()]|\\([^()]*\\))*"

@@ -195,6 +195,46 @@ class IntrospectorSpec extends SparkSpec {
       "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC FETCH FIRST ROW ONLY").get
     assert(rowOnly.tables == Seq("orders"))
 
+    // AT TIME ZONE (r10 #4): the operator fails the plain Spark parse; the
+    // shim's operator-for-operator rewrite keeps BOTH operands' refs — a
+    // column-valued zone stays a counted column reference
+    val atTz = QueryIntrospector.parse(spark,
+      "SELECT event_id FROM events " +
+        "WHERE (ts AT TIME ZONE 'UTC') > TIMESTAMP '2020-01-01 00:00:00'").get
+    assert(atTz.tables == Seq("events"))
+    assert(atTz.whereColumns == Map("ts" -> 1), atTz.whereColumns.toString)
+    val atTzCol = QueryIntrospector.parse(spark,
+      "SELECT created + INTERVAL '1' HOUR FROM sessions " +
+        "WHERE (created AT TIME ZONE user_tz) > TIMESTAMP '2020-01-01 00:00:00'").get
+    assert(atTzCol.whereColumns == Map("created" -> 1, "user_tz" -> 1),
+      atTzCol.whereColumns.toString)
+    // …while a literal containing the operator text stays verbatim
+    val atTzLit = QueryIntrospector.parse(spark,
+      "SELECT o_comment FROM orders WHERE o_comment = 'x AT TIME ZONE y'").get
+    assert(atTzLit.whereColumns == Map("o_comment" -> 1))
+
+    // function-call-shaped Trino forms need NO rewrite: ROW(…) value
+    // constructors and TRY(…) parse in Spark dialect as unresolved
+    // functions with their argument columns intact
+    val rowCtor = QueryIntrospector.parse(spark,
+      "SELECT o_orderkey FROM orders WHERE ROW(o_custkey, o_clerk) = ROW(1, 'Clerk#1')").get
+    assert(rowCtor.tables == Seq("orders"))
+    assert(rowCtor.whereColumns == Map("o_custkey" -> 1, "o_clerk" -> 1),
+      rowCtor.whereColumns.toString)
+    val tryFn = QueryIntrospector.parse(spark,
+      "SELECT TRY(100.0 / value) FROM events WHERE TRY(CAST(props AS JSON)) IS NOT NULL").get
+    assert(tryFn.tables == Seq("events"))
+    assert(tryFn.whereColumns == Map("props" -> 1))
+    assert(tryFn.allColumns.contains("value"))
+
+    // the documented still-unsupported tier degrades to None (the
+    // reference's sqlglot warn-and-skip failure mode), never garbage refs
+    assert(QueryIntrospector.parse(spark,
+      "SELECT id FROM t WHERE CAST(payload AS ROW(a INTEGER)) IS NOT NULL").isEmpty)
+    assert(QueryIntrospector.parse(spark,
+      "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY id ORDER BY ts " +
+        "MEASURES A.ts AS a_ts PATTERN (A B) DEFINE B AS B.v > A.v)").isEmpty)
+
     // and genuine garbage still degrades to None through both dialects
     assert(QueryIntrospector.parse(spark, "SELECT ARRAY[1 FROM nope").isEmpty)
   }
