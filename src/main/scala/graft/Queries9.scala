@@ -119,7 +119,10 @@ object Queries9 {
       // group in its agg buffer, so per-group memory is distinct-values-
       // bound either way — at 100 TB the swap is approx_percentile
       // (fixed-size sketch, same plan shape); this key keeps the exact
-      // form because the oracle compare must be bit-exact. Both engines
+      // form because the oracle compare must be bit-exact. The PROMOTED
+      // default for pipelines/reports is graft.ext.Anomaly.madScreenApprox
+      // (the sketch path — ReportExporter's anomaly_metrics artifact uses
+      // it); this exact form exists only as the oracle twin. Both engines
       // interpolate even-
       // count medians identically (the agg_median_by_group precedent), and
       // the threshold expression keeps the same literal/multiply order on

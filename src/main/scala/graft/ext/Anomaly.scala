@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier screening (median + MAD) in its production
+  * form. Reference behavior: the reference's dashboards surface per-type
+  * resource outliers from the Trino query log (ui/app.py); here the screen
+  * is a reusable three-pass plan over any (group, value) frame.
+  */
+object Anomaly {
+
+  /** Per-group robust outlier screen — median + MAD (median absolute
+    * deviation), flagging |x − med| > 3·1.4826·MAD — in the form that is
+    * THE DEFAULT at scale (r10 verdict #6): both medians come from
+    * `approx_percentile` (Greenwald–Khanna sketch), whose agg buffer is
+    * FIXED-SIZE per group, where exact `percentile` accumulates a
+    * distinct-value map per group and is therefore distinct-values-bound
+    * at 100 TB. GK at the default accuracy (1e-4 rank error) measures
+    * ≲0.1% off exact on the fixtures — the `anomaly_mad_approx` oracle
+    * key asserts those bands (med within 1%, MAD within 2%, outliers
+    * within max(5%, ±2)) at every gated SF.
+    *
+    * Plan shape (shared with the oracle keys): per-group stats are TINY
+    * (one row per group), each pass re-joins them back by BROADCAST — the
+    * input is scanned three times but never shuffled by value, and rows
+    * are never replicated through a per-group window.
+    *
+    * The EXACT-percentile twin lives only in the `anomaly_mad` oracle key
+    * (Queries9.scala), where the DuckDB comparison must be bit-exact;
+    * pipelines and reports use this form.
+    *
+    * Returns one row per group: (groupCol, med, mad, n_outliers). */
+  def madScreenApprox(df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valueCol, 0.5D, $accuracy)").as("med"))
+    val stats = df.join(broadcast(med), groupCol)
+      .groupBy(groupCol)
+      .agg(max(col("med")).as("med"),
+        expr(s"approx_percentile(abs($valueCol - med), 0.5D, $accuracy)")
+          .as("mad"))
+    df.join(broadcast(stats), groupCol)
+      .groupBy(groupCol)
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(abs(col(valueCol) - col("med")) >
+          lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
 /** C11/S9/S10: the dashboard artifact set, same shape as the reference's
   * save_analysis_results (ui/generate_ui_data.py:7-94) — global usage CSV +
   * JSON artifacts for views, recommendations, column scores, cardinality,
-  * resource metrics and query metrics. Artifacts are small (metadata-sized):
+  * resource metrics, query metrics and the per-type anomaly screen.
+  * Artifacts are small (metadata-sized):
   * coalesce(1) keeps them single-file like the reference's outputs; the
   * heavy computation behind them stays distributed.
   *
@@ -65,6 +66,17 @@ object ReportExporter {
         col("execution_time_ms"), col("cpu_time_ms"),
         col("input_bytes"), col("peak_memory_bytes"))
       .coalesce(1).write.mode("overwrite").json(s"$outDir/query_metrics")
+
+    // anomaly_metrics.json — robust per-type outlier screen over the event
+    // stream, SKETCH-path default (approx_percentile — fixed-size agg
+    // buffers; the exact-percentile twin exists only as the anomaly_mad
+    // oracle key, where the DuckDB compare must be bit-exact)
+    graft.ext.Anomaly.madScreenApprox(
+      TableRegistry.table(spark, sfDir, "events").select("event_type", "value"),
+      "event_type", "value")
+      .select(col("event_type"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n_outliers"))
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/anomaly_metrics")
     } finally {
       // release the export-scoped caches even when a write fails, so a
       // long-lived session (repeated exports, different time filters)

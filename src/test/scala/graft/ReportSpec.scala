@@ -3,7 +3,7 @@ package graft
 import graft.report.ReportExporter
 import org.apache.spark.sql.functions._
 
-/** C11 artifact-set export: all seven artifacts written and readable back. */
+/** C11 artifact-set export: all eight artifacts written and readable back. */
 class ReportSpec extends SparkSpec {
 
   test("export writes the full artifact set, readable back with content") {
@@ -15,7 +15,8 @@ class ReportSpec extends SparkSpec {
     assert(gs.count() > 0)
 
     Seq("view_data", "column_scores", "cardinality_stats",
-      "recommendations", "resource_metrics", "query_metrics").foreach { a =>
+      "recommendations", "resource_metrics", "query_metrics",
+      "anomaly_metrics").foreach { a =>
       val df = spark.read.json(s"$out/$a")
       assert(df.count() > 0, s"$a empty")
     }
@@ -23,6 +24,13 @@ class ReportSpec extends SparkSpec {
     val recs = spark.read.json(s"$out/recommendations")
     assert(recs.columns.contains("partition_spec") && recs.columns.contains("script"))
     assert(recs.where(col("view") === "orders").count() == 1)
+
+    // the anomaly screen is the SKETCH-path default: one row per event
+    // type, med/mad within the anomaly_mad_approx key's asserted bands of
+    // the exact twin (here just pinned non-degenerate and well-formed)
+    val am = spark.read.json(s"$out/anomaly_metrics")
+    assert(am.columns.sorted.toSeq == Seq("event_type", "mad", "med", "n_outliers"))
+    assert(am.where(col("mad") > 0).count() > 0, "anomaly screen degenerate")
   }
 
   test("time filter restricts the log-derived artifacts") {
