@@ -335,6 +335,35 @@ for c, dt in (("chunk_id", "int32"), ("n_spans", "int64"),
     f[c] = f[c].astype(dt)
 check("chunk_cdc", f)
 
+# fingerprint_winnowing: window-4 minimum over the 4-token shingle poly
+# hashes (Schleimer et al. 2003); value-matching fingerprints, distinct per
+# doc; flag = shares a fingerprint with a smaller-id doc anywhere
+doc_fps = {}
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    sh = [r.text] if len(sp) < 4 else \
+        [" ".join(sp[i:i + 4]) for i in range(len(sp) - 3)]
+    hl = [poly_hash(g) for g in sh]
+    n = len(hl)
+    fps = {min(hl[i:i + 4]) for i in range(max(0, n - 4) + 1)}
+    doc_fps[(int(r.doc_id), r.source)] = fps
+fp_min_doc, fp_df = {}, {}
+for (did, _), fps in sorted(doc_fps.items()):
+    for h_ in fps:
+        fp_min_doc.setdefault(h_, did)
+        fp_df[h_] = fp_df.get(h_, 0) + 1
+agg = {}
+for (did, src), fps in doc_fps.items():
+    flag = 1 if any(fp_min_doc[h_] < did for h_ in fps) else 0
+    max_df = max(fp_df[h_] for h_ in fps)
+    nd, nf, fl, md = agg.get(src, (0, 0, 0, 0))
+    agg[src] = (nd + 1, nf + len(fps), fl + flag, max(md, max_df))
+f = pd.DataFrame([{"source": s, "n_docs": np.int64(nd),
+                   "n_fingerprints": np.int64(nf),
+                   "flagged_docs": np.int64(fl), "max_fp_df": np.int64(md)}
+                  for s, (nd, nf, fl, md) in sorted(agg.items())])
+check("fingerprint_winnowing", f)
+
 # bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
 fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
 def positions(th):

@@ -51,7 +51,8 @@ object DumpPlans {
       "simsearch_hamming" -> "binary-code retrieval — SignPack+XOR+popcount fused in one codegen scan, TakeOrdered(50) candidates, exact re-rank post-limit",
       "simsearch_matryoshka" -> "prefix-dim retrieval — 32-of-64-dim codegen dot, integer-micro stage-1 TakeOrdered(100), full-dim re-rank post-limit",
       "drift_ks" -> "two-sample KS — one grouped count, window over DISTINCT lengths only, decimal cross-multiplied gaps, TakeOrdered(1)",
-      "dedup_exact_normalized" -> "normalization-aware dedup — NFC+casefold+collapse feed sha2 in the scan stage, digest-only shuffle")
+      "dedup_exact_normalized" -> "normalization-aware dedup — NFC+casefold+collapse feed sha2 in the scan stage, digest-only shuffle",
+      "fingerprint_winnowing" -> "winnowed fingerprint index — text dropped at the first projection, per-doc min-window rides the doc_id shuffle, global min-doc/df is ONE window by fingerprint (no pair join)")
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of representative queries\n\n")
     md.append("Generated by `graft.tools.DumpPlans` at sf0.001 (plans are\n")

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-13 semantics: the winnowing guarantee (any shared run of
+  * ≥ W + k − 1 = 7 tokens shares a fingerprint) fires on exactly the
+  * planted overlap, sub-shingle overlaps cannot share, the index is
+  * strictly smaller than the position set, and a short doc still carries
+  * one fingerprint. */
+class Queries13Spec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q13_docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Map[String, (Long, Long, Long, Long)] =
+    SparkEntry.queries("fingerprint_winnowing")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_fingerprints"),
+          r.getAs[Long]("flagged_docs"), r.getAs[Long]("max_fp_df"))))
+      .toMap
+
+  test("winnowing guarantee: a shared >=7-token run flags the later doc; sub-shingle overlap cannot") {
+    def toks(prefix: String, n: Int) = (0 until n).map(i => f"$prefix$i%03d")
+    val shared = toks("shared", 8) // 8-token run >= W + k - 1 = 7
+    val a = (toks("aa", 10) ++ shared ++ toks("az", 10)).mkString(" ")
+    // b shares ONLY the 8-token run with a — guarantee says: flagged
+    val b = (toks("bb", 12) ++ shared ++ toks("bz", 7)).mkString(" ")
+    // c is fully disjoint — must not be flagged
+    val c = toks("cc", 25).mkString(" ")
+    // d overlaps a by only 3 consecutive tokens (< k = 4): no common
+    // 4-shingle can exist, so no fingerprint can match (mod a ~1e-9 hash
+    // collision) — must not be flagged
+    val d = (toks("dd", 15) ++ shared.take(3) ++ toks("dz", 9)).mkString(" ")
+    val got = run(docsDir(Seq(
+      (0L, a, "src0"), (1L, b, "src0"), (2L, c, "src0"), (3L, d, "src0"))))
+    val (nDocs, nFp, flagged, maxDf) = got("src0")
+    assert(nDocs == 4)
+    assert(flagged == 1L, s"exactly doc 1 (the >=7-run sharer) must flag, got $flagged")
+    assert(maxDf == 2L, "the shared-run fingerprint is held by exactly the two sharers")
+    assert(nFp > 4)
+  }
+
+  test("index compression and the short-doc floor") {
+    def toks(n: Int) = (0 until n).map(i => f"tok$i%04d")
+    // 100 distinct tokens -> 97 shingle hashes -> 94 full windows; the
+    // winnowed index keeps the per-window minima, expected density
+    // 2/(W+1) = 0.4 — assert strict compression with margin (deterministic
+    // hashes, so this is a fixed value, not a flaky sample)
+    val long = toks(100).mkString(" ")
+    val short = "just two" // < 4 tokens: one whole-text hash, one window
+    val got = run(docsDir(Seq((0L, long, "long"), (1L, short, "tiny"))))
+    val (_, nFpLong, _, _) = got("long")
+    assert(nFpLong < 94 / 2 + 10, s"winnowed index must compress: $nFpLong of 94 windows")
+    assert(nFpLong >= 94 / 8, s"winnowed index implausibly small: $nFpLong")
+    assert(got("tiny") == ((1L, 1L, 0L, 1L)),
+      s"a sub-shingle doc still carries exactly one fingerprint: ${got("tiny")}")
+  }
+}
