@@ -131,9 +131,14 @@ object Bench {
     // "What's wrong #2"). The file is the durable, always-parseable copy;
     // the final total line below carries its name.
     val perkeyFile = s"bench_perkey_$sfName.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
-      (perQueryLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => } // bench output must never sink on a read-only CWD
+    // advertise the file ONLY when this run's write succeeded (r11
+    // self-review): the filename is stable across rounds, so a failed
+    // write with an unconditional advertisement would hand the artifact
+    // builder a STALE previous run's map with no warning
+    val perkeyWritten =
+      try { java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
+        (perQueryLine + "\n").getBytes("UTF-8")); true }
+      catch { case _: Throwable => false } // bench must never sink on a read-only CWD
     // one-time session cost (JIT + codegen + cache builds), as its own metric
     // line so it can be tracked round-over-round without polluting the total
     println(s"""{"metric":"warmup_sec","value":${fmt(warmupSec)},"unit":"sec","sf":"$sfName"}""")
@@ -144,7 +149,8 @@ object Bench {
       "dedup_minhash", "simsearch_topk", "score_partition")
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt2(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns,"perkey_file":"$perkeyFile","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    val perkeyField = if (perkeyWritten) s""","perkey_file":"$perkeyFile"""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns$perkeyField,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }

@@ -33,18 +33,25 @@ object Anomaly {
     * Returns one row per group: (groupCol, med, mad, n_outliers). */
   def madScreenApprox(df: DataFrame, groupCol: String, valueCol: String,
       accuracy: Int = 10000): DataFrame = {
-    val med = df.groupBy(groupCol)
-      .agg(expr(s"approx_percentile($valueCol, 0.5D, $accuracy)").as("med"))
-    val stats = df.join(broadcast(med), groupCol)
-      .groupBy(groupCol)
-      .agg(max(col("med")).as("med"),
-        expr(s"approx_percentile(abs($valueCol - med), 0.5D, $accuracy)")
-          .as("mad"))
-    df.join(broadcast(stats), groupCol)
-      .groupBy(groupCol)
-      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-        sum(when(abs(col(valueCol) - col("med")) >
-          lit(3) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+    // collision-proof internal frame (r11 self-review): "any (group, value)
+    // frame" includes frames that already carry a med/mad column — joining
+    // the stat rows back onto the raw df would then hit
+    // AMBIGUOUS_REFERENCE. Project to reserved internal names first; only
+    // the output exposes the contract columns.
+    val base = df.select(col(groupCol).as("__graft_g"), col(valueCol).as("__graft_v"))
+    val med = base.groupBy("__graft_g")
+      .agg(expr(s"approx_percentile(__graft_v, 0.5D, $accuracy)").as("__graft_med"))
+    val stats = base.join(broadcast(med), "__graft_g")
+      .groupBy("__graft_g")
+      .agg(max(col("__graft_med")).as("__graft_med"),
+        expr(s"approx_percentile(abs(__graft_v - __graft_med), 0.5D, $accuracy)")
+          .as("__graft_mad"))
+    base.join(broadcast(stats), "__graft_g")
+      .groupBy("__graft_g")
+      .agg(max(col("__graft_med")).as("med"), max(col("__graft_mad")).as("mad"),
+        sum(when(abs(col("__graft_v") - col("__graft_med")) >
+          lit(3) * lit(1.4826) * col("__graft_mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+      .select(col("__graft_g").as(groupCol), col("med"), col("mad"), col("n_outliers"))
   }
 }

@@ -282,30 +282,38 @@ object StreamingAdvisor {
         // advice derives from the SAME cached in-memory merge the persisted
         // form reflects (cap-narrowed in non-durable over-cap mode, exactly
         // like the persisted compaction would be)
-        val adviceInput =
-          if (durableTail && overCap) spark.read.parquet(headPath.toString)
-          else if (compacting) spark.read.parquet(cur.toString)
-          else if (overCap) mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-          else mergedC
-        val recs =
-          try AnalysisPipeline.runFromCatalogStats(spark,
-              adviceInput, nameFilter = nameFilter,
-              approxCardinality = approxCardinality)
-            .collect()
-            .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
-            .toSeq
-          catch { case scala.util.control.NonFatal(e) =>
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"advisor batch $batchId produced no advice: ${e.getMessage}")
-            Seq.empty
-          }
-        // replay-idempotent snapshot publication: a batch whose foreachBatch
-        // completed but whose streaming commit was lost is re-run with the
-        // SAME batchId — replace, never append, or consumers folding the
-        // queue see doubled entries for that batch
-        snapshots.removeIf(_.batchId == batchId)
-        snapshots.add(Snapshot(batchId, recs))
-        mergedC.unpersist()
+        // FINALLY, not sequential (r11 self-review): the NonFatal catch
+        // below keeps recoverable advice failures from killing the query,
+        // but a FATAL or interrupting error (query.stop() mid-collect)
+        // would otherwise skip the unpersist and leak the cached full
+        // state — keyspace-sized in durable-tail mode — into the shared
+        // session on every advisor stop/restart cycle
+        try {
+          val adviceInput =
+            if (durableTail && overCap) spark.read.parquet(headPath.toString)
+            else if (compacting) spark.read.parquet(cur.toString)
+            else if (overCap) mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+            else mergedC
+          val recs =
+            try AnalysisPipeline.runFromCatalogStats(spark,
+                adviceInput, nameFilter = nameFilter,
+                approxCardinality = approxCardinality)
+              .collect()
+              .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
+              .toSeq
+            catch { case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"advisor batch $batchId produced no advice: ${e.getMessage}")
+              Seq.empty
+            }
+          // replay-idempotent snapshot publication: a batch whose foreachBatch
+          // completed but whose streaming commit was lost is re-run with the
+          // SAME batchId — replace, never append, or consumers folding the
+          // queue see doubled entries for that batch
+          snapshots.removeIf(_.batchId == batchId)
+          snapshots.add(Snapshot(batchId, recs))
+          ()
+        } finally mergedC.unpersist()
         // keep everything this batch merged FROM: if it crashes AFTER this
         // point but BEFORE the streaming commit, the replay must still find
         // v<base> and the pending deltas (a replay merges against files

@@ -33,6 +33,21 @@ class ReportSpec extends SparkSpec {
     assert(am.where(col("mad") > 0).count() > 0, "anomaly screen degenerate")
   }
 
+  test("madScreenApprox tolerates input frames that already carry med/mad columns") {
+    // "a reusable three-pass plan over ANY (group, value) frame" includes
+    // frames whose other columns collide with the helper's own stat names
+    // — the pre-fix form joined raw-df-with-med onto a stats frame named
+    // med and hit AMBIGUOUS_REFERENCE (r11 self-review)
+    import graft.catalog.TableRegistry
+    val ev = TableRegistry.table(spark, sfDir, "events").select("event_type", "value")
+    val clean = graft.ext.Anomaly.madScreenApprox(ev, "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    val collisions = ev.withColumn("med", lit(-1.0)).withColumn("mad", lit(-2.0))
+    val got = graft.ext.Anomaly.madScreenApprox(collisions, "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == clean, "colliding caller columns must not change the screen")
+  }
+
   test("time filter restricts the log-derived artifacts") {
     val out = java.nio.file.Files.createTempDirectory("graft_report_tf").toString
     ReportExporter.export(spark, sfDir, out,
