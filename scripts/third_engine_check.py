@@ -2301,7 +2301,7 @@ check("parse_query_columns", pd.DataFrame(
      for (kd, n2), v in sorted(acc.items())]))
 
 # parse_trino_dialect: hand-derived sqlglot-equivalent ground truth for the
-# ten canned Trino-only texts (Queries9.trinoDialectTexts) — one row per
+# eleven canned Trino-only texts (Queries9.trinoDialectTexts) — one row per
 # (text, kind, name). Independent hand derivation: read each text, apply
 # Trino semantics (ARRAY[...] is a literal, "x" is an identifier, UNNEST's
 # argument columns are references, AT TIME ZONE is an operator over both
@@ -2321,6 +2321,7 @@ TRINO_REFS = [
     (8, "table", "orders", 1),
     (8, "where_col", "o_clerk", 1), (8, "where_col", "o_custkey", 1),
     (9, "table", "events", 1), (9, "where_col", "props", 1),
+    (10, "table", "orders", 1), (10, "where_col", "o_custkey", 1),
 ]
 check("parse_trino_dialect", pd.DataFrame(
     [{"qk": np.int32(qk), "kind": kd, "name": n2, "cnt": np.int64(c_)}

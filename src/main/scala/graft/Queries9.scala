@@ -327,7 +327,7 @@ object Queries9 {
       // named `array`). QueryIntrospector.trinoToSpark pre-translates them;
       // this key pins the (table, join_col, where_col) rows the shimmed
       // parse extracts for one of each form against hand-derived sqlglot
-      // ground truth. Parsing is driver-side over ten constant texts
+      // ground truth. Parsing is driver-side over eleven constant texts
       // (metadata-sized — no job runs until the VALUES-shaped result is
       // consumed).
       (s, dir) => {
@@ -356,7 +356,8 @@ object Queries9 {
           |  (7, 'table', 'events', 1), (7, 'where_col', 'ts', 1),
           |  (8, 'table', 'orders', 1),
           |  (8, 'where_col', 'o_clerk', 1), (8, 'where_col', 'o_custkey', 1),
-          |  (9, 'table', 'events', 1), (9, 'where_col', 'props', 1)
+          |  (9, 'table', 'events', 1), (9, 'where_col', 'props', 1),
+          |  (10, 'table', 'orders', 1), (10, 'where_col', 'o_custkey', 1)
           |) AS t(qk, kind, name, cnt)
           |ORDER BY qk, kind, name""".stripMargin)),
 
@@ -569,5 +570,10 @@ object Queries9 {
       "WHERE (ts AT TIME ZONE 'UTC') > TIMESTAMP '2020-01-01 00:00:00'"),
     8 -> "SELECT o_orderkey FROM orders WHERE ROW(o_custkey, o_clerk) = ROW(1, 'Clerk#1')",
     9 -> ("SELECT TRY(100.0 / value) FROM events " +
-      "WHERE TRY(CAST(props AS JSON)) IS NOT NULL"))
+      "WHERE TRY(CAST(props AS JSON)) IS NOT NULL"),
+    // LISTAGG … WITHIN GROUP parses NATIVELY in Spark 4 (listagg landed
+    // with WITHIN GROUP syntax) — pinned so a parser regression that
+    // starts rejecting it is caught by the oracle, not a real log
+    10 -> ("SELECT listagg(o_clerk, ',') WITHIN GROUP (ORDER BY o_orderdate) " +
+      "FROM orders WHERE o_custkey > 5 GROUP BY o_orderstatus"))
 }

@@ -167,10 +167,12 @@ object QueryIntrospector {
     * Function-call-SHAPED Trino forms need no rewrite at all: `TRY(…)`,
     * `ROW(…)` value constructors, `at_timezone(…)`, `approx_distinct(…)`
     * parse in Spark dialect as unresolved functions with their argument
-    * columns intact (pinned in IntrospectorSpec). Still unsupported, by
+    * columns intact, and `LISTAGG … WITHIN GROUP (ORDER BY …)` parses
+    * natively since Spark 4's listagg (both pinned in IntrospectorSpec
+    * and the parse_trino_dialect oracle key). Still unsupported, by
     * design (degrade-to-empty like the reference's sqlglot warn-and-skip):
     * `MATCH_RECOGNIZE`, `ROW`/structural TYPES in casts (`CAST(x AS
-    * ROW(a int))`), `LISTAGG … WITHIN GROUP`.
+    * ROW(a int))`).
     * String literals are masked during every rewrite — their content is
     * untouchable. */
   private[graft] def trinoToSpark(sql: String): String = {

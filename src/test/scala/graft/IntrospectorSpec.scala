@@ -227,6 +227,17 @@ class IntrospectorSpec extends SparkSpec {
     assert(tryFn.whereColumns == Map("props" -> 1))
     assert(tryFn.allColumns.contains("value"))
 
+    // LISTAGG … WITHIN GROUP parses natively since Spark 4's listagg —
+    // the agg argument, the WITHIN GROUP sort column and the grouping
+    // column all survive as references
+    val listAgg = QueryIntrospector.parse(spark,
+      "SELECT listagg(o_clerk, ',') WITHIN GROUP (ORDER BY o_orderdate) " +
+        "FROM orders WHERE o_custkey > 5 GROUP BY o_orderstatus").get
+    assert(listAgg.tables == Seq("orders"))
+    assert(listAgg.whereColumns == Map("o_custkey" -> 1))
+    assert(Seq("o_clerk", "o_orderdate", "o_orderstatus").forall(listAgg.allColumns.contains),
+      listAgg.allColumns.toString)
+
     // the documented still-unsupported tier degrades to None (the
     // reference's sqlglot warn-and-skip failure mode), never garbage refs
     assert(QueryIntrospector.parse(spark,
