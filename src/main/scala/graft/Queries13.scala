@@ -1,7 +1,6 @@
 package graft
 
 import graft.catalog.TableRegistry
-import graft.ext.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,21 +47,10 @@ object Queries13 {
       // Docs shorter than W + k − 1 tokens keep pos 0's (truncated)
       // window, so every doc carries ≥ 1 fingerprint.
       (s, dir) => {
-        val W = 4 // winnowing window, over k=4-token shingle hashes
-        val h = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            Sketches.shingleHashes(col("text"), 4).as("hl"))
-          .select(col("doc_id"), col("source"),
-            posexplode(col("hl")).as(Seq("pos", "h")))
-        val byDoc = Window.partitionBy("doc_id")
-        val winfrm = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.currentRow, W - 1)
-        val fp = h
-          .withColumn("n", count(lit(1)).over(byDoc))
-          .withColumn("wmin", min("h").over(winfrm))
-          .where(col("pos") <= greatest(lit(0L), col("n") - W))
-          .select(col("doc_id"), col("source"), col("wmin").as("fp"))
-          .distinct()
+        // k = 4-token shingles, w = 4-hash winnowing window (ext.Winnow
+        // holds the selection core, shared with PropertySpec's randomized
+        // guarantee sweep)
+        val fp = graft.ext.Winnow.fingerprintFrame(t(s, dir, "documents"))
         val byFp = Window.partitionBy("fp")
         fp
           .withColumn("min_doc", min("doc_id").over(byFp))

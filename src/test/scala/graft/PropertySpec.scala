@@ -303,4 +303,61 @@ class PropertySpec extends SparkSpec {
       assert(n2 == n1, s"NFC must be idempotent: ${t.map(_.toInt).mkString(",")}")
     }
   }
+
+  test("winnowing guarantee holds on random corpora: every >=7-token shared run shares a fingerprint") {
+    // Randomized sweep of the Schleimer et al. guarantee over the ENGINE
+    // path (ext.Winnow, the fingerprint_winnowing core): 15 pairs with a
+    // planted shared run of random length 7..12 spliced at random offsets
+    // into otherwise-unique token streams, plus 10 fully unique docs.
+    // Model side is brute force over the token arrays: for EVERY doc pair,
+    // does a >=7-token shared run exist / does ANY 4-token shingle
+    // coincide. Fixed seed -> deterministic, not flaky.
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    var uid = 0
+    def freshToks(n: Int): Seq[String] =
+      Seq.fill(n) { uid += 1; f"u$uid%05d${rnd.nextInt(100)}%02d" }
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    var id = 0L
+    (0 until 15).foreach { p =>
+      val run = (0 until 7 + rnd.nextInt(6)).map(j => f"run$p%02d_$j%02d")
+      def host(): Seq[String] = {
+        val (pre, post) = (freshToks(3 + rnd.nextInt(15)), freshToks(3 + rnd.nextInt(15)))
+        pre ++ run ++ post
+      }
+      docs += ((id, host())); id += 1
+      docs += ((id, host())); id += 1
+    }
+    (0 until 10).foreach { _ => docs += ((id, freshToks(8 + rnd.nextInt(30)))); id += 1 }
+
+    val fps = graft.ext.Winnow.fingerprintFrame(
+        docs.toSeq.map { case (d, ts) => (d, ts.mkString(" "), "src") }
+          .toDF("doc_id", "text", "source"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(2)).toSet }
+
+    def sharedRun7(a: Seq[String], b: Seq[String]): Boolean = {
+      val bset = b.sliding(7).filter(_.size == 7).toSet
+      a.sliding(7).exists(w => w.size == 7 && bset.contains(w))
+    }
+    def sharedShingle(a: Seq[String], b: Seq[String]): Boolean = {
+      val bset = b.sliding(4).filter(_.size == 4).toSet
+      a.sliding(4).exists(w => w.size == 4 && bset.contains(w))
+    }
+    val all = docs.toSeq
+    var positives = 0
+    for (i <- all.indices; j <- (i + 1) until all.size) {
+      val (da, ta) = all(i); val (db, tb) = all(j)
+      val overlap = fps(da).intersect(fps(db)).nonEmpty
+      if (sharedRun7(ta, tb)) {
+        positives += 1
+        assert(overlap, s"docs $da/$db share a >=7-token run but no fingerprint")
+      } else if (!sharedShingle(ta, tb)) {
+        // no common 4-shingle -> no common fingerprint is POSSIBLE except a
+        // polyhash collision; with this fixed seed none occurs
+        assert(!overlap, s"docs $da/$db share no 4-shingle yet share a fingerprint")
+      }
+    }
+    assert(positives >= 15, s"sweep degenerate: only $positives guaranteed pairs")
+  }
 }
