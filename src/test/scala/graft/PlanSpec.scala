@@ -401,4 +401,22 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("BroadcastExchange"), s"$key query row must broadcast:\n$plan")
     }
   }
+
+  test("fingerprint_winnowing: no join, text pruned at the scan, bounded exchanges") {
+    // The winnowed-index shape: per-doc windows + ONE global fingerprint
+    // window + two aggregations — a pair/self JOIN anywhere would be the
+    // posting² trap the key exists to avoid, and the scan must read only
+    // (doc_id, text, source), never lang/n_chars.
+    val df = SparkEntry.queries("fingerprint_winnowing")(spark, sfDir)
+    df.collect() // finalize under AQE
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // doc_id window → fp window → (doc,source) agg → source agg → sort
+    assert("Exchange".r.findAllIn(finalPlan).size <= 5, plan)
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && readSchema.contains("source"), readSchema)
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
 }
