@@ -38,6 +38,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingAdvisor {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Snapshot(batchId: Long, recs: Seq[(String, String)])
 
   /** Start the re-advising loop over `queryLogStream` (reference log schema;
@@ -205,6 +207,13 @@ object StreamingAdvisor {
         val mergedC = merged.cache()
         val n = mergedC.count()
         val overCap = n > stateCap
+        // THE heavy-hitter cap selector — count desc, text asc, the order
+        // the scaladoc pins as a contract. One definition serves the
+        // persisted bound, the head write, and the in-memory advice
+        // narrowing; editing the tie-break in one of three copies would
+        // silently diverge the persisted head from the advice ordering.
+        def topCap(df: DataFrame): DataFrame =
+          df.orderBy(desc("cnt"), asc("query")).limit(stateCap)
         // compact when the delta window since the base is full (or there is
         // no base yet — batch 0 always compacts so a base always exists)
         val compacting = compactEvery <= 1 || baseId < 0 ||
@@ -217,15 +226,15 @@ object StreamingAdvisor {
               // spill tier: keep EVERYTHING on disk (one parquet row per
               // distinct text — keyspace-sized, never history-sized); only
               // the advice derivation below narrows to the heavy hitters
-              org.slf4j.LoggerFactory.getLogger(getClass).info(
+              log.info(
                 s"advisor state has $n distinct texts (> stateCap=$stateCap); " +
                   "durable-tail mode retains all on disk, advising from the " +
                   s"$stateCap most frequent")
               mergedC
             } else {
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              log.warn(
                 s"advisor state has $n distinct texts; keeping the $stateCap most frequent")
-              mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
+              topCap(mergedC)
             }
           bounded.write.mode("overwrite").parquet(cur.toString)
         } else {
@@ -253,8 +262,7 @@ object StreamingAdvisor {
         // getName.drop(1).toLong, which "3_head" would crash.
         val headPath = new Path(stateRoot, s"h$batchId")
         if (durableTail && overCap)
-          mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-            .write.mode("overwrite").parquet(headPath.toString)
+          topCap(mergedC).write.mode("overwrite").parquet(headPath.toString)
         // re-derive ONLY the scores from the materialized state (profiles
         // re-read the advised tables, whose current contents are exactly
         // what a fresh advisor run must reflect)
@@ -289,21 +297,28 @@ object StreamingAdvisor {
         // state — keyspace-sized in durable-tail mode — into the shared
         // session on every advisor stop/restart cycle
         try {
-          val adviceInput =
-            if (durableTail && overCap) spark.read.parquet(headPath.toString)
-            else if (compacting) spark.read.parquet(cur.toString)
-            else if (overCap) mergedC.orderBy(desc("cnt"), asc("query")).limit(stateCap)
-            else mergedC
+          // the parquet reads are INSIDE the recoverable block (r11
+          // self-review): a transient FS error reading the just-written
+          // head/version footers is as recoverable as a failed advice
+          // derivation — state is already merged, an empty snapshot
+          // self-heals next batch, and letting it escape would kill the
+          // StreamingQuery permanently
           val recs =
-            try AnalysisPipeline.runFromCatalogStats(spark,
-                adviceInput, nameFilter = nameFilter,
-                approxCardinality = approxCardinality)
-              .collect()
-              .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
-              .toSeq
+            try {
+              val adviceInput =
+                if (durableTail && overCap) spark.read.parquet(headPath.toString)
+                else if (compacting) spark.read.parquet(cur.toString)
+                else if (overCap) topCap(mergedC)
+                else mergedC
+              AnalysisPipeline.runFromCatalogStats(spark,
+                  adviceInput, nameFilter = nameFilter,
+                  approxCardinality = approxCardinality)
+                .collect()
+                .map(r => (r.getAs[String]("view"), r.getAs[String]("partition_spec")))
+                .toSeq
+            }
             catch { case scala.util.control.NonFatal(e) =>
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"advisor batch $batchId produced no advice: ${e.getMessage}")
+              log.warn(s"advisor batch $batchId produced no advice: ${e.getMessage}")
               Seq.empty
             }
           // replay-idempotent snapshot publication: a batch whose foreachBatch

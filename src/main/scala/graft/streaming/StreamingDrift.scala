@@ -50,9 +50,12 @@ object StreamingDrift {
   def bucketOf: Column = least(expr("n_chars div 50"), lit(12L)).cast("int")
 
   /** Batch helper: bucket histogram of a (…, n_chars) frame —
-    * O(buckets) rows collect. */
+    * O(buckets) rows collect. Null n_chars rows are excluded (a null
+    * bucket would NPE the collect, and a length-less doc carries no
+    * length signal) — the textStatsOf null-guard discipline. */
   def histogram(docs: DataFrame): Map[Int, Long] =
-    docs.select(bucketOf.as("bucket")).groupBy("bucket").count()
+    docs.where(col("n_chars").isNotNull)
+      .select(bucketOf.as("bucket")).groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** Laplace-smoothed PSI between two histograms, bucket-ordered sum. */
@@ -122,7 +125,12 @@ object StreamingDrift {
         val prev = versions.filter(_.getName.drop(1).toLong < id)
         val base = prev.lastOption.map(readHist(fs, _))
           .getOrElse(Map.empty[Int, Long])
-        val delta = batch.select(bucketOf.as("bucket")).groupBy("bucket")
+        // null-guard matches histogram(): one null n_chars row would
+        // otherwise produce a null bucket, NPE the collect, and kill the
+        // monitor query PERMANENTLY — the failure mode the advisor's
+        // NonFatal recovery exists to prevent
+        val delta = batch.where(col("n_chars").isNotNull)
+          .select(bucketOf.as("bucket")).groupBy("bucket")
           .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val merged = (base.keySet ++ delta.keySet).iterator
           .map(b => b -> (base.getOrElse(b, 0L) + delta.getOrElse(b, 0L)))

@@ -407,7 +407,16 @@ class PlanSpec extends SparkSpec {
     // window + two aggregations — a pair/self JOIN anywhere would be the
     // posting² trap the key exists to avoid, and the scan must read only
     // (doc_id, text, source), never lang/n_chars.
-    val df = SparkEntry.queries("fingerprint_winnowing")(spark, sfDir)
+    // FRESH path, not sfDir: PropertySpec caches the sfDir documents table
+    // in the shared session, and a cache-hit swaps the parquet scan for an
+    // InMemoryTableScan whose BUILD plan reads every column — the ReadSchema
+    // assertions below would then test the other suite's cache, not this
+    // key's pruning (suite-order dependent; the known cached-plan pitfall).
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_wplan").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(s"$freshDir/documents.parquet"))
+    val df = SparkEntry.queries("fingerprint_winnowing")(spark, freshDir)
     df.collect() // finalize under AQE
     val plan = planOf(df)
     assert(!plan.contains("Join"), plan)

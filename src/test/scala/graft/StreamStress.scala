@@ -118,7 +118,7 @@ object StreamStress {
               .getDeclaredMethod("getCurMode")
             m.setAccessible(true)
             m.invoke(s).toString
-          } catch { case _: Throwable => "UNKNOWN" }
+          } catch { case scala.util.control.NonFatal(_) => "UNKNOWN" }
         }
         out += "hll" -> scala.collection.immutable.ListMap(
           "input_rows" -> rows.size,
@@ -161,21 +161,32 @@ object StreamStress {
         durableTail = true, compactEvery = 4)
       val batchSecs = scala.collection.mutable.ArrayBuffer[Double]()
       try {
-        logRows.grouped(logRows.size / 4 + 1).foreach { b =>
+        // FIVE batches (ids 0–4) so a NON-batch-0 compaction actually fires
+        // at stress scale: batch 0 always compacts (no base), 1–3 ride the
+        // delta path, batch 4 hits batchId − baseId ≥ compactEvery and
+        // compacts base + 3 pending deltas — the exact path the r10
+        // verdict #3 work added. (4 batches with compactEvery=4 never
+        // recompacts, and the old gate read batch 0's state as "the tail",
+        // which only held the full keyspace by generator coincidence.)
+        logRows.grouped(logRows.size / 5 + 1).foreach { b =>
           val (_, s) = timed { stream.addData(b); query.processAllAvailable() }
           batchSecs += s
         }
         val stateRoot = new Path(s"$root/log_state")
         val fs = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
-        def sizeOf(prefix: String): (Long, Long) = {
-          val dirs = fs.listStatus(stateRoot)
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-          val rows = dirs.map(d => spark.read.parquet(d.getPath.toString).count()).sum
-          val bytes = dirs.map(d => fs.getContentSummary(d.getPath).getLength).sum
-          (rows, bytes)
-        }
-        val (tailRows, tailBytes) = sizeOf("v")
-        val (headRows, headBytes) = sizeOf("h")
+        def dirsOf(prefix: String): Array[Path] = fs.listStatus(stateRoot)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+          .map(_.getPath).sortBy(_.getName.drop(1).toLong)
+        // the durable tail is the LATEST version — retention deliberately
+        // keeps the previous version too (replay source), so summing v*
+        // would double-count
+        val vLatest = dirsOf("v").last
+        val tailRows = spark.read.parquet(vLatest.toString).count()
+        val tailBytes = fs.getContentSummary(vLatest).getLength
+        val hLatest = dirsOf("h").last
+        val headRows = spark.read.parquet(hLatest.toString).count()
+        val headBytes = fs.getContentSummary(hLatest).getLength
+        val nDeltas = dirsOf("d").length
         val distinctTexts = logRows.map(_._1).distinct.size
         val last = {
           import scala.jdk.CollectionConverters._
@@ -183,10 +194,13 @@ object StreamStress {
         }
         require(last.recs.map(_._1) == Seq("supplier") && last.recs.head._2.nonEmpty,
           s"final snapshot must advise supplier: ${last.recs}")
-        require(tailRows >= distinctTexts,
-          s"durable tail must retain the full keyspace: $tailRows < $distinctTexts")
+        require(vLatest.getName == "v4",
+          s"batch 4 must have recompacted (base + 3 deltas): latest = ${vLatest.getName}")
+        require(tailRows == distinctTexts,
+          s"durable tail must retain the full keyspace: $tailRows != $distinctTexts")
         require(headRows == stateCap,
           s"advice head must be cap-sized: $headRows != $stateCap")
+        require(nDeltas >= 1, "delta path never exercised")
         out += "advisor" -> scala.collection.immutable.ListMap(
           "input_rows" -> logRows.size,
           "distinct_texts" -> distinctTexts,
@@ -194,6 +208,7 @@ object StreamStress {
           "batches_sec" -> batchSecs.map(s => math.round(s * 100) / 100.0).toSeq,
           "tail_state_rows" -> tailRows, "tail_state_bytes" -> tailBytes,
           "head_rows" -> headRows, "head_bytes" -> headBytes,
+          "deltas_on_disk" -> nDeltas,
           "snapshots" -> snaps.size)
       } finally query.stop()
     }
@@ -237,7 +252,8 @@ object StreamStress {
       case m: scala.collection.Map[_, _] =>
         m.map { case (k, x) => s""""$k":${js(x)}""" }.mkString("{", ",", "}")
       case s: Seq[_] => s.map(js).mkString("[", ",", "]")
-      case s: String => "\"" + s + "\""
+      case s: String =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case b: Boolean => b.toString
       case n => n.toString
     }

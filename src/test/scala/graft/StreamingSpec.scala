@@ -942,6 +942,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming PSI monitor survives null n_chars rows (counted as no length signal)") {
+    // r11 self-review: a null n_chars made bucketOf null, the driver-side
+    // collect NPE'd inside foreachBatch and the monitor query died
+    // PERMANENTLY. Null lengths now drop at the histogram boundary (both
+    // the per-batch delta and the batch helper), so a stream carrying
+    // nulls keeps running and its PSI equals the non-null subset's.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val ref = graft.streaming.StreamingDrift.histogram(docs)
+    val cand: Seq[(Long, Option[Long])] =
+      docs.as[(Long, Long)].collect().toSeq.map { case (d, n) => (d, Some(n)) }
+    val withNulls = (cand.take(3).map { case (d, _) => (d + 100000L, None: Option[Long]) }
+      ++ cand).toSeq
+
+    val stream = MemoryStream[(Long, Option[Long])]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_null_ckpt").toString
+    val query = graft.streaming.StreamingDrift.monitor(
+      stream.toDF().toDF("doc_id", "n_chars"), ref, ckpt) {
+      (id, p) => seen.add((id, p)); ()
+    }
+    try {
+      val (b1, b2) = withNulls.splitAt(withNulls.size / 2)
+      Seq(b1, b2).foreach { b => stream.addData(b); query.processAllAvailable() }
+      assert(query.isActive, "monitor must survive null-length rows")
+      val got = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.sortBy(_._1)
+      }
+      assert(got.map(_._1) == Seq(0L, 1L), got.map(_._1).toString)
+      // identical slices modulo the null rows → PSI of cand-vs-itself = 0-ish
+      val want = graft.streaming.StreamingDrift.psi(ref,
+        graft.streaming.StreamingDrift.histogram(docs))
+      assert(got.last._2 == want, s"streamed ${got.last._2} vs non-null batch $want")
+    } finally query.stop()
+  }
+
   test("streaming PSI monitor survives crash+replay and a checkpointed restart") {
     // The two lifecycle faults the r10 verdict flagged against the
     // in-process form: (a) a batch replayed after a lost commit must not
