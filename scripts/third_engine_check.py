@@ -364,6 +364,24 @@ f = pd.DataFrame([{"source": s, "n_docs": np.int64(nd),
                   for s, (nd, nf, fl, md) in sorted(agg.items())])
 check("fingerprint_winnowing", f)
 
+# pretokenize_bpe_regex: GPT-2-ish lookahead-free ASCII pretokenizer (leftmost-
+# first greedy alternation — identical in Java, RE2 and python re over
+# explicit classes); fertility via the HALF_UP rational helper
+BPE_PAT = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +")
+agg = {}
+for _, r in dc.iterrows():
+    pts = BPE_PAT.findall(r.text)
+    ws = len(r.text.split(" "))
+    nd, np_, dp, wt = agg.get(r.source, (0, 0, set(), 0))
+    agg[r.source] = (nd + 1, np_ + len(pts), dp | set(pts), wt + ws)
+f = pd.DataFrame([{"source": s2, "n_docs": np.int64(nd),
+                   "pretokens": np.int64(np_),
+                   "distinct_pretokens": np.int64(len(dp)),
+                   "ws_tokens": np.int64(wt),
+                   "fertility": ratioR(np_, wt, 6)}
+                  for s2, (nd, np_, dp, wt) in sorted(agg.items())])
+check("pretokenize_bpe_regex", f)
+
 # bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
 fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
 def positions(th):

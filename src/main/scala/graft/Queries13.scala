@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * hash-for-hash by the oracle — collisions only ever INFLATE the shared-
   * fingerprint signal (the one-sided-error contract Sketches.bucket
   * documents), and every surfaced column is an integer count.
+  *
+  * Plus X56: GPT-2-shape BPE-regex pretokenization counts — the token-
+  * budget correction dial between whitespace counts (what the rest of the
+  * surface plans with) and the pretoken stream a BPE vocab actually
+  * trains over.
   */
 object Queries13 {
 
@@ -95,5 +100,69 @@ object Queries13 {
           |  CAST(SUM(n_fp) AS BIGINT) AS n_fingerprints,
           |  CAST(SUM(flag) AS BIGINT) AS flagged_docs,
           |  CAST(MAX(max_df) AS BIGINT) AS max_fp_df
-          |FROM d2 GROUP BY source ORDER BY source""".stripMargin)))
+          |FROM d2 GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("pretokenize_bpe_regex",
+      // BPE-ish pretokenization counts (X56): the GPT-2 pretokenizer shape —
+      // contractions, space-glued letter runs, digit runs, punctuation
+      // runs, residual space runs — against the whitespace count the rest
+      // of the surface uses, with the pretokens-per-ws-token fertility as
+      // the budget dial (a BPE vocab is trained over pretokens, so token
+      // budgets planned on whitespace counts are off by exactly this
+      // ratio). The pattern is deliberately ASCII-EXPLICIT and
+      // lookahead-free: Trino/Java, RE2 (DuckDB) and python re all run
+      // leftmost-first greedy alternation identically over explicit
+      // classes, where \p{L}/\s property classes and GPT-2's \s+(?!\S)
+      // lookahead diverge (RE2 has no lookahead at all — the r10 \s
+      // lesson). One behavioral consequence, documented: a space run
+      // before a word glues to the word only when it is a SINGLE space
+      // (the lookahead-free simplification); longer runs stay standalone.
+      // Non-ASCII runs land in the residual class as one pretoken per run
+      // — count-identical across engines even where Java iterates UTF-16
+      // units, because no ASCII class member is a surrogate.
+      //
+      // Plan: ONE scan, ONE shuffle — per-doc scalars (ws count) ride the
+      // posexplode on pos 0, so totals, the distinct-pretoken count and
+      // the per-doc sums come out of a single grouped aggregation; text
+      // never survives past the extract.
+      (s, dir) => {
+        val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+        val base = t(s, dir, "documents").select(col("source"),
+          call_function("regexp_extract_all", col("text"), lit(pat), lit(0)).as("pt"),
+          size(split(col("text"), " ")).cast("long").as("ws"))
+        base
+          .select(col("source"), col("ws"), posexplode(col("pt")).as(Seq("pos", "p")))
+          .groupBy("source")
+          .agg(
+            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_docs"),
+            count(lit(1)).as("pretokens"),
+            countDistinct(col("p")).as("distinct_pretokens"),
+            sum(when(col("pos") === 0, col("ws")).otherwise(0L)).as("ws_tokens"))
+          .select(col("source"), col("n_docs"), col("pretokens"),
+            col("distinct_pretokens"), col("ws_tokens"),
+            graft.ext.ExactMath.ratioRounded(
+              col("pretokens"), col("ws_tokens"), 6).as("fertility"))
+          .orderBy("source")
+      },
+      Some {
+        val pat = "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+        s"""WITH b AS (SELECT source,
+           |    regexp_extract_all(text, '$pat') AS pt,
+           |    len(string_split(text, ' ')) AS ws FROM documents),
+           |x AS (SELECT source, ws, u.pos AS pos, u.p AS p FROM (
+           |    SELECT source, ws, unnest(list_transform(range(1, len(pt)+1),
+           |      i -> {'pos': i - 1, 'p': pt[i]})) AS u FROM b)),
+           |g AS (SELECT source,
+           |    SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS n_docs,
+           |    COUNT(*) AS pretokens,
+           |    COUNT(DISTINCT p) AS distinct_pretokens,
+           |    SUM(CASE WHEN pos = 0 THEN ws ELSE 0 END) AS ws_tokens
+           |  FROM x GROUP BY source)
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(pretokens AS BIGINT) AS pretokens,
+           |  CAST(distinct_pretokens AS BIGINT) AS distinct_pretokens,
+           |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           |  ${graft.ext.ExactMath.ratioRoundedSql("pretokens", "ws_tokens", 6)} AS fertility
+           |FROM g ORDER BY source""".stripMargin
+      }))
 }

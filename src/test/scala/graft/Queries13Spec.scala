@@ -63,4 +63,25 @@ class Queries13Spec extends SparkSpec {
     assert(got("tiny") == ((1L, 1L, 0L, 1L)),
       s"a sub-shingle doc still carries exactly one fingerprint: ${got("tiny")}")
   }
+
+  test("pretokenize_bpe_regex: known-answer pretokenization, contraction split, distincts") {
+    // "don't stop  123 now!!" pretokenizes to
+    //   ["don", "'t", " stop", "  ", "123", " now", "!!"]   (7 pretokens)
+    // — the contraction splits off, a single leading space glues to its
+    // word, the DOUBLE space stays standalone (the lookahead-free
+    // simplification), digits and punctuation are their own runs.
+    // Whitespace split gives 5 tokens (the empty token between the double
+    // space counts, the split(" ") contract everywhere else on the
+    // surface) → fertility 7/5 = 1.4.
+    val dir = docsDir(Seq(
+      (0L, "don't stop  123 now!!", "srcA"),
+      (1L, "aa aa aa", "srcB"))) // repeated pretokens: 3 total, 2 distinct
+    val got = SparkEntry.queries("pretokenize_bpe_regex")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("pretokens"),
+          r.getAs[Long]("distinct_pretokens"), r.getAs[Long]("ws_tokens"),
+          r.getAs[Double]("fertility")))).toMap
+    assert(got("srcA") == ((1L, 7L, 7L, 5L, 1.4)), got("srcA").toString)
+    assert(got("srcB") == ((1L, 3L, 2L, 3L, 1.0)), got("srcB").toString)
+  }
 }
