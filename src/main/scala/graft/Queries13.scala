@@ -121,23 +121,37 @@ object Queries13 {
       // — count-identical across engines even where Java iterates UTF-16
       // units, because no ASCII class member is a surrogate.
       //
-      // Plan: ONE scan, ONE shuffle — per-doc scalars (ws count) ride the
-      // posexplode on pos 0, so totals, the distinct-pretoken count and
-      // the per-doc sums come out of a single grouped aggregation; text
-      // never survives past the extract.
+      // Plan: ONE scan, TWO grouped shuffles — an EXPLICIT two-level
+      // aggregation: first keyed (source, pretoken), vocabulary-bounded
+      // with map-side combine (this grouping IS the distinct; a flat
+      // countDistinct-beside-sums would plan the same two exchanges but
+      // shuffle the full exploded stream), then the O(vocab) source
+      // rollup. Per-doc scalars (ws count, doc marker) ride position 0
+      // through both levels as partial sums. posexplode_OUTER, not
+      // posexplode: the outer form keeps zero-pretoken docs (an empty
+      // text would otherwise vanish in Spark/DuckDB while the python
+      // audit still counts it) AND avoids the implicit size()>0 filter
+      // the non-outer generator plans, which re-evaluates the full-text
+      // regex 2-3× per row across the Filter/Project boundary. Text never
+      // survives past the extract.
       (s, dir) => {
         val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
-        val base = t(s, dir, "documents").select(col("source"),
-          call_function("regexp_extract_all", col("text"), lit(pat), lit(0)).as("pt"),
-          size(split(col("text"), " ")).cast("long").as("ws"))
-        base
-          .select(col("source"), col("ws"), posexplode(col("pt")).as(Seq("pos", "p")))
+        val isDocRow = col("pos").isNull || col("pos") === 0
+        t(s, dir, "documents")
+          .select(col("source"),
+            regexp_extract_all(col("text"), lit(pat), lit(0)).as("pt"),
+            size(split(col("text"), " ")).cast("long").as("ws"))
+          .select(col("source"), col("ws"),
+            posexplode_outer(col("pt")).as(Seq("pos", "p")))
+          .groupBy("source", "p")
+          .agg(count(col("p")).as("cnt"),
+            sum(when(isDocRow, 1L).otherwise(0L)).as("nd"),
+            sum(when(isDocRow, col("ws")).otherwise(0L)).as("wsum"))
           .groupBy("source")
-          .agg(
-            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_docs"),
-            count(lit(1)).as("pretokens"),
-            countDistinct(col("p")).as("distinct_pretokens"),
-            sum(when(col("pos") === 0, col("ws")).otherwise(0L)).as("ws_tokens"))
+          .agg(sum("nd").as("n_docs"),
+            sum("cnt").as("pretokens"),
+            count(col("p")).as("distinct_pretokens"),
+            sum("wsum").as("ws_tokens"))
           .select(col("source"), col("n_docs"), col("pretokens"),
             col("distinct_pretokens"), col("ws_tokens"),
             graft.ext.ExactMath.ratioRounded(
@@ -150,14 +164,20 @@ object Queries13 {
            |    regexp_extract_all(text, '$pat') AS pt,
            |    len(string_split(text, ' ')) AS ws FROM documents),
            |x AS (SELECT source, ws, u.pos AS pos, u.p AS p FROM (
-           |    SELECT source, ws, unnest(list_transform(range(1, len(pt)+1),
-           |      i -> {'pos': i - 1, 'p': pt[i]})) AS u FROM b)),
+           |    SELECT source, ws, unnest(CASE WHEN len(pt) = 0
+           |      THEN [{'pos': CAST(NULL AS BIGINT), 'p': CAST(NULL AS VARCHAR)}]
+           |      ELSE list_transform(range(1, len(pt)+1),
+           |        i -> {'pos': i - 1, 'p': pt[i]}) END) AS u FROM b)),
+           |g1 AS (SELECT source, p, COUNT(p) AS cnt,
+           |    SUM(CASE WHEN pos = 0 OR pos IS NULL THEN 1 ELSE 0 END) AS nd,
+           |    SUM(CASE WHEN pos = 0 OR pos IS NULL THEN ws ELSE 0 END) AS wsum
+           |  FROM x GROUP BY source, p),
            |g AS (SELECT source,
-           |    SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS n_docs,
-           |    COUNT(*) AS pretokens,
-           |    COUNT(DISTINCT p) AS distinct_pretokens,
-           |    SUM(CASE WHEN pos = 0 THEN ws ELSE 0 END) AS ws_tokens
-           |  FROM x GROUP BY source)
+           |    SUM(nd) AS n_docs,
+           |    SUM(cnt) AS pretokens,
+           |    COUNT(p) AS distinct_pretokens,
+           |    SUM(wsum) AS ws_tokens
+           |  FROM g1 GROUP BY source)
            |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
            |  CAST(pretokens AS BIGINT) AS pretokens,
            |  CAST(distinct_pretokens AS BIGINT) AS distinct_pretokens,

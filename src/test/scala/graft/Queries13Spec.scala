@@ -75,7 +75,8 @@ class Queries13Spec extends SparkSpec {
     // surface) → fertility 7/5 = 1.4.
     val dir = docsDir(Seq(
       (0L, "don't stop  123 now!!", "srcA"),
-      (1L, "aa aa aa", "srcB"))) // repeated pretokens: 3 total, 2 distinct
+      (1L, "aa aa aa", "srcB"), // repeated pretokens: 3 total, 2 distinct
+      (2L, "", "srcC"))) // zero pretokens — posexplode_outer keeps the doc
     val got = SparkEntry.queries("pretokenize_bpe_regex")(spark, dir)
       .collect().map(r => r.getAs[String]("source") ->
         ((r.getAs[Long]("n_docs"), r.getAs[Long]("pretokens"),
@@ -83,5 +84,9 @@ class Queries13Spec extends SparkSpec {
           r.getAs[Double]("fertility")))).toMap
     assert(got("srcA") == ((1L, 7L, 7L, 5L, 1.4)), got("srcA").toString)
     assert(got("srcB") == ((1L, 3L, 2L, 3L, 1.0)), got("srcB").toString)
+    // an empty text still COUNTS as a doc (and as 1 ws token — split("")
+    // yields [""] on every engine); the non-outer explode would silently
+    // drop it here while the python audit counted it
+    assert(got("srcC") == ((1L, 0L, 0L, 1L, 0.0)), got("srcC").toString)
   }
 }
