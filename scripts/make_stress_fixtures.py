@@ -89,16 +89,29 @@ def main(out_root: str) -> None:
                     CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END AS user_id,
                     event_type, value, props
              FROM {src('events')}""", f"{skew}/events.parquet")
-    # 30% of docs become a stopword loop; n_chars stays consistent with the
-    # new text so length-derived stats remain honest
+    # 30% of docs become a stopword loop (hot tokens); ANOTHER 30% keep
+    # their distinct text but gain ONE shared boilerplate sentence — the
+    # hot-POSTING shape (one fingerprint/shingle with df ≈ 30% of the
+    # corpus inside otherwise-unrelated docs), the straggler trap for any
+    # whole-partition window keyed on the posting (fingerprint_winnowing /
+    # span_dup_fraction must stay bounded: partial-agg + join-back, r12).
+    # The sentence is 12 tokens, > w + k − 1 = 7, so winnowing GUARANTEES
+    # every planted doc shares a fingerprint. n_chars stays consistent
+    # with the new text so length-derived stats remain honest.
     stop = "the of and a to in that it is was"
+    boiler = ("this document is provided as is without warranty of any "
+              "kind whatsoever")
     copy(f"""SELECT doc_id,
                     CASE WHEN doc_id % 10 < 3
                          THEN repeat('{stop} ', 20) || '{stop}'
+                         WHEN doc_id % 10 < 6
+                         THEN text || ' {boiler}'
                          ELSE text END AS text,
                     lang, source,
                     CASE WHEN doc_id % 10 < 3
                          THEN length(repeat('{stop} ', 20) || '{stop}')
+                         WHEN doc_id % 10 < 6
+                         THEN n_chars + length(' {boiler}')
                          ELSE n_chars END AS n_chars
              FROM {src('documents')}""", f"{skew}/documents.parquet")
     print("done:", sf1, skew)

@@ -2,7 +2,6 @@ package graft
 
 import graft.catalog.TableRegistry
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-13 — document fingerprinting by winnowing (Schleimer, Wilkerson,
@@ -45,21 +44,22 @@ object Queries13 {
       // Scale shape: text is dropped at the first projection (only
       // (doc_id, source, hash, pos) longs ride); per-doc windows are ONE
       // shuffle by doc_id with frames bounded by doc length; the global
-      // min-doc/df pass is ONE shuffle by fingerprint with partitions
-      // bounded by the fingerprint's df (the nearDupFlagsBatch window
-      // discipline — no pair join, no self-join, so a hot fingerprint
-      // costs its posting length, never its posting length squared).
-      // Docs shorter than W + k − 1 tokens keep pos 0's (truncated)
-      // window, so every doc carries ≥ 1 fingerprint.
+      // min-doc/df pass is a groupBy(fp).agg(min, count) + join back, NOT
+      // a whole-partition window — the grouped form gets map-side combine
+      // (a hot boilerplate fingerprint collapses to one partial row per
+      // mapper before the shuffle) and the join-back is AQE-skew-splittable,
+      // where a Window.partitionBy(fp) would ship the hot posting's every
+      // row to one unsplittable task. Docs shorter than W + k − 1 tokens
+      // keep pos 0's (truncated) window, so every doc carries ≥ 1
+      // fingerprint.
       (s, dir) => {
         // k = 4-token shingles, w = 4-hash winnowing window (ext.Winnow
         // holds the selection core, shared with PropertySpec's randomized
         // guarantee sweep)
         val fp = graft.ext.Winnow.fingerprintFrame(t(s, dir, "documents"))
-        val byFp = Window.partitionBy("fp")
-        fp
-          .withColumn("min_doc", min("doc_id").over(byFp))
-          .withColumn("fp_df", count(lit(1)).over(byFp))
+        val fpStats = fp.groupBy("fp")
+          .agg(min("doc_id").as("min_doc"), count(lit(1)).as("fp_df"))
+        fp.join(fpStats, "fp")
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("n_fp"),
             max((col("min_doc") < col("doc_id")).cast("long")).as("flag"),

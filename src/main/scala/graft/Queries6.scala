@@ -192,10 +192,14 @@ object Queries6 {
       // document — the classic boilerplate/template signal
       // (quality_repetition is the within-doc counterpart). Scale shape:
       // per-doc dedup happens BEFORE the explode (array_distinct — no
-      // shuffle), the cross-doc count is ONE count-over-window on a 64-bit
-      // shingle hash (shuffle rows are (long,long), never shingle bodies),
-      // and the per-doc rollup is the only other exchange — all linear in
-      // corpus size, no pairwise comparison, no join.
+      // shuffle), the cross-doc count is a groupBy(shh).count + join back
+      // on the 64-bit shingle hash (shuffle rows are (long,long), never
+      // shingle bodies) — the grouped form gets map-side combine, so a hot
+      // boilerplate shingle collapses to per-mapper partials before the
+      // shuffle, and the join-back is AQE-skew-splittable, where a
+      // Window.partitionBy(shh) would put the hot posting on one
+      // unsplittable task — and the per-doc rollup is the only other
+      // exchange: all linear in corpus size, no pairwise comparison.
       // (the 30-bit poly-hash kernel is NOT usable here: the distinct and
       // the cross-doc count are over shingle IDENTITY, and mod-1e9+7 would
       // merge ~n²/2e9 shingle pairs — xxhash64's 64 bits keep collision
@@ -205,8 +209,8 @@ object Queries6 {
           .select(col("doc_id"),
             explode(array_distinct(Dedup.shingles(col("text"), 4))).as("sh"))
           .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-        sh.withColumn("ndocs",
-            count(lit(1)).over(Window.partitionBy("shh")))
+        val df = sh.groupBy("shh").agg(count(lit(1)).as("ndocs"))
+        sh.join(df, "shh")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))

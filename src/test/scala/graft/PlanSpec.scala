@@ -402,11 +402,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("fingerprint_winnowing: no join, text pruned at the scan, bounded exchanges") {
-    // The winnowed-index shape: per-doc windows + ONE global fingerprint
-    // window + two aggregations — a pair/self JOIN anywhere would be the
-    // posting² trap the key exists to avoid, and the scan must read only
-    // (doc_id, text, source), never lang/n_chars.
+  test("fingerprint_winnowing: text pruned at the scan, no posting window, no posting² join") {
+    // The winnowed-index shape: per-doc windows + a grouped min/df pass on
+    // the fingerprint + equi-join back. A CartesianProduct or nested-loop
+    // pair join would be the posting² trap the key exists to avoid, and the
+    // scan must read only (doc_id, text, source), never lang/n_chars.
     // FRESH path, not sfDir: PropertySpec caches the sfDir documents table
     // in the shared session, and a cache-hit swaps the parquet scan for an
     // InMemoryTableScan whose BUILD plan reads every column — the ReadSchema
@@ -419,13 +419,34 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("fingerprint_winnowing")(spark, freshDir)
     df.collect() // finalize under AQE
     val plan = planOf(df)
-    assert(!plan.contains("Join"), plan)
-    val finalPlan = plan.split("== Initial Plan ==").head
-    // doc_id window → fp window → (doc,source) agg → source agg → sort
-    assert("Exchange".r.findAllIn(finalPlan).size <= 5, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
     assert(readSchema.contains("doc_id") && readSchema.contains("text")
       && readSchema.contains("source"), readSchema)
     assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("posting-frequency family: partial aggregate feeds the shuffle, windows only doc-bounded") {
+    // fingerprint_winnowing / span_dup_fraction: the global posting-frequency
+    // pass must be groupBy(postingKey).agg + join-back — map-side combine
+    // collapses a hot boilerplate fingerprint/shingle to one partial row per
+    // mapper BEFORE the shuffle, and the join-back is AQE-skew-splittable.
+    // The previous Window.partitionBy(fp|shh) form shipped every row of a
+    // hot posting to ONE unsplittable task: at 100 TB a boilerplate shingle
+    // in 10% of docs makes one data-proportional straggler partition.
+    for (key <- Seq("fingerprint_winnowing", "span_dup_fraction")) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      df.collect() // finalize under AQE
+      val plan = planOf(df).split("== Initial Plan ==").head
+      // map-side combine exists: a partial_count-mode HashAggregate
+      assert(plan.contains("partial_count"), s"$key: no map-side combine:\n$plan")
+      // any surviving Window partitions by doc_id only (frames bounded by
+      // doc length) — never by the data-proportional posting key
+      val winKeys = "windowspecdefinition\\(([A-Za-z_]+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(winKeys.subsetOf(Set("doc_id")), s"$key windows on $winKeys:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$key: unbounded pair join:\n$plan")
+    }
   }
 }
