@@ -492,16 +492,23 @@ object Queries {
 
     QSpec("window_running_sum",
       // frame-spec window (rowsBetween) — not in the reference; ordered
-      // running total per group over a deterministic key
+      // running total per group over a deterministic key. The o_orderkey
+      // < 300 cut bounds the declared surface, and because the frame is a
+      // PREFIX of the same o_orderkey order, a surviving row's running sum
+      // only ever saw rows that also survive — the filter commutes with
+      // the window, so it runs BEFORE it (pushed to the scan) and the
+      // per-status window partitions stay constant-size instead of a third
+      // of the table on one task (o_orderstatus has 3 values — Catalyst
+      // cannot push a filter through a window itself; r12 hot-key audit).
       (s, dir) => t(s, dir, "orders")
         .select(col("o_orderstatus"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .where(col("o_orderkey") < 300)
         .withColumn("running",
           sum(col("p")).over(Window.partitionBy("o_orderstatus")
             .orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("o_orderstatus"), col("o_orderkey"),
           round(col("running").cast("double"), 2).as("running"))
-        .where(col("o_orderkey") < 300)
         .orderBy("o_orderstatus", "o_orderkey"),
       Some(
         """SELECT o_orderstatus, o_orderkey,

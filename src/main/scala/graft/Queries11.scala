@@ -250,18 +250,28 @@ object Queries11 {
       // length (shortest-first — the classic easy-to-hard proxy), then
       // interleave sources round-robin by (rank, source) so every training
       // prefix mixes all sources at matched difficulty. Surface = the
-      // first 50 schedule positions. Scale shape: the per-source rank is a
-      // source-partitioned window (parallel across sources); the global
+      // first 50 schedule positions. Scale shape: position 50 of the
+      // (rank, source) interleave needs per-source rank ≤ 50, so the
+      // per-source rank comes from the bounded-heap TopKRows aggregate
+      // (≤ 50 rows per source per MAP partition ride the shuffle) — never
+      // a row_number window over the corpus partitioned by the ~20-value
+      // source key, which would sort a source's every doc on one
+      // unsplittable task (r12 hot-key window audit). The global
       // interleave order is only MATERIALIZED for the constant-size head
       // (TakeOrdered 50, then a 50-row window for positions) — at full
-      // scale the schedule is a sorted WRITE on the same (rn, source) key,
-      // never a single-partition window.
+      // scale the schedule is a sorted WRITE on the same (rn, source) key.
       (s, dir) => {
+        import graft.functions.TopKRows.topKRows
+        // heap order is (first field DESC, rest ASC): negate n_chars for
+        // shortest-first; doc_id breaks length ties ascending
         val r = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id")))
-            .cast("long"))
+          .groupBy("source")
+          .agg(topKRows(struct((-col("n_chars")).as("neg"), col("doc_id"),
+            col("n_chars")), 50).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("col.doc_id").as("doc_id"), col("source"),
+            col("col.n_chars").as("n_chars"), (col("pos") + 1).cast("long").as("rn"))
         r.orderBy(col("rn"), col("source")).limit(50)
           .withColumn("position",
             row_number().over(Window.orderBy(col("rn"), col("source"))).cast("long"))
@@ -311,18 +321,33 @@ object Queries11 {
       // (n_chars); a doc is selected exactly when its weight interval
       // crosses a multiple of step = max(1, source_total div 16) — docs
       // are picked proportionally to weight, ~16 per source, same picks on
-      // every engine and every re-run. One shuffle (the source-partitioned
-      // window serves both the running and total sums); all arithmetic
-      // integer-exact. Output is O(sources × 16) at ANY corpus size.
+      // every engine and every re-run; all arithmetic integer-exact.
+      // Output is O(sources × 16) at ANY corpus size. The running sum is a
+      // TWO-LEVEL prefix (the vocab_growth_curve discipline): per-doc
+      // weights window inside 8192-doc-id buckets (parallel across
+      // buckets), only the per-bucket totals — corpus/8192 rows — prefix
+      // within a source, and source totals ride a broadcast groupBy — so
+      // no window ever sees a source-proportional row count (source is a
+      // ~20-value key: the unsplittable-partition trap, r12 hot-key
+      // window audit).
       (s, dir) => {
-        val byId = Window.partitionBy("source").orderBy("doc_id")
-        val all = Window.partitionBy("source")
-        t(s, dir, "documents")
+        val d = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("cum_w", sum("n_chars").over(
-            byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("step",
-            greatest(lit(1L), expr("sum(n_chars) over (partition by source) div 16")))
+          .withColumn("bkt", expr("doc_id div 8192"))
+        val inBkt = Window.partitionBy("source", "bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bktPrefix = d.groupBy("source", "bkt")
+          .agg(sum("n_chars").as("bt"))
+          .withColumn("prev", coalesce(sum("bt").over(
+            Window.partitionBy("source").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bkt", "prev")
+        val totals = d.groupBy("source").agg(sum("n_chars").as("src_total"))
+        d.withColumn("cum_in", sum("n_chars").over(inBkt))
+          .join(bktPrefix, Seq("source", "bkt"))
+          .join(broadcast(totals), "source")
+          .withColumn("cum_w", col("prev") + col("cum_in"))
+          .withColumn("step", greatest(lit(1L), expr("src_total div 16")))
           .where(expr("cum_w div step") > expr("(cum_w - n_chars) div step"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("cum_w"), col("step"))

@@ -387,23 +387,35 @@ object Queries4 {
           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     QSpec("window_rank_family",
-      // The analytic-rank family in one pass: rank / dense_rank /
-      // percent_rank / cume_dist per status over a total order, top-5 rows
-      // per partition. One window spec → one sort, all four functions
-      // computed together.
+      // The analytic-rank family per status over a total order, top-5 rows
+      // per partition. The order (price DESC, orderkey ASC) is TOTAL — no
+      // (price, key) pair repeats — so rank and dense_rank coincide with
+      // row_number, percent_rank = (rn−1)/(n−1) and cume_dist = rn/n with
+      // n the partition size. That identity is what makes the key
+      // scale-safe: the top-5 cut comes from the bounded-heap TopKRows
+      // aggregate (≤ 5 rows per group per MAP partition ride the shuffle)
+      // and n rides a broadcast groupBy count — where the window form
+      // sorts a third of the table on one task (o_orderstatus has 3
+      // values: the unsplittable-partition trap, r12 hot-key audit). The
+      // division expressions are byte-identical to what percent_rank /
+      // cume_dist evaluate, so the oracle's real window functions agree
+      // bit-for-bit.
       (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus")
-          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        t(s, dir, "orders")
-          .select(col("o_orderstatus"), col("o_orderkey"),
-            row_number().over(w).as("rn"),
-            rank().over(w).cast("long").as("rnk"),
-            dense_rank().over(w).cast("long").as("drnk"),
-            round(percent_rank().over(w), 6).as("prnk"),
-            round(cume_dist().over(w), 6).as("cdist"))
-          .where(col("rn") <= 5)
-          .select(col("o_orderstatus"), col("rn").cast("int").as("rn"),
-            col("o_orderkey"), col("rnk"), col("drnk"), col("prnk"), col("cdist"))
+        import graft.functions.TopKRows.topKRows
+        val o = t(s, dir, "orders")
+        val n = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        o.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(topKRows(struct(col("o_totalprice"), col("o_orderkey")), 5).as("top"))
+          .select(col("o_orderstatus"), posexplode(col("top")))
+          .join(broadcast(n), "o_orderstatus")
+          .select(col("o_orderstatus"),
+            (col("pos") + 1).cast("int").as("rn"),
+            col("col.o_orderkey").as("o_orderkey"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            (col("pos") + 1).cast("long").as("drnk"),
+            round(col("pos").cast("double") / (col("n") - 1).cast("double"), 6).as("prnk"),
+            round((col("pos") + 1).cast("double") / col("n").cast("double"), 6).as("cdist"))
           .orderBy("o_orderstatus", "rn")
       },
       Some(
@@ -474,21 +486,28 @@ object Queries4 {
           |FROM msigned GROUP BY 1 ORDER BY split""".stripMargin)),
 
     QSpec("transform_zscore",
-      // Group-wise z-score normalization via window aggregates with the
-      // variance written out explicitly — (ss - s²/n)/(n-1) over integral
-      // quantities is exact in double on both engines, and sqrt is
-      // IEEE-correctly-rounded, so the whole expression tree is
-      // bit-reproducible (the built-in stddev's Welford order wouldn't be).
-      // One window spec → one shuffle keyed on the group.
+      // Group-wise z-score normalization with the variance written out
+      // explicitly — (ss - s²/n)/(n-1) over integral quantities is exact in
+      // double on both engines (integer-valued doubles sum exactly below
+      // 2^53, in ANY order — which is what licenses the partial-aggregable
+      // form), and sqrt is IEEE-correctly-rounded, so the whole expression
+      // tree is bit-reproducible (the built-in stddev's Welford order
+      // wouldn't be). Group stats ride a groupBy + broadcast join back —
+      // NOT a whole-partition window: l_returnflag has 3 values, so
+      // Window.partitionBy would put a third of the table on one
+      // unsplittable task, while the grouped form combines map-side and
+      // lets the row-side l_orderkey filter push to the scan (r12 hot-key
+      // window audit).
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-        t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"),
-            count(lit(1)).over(w).as("n"),
-            sum(col("l_quantity")).over(w).as("s"),
-            sum(col("l_quantity") * col("l_quantity")).over(w).as("ss"))
+        val li = t(s, dir, "lineitem")
+        val stats = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("s"),
+            sum(col("l_quantity") * col("l_quantity")).as("ss"))
+        li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
           .where(col("l_orderkey") < 500)
+          .join(broadcast(stats), "l_returnflag")
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"),
             round((col("l_quantity") - col("s") / col("n")) /
@@ -636,19 +655,32 @@ object Queries4 {
           |ORDER BY nationkey""".stripMargin)),
 
     QSpec("window_range_frame",
-      // RANGE frame (value-based, not row-based): per status, count of
-      // orders within 1000.00 of each order's price — the frame bound is a
-      // VALUE distance, so peers enter/leave by price, not position. One
-      // sort per partition serves every row's frame (sliding, not
-      // recomputed). Output bounded to o_orderkey < 300.
+      // RANGE-frame semantics (value-based peers): per status, count of
+      // orders within 1000.00 of each order's price. The probe set is
+      // declaration-bounded (o_orderkey < 300), so the scale-correct plan
+      // is a broadcast range join — every corpus row checked against the
+      // constant-size probe set in one scan-side pass with a partial-
+      // aggregable count — not a Window.rangeBetween over the corpus,
+      // which would sort a third of the table on one task per status
+      // (3-value partition key; r12 hot-key window audit). The ±1000
+      // bound arithmetic is the same IEEE double add the window frame
+      // would evaluate, so boundary rows agree bit-for-bit with the
+      // oracle's real RANGE window.
       (s, dir) => {
-        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-          .rangeBetween(-1000L, 1000L)
-        t(s, dir, "orders")
-          .select(col("o_orderstatus"), col("o_orderkey"),
-            round(col("o_totalprice"), 2).as("price"),
-            count(lit(1)).over(w).as("n_near"))
-          .where(col("o_orderkey") < 300)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        val probes = o.where(col("o_orderkey") < 300)
+          .select(col("o_orderstatus").as("p_status"),
+            col("o_orderkey").as("p_key"), col("o_totalprice").as("p_price"))
+        o.join(broadcast(probes),
+            col("o_orderstatus") === col("p_status") &&
+              col("o_totalprice") >= col("p_price") - lit(1000.0d) &&
+              col("o_totalprice") <= col("p_price") + lit(1000.0d))
+          .groupBy("p_status", "p_key", "p_price")
+          .agg(count(lit(1)).as("n_near"))
+          .select(col("p_status").as("o_orderstatus"),
+            col("p_key").as("o_orderkey"),
+            round(col("p_price"), 2).as("price"), col("n_near"))
           .orderBy("o_orderstatus", "o_orderkey")
       },
       Some(

@@ -196,16 +196,30 @@ object Queries5 {
       // Loader-side dynamic batching: docs bucketed by token length (floor
       // to 16) and numbered into fixed-size batches of 8 within each
       // (source, bucket) — similar-length sequences batch together, so
-      // padding waste is bounded by the bucket width. The window partitions
-      // by (source, bucket): parallel across shards like pack_sequences,
-      // never a global sort.
+      // padding waste is bounded by the bucket width. Most corpora pile up
+      // around the modal length, so a (source, bucket) partition is
+      // data-proportional — the in-batch number is therefore a TWO-LEVEL
+      // count (the vocab_growth_curve discipline): row_number inside
+      // 8192-doc-id sub-buckets (bounded frames, parallel), plus a prefix
+      // over the per-sub counts — corpus/8192 rows per (source, bucket) —
+      // so no window ever sorts a hot length bucket on one task (r12
+      // hot-key window audit).
       (s, dir) => {
         val d = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).as("n_tok"))
           .withColumn("bucket", (expr("n_tok div 16") * 16).cast("int"))
-        val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
-        d.withColumn("rn", row_number().over(w))
+          .withColumn("sub", expr("doc_id div 8192"))
+        val inSub = Window.partitionBy("source", "bucket", "sub").orderBy("doc_id")
+        val subPrefix = d.groupBy("source", "bucket", "sub")
+          .agg(count(lit(1)).as("sc"))
+          .withColumn("prev", coalesce(sum("sc").over(
+            Window.partitionBy("source", "bucket").orderBy("sub")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bucket", "sub", "prev")
+        d.withColumn("rn_in", row_number().over(inSub))
+          .join(subPrefix, Seq("source", "bucket", "sub"))
+          .withColumn("rn", col("prev") + col("rn_in"))
           .withColumn("batch_id", expr("(rn - 1) div 8").cast("int"))
           .groupBy("source", "bucket", "batch_id")
           .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),

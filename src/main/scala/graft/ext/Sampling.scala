@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data pipelines (north-star
@@ -47,12 +46,25 @@ object Sampling {
     df.where(idHash(col(idCol)) % lit(1000L) < quotaPerMille)
 
   /** Exact-k-per-stratum sampling: the k rows with the smallest id-hash in
-    * each stratum (deterministic "reservoir"); hash ties broken by id. One
-    * shuffle on the stratum key. */
+    * each stratum (deterministic "reservoir"); hash ties broken by id.
+    * `idCol` must be integral and unique across the frame (the pick-set
+    * join keys on it alone). The pick set comes from the bounded-heap
+    * TopKRows aggregate over (id-hash, id) — ≤ k ids per stratum per MAP
+    * partition ride the shuffle, and the full rows (which may carry text
+    * bodies the heap can't hold) come back via a broadcast semi-join
+    * against the O(strata × k) pick set. A row_number window here would
+    * sort every row of a stratum on one task (strata are few — the
+    * unsplittable-partition trap, r12 hot-key window audit). */
   def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
-    require(!df.columns.contains("_rn"),
-      "topKPerStratum reserves column name '_rn'; rename it on the input")
-    val w = Window.partitionBy(col(stratumCol)).orderBy(idHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
+    import graft.functions.TopKRows.topKRows
+    // heap order is (first field DESC, rest ASC): negate the hash for
+    // smallest-first; id breaks hash ties ascending
+    val picked = df
+      .select(col(stratumCol), col(idCol))
+      .groupBy(stratumCol)
+      .agg(topKRows(struct((-idHash(col(idCol))).as("neg"), col(idCol)), k).as("top"))
+      .select(explode(col("top")).as("r"))
+      .select(col(s"r.$idCol").as("_graft_pick"))
+    df.join(broadcast(picked), col(idCol) === col("_graft_pick"), "left_semi")
   }
 }

@@ -262,20 +262,37 @@ object TextAnalysis {
     * pretraining layout, where a document may continue into the next
     * sequence).
     *
-    * The running sum is windowed PER SHARD (`shardCol`), so packing
-    * parallelizes across shards instead of forcing a global single-partition
-    * sort — the 100 TB posture (real pipelines pack per worker/shard anyway;
-    * a global pack order is neither needed nor reproducible there). */
+    * The running sum parallelizes PER SHARD (`shardCol`) — never a global
+    * single-partition sort (real pipelines pack per worker/shard anyway; a
+    * global pack order is neither needed nor reproducible there) — and a
+    * shard's own prefix is TWO-LEVEL (the vocab_growth_curve discipline):
+    * per-doc token counts window inside 8192-doc-id buckets (bounded
+    * frames, parallel across buckets), and only the per-bucket totals —
+    * shard/8192 rows — prefix within the shard. A shard can be a handful
+    * of sources, i.e. data-proportional, so a plain shard-partitioned
+    * window would put a shard's every doc on one unsplittable task (r12
+    * hot-key window audit). */
   def packSequences(docs: DataFrame, shardCol: String, budget: Int): DataFrame = {
     // budget 0 would be a mid-stage divide-by-zero under ANSI and silent
     // NULL seq_ids otherwise — refuse driver-side like sampleFramesStub
     require(budget > 0, s"packSequences budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
-    val before = Window.partitionBy(shardCol).orderBy("doc_id")
+    val d = docs
+      .select(col("doc_id"), col(shardCol), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("_sub", expr("doc_id div 8192"))
+    val inSub = Window.partitionBy(shardCol, "_sub").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(shardCol), size(tokens(col("text"))).as("n_tok"))
-      .withColumn("offset", coalesce(sum(col("n_tok")).over(before), lit(0L)))
+    val subPrefix = d.groupBy(shardCol, "_sub")
+      .agg(sum("n_tok").as("st"))
+      .withColumn("_prev", coalesce(sum("st").over(
+        Window.partitionBy(shardCol).orderBy("_sub")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(shardCol), col("_sub"), col("_prev"))
+    d.withColumn("off_in", coalesce(sum(col("n_tok")).over(inSub), lit(0L)))
+      .join(subPrefix, Seq(shardCol, "_sub"))
+      .withColumn("offset", col("_prev") + col("off_in"))
       .withColumn("seq_id", expr(s"offset div $budget"))
+      .select(col("doc_id"), col(shardCol), col("n_tok"), col("offset"), col("seq_id"))
       .orderBy(shardCol, "doc_id")
   }
 

@@ -426,6 +426,49 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
   }
 
+  test("r12 window-audit conversions: no data-proportional window partitions remain") {
+    // Converted from whole-partition windows on low-cardinality / hot-able
+    // keys (status, returnflag, user_id, stratum) to partial-aggregable
+    // groupBy + broadcast join back: no Window operator at all, and the
+    // aggregate must combine map-side.
+    for ((key, partialFn) <- Seq(
+        "cdc_merge_upsert" -> "partial_max_by",
+        "transform_zscore" -> "partial_count",
+        "window_rank_family" -> "partial_topkrows",
+        "window_range_frame" -> "partial_count")) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      df.collect() // finalize under AQE
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(!plan.contains("Window"), s"$key: window survived:\n$plan")
+      assert(plan.contains(partialFn), s"$key: no map-side combine ($partialFn):\n$plan")
+    }
+    // Two-level prefix keys: every remaining window is sub-bucketed (its
+    // spec mentions the bucket column), so no frame is corpus-proportional.
+    for ((key, bucketCol) <- Seq(
+        "sample_weight_systematic" -> "bkt",
+        "length_bucket_batches" -> "sub",
+        "pack_sequences" -> "_sub")) {
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      df.collect()
+      val plan = planOf(df).split("== Initial Plan ==").head
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+      assert(specs.nonEmpty, s"$key: expected sub-bucketed windows:\n$plan")
+      specs.foreach(sp =>
+        assert(sp.contains(bucketCol), s"$key window not sub-bucketed: $sp"))
+    }
+    // window_running_sum: the declared-surface cut commutes with the prefix
+    // frame and must reach the scan BELOW the window
+    val wrs = SparkEntry.queries("window_running_sum")(spark, sfDir)
+    assert(planOf(wrs).contains("LessThan(o_orderkey,300)"), planOf(wrs))
+    // sample_topk_stratum: heap pick set + broadcast semi-join, no
+    // row_number window over the stratum
+    val sts = SparkEntry.queries("sample_topk_stratum")(spark, sfDir)
+    sts.collect()
+    val splan = planOf(sts).split("== Initial Plan ==").head
+    assert(!splan.contains("Window"), splan)
+    assert(splan.contains("partial_topkrows") && splan.contains("BroadcastHashJoin"), splan)
+  }
+
   test("posting-frequency family: partial aggregate feeds the shuffle, windows only doc-bounded") {
     // fingerprint_winnowing / span_dup_fraction: the global posting-frequency
     // pass must be groupBy(postingKey).agg + join-back — map-side combine
