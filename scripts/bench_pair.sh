@@ -30,8 +30,33 @@ git worktree add --detach "$WT" "$REF" >/dev/null
 
 loadavg() { cut -d' ' -f1 /proc/loadavg; }
 
+# loadavg guard (r11 verdict #6, shared with bench_triple.sh): wait out a
+# concurrent job before each timed leg instead of letting it skew one tree
+GUARD_LOADAVG="${GUARD_LOADAVG:-4.0}"
+GUARD_MAX_WAIT_SEC="${GUARD_MAX_WAIT_SEC:-300}"
+GUARD_BREACHES=0
+
+guard_load() {
+  local waited=0 l
+  while :; do
+    l="$(loadavg)"
+    if python3 -c "import sys; sys.exit(0 if float('$l') < float('$GUARD_LOADAVG') else 1)"; then
+      return 0
+    fi
+    if [ "$waited" -ge "$GUARD_MAX_WAIT_SEC" ]; then
+      echo "guard: loadavg $l still >= $GUARD_LOADAVG after ${waited}s — running anyway" >&2
+      GUARD_BREACHES=$((GUARD_BREACHES + 1))
+      return 0
+    fi
+    echo "guard: loadavg $l >= $GUARD_LOADAVG — waiting 15s" >&2
+    sleep 15
+    waited=$((waited + 15))
+  done
+}
+
 run_bench() { # $1 = tree dir, $2 = label
   local dir="$1" label="$2" load line
+  guard_load
   load="$(loadavg)"
   line="$(cd "$dir" && SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1)"
@@ -55,7 +80,8 @@ W1="$(run_bench "$REPO" working)"
 B2="$(run_bench "$WT"   baseline)"
 W2="$(run_bench "$REPO" working)"
 
-python3 - "$REF" "$SF" "$B1" "$B2" "$W1" "$W2" <<'EOF'
+python3 - "$REF" "$SF" "$B1" "$B2" "$W1" "$W2" \
+    "$GUARD_LOADAVG" "$GUARD_MAX_WAIT_SEC" "$GUARD_BREACHES" <<'EOF'
 import json, sys
 ref, sf = sys.argv[1], sys.argv[2]
 b = min(float(sys.argv[3]), float(sys.argv[4]))
@@ -66,5 +92,9 @@ print(json.dumps({
     "delta_pct": round(100.0 * (w - b) / b, 1) if b else None,
     "runs": {"baseline": [float(sys.argv[3]), float(sys.argv[4])],
              "working": [float(sys.argv[5]), float(sys.argv[6])]},
-    "protocol": "interleaved min-of-2 per tree, same host, same session"}))
+    "load_guard": {"threshold": float(sys.argv[7]),
+                   "max_wait_sec": int(sys.argv[8]),
+                   "breaches": int(sys.argv[9])},
+    "protocol": "interleaved min-of-2 per tree, same host, same session, "
+                "loadavg-guarded legs"}))
 EOF

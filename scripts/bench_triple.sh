@@ -36,8 +36,36 @@ git worktree add --detach "$WTB" "$REFB" >/dev/null
 
 loadavg() { cut -d' ' -f1 /proc/loadavg; }
 
+# loadavg guard (r11 verdict #6): a concurrent job at a timed leg's start
+# skews that ONE tree by up to ~50% while the interleave only protects
+# against drift hitting all trees equally. Before each timed leg, wait (up
+# to GUARD_MAX_WAIT_SEC) for 1-min loadavg to fall under GUARD_LOADAVG;
+# if it never does, run anyway but record the breach in the summary.
+GUARD_LOADAVG="${GUARD_LOADAVG:-4.0}"
+GUARD_MAX_WAIT_SEC="${GUARD_MAX_WAIT_SEC:-300}"
+GUARD_BREACHES=0
+
+guard_load() { # blocks until loadavg < GUARD_LOADAVG or timeout
+  local waited=0 l
+  while :; do
+    l="$(loadavg)"
+    if python3 -c "import sys; sys.exit(0 if float('$l') < float('$GUARD_LOADAVG') else 1)"; then
+      return 0
+    fi
+    if [ "$waited" -ge "$GUARD_MAX_WAIT_SEC" ]; then
+      echo "guard: loadavg $l still >= $GUARD_LOADAVG after ${waited}s — running anyway" >&2
+      GUARD_BREACHES=$((GUARD_BREACHES + 1))
+      return 0
+    fi
+    echo "guard: loadavg $l >= $GUARD_LOADAVG — waiting 15s" >&2
+    sleep 15
+    waited=$((waited + 15))
+  done
+}
+
 run_bench() { # $1 = tree dir, $2 = label
   local dir="$1" label="$2" load line
+  guard_load
   load="$(loadavg)"
   line="$(cd "$dir" && SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep -o '{"metric".*}' | tail -1)"
@@ -64,7 +92,8 @@ A2="$(run_bench "$WTA"  "$LABA")"
 B2="$(run_bench "$WTB"  "$LABB")"
 W2="$(run_bench "$REPO" working)"
 
-python3 - "$REFA" "$LABA" "$REFB" "$LABB" "$SF" "$A1" "$A2" "$B1" "$B2" "$W1" "$W2" <<'EOF'
+python3 - "$REFA" "$LABA" "$REFB" "$LABB" "$SF" "$A1" "$A2" "$B1" "$B2" "$W1" "$W2" \
+    "$GUARD_LOADAVG" "$GUARD_MAX_WAIT_SEC" "$GUARD_BREACHES" <<'EOF'
 import json, sys
 refa, laba, refb, labb, sf = sys.argv[1:6]
 a = min(float(sys.argv[6]), float(sys.argv[7]))
@@ -79,5 +108,9 @@ print(json.dumps({
     "runs": {laba: [float(sys.argv[6]), float(sys.argv[7])],
              labb: [float(sys.argv[8]), float(sys.argv[9])],
              "working": [float(sys.argv[10]), float(sys.argv[11])]},
-    "protocol": "interleaved min-of-2 per tree, three-way, same host, same session"}))
+    "load_guard": {"threshold": float(sys.argv[12]),
+                   "max_wait_sec": int(sys.argv[13]),
+                   "breaches": int(sys.argv[14])},
+    "protocol": "interleaved min-of-2 per tree, three-way, same host, "
+                "same session, loadavg-guarded legs"}))
 EOF

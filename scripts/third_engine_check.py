@@ -2319,12 +2319,13 @@ check("parse_query_columns", pd.DataFrame(
      for (kd, n2), v in sorted(acc.items())]))
 
 # parse_trino_dialect: hand-derived sqlglot-equivalent ground truth for the
-# eleven canned Trino-only texts (Queries9.trinoDialectTexts) — one row per
+# twelve canned Trino-only texts (Queries9.trinoDialectTexts) — one row per
 # (text, kind, name). Independent hand derivation: read each text, apply
 # Trino semantics (ARRAY[...] is a literal, "x" is an identifier, UNNEST's
 # argument columns are references, AT TIME ZONE is an operator over both
-# operands, ROW(...)/TRY(...) are plain calls), list what sqlglot would
-# extract.
+# operands, ROW(...)/TRY(...) are plain calls, MATCH_RECOGNIZE ranges over
+# its single FROM-clause input and its pattern variables are not columns),
+# list what sqlglot would extract.
 TRINO_REFS = [
     (0, "table", "events", 1), (0, "where_col", "user_id", 1),
     (1, "table", "orders", 1), (1, "where_col", "o_totalprice", 1),
@@ -2340,6 +2341,7 @@ TRINO_REFS = [
     (8, "where_col", "o_clerk", 1), (8, "where_col", "o_custkey", 1),
     (9, "table", "events", 1), (9, "where_col", "props", 1),
     (10, "table", "orders", 1), (10, "where_col", "o_custkey", 1),
+    (11, "table", "events", 1), (11, "where_col", "user_id", 1),
 ]
 check("parse_trino_dialect", pd.DataFrame(
     [{"qk": np.int32(qk), "kind": kd, "name": n2, "cnt": np.int64(c_)}

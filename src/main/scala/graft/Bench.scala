@@ -136,9 +136,11 @@ object Bench {
     // write with an unconditional advertisement would hand the artifact
     // builder a STALE previous run's map with no warning
     val perkeyWritten =
+      // bench must never sink on a read-only CWD — but only NonFatal
+      // errors degrade to "no perkey file"; an OOM/VM error must propagate
       try { java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
         (perQueryLine + "\n").getBytes("UTF-8")); true }
-      catch { case _: Throwable => false } // bench must never sink on a read-only CWD
+      catch { case scala.util.control.NonFatal(_) => false }
     // one-time session cost (JIT + codegen + cache builds), as its own metric
     // line so it can be tracked round-over-round without polluting the total
     println(s"""{"metric":"warmup_sec","value":${fmt(warmupSec)},"unit":"sec","sf":"$sfName"}""")

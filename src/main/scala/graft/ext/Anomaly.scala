@@ -4,9 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Robust per-group outlier screening (median + MAD) in its production
-  * form. Reference behavior: the reference's dashboards surface per-type
-  * resource outliers from the Trino query log (ui/app.py); here the screen
-  * is a reusable three-pass plan over any (group, value) frame.
+  * form. This is an EXTENSION beyond the reference's artifact set: the
+  * reference's dashboards (ui/app.py) render resource scores and bar
+  * charts but carry no outlier/median/MAD logic, and `anomaly_metrics` is
+  * an eighth artifact ReportExporter adds on top of the reference's
+  * save_analysis_results set. The screen itself is a reusable three-pass
+  * plan over any (group, value) frame — the observability layer a
+  * workload advisor pointed at a real query log wants.
   */
 object Anomaly {
 

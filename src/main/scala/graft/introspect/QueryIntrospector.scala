@@ -169,15 +169,26 @@ object QueryIntrospector {
     * parse in Spark dialect as unresolved functions with their argument
     * columns intact, and `LISTAGG … WITHIN GROUP (ORDER BY …)` parses
     * natively since Spark 4's listagg (both pinned in IntrospectorSpec
-    * and the parse_trino_dialect oracle key). Still unsupported, by
-    * design (degrade-to-empty like the reference's sqlglot warn-and-skip):
-    * `MATCH_RECOGNIZE`, `ROW`/structural TYPES in casts (`CAST(x AS
-    * ROW(a int))`).
+    * and the parse_trino_dialect oracle key).
+    *   - `MATCH_RECOGNIZE ( … )` is STRIPPED (balanced-paren scan over the
+    *     literal-masked text): the clause names no tables — its pattern
+    *     variables, MEASURES and DEFINE expressions all range over the one
+    *     FROM-clause input — so removing it preserves exactly the table
+    *     refs the reference's sqlglot parse surfaces
+    *     (partitioning.py:89-97 parses these logs fine), where the old
+    *     degrade-to-empty dropped the whole statement's usage rows; the
+    *     MEASURE aliases a SELECT list may reference survive as plain
+    *     unresolved columns, and pattern-clause idents can't leak because
+    *     the whole clause is gone before the parse.
+    * Still unsupported, by design (degrade-to-empty like the reference's
+    * sqlglot warn-and-skip on genuinely unparseable text):
+    * `ROW`/structural TYPES in casts (`CAST(x AS ROW(a int))`).
     * String literals are masked during every rewrite — their content is
     * untouchable. */
   private[graft] def trinoToSpark(sql: String): String = {
     val (masked, lits) = maskLiterals(sql)
     var s = masked
+    s = stripMatchRecognize(s)
     // the boundary lookbehind matters: `tags_array[1]` is a SUBSCRIPT on a
     // real column — rewriting its tail to `tags_array(1)` would erase the
     // column reference the shim exists to preserve
@@ -205,6 +216,34 @@ object QueryIntrospector {
       s"(?i)\\(($inner\\s+AS\\s+)VARBINARY\\s*\\)", "($1BINARY)")
     s = rewriteUnnest(s)
     unmaskLiterals(s, lits)
+  }
+
+  /** Remove every `MATCH_RECOGNIZE ( … )` clause from literal-masked text
+    * via a balanced-paren scan (regex can't balance; literals are already
+    * masked so parens inside strings can't break the count). The clause
+    * names no tables, so stripping it preserves the FROM-clause refs —
+    * see the dialect-tier scaladoc above. Unbalanced input is returned
+    * unchanged and left to the normal parse-failure degrade path. */
+  private def stripMatchRecognize(s0: String): String = {
+    val marker = "(?i)MATCH_RECOGNIZE\\s*\\(".r
+    var out = s0
+    var hit = marker.findFirstMatchIn(out)
+    while (hit.isDefined) {
+      var i = hit.get.end // just past the opening paren
+      var depth = 1
+      while (i < out.length && depth > 0) {
+        out.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) return s0
+      out = out.substring(0, hit.get.start) + out.substring(i)
+      hit = marker.findFirstMatchIn(out)
+    }
+    out
   }
 
   /** Parse one SQL text into its reference sets. Spark-dialect first; a

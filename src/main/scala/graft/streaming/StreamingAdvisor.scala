@@ -243,6 +243,15 @@ object StreamingAdvisor {
           // full merged frame stays in memory (cached above) for the head
           // and advice derivations below; the next batch re-derives it
           // from v<base> + d* deltas.
+          if (overCap && !durableTail) {
+            // cap saturation detected mid-window must not be SILENT just
+            // because this batch defers the prune to the next compaction
+            // (the compacting branch warns; this one previously didn't)
+            log.warn(
+              s"advisor state has $n distinct texts (> stateCap=$stateCap); " +
+                s"prune deferred to the next compaction (base v$baseId, " +
+                s"every $compactEvery batches)")
+          }
           batchStats.write.mode("overwrite")
             .parquet(new Path(stateRoot, s"d$batchId").toString)
         }

@@ -242,9 +242,34 @@ class IntrospectorSpec extends SparkSpec {
     // reference's sqlglot warn-and-skip failure mode), never garbage refs
     assert(QueryIntrospector.parse(spark,
       "SELECT id FROM t WHERE CAST(payload AS ROW(a INTEGER)) IS NOT NULL").isEmpty)
-    assert(QueryIntrospector.parse(spark,
+
+    // MATCH_RECOGNIZE (r11 #1): sqlglot extracts the FROM-clause table from
+    // pattern-matching queries; the shim strips the clause (balanced-paren,
+    // it names no tables) so the refs survive — and the pattern variables /
+    // DEFINE idents (A, B, v) must not leak as columns
+    val mr = QueryIntrospector.parse(spark,
       "SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY id ORDER BY ts " +
-        "MEASURES A.ts AS a_ts PATTERN (A B) DEFINE B AS B.v > A.v)").isEmpty)
+        "MEASURES A.ts AS a_ts PATTERN (A B) DEFINE B AS B.v > A.v) " +
+        "AS m WHERE id > 3").get
+    assert(mr.tables == Seq("t"), mr.tables.toString)
+    assert(mr.whereColumns.keySet == Set("id"), mr.whereColumns.toString)
+    assert(!mr.allColumns.exists(Set("a", "b", "v", "a_ts")),
+      s"pattern idents leaked: ${mr.allColumns}")
+
+    // nested parens inside the clause (quantified patterns, function args)
+    // survive the balanced scan; parens inside STRING literals are masked
+    // and cannot break the balance
+    val mr2 = QueryIntrospector.parse(spark,
+      "SELECT user_id FROM events MATCH_RECOGNIZE (ORDER BY ts " +
+        "MEASURES max(coalesce(value, 0.0)) AS peak " +
+        "PATTERN ((A|B)+ C{2,}) DEFINE C AS label = ') (') " +
+        "WHERE user_id < 7").get
+    assert(mr2.tables == Seq("events"), mr2.tables.toString)
+    assert(mr2.whereColumns.keySet == Set("user_id"), mr2.whereColumns.toString)
+
+    // an UNBALANCED clause is left alone and degrades like any parse failure
+    assert(QueryIntrospector.parse(spark,
+      "SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B").isEmpty)
 
     // and genuine garbage still degrades to None through both dialects
     assert(QueryIntrospector.parse(spark, "SELECT ARRAY[1 FROM nope").isEmpty)
