@@ -382,6 +382,68 @@ f = pd.DataFrame([{"source": s2, "n_docs": np.int64(nd),
                   for s2, (nd, np_, dp, wt) in sorted(agg.items())])
 check("pretokenize_bpe_regex", f)
 
+# winnow_match_spans: winnowed candidate pairs (fingerprint df in [2, 16])
+# verified by EXACT shingle-identity diagonal runs; every maximal shared
+# run of >= 7 tokens emitted as (a_id, b_id, a_start, b_start, run_tokens).
+# Independent derivation: dict-of-postings for pairs, per-pair dict of
+# b-gram positions, islands by walking sorted pa per diagonal.
+from collections import defaultdict as _dd
+_fps, _grams = {}, {}
+for _, r in dc.iterrows():
+    sp = r.text.split(" ")
+    sh = [r.text] if len(sp) < 4 else \
+        [" ".join(sp[i:i + 4]) for i in range(len(sp) - 3)]
+    hl = [poly_hash(g) for g in sh]
+    n = len(hl)
+    _fps[int(r.doc_id)] = {min(hl[i:i + 4]) for i in range(max(0, n - 4) + 1)}
+    if len(sp) >= 7:
+        _grams[int(r.doc_id)] = sh
+_fdf = _dd(int)
+for _s in _fps.values():
+    for _h in _s:
+        _fdf[_h] += 1
+_post = _dd(list)
+for _did in sorted(_fps):
+    for _h in _fps[_did]:
+        if 2 <= _fdf[_h] <= 16:
+            _post[_h].append(_did)
+_pairs = set()
+for _ds in _post.values():
+    for _i in range(len(_ds)):
+        for _j in range(_i + 1, len(_ds)):
+            _pairs.add((_ds[_i], _ds[_j]))
+rows = []
+for _a, _b in sorted(_pairs):
+    if _a not in _grams or _b not in _grams:
+        continue
+    _bpos = _dd(list)
+    for _pb, _g in enumerate(_grams[_b]):
+        _bpos[_g].append(_pb)
+    _diags = _dd(list)
+    for _pa, _g in enumerate(_grams[_a]):
+        for _pb in _bpos.get(_g, ()):
+            _diags[_pb - _pa].append(_pa)
+    for _diag in sorted(_diags):
+        _pas = sorted(_diags[_diag])
+        _st = _prev = _pas[0]
+        for _x in _pas[1:] + [None]:
+            if _x is not None and _x == _prev + 1:
+                _prev = _x
+                continue
+            _ln = _prev - _st + 1 + 3
+            if _ln >= 7:
+                rows.append({"a_id": np.int64(_a), "b_id": np.int64(_b),
+                             "a_start": np.int32(_st),
+                             "b_start": np.int32(_st + _diag),
+                             "run_tokens": np.int64(_ln)})
+            if _x is not None:
+                _st = _prev = _x
+f = pd.DataFrame(rows,
+                 columns=["a_id", "b_id", "a_start", "b_start", "run_tokens"])
+if len(f):
+    f = f.sort_values(["a_id", "b_id", "a_start", "b_start"])
+check("winnow_match_spans", f)
+
 # bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
 fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
 def positions(th):

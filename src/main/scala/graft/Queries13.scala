@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * budget correction dial between whitespace counts (what the rest of the
   * surface plans with) and the pretoken stream a BPE vocab actually
   * trains over.
+  *
+  * Plus X57 (r12): `winnow_match_spans` closes the MOSS loop — from the
+  * fingerprint index's candidate pairs to the verified maximal shared
+  * token runs (what MOSS does after winnowing, Schleimer §4, and the
+  * operator an exact-substring span-dedup pipeline actually runs —
+  * Lee et al., arXiv:2107.06499).
   */
 object Queries13 {
 
@@ -101,6 +107,118 @@ object Queries13 {
           |  CAST(SUM(flag) AS BIGINT) AS flagged_docs,
           |  CAST(MAX(max_df) AS BIGINT) AS max_fp_df
           |FROM d2 GROUP BY source ORDER BY source""".stripMargin)),
+
+    QSpec("winnow_match_spans",
+      // X57 — fingerprint-VERIFIED span extraction: candidate pairs come
+      // from the winnowed index (docs sharing a fingerprint whose document
+      // frequency is in [2, 16] — the df cap is the boilerplate screen
+      // source_overlap_matrix uses: a fingerprint in 30% of the corpus is
+      // template noise, and capping it bounds pair work by cap²·|fps|, not
+      // corpus²); each pair is then verified EXACTLY by joining its 4-token
+      // shingle streams and reading maximal diagonal runs (gaps-and-islands
+      // on pb − pa), emitting every maximal shared run of ≥ 7 tokens —
+      // exactly the runs the winnowing guarantee promises the index
+      // discovers (w + k − 1 = 7), so discovery and verification close.
+      //
+      // Scale shape: the df pass is groupBy + join-back (map-side combine,
+      // AQE-splittable — the r12 posting discipline); pair generation is a
+      // self-equi-join on capped fingerprints (≤ cap²/2 pairs per fp);
+      // verification joins ride (doc_id) and (doc_id, gram-hash) keys —
+      // bodies never shuffle, shingle identity travels as xxhash64 (64-bit;
+      // collisions only INFLATE candidate points and are filtered by the
+      // consecutive-run check, while the 30-bit polyhash family stays
+      // confined to the winnowing stage where its collisions only ADD
+      // candidate pairs that verify to nothing); the islands window
+      // partitions by (pair, diagonal) — frames bounded by doc length, the
+      // accepted doc-bounded window class. Docs shorter than 7 tokens are
+      // dropped before the gram join (they cannot contain a 7-token run).
+      (s, dir) => {
+        val k = 4; val minRun = 7; val dfCap = 16
+        val docs = t(s, dir, "documents")
+        val fp = graft.ext.Winnow.fingerprintFrame(docs).select("doc_id", "fp")
+        val fpOk = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2 && col("df") <= dfCap)
+          .select("fp")
+        val cand = fp.join(fpOk, "fp")
+        val pairs = cand.select(col("fp"), col("doc_id").as("a_id"))
+          .join(cand.select(col("fp"), col("doc_id").as("b_id")), "fp")
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val grams = docs
+          .select(col("doc_id"), graft.ext.Dedup.shingles(col("text"), k).as("gs"))
+          .where(size(col("gs")) >= minRun - k + 1)
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
+        val pts = pairs
+          .join(grams.select(col("doc_id").as("a_id"), col("p").as("pa"), col("gh")),
+            Seq("a_id"))
+          .join(grams.select(col("doc_id").as("b_id"), col("p").as("pb"), col("gh")),
+            Seq("b_id", "gh"))
+          .withColumn("diag", col("pb") - col("pa"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id", "diag").orderBy("pa")
+        pts
+          .withColumn("brk",
+            when(col("pa") - lag("pa", 1).over(w) === 1, 0L).otherwise(1L))
+          .withColumn("seg", sum("brk").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("a_id", "b_id", "diag", "seg")
+          .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+            (count(lit(1)) + (k - 1)).as("run_tokens"))
+          .where(col("run_tokens") >= minRun)
+          .select(col("a_id"), col("b_id"),
+            col("a_start").cast("int").as("a_start"),
+            col("b_start").cast("int").as("b_start"),
+            col("run_tokens"))
+          .orderBy("a_id", "b_id", "a_start", "b_start")
+      },
+      Some(
+        """WITH sp AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp
+          |  FROM documents),
+          |sh AS (SELECT doc_id, CASE WHEN len(sp) < 4 THEN [text]
+          |    ELSE list_transform(range(1, len(sp) - 2),
+          |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) END AS sh
+          |  FROM sp),
+          |hs AS (SELECT doc_id, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (a, c) -> (a * 131 + c) % 1000000007)) AS hl FROM sh),
+          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(hl)+1),
+          |      i -> {'pos': i - 1, 'h': hl[i]})) AS u FROM hs)),
+          |wn AS (SELECT doc_id, pos, h,
+          |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM p),
+          |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wn
+          |  WHERE pos <= GREATEST(0, n - 4)),
+          |ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
+          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+          |  WHERE a.doc_id < b.doc_id),
+          |g0 AS (SELECT doc_id, list_transform(range(1, len(sp) - 2),
+          |    i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) AS gs
+          |  FROM sp WHERE len(sp) >= 7),
+          |grams AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+          |      i -> {'p': i - 1, 'g': gs[i]})) AS u FROM g0)),
+          |pts AS (SELECT pr.a_id, pr.b_id, ga.p AS pa, gb.p AS pb
+          |  FROM pairs pr
+          |  JOIN grams ga ON ga.doc_id = pr.a_id
+          |  JOIN grams gb ON gb.doc_id = pr.b_id AND gb.g = ga.g),
+          |seg AS (SELECT a_id, b_id, pb - pa AS diag, pa, pb,
+          |    CASE WHEN pa - LAG(pa) OVER (PARTITION BY a_id, b_id, pb - pa
+          |      ORDER BY pa) = 1 THEN 0 ELSE 1 END AS brk FROM pts),
+          |seg2 AS (SELECT a_id, b_id, diag, pa, pb,
+          |    SUM(brk) OVER (PARTITION BY a_id, b_id, diag ORDER BY pa
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM seg)
+          |SELECT a_id, b_id, CAST(MIN(pa) AS INT) AS a_start,
+          |  CAST(MIN(pb) AS INT) AS b_start,
+          |  CAST(COUNT(*) + 3 AS BIGINT) AS run_tokens
+          |FROM seg2 GROUP BY a_id, b_id, diag, seg
+          |HAVING COUNT(*) + 3 >= 7
+          |ORDER BY a_id, b_id, a_start, b_start""".stripMargin)),
 
     QSpec("pretokenize_bpe_regex",
       // BPE-ish pretokenization counts (X56): the GPT-2 pretokenizer shape —

@@ -48,6 +48,33 @@ class Queries13Spec extends SparkSpec {
     assert(nFp > 4)
   }
 
+  test("winnow_match_spans: planted runs verified exactly, maximal per diagonal, df-capped boilerplate screened") {
+    def toks(prefix: String, n: Int) = (0 until n).map(i => f"$prefix$i%03d")
+    val run1 = toks("ra", 8) // ≥ 7: guaranteed discovered, emitted as ONE maximal row
+    val run2 = toks("rb", 7) // exactly the guarantee threshold
+    val short = toks("rs", 6) // < 7: never emitted, discovered or not
+    val a = (toks("aa", 10) ++ run1 ++ toks("am", 5) ++ run2 ++ toks("az", 4)).mkString(" ")
+    val b = (toks("bb", 12) ++ run1 ++ toks("bm", 3) ++ run2 ++ toks("bz", 6)).mkString(" ")
+    val c = (toks("cc", 9) ++ short ++ toks("cz", 8)).mkString(" ")
+    val d = (toks("dd", 7) ++ short ++ toks("dz", 10)).mkString(" ")
+    // one 9-token boilerplate sentence in 20 docs (> dfCap = 16): its
+    // run-interior fingerprints are screened by the df cap and the
+    // boundary-straddling shingles are doc-unique (df = 1), so no pair
+    // forms — the template-noise screen, NOT a missed detection
+    val boiler = toks("bo", 9)
+    val noisy = (0 until 20).map(i =>
+      (100L + i, (toks(f"n$i%02d", 10) ++ boiler).mkString(" "), "src1"))
+    val rows = SparkEntry.queries("winnow_match_spans")(spark, docsDir(Seq(
+        (0L, a, "src0"), (1L, b, "src0"), (2L, c, "src0"), (3L, d, "src0")) ++ noisy))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Int]("a_start"), r.getAs[Int]("b_start"), r.getAs[Long]("run_tokens")))
+    // run1: a tokens 10..17, b tokens 12..19; run2: both start at 23 —
+    // each maximal (no merge, no sub-runs), nothing else anywhere
+    assert(rows.toSet == Set((0L, 1L, 10, 12, 8L), (0L, 1L, 23, 23, 7L)),
+      rows.mkString(", "))
+    assert(rows.length == 2, s"maximality: expected exactly 2 rows, got ${rows.length}")
+  }
+
   test("index compression and the short-doc floor") {
     def toks(n: Int) = (0 until n).map(i => f"tok$i%04d")
     // 100 distinct tokens -> 97 shingle hashes -> 94 full windows; the
