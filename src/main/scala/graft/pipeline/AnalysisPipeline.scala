@@ -294,8 +294,34 @@ object AnalysisPipeline {
     */
   def runVetted(spark: SparkSession, sfDir: String, maxSkew: Double = 8.0,
       approxCardinality: Boolean = false, topN: Int = 3): (DataFrame, DataFrame) = {
-    import spark.implicits._
     val ranked = Scoring.topNPerView(scores(spark, sfDir, approxCardinality), topN)
+    vetAndScript(spark, sfDir, ranked, maxSkew)
+  }
+
+  /** [[runVetted]] over maintained per-text workload state
+    * ([[textStatsOf]] shape — e.g. a [[graft.streaming.StreamingAdvisor]]
+    * state snapshot) instead of the fixture query log: the DRIFT-TRIGGERED
+    * re-analysis path ([[graft.streaming.DriftReanalysis]]), where the
+    * advisor's accumulated workload is re-scored and balance-vetted
+    * because the data distribution moved, not because the log did.
+    * Profiles re-read the advised tables (current contents are what a
+    * re-analysis must reflect); equivalence with the batch scoring is by
+    * construction — both funnel through [[computeWorkloadFromStats]]. */
+  def runVettedFromStats(spark: SparkSession, sfDir: String,
+      textStats: DataFrame, maxSkew: Double = 8.0,
+      approxCardinality: Boolean = false, topN: Int = 3): (DataFrame, DataFrame) = {
+    val vs = views(spark, sfDir)
+    val workload = computeWorkloadFromStats(spark, vs, textStats)
+    val profiles = profilesFor(spark, sfDir, approxCardinality)
+    val ranked = Scoring.topNPerView(assembleScores(spark, profiles, workload), topN)
+    vetAndScript(spark, sfDir, ranked, maxSkew)
+  }
+
+  /** Shared tail of the vetted paths: what-if balance evidence per ranked
+    * candidate, demotion, script assembly. */
+  private def vetAndScript(spark: SparkSession, sfDir: String,
+      ranked: DataFrame, maxSkew: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
     // candidate list is topN × views — metadata-sized, like the profile rows
     val candidates = Recommender.withSelectedSpec(ranked)
       .select(col("view"), col("column"), col("rank").cast("long"), col("spec"))

@@ -97,7 +97,18 @@ object StreamingDrift {
     * candidate histogram (versioned at `<checkpoint>_state/v<batchId>`)
     * and invoke `onBatch(batchId, psiSoFar)`. */
   def monitor(docs: DataFrame, ref: Map[Int, Long], checkpoint: String)(
-      onBatch: (Long, Double) => Unit): StreamingQuery = {
+      onBatch: (Long, Double) => Unit): StreamingQuery =
+    monitorWithPrev(docs, ref, checkpoint)((id, _, p) => onBatch(id, p))
+
+  /** [[monitor]], with the callback ALSO receiving the PSI of the state
+    * BEFORE this batch (None when no prior state exists — batch 0 or a
+    * fresh lineage). The prior PSI derives from the persisted version the
+    * batch merges from, NOT from driver memory, so a REPLAYED batch sees
+    * the identical (prev, current) pair and reaches the identical
+    * decision — the property [[DriftReanalysis]]'s edge-triggering needs
+    * to stay exactly-once under replay. */
+  def monitorWithPrev(docs: DataFrame, ref: Map[Int, Long], checkpoint: String)(
+      onBatch: (Long, Option[Double], Double) => Unit): StreamingQuery = {
     val stateRoot = new Path(checkpoint.stripSuffix("/") + "_state")
     // resolve through the Hadoop FS of the state path itself — the same
     // resolver the checkpoint uses (driver-local java.io.File would
@@ -123,8 +134,8 @@ object StreamingDrift {
         // strictly below this id: a REPLAYED batch must not merge the
         // half-committed version its first attempt wrote
         val prev = versions.filter(_.getName.drop(1).toLong < id)
-        val base = prev.lastOption.map(readHist(fs, _))
-          .getOrElse(Map.empty[Int, Long])
+        val baseOpt = prev.lastOption.map(readHist(fs, _))
+        val base = baseOpt.getOrElse(Map.empty[Int, Long])
         // null-guard matches histogram(): one null n_chars row would
         // otherwise produce a null bucket, NPE the collect, and kill the
         // monitor query PERMANENTLY — the failure mode the advisor's
@@ -139,7 +150,7 @@ object StreamingDrift {
         // keep the version just merged from: a replay of THIS batch still
         // needs it (steady state: two versions on disk)
         prev.dropRight(1).foreach(fs.delete(_, true))
-        onBatch(id, psi(ref, merged))
+        onBatch(id, baseOpt.map(psi(ref, _)), psi(ref, merged))
       }
       .start()
   }
