@@ -62,7 +62,7 @@ object Queries13 {
         // k = 4-token shingles, w = 4-hash winnowing window (ext.Winnow
         // holds the selection core, shared with PropertySpec's randomized
         // guarantee sweep)
-        val fp = graft.ext.Winnow.fingerprintFrame(t(s, dir, "documents"))
+        val fp = graft.ext.Winnow.fingerprintFrameMemo(s, dir, t(s, dir, "documents"))
         val fpStats = fp.groupBy("fp")
           .agg(min("doc_id").as("min_doc"), count(lit(1)).as("fp_df"))
         fp.join(fpStats, "fp")
@@ -135,7 +135,8 @@ object Queries13 {
       (s, dir) => {
         val k = 4; val minRun = 7; val dfCap = 16
         val docs = t(s, dir, "documents")
-        val fp = graft.ext.Winnow.fingerprintFrame(docs).select("doc_id", "fp")
+        val fp = graft.ext.Winnow.fingerprintFrameMemo(s, dir, docs)
+          .select("doc_id", "fp")
         val fpOk = fp.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") >= 2 && col("df") <= dfCap)
           .select("fp")

@@ -32,4 +32,15 @@ object Winnow {
       .select(col("doc_id"), col("source"), col("wmin").as("fp"))
       .distinct()
   }
+
+  /** [[fingerprintFrame]] materialized through DfMemo keyed by the corpus
+    * dir: the index feeds BOTH `fingerprint_winnowing` (the audit rollup)
+    * and `winnow_match_spans` (candidate pairs) — without the memo each
+    * key re-runs the shingle+winnow pass over the full corpus (the
+    * shared-frame discipline of Dedup.memoizedSignatures). */
+  def fingerprintFrameMemo(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    DfMemo.cached(spark, Some(dir), s"winnow_fp:$k:$w") {
+      fingerprintFrame(docs, k, w)
+    }
 }

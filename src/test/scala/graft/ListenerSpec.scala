@@ -121,7 +121,11 @@ class ListenerSpec extends SparkSpec {
       // StreamingDrift collects per-batch BUCKET histograms only — 13
       // (bucket, count) rows per micro-batch regardless of stream length;
       // the doc stream itself is never retained (X29 scale note)
-      "StreamingDrift.scala")
+      "StreamingDrift.scala",
+      // DriftReanalysis collects the vetted recommendation set at a
+      // threshold crossing — one (view, partition_spec) row per advised
+      // view, catalog-bounded like the advisor snapshots it mirrors
+      "DriftReanalysis.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
