@@ -145,11 +145,17 @@ object Queries13 {
           .join(cand.select(col("fp"), col("doc_id").as("b_id")), "fp")
           .where(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
-        val grams = docs
-          .select(col("doc_id"), graft.ext.Dedup.shingles(col("text"), k).as("gs"))
-          .where(size(col("gs")) >= minRun - k + 1)
-          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
-          .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
+        // DfMemo: the positional gram frame feeds BOTH verification join
+        // sides (a and b) — unmaterialized, the shingle+hash pass runs
+        // twice (the memoizedSignatures double-compute trap; measured 2×
+        // the key at sf1); persisted once, both sides read it
+        val grams = graft.ext.DfMemo.cached(s, Some(dir), s"winnow_grams:$k:$minRun") {
+          docs
+            .select(col("doc_id"), graft.ext.Dedup.shingles(col("text"), k).as("gs"))
+            .where(size(col("gs")) >= minRun - k + 1)
+            .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
+            .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
+        }
         val pts = pairs
           .join(grams.select(col("doc_id").as("a_id"), col("p").as("pa"), col("gh")),
             Seq("a_id"))

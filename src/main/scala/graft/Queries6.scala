@@ -205,10 +205,17 @@ object Queries6 {
       // merge ~n²/2e9 shingle pairs — xxhash64's 64 bits keep collision
       // odds negligible, matching the string-identity oracle)
       (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(Dedup.shingles(col("text"), 4))).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        // DfMemo: the (doc_id, shh) frame feeds BOTH join branches (the
+        // per-shh count and the row side) — unmaterialized, Catalyst
+        // inlines the explode+hash pass into each and computes it TWICE
+        // (measured 2× the key at sf1); persisted once, both branches
+        // read the materialized sketch (the memoizedSignatures discipline)
+        val sh = graft.ext.DfMemo.cached(s, Some(dir), "span_shh") {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(array_distinct(Dedup.shingles(col("text"), 4))).as("sh"))
+            .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+        }
         val df = sh.groupBy("shh").agg(count(lit(1)).as("ndocs"))
         sh.join(df, "shh")
           .groupBy("doc_id")
