@@ -135,20 +135,47 @@ object Queries4 {
 
     QSpec("window_ntile",
       // Quartile binning over a total order (price, then key so ties are
-      // deterministic), summarized per tile. A global ntile is a
-      // single-partition sort by construction — acceptable here because the
-      // windowed input is the already-small orders summary; at 100 TB the
-      // same statistic comes from percentile cutpoints (agg_percentile)
-      // joined back, which needs no global sort.
-      (s, dir) => t(s, dir, "orders")
-        .select(ntile(4).over(
-          Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("tile"),
-          col("o_totalprice"))
-        .groupBy("tile")
-        .agg(count(lit(1)).as("cnt"),
-          round(min("o_totalprice"), 2).as("lo"),
-          round(max("o_totalprice"), 2).as("hi"))
-        .orderBy("tile"),
+      // deterministic), summarized per tile. ntile(k) is pure ARITHMETIC
+      // over the global rank — big tiles first: with q = n div k and
+      // r = n mod k, the first r tiles hold q+1 rows — so the key computes
+      // the rank two-level instead of a global single-partition ntile
+      // window (r12 hot-key audit, the last such site): rows rank inside
+      // $1-wide price buckets (partitions bounded by price-tie density,
+      // parallel across the price DOMAIN — the drift_ks domain-bounded
+      // argument), only the per-bucket COUNT list — one row per distinct
+      // dollar, domain-bounded, never corpus-proportional — prefixes in a
+      // single partition, and n rides a broadcast scalar. Formula
+      // equivalence with the real ntile() is pinned in Queries4Spec on an
+      // n % k != 0 frame (the fixture row counts are all divisible by 4,
+      // so the oracle alone would leave the uneven branch unexercised).
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .withColumn("bkt", expr("cast(floor(o_totalprice / 1.0d) as long)"))
+        val inBkt = Window.partitionBy("bkt")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val bktPrefix = o.groupBy("bkt").agg(count(lit(1)).as("bc"))
+          .withColumn("prev", coalesce(sum("bc").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "prev")
+        val nRow = o.agg(count(lit(1)).as("n"))
+        o.withColumn("rn_in", row_number().over(inBkt))
+          .join(bktPrefix, "bkt")
+          .crossJoin(broadcast(nRow))
+          .withColumn("rank", col("prev") + col("rn_in"))
+          .withColumn("q", expr("n div 4"))
+          .withColumn("r", expr("n % 4"))
+          .withColumn("tile",
+            when(col("rank") <= col("r") * (col("q") + 1),
+              expr("(rank - 1) div (q + 1) + 1"))
+              .otherwise(expr("r + (rank - r * (q + 1) - 1) div q + 1"))
+              .cast("int"))
+          .groupBy("tile")
+          .agg(count(lit(1)).as("cnt"),
+            round(min("o_totalprice"), 2).as("lo"),
+            round(max("o_totalprice"), 2).as("hi"))
+          .orderBy("tile")
+      },
       Some(
         """SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS cnt,
           |  ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
