@@ -447,7 +447,12 @@ class PlanSpec extends SparkSpec {
     for ((key, bucketCol) <- Seq(
         "sample_weight_systematic" -> "bkt",
         "length_bucket_batches" -> "sub",
-        "pack_sequences" -> "_sub")) {
+        "pack_sequences" -> "_sub",
+        // r12 follow-up: ntile is closed-form arithmetic over a two-level
+        // rank — the in-bucket row_number windows on bkt, and the only
+        // un-partitioned window is the domain-bounded bucket-count prefix
+        // (whose spec ALSO orders on bkt, so the same pin covers it)
+        "window_ntile" -> "bkt")) {
       val df = SparkEntry.queries(key)(spark, sfDir)
       df.collect()
       val plan = planOf(df).split("== Initial Plan ==").head
