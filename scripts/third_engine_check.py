@@ -444,6 +444,23 @@ if len(f):
     f = f.sort_values(["a_id", "b_id", "a_start", "b_start"])
 check("winnow_match_spans", f)
 
+# dedup_span_removal: keep-first application of the spans above — each
+# LATER doc's duplicated-token count is the UNION of its b-side run
+# positions (a set, so overlapping runs never double-count), plus the
+# before/after attrition and the HALF_UP keep ratio
+_cov = _dd(set)
+for _r in rows:
+    _cov[int(_r["b_id"])].update(
+        range(int(_r["b_start"]), int(_r["b_start"]) + int(_r["run_tokens"])))
+out = []
+for _, r in dc.iterrows():
+    ntok = len(r.text.split(" "))
+    nd = len(_cov.get(int(r.doc_id), ()))
+    out.append({"doc_id": np.int64(r.doc_id), "n_tok": np.int64(ntok),
+                "n_dup_tokens": np.int64(nd), "n_keep": np.int64(ntok - nd),
+                "keep_ratio": ratioR(ntok - nd, ntok, 6)})
+check("dedup_span_removal", pd.DataFrame(out).sort_values("doc_id"))
+
 # bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
 fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
 def positions(th):

@@ -132,54 +132,11 @@ object Queries13 {
       // partitions by (pair, diagonal) — frames bounded by doc length, the
       // accepted doc-bounded window class. Docs shorter than 7 tokens are
       // dropped before the gram join (they cannot contain a 7-token run).
-      (s, dir) => {
-        val k = 4; val minRun = 7; val dfCap = 16
-        val docs = t(s, dir, "documents")
-        val fp = graft.ext.Winnow.fingerprintFrameMemo(s, dir, docs)
-          .select("doc_id", "fp")
-        val fpOk = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-          .where(col("df") >= 2 && col("df") <= dfCap)
-          .select("fp")
-        val cand = fp.join(fpOk, "fp")
-        val pairs = cand.select(col("fp"), col("doc_id").as("a_id"))
-          .join(cand.select(col("fp"), col("doc_id").as("b_id")), "fp")
-          .where(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        // DfMemo: the positional gram frame feeds BOTH verification join
-        // sides (a and b) — unmaterialized, the shingle+hash pass runs
-        // twice (the memoizedSignatures double-compute trap; measured 2×
-        // the key at sf1); persisted once, both sides read it
-        val grams = graft.ext.DfMemo.cached(s, Some(dir), s"winnow_grams:$k:$minRun") {
-          docs
-            .select(col("doc_id"), graft.ext.Dedup.shingles(col("text"), k).as("gs"))
-            .where(size(col("gs")) >= minRun - k + 1)
-            .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
-            .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
-        }
-        val pts = pairs
-          .join(grams.select(col("doc_id").as("a_id"), col("p").as("pa"), col("gh")),
-            Seq("a_id"))
-          .join(grams.select(col("doc_id").as("b_id"), col("p").as("pb"), col("gh")),
-            Seq("b_id", "gh"))
-          .withColumn("diag", col("pb") - col("pa"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("a_id", "b_id", "diag").orderBy("pa")
-        pts
-          .withColumn("brk",
-            when(col("pa") - lag("pa", 1).over(w) === 1, 0L).otherwise(1L))
-          .withColumn("seg", sum("brk").over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-          .groupBy("a_id", "b_id", "diag", "seg")
-          .agg(min("pa").as("a_start"), min("pb").as("b_start"),
-            (count(lit(1)) + (k - 1)).as("run_tokens"))
-          .where(col("run_tokens") >= minRun)
-          .select(col("a_id"), col("b_id"),
-            col("a_start").cast("int").as("a_start"),
-            col("b_start").cast("int").as("b_start"),
-            col("run_tokens"))
-          .orderBy("a_id", "b_id", "a_start", "b_start")
-      },
+      // Implementation core shared with `dedup_span_removal` (X58):
+      // ext.Winnow.matchSpans, memoized per (session, dir).
+      (s, dir) =>
+        graft.ext.Winnow.matchSpans(s, dir, t(s, dir, "documents"))
+          .orderBy("a_id", "b_id", "a_start", "b_start"),
       Some(
         """WITH sp AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp
           |  FROM documents),
@@ -226,6 +183,100 @@ object Queries13 {
           |FROM seg2 GROUP BY a_id, b_id, diag, seg
           |HAVING COUNT(*) + 3 >= 7
           |ORDER BY a_id, b_id, a_start, b_start""".stripMargin)),
+
+    QSpec("dedup_span_removal",
+      // X58 — APPLY the verified spans: the keep-first policy (Lee et al.,
+      // arXiv:2107.06499 — remove the duplicated substring from the later
+      // occurrence): the LATER doc of each discovered pair sheds the
+      // tokens its shared runs cover; coverage is the UNION of the doc's
+      // b-side spans (distinct token positions, so overlapping runs on
+      // different diagonals never double-count a token). Surface = per-doc
+      // before/removed/after token counts + keep ratio — the attrition
+      // accounting a span-dedup stage reports (curation_attrition's
+      // sibling at span granularity). Scale shape: spans ride the
+      // memoized matchSpans frame (shared with X57 — computed ONCE per
+      // session); the position explode is bounded by covered-token count
+      // ≤ doc length; then one distinct, one grouped count (map-side
+      // combine), and a left join back to the per-doc token counts.
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val covered = graft.ext.Winnow.matchSpans(s, dir, docs)
+          .select(col("b_id").as("doc_id"),
+            explode(sequence(col("b_start").cast("long"),
+              col("b_start").cast("long") + col("run_tokens") - 1L)).as("pos"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_tokens"),
+            (col("n_tok") - coalesce(col("n_dup"), lit(0L))).as("n_keep"),
+            graft.ext.ExactMath.ratioRounded(
+              col("n_tok") - coalesce(col("n_dup"), lit(0L)), col("n_tok"), 6)
+              .as("keep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH sp AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp
+          |  FROM documents),
+          |sh AS (SELECT doc_id, CASE WHEN len(sp) < 4 THEN [text]
+          |    ELSE list_transform(range(1, len(sp) - 2),
+          |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) END AS sh
+          |  FROM sp),
+          |hs AS (SELECT doc_id, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (a, c) -> (a * 131 + c) % 1000000007)) AS hl FROM sh),
+          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(hl)+1),
+          |      i -> {'pos': i - 1, 'h': hl[i]})) AS u FROM hs)),
+          |wn AS (SELECT doc_id, pos, h,
+          |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM p),
+          |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wn
+          |  WHERE pos <= GREATEST(0, n - 4)),
+          |ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
+          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+          |  WHERE a.doc_id < b.doc_id),
+          |g0 AS (SELECT doc_id, list_transform(range(1, len(sp) - 2),
+          |    i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) AS gs
+          |  FROM sp WHERE len(sp) >= 7),
+          |grams AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+          |      i -> {'p': i - 1, 'g': gs[i]})) AS u FROM g0)),
+          |pts AS (SELECT pr.a_id, pr.b_id, ga.p AS pa, gb.p AS pb
+          |  FROM pairs pr
+          |  JOIN grams ga ON ga.doc_id = pr.a_id
+          |  JOIN grams gb ON gb.doc_id = pr.b_id AND gb.g = ga.g),
+          |seg AS (SELECT a_id, b_id, pb - pa AS diag, pa, pb,
+          |    CASE WHEN pa - LAG(pa) OVER (PARTITION BY a_id, b_id, pb - pa
+          |      ORDER BY pa) = 1 THEN 0 ELSE 1 END AS brk FROM pts),
+          |seg2 AS (SELECT a_id, b_id, diag, pa, pb,
+          |    SUM(brk) OVER (PARTITION BY a_id, b_id, diag ORDER BY pa
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM seg),
+          |runs AS (SELECT a_id, b_id, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          |    COUNT(*) + 3 AS run_tokens
+          |  FROM seg2 GROUP BY a_id, b_id, diag, seg
+          |  HAVING COUNT(*) + 3 >= 7),
+          |cov AS (SELECT DISTINCT doc_id, pos FROM (
+          |    SELECT b_id AS doc_id,
+          |      unnest(range(b_start, b_start + run_tokens)) AS pos FROM runs)),
+          |cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          |  FROM cov GROUP BY doc_id),
+          |tk AS (SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+          |SELECT tk.doc_id AS doc_id, n_tok,
+          |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_tokens,
+          |  CAST(n_tok - COALESCE(n_dup, 0) AS BIGINT) AS n_keep,
+          |  """.stripMargin +
+        graft.ext.ExactMath.ratioRoundedSql(
+          "n_tok - COALESCE(n_dup, 0)", "n_tok", 6) +
+        """ AS keep_ratio
+          |FROM tk LEFT JOIN cc ON tk.doc_id = cc.doc_id
+          |ORDER BY doc_id""".stripMargin)),
 
     QSpec("pretokenize_bpe_regex",
       // BPE-ish pretokenization counts (X56): the GPT-2 pretokenizer shape —

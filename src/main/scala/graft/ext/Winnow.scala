@@ -35,12 +35,68 @@ object Winnow {
 
   /** [[fingerprintFrame]] materialized through DfMemo keyed by the corpus
     * dir: the index feeds BOTH `fingerprint_winnowing` (the audit rollup)
-    * and `winnow_match_spans` (candidate pairs) — without the memo each
-    * key re-runs the shingle+winnow pass over the full corpus (the
+    * and [[matchSpans]] (candidate pairs) — without the memo each key
+    * re-runs the shingle+winnow pass over the full corpus (the
     * shared-frame discipline of Dedup.memoizedSignatures). */
   def fingerprintFrameMemo(spark: org.apache.spark.sql.SparkSession,
       dir: String, docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
     DfMemo.cached(spark, Some(dir), s"winnow_fp:$k:$w") {
       fingerprintFrame(docs, k, w)
+    }
+
+  /** Fingerprint-verified maximal shared token runs — the operator-level
+    * core of `winnow_match_spans` (X57) and `dedup_span_removal` (X58);
+    * see Queries13.scala for the full contract and scale commentary.
+    * Returns one row (a_id, b_id, a_start, b_start, run_tokens) per
+    * maximal shared run of ≥ `minRun` tokens between docs sharing a
+    * winnowed fingerprint with document frequency in [2, dfCap], with
+    * a_id < b_id; UNORDERED (declared keys sort). Memoized per
+    * (session, dir) — the span frame feeds both the audit key and the
+    * removal key. */
+  def matchSpans(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, k: Int = 4, w: Int = 4, minRun: Int = 7,
+      dfCap: Int = 16): DataFrame =
+    DfMemo.cached(spark, Some(dir), s"winnow_spans:$k:$w:$minRun:$dfCap") {
+      val fp = fingerprintFrameMemo(spark, dir, docs, k, w)
+        .select("doc_id", "fp")
+      val fpOk = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= dfCap)
+        .select("fp")
+      val cand = fp.join(fpOk, "fp")
+      val pairs = cand.select(col("fp"), col("doc_id").as("a_id"))
+        .join(cand.select(col("fp"), col("doc_id").as("b_id")), "fp")
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // DfMemo: the positional gram frame feeds BOTH verification join
+      // sides (a and b) — unmaterialized, the shingle+hash pass runs
+      // twice (the memoizedSignatures double-compute trap; measured 2×
+      // the key at sf1); persisted once, both sides read it
+      val grams = DfMemo.cached(spark, Some(dir), s"winnow_grams:$k:$minRun") {
+        docs
+          .select(col("doc_id"), Dedup.shingles(col("text"), k).as("gs"))
+          .where(size(col("gs")) >= minRun - k + 1)
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
+      }
+      val pts = pairs
+        .join(grams.select(col("doc_id").as("a_id"), col("p").as("pa"), col("gh")),
+          Seq("a_id"))
+        .join(grams.select(col("doc_id").as("b_id"), col("p").as("pb"), col("gh")),
+          Seq("b_id", "gh"))
+        .withColumn("diag", col("pb") - col("pa"))
+      val byDiag = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+      pts
+        .withColumn("brk",
+          when(col("pa") - lag("pa", 1).over(byDiag) === 1, 0L).otherwise(1L))
+        .withColumn("seg", sum("brk").over(byDiag.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("a_id", "b_id", "diag", "seg")
+        .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+          (count(lit(1)) + (k - 1)).as("run_tokens"))
+        .where(col("run_tokens") >= minRun)
+        .select(col("a_id"), col("b_id"),
+          col("a_start").cast("int").as("a_start"),
+          col("b_start").cast("int").as("b_start"),
+          col("run_tokens"))
     }
 }

@@ -73,6 +73,20 @@ class Queries13Spec extends SparkSpec {
     assert(rows.toSet == Set((0L, 1L, 10, 12, 8L), (0L, 1L, 23, 23, 7L)),
       rows.mkString(", "))
     assert(rows.length == 2, s"maximality: expected exactly 2 rows, got ${rows.length}")
+
+    // X58 keep-first application over the same corpus: only the LATER doc
+    // of the (0,1) pair sheds tokens — the union of its two runs, 8 + 7
+    // (disjoint) = 15 of its 36 tokens; every other doc keeps everything
+    val removal = SparkEntry.queries("dedup_span_removal")(spark, docsDir(Seq(
+        (0L, a, "src0"), (1L, b, "src0"), (2L, c, "src0"), (3L, d, "src0")) ++ noisy))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[Long]("n_keep"))))
+      .toMap
+    assert(removal(1L) == ((36L, 15L, 21L)), removal(1L).toString)
+    assert(removal(0L)._2 == 0L, s"the EARLIER doc keeps its spans: ${removal(0L)}")
+    assert((removal - 1L).values.forall(_._2 == 0L),
+      s"only doc 1 sheds tokens: $removal")
   }
 
   test("index compression and the short-doc floor") {
