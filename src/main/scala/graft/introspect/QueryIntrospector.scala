@@ -225,7 +225,9 @@ object QueryIntrospector {
     * see the dialect-tier scaladoc above. Unbalanced input is returned
     * unchanged and left to the normal parse-failure degrade path. */
   private def stripMatchRecognize(s0: String): String = {
-    val marker = "(?i)MATCH_RECOGNIZE\\s*\\(".r
+    // leading boundary: an identifier merely ENDING in match_recognize
+    // (e.g. a function x_match_recognize(...)) must not trigger the strip
+    val marker = "(?i)(?<![\\w`])MATCH_RECOGNIZE\\s*\\(".r
     var out = s0
     var hit = marker.findFirstMatchIn(out)
     while (hit.isDefined) {

@@ -271,6 +271,13 @@ class IntrospectorSpec extends SparkSpec {
     assert(QueryIntrospector.parse(spark,
       "SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B").isEmpty)
 
+    // an identifier merely ENDING in match_recognize is NOT the clause —
+    // the call (and its argument column) must survive untouched
+    val fn = QueryIntrospector.parse(spark,
+      "SELECT my_match_recognize(props) FROM events WHERE user_id < 7").get
+    assert(fn.tables == Seq("events") && fn.allColumns.contains("props"),
+      s"${fn.tables} / ${fn.allColumns}")
+
     // and genuine garbage still degrades to None through both dialects
     assert(QueryIntrospector.parse(spark, "SELECT ARRAY[1 FROM nope").isEmpty)
   }
