@@ -145,6 +145,50 @@ class ListenerSpec extends SparkSpec {
       s"unaudited driver-materialization sites: ${offenders -- audited}")
   }
 
+  test("grep gate: every Window.partitionBy file is in the audited window inventory") {
+    // The r12 hot-key audit made every window partition bounded
+    // (COVERAGE.md "Window inventory"): doc-bounded frames, per-entity
+    // ordered histories, metadata-sized groups, sub-bucketed two-level
+    // prefixes, or micro-batch-bounded state. This gate makes the audit
+    // STANDING — a file gaining a partitionBy window must be added here
+    // with its boundedness class, or converted (max_by / TopKRows /
+    // groupBy+join-back / two-level) like the thirteen r12 sites.
+    val audited = Set(
+      "Winnow.scala", // doc_id frames + (pair, diagonal) islands — doc-bounded
+      "Queries.scala", // window_running_sum — declared-cut input (≤ 300 keys)
+      "Queries3.scala", // window_lag_lead — per-entity ordered history
+      "Queries4.scala", // locf (status × days spine), tfidf rank (per doc),
+      //                   ntile in-bucket numbering (two-level)
+      "Queries5.scala", // length_bucket_batches in-sub numbering (two-level)
+      "Queries6.scala", // vocab_growth two-level bucket prefix
+      "Queries7.scala", // chunk_cdc (per doc), cluster_keep_policy (~256-doc clusters)
+      "Queries9.scala", // cohort_retention — user over DISTINCT weeks (≤ #weeks rows)
+      "Queries11.scala", // scd2 (entity history, declared-capped),
+      //                    sample_weight two-level, curriculum 50-row head
+      "Scoring.scala", // top-N per view — table-count-sized
+      "StreamingUsage.scala", // sessionize twin (entity) + LSH flags (micro-batch)
+      "Temporal.scala", // as-of running-last — per-key ordered history
+      "TextAnalysis.scala") // packSequences two-level shard prefix
+    val root = new java.io.File("src/main/scala")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    assume(root.isDirectory, "run from repo root")
+    val offenders = walk(root).filter { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // strip line comments so prose explaining WHY a window was removed
+      // does not count as a site
+      src.linesIterator
+        .map(l => l.indexOf("//") match { case -1 => l; case i => l.substring(0, i) })
+        .exists(_.contains("Window.partitionBy"))
+    }.map(_.getName).toSet
+    assert((offenders -- audited).isEmpty,
+      s"unaudited Window.partitionBy sites: ${offenders -- audited}")
+    // the allowlist must not go stale either — a converted file comes OFF it
+    assert((audited -- offenders).isEmpty,
+      s"stale window-audit entries: ${audited -- offenders}")
+  }
+
   test("self-hosted advisor: session serves the workload, then advises on it") {
     val recs = graft.pipeline.SelfHosting.adviseFromObservedWorkload(
       spark, sfDir, graft.catalog.TableRegistry.cannedQueries)
