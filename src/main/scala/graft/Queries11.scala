@@ -38,7 +38,7 @@ object Queries11 {
 
   /** Shared oracle CTE chain: nonzero-norm vectors, the scaled-k centroid
     * head, and the nearest-centroid assignment (same −2·v·c + ‖c‖² ranking
-    * and low-index tie-break as the engine fold), carrying the assigned
+    * and low-index tie-break as the engine's min-struct argmin), carrying the assigned
     * minimum m for distance math. Ends after `asg` — callers append. */
   private val assignCtes: String =
     """WITH e AS (SELECT vec_id, v FROM (

@@ -161,32 +161,65 @@ object SimSearch {
     math.max(8L, n / 256L).toInt
   }
 
-  /** The MINIMUM of [[nearestCentroid]]'s ranking quantity m = −2·v·c +
-    * ‖c‖² over the centroid set — ‖v−c*‖² for the assigned centroid is
-    * then ‖v‖² + m without extracting the argmin's operand (`least` and
-    * the assignment fold see identical per-centroid doubles, so the pair
-    * is always consistent). */
-  def nearestCentroidM(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
-    val ms = centroids.map { case (_, c) =>
-      val c2 = c.map(x => x * x).sum
-      dot(v, array(c.toIndexedSeq.map(lit): _*)) * -2.0 + lit(c2)
+  /** (ci, cv, c2) centroid index frame for the corpus-scaled assignment:
+    * the first `k` nonzero-norm vectors by vec_id, indexed 0..k−1 in
+    * vec_id order, with ‖c‖² precomputed (the same ascending-fold sum of
+    * squares the oracle replays). Centroids stay a DATAFRAME end to end —
+    * they reach executors through the broadcast machinery (torrent blocks),
+    * never as plan literals through the driver: with k = n/256 the r12
+    * literal form would have pushed ~50 GB of centroid constants through
+    * plan compilation at 100 TB. The row_number window runs AFTER limit(k)
+    * — a k-row index-build step (one TakeOrdered task), not a corpus
+    * window; at extreme scale the centroid index is an offline artifact
+    * built once, exactly like an IVF codebook. */
+  def centroidFrame(emb: DataFrame, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def build: DataFrame =
+      withNorm(emb).orderBy("vec_id").limit(k)
+        .withColumn("ci",
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        .select(col("ci"), col("v").as("cv"), dot(col("v"), col("v")).as("c2"))
+    cacheKey match {
+      case Some(ck) =>
+        DfMemo.cached(emb.sparkSession, Some(s"$ck:k$k"), "centroidframe")(build)
+      case None => build
     }
-    least(ms.toIndexedSeq: _*)
   }
 
   /** (vec_id, v, cluster, m) — every nonzero-norm embedding assigned to
-    * its nearest of the first-k seed centroids as a shuffle-free
-    * literal-centroid projection (the kmeans_iterate E-step), carrying the
-    * assigned minimum m for distance math. Zero-norm vectors are excluded
-    * up front (cosine consumers — the norm-site rule above). */
+    * its nearest of the first-k seed centroids (the kmeans_iterate E-step),
+    * carrying the assigned minimum m = −2·v·c* + ‖c*‖² for distance math
+    * (‖v−c*‖² = ‖v‖² + m). Zero-norm vectors are excluded up front (cosine
+    * consumers — the norm-site rule above).
+    *
+    * Shape (r13, replacing the unrolled k-literal projection): a broadcast
+    * join against [[centroidFrame]] expands each row to its k candidate
+    * (m, ci) pairs — ONE codegen VectorDot each — and a min-struct
+    * aggregate takes the argmin with the low-index tie-break (struct
+    * ordering compares m then ci, exactly the oracle's
+    * row_number(ORDER BY m, ci)). The expansion never shuffles: all k
+    * candidates of a row are produced in its partition, so the hash
+    * aggregate combines map-side and the exchange carries n skinny
+    * (vec_id, m, ci) rows; `v` rejoins from the corpus scan afterwards
+    * rather than riding the n×k expansion. Per-row work is O(k·dim) —
+    * intrinsic to exact argmin over a corpus-scaled codebook — but the
+    * plan no longer bakes k into its SIZE: codegen is k-independent, and
+    * centroids transit as broadcast data, not literals. */
   def assignClusters(emb: DataFrame, k: Int,
       cacheKey: Option[String] = None): DataFrame = {
     def build: DataFrame = {
-      val cents = seedCentroids(emb, k, cacheKey)
-      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .where(norm(col("v")) > 0)
-        .withColumn("cluster", nearestCentroid(col("v"), cents))
-        .withColumn("m", nearestCentroidM(col("v"), cents))
+      val cents = centroidFrame(emb, k, cacheKey)
+      val e = withNorm(emb).select(col("vec_id"), col("v"))
+      val best = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) * -2.0 + col("c2")).as("m"),
+            col("ci")).as("mc"))
+        .groupBy("vec_id")
+        .agg(min(col("mc")).as("mc"))
+      e.join(best, Seq("vec_id"))
+        .select(col("vec_id"), col("v"),
+          col("mc.ci").as("cluster"), col("mc.m").as("m"))
     }
     // memoized + persisted per (corpus, k): the SemDeDup pair join reads
     // this frame from BOTH sides and the stats key reads it again — one

@@ -360,13 +360,52 @@ class PlanSpec extends SparkSpec {
   test("semantic dedup pairs through an EQUI join on the cluster id") {
     // SemDeDup's whole point is that pairing is cluster-local: the pair
     // join must key on the cluster id (shuffle/broadcast HASH join), never
-    // degenerate to a nested-loop over the corpus.
+    // degenerate to a nested-loop over the corpus. The ASSIGNMENT build
+    // below the cached scan legitimately contains a BroadcastNestedLoopJoin
+    // (corpus × broadcast centroid frame — see the r13 assignment pin), so
+    // the no-nested-loop claim is scoped to the plan ABOVE the cached
+    // assignment: everything from the pair join up.
     val df = Queries.allSpecs.find(_.name == "dedup_semantic").get.fn(spark, sfDir)
     df.collect()
     val plan = planOf(df)
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
-      || plan.contains("BroadcastHashJoin"), plan)
+    val aboveCache = plan.split("InMemoryTableScan").head
+    assert(plan.contains("InMemoryTableScan"), plan) // assignment is memoized
+    assert(!aboveCache.contains("BroadcastNestedLoopJoin")
+      && !aboveCache.contains("CartesianProduct"), aboveCache)
+    assert(aboveCache.contains("SortMergeJoin") || aboveCache.contains("ShuffledHashJoin")
+      || aboveCache.contains("BroadcastHashJoin"), aboveCache)
+  }
+
+  test("cluster assignment plans a broadcast centroid join, not a k-literal projection") {
+    // r13 scale fix (verdict item 1): with k = n/256, the r12 form unrolled
+    // k literal-centroid dot products into the plan — O(k) codegen and a
+    // driver-side k×dim collect (~50 GB of plan literals at 100 TB). The
+    // assignment must now (a) move centroids as a BROADCAST FRAME (torrent
+    // blocks, never plan literals), and (b) keep plan SIZE k-independent:
+    // one VectorDot against the joined centroid column, however large k.
+    import graft.ext.SimSearch
+    // fresh parquet copy: Spark's CacheManager substitutes any plan SUBTREE
+    // matching a cached plan, and the suite caches the k=8 assignment over
+    // the fixture path — a cache hit would swap in the memoized frame and
+    // its embedded build plan (the ReadSchema-pruning corollary in the
+    // r11 notes; same remedy)
+    val tmp = java.nio.file.Files.createTempDirectory("planspec_emb").toString
+    TableRegistry.table(spark, sfDir, "embeddings").write.mode("overwrite").parquet(tmp)
+    val emb = spark.read.parquet(tmp)
+    val plan = planOf(SimSearch.assignClusters(emb, SimSearch.scaledK(emb)))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), plan)
+    // k-independence: the old unrolled form mentioned vectordot ~2k times
+    // (one per argmin branch), so doubling k doubled the plan. Now the
+    // expansion computes ONE dot against the joined centroid column and the
+    // count must not move with k at all. (Absolute thresholds are no good:
+    // scan-filter mentions and AQE reprints vary with suite order.)
+    def dots(k: Int): Int =
+      "vectordot".r.findAllIn(planOf(SimSearch.assignClusters(emb, k)).toLowerCase).size
+    assert(dots(8) == dots(200),
+      s"vectordot count moved with k (${dots(8)} at k=8 vs ${dots(200)} at k=200) — k leaked into plan size")
+    // the argmin is a (m, ci) min-struct aggregate with map-side combine
+    assert(plan.toLowerCase.contains("partial_min"), plan)
   }
 
   test("dsir scoring scans documents at most twice, totals ride a 1-row broadcast") {
