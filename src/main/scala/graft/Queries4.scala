@@ -151,7 +151,14 @@ object Queries4 {
       (s, dir) => {
         val o = t(s, dir, "orders")
           .select(col("o_totalprice"), col("o_orderkey"))
-          .withColumn("bkt", expr("cast(floor(o_totalprice / 1.0d) as long)"))
+          // null-safe bucket: floor(NULL) is NULL and the bktPrefix
+          // equi-join would silently DROP null-price rows; Long.MinValue
+          // sorts before every real bucket, preserving the nulls-first
+          // rank the previous global-ntile form gave them (Spark asc sort
+          // puts NULLs first; the fixture has none, so outputs are
+          // unchanged — this is a contract guard, not a behavior change)
+          .withColumn("bkt", coalesce(
+            expr("cast(floor(o_totalprice / 1.0d) as long)"), lit(Long.MinValue)))
         val inBkt = Window.partitionBy("bkt")
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         val bktPrefix = o.groupBy("bkt").agg(count(lit(1)).as("bc"))
@@ -441,7 +448,10 @@ object Queries4 {
             col("col.o_orderkey").as("o_orderkey"),
             (col("pos") + 1).cast("long").as("rnk"),
             (col("pos") + 1).cast("long").as("drnk"),
-            round(col("pos").cast("double") / (col("n") - 1).cast("double"), 6).as("prnk"),
+            // PERCENT_RANK of a single-row partition is DEFINED as 0.0;
+            // the closed form pos/(n-1) would give 0.0/0.0 = NaN there
+            round(when(col("n") === 1, lit(0.0))
+              .otherwise(col("pos").cast("double") / (col("n") - 1).cast("double")), 6).as("prnk"),
             round((col("pos") + 1).cast("double") / col("n").cast("double"), 6).as("cdist"))
           .orderBy("o_orderstatus", "rn")
       },

@@ -47,14 +47,17 @@ object Sampling {
 
   /** Exact-k-per-stratum sampling: the k rows with the smallest id-hash in
     * each stratum (deterministic "reservoir"); hash ties broken by id.
-    * `idCol` must be integral and unique across the frame (the pick-set
-    * join keys on it alone). The pick set comes from the bounded-heap
-    * TopKRows aggregate over (id-hash, id) — ≤ k ids per stratum per MAP
-    * partition ride the shuffle, and the full rows (which may carry text
-    * bodies the heap can't hold) come back via a broadcast semi-join
-    * against the O(strata × k) pick set. A row_number window here would
-    * sort every row of a stratum on one task (strata are few — the
-    * unsplittable-partition trap, r12 hot-key window audit). */
+    * `idCol` must be integral, unique WITHIN each stratum, and (TopKRows
+    * stores ranking fields as Double) its values must stay within 2^53 —
+    * ids above that lose precision in the heap and can flip hash/id
+    * tie-breaks. The pick set comes from the bounded-heap TopKRows
+    * aggregate over (id-hash, id) — ≤ k ids per stratum per MAP partition
+    * ride the shuffle, and the full rows (which may carry text bodies the
+    * heap can't hold) come back via a broadcast semi-join against the
+    * O(strata × k) pick set, keyed on (stratum, id) so an id reused in
+    * ANOTHER stratum can't ride a pick it didn't earn. A row_number window
+    * here would sort every row of a stratum on one task (strata are few —
+    * the unsplittable-partition trap, r12 hot-key window audit). */
   def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String, k: Int): DataFrame = {
     import graft.functions.TopKRows.topKRows
     // heap order is (first field DESC, rest ASC): negate the hash for
@@ -63,8 +66,11 @@ object Sampling {
       .select(col(stratumCol), col(idCol))
       .groupBy(stratumCol)
       .agg(topKRows(struct((-idHash(col(idCol))).as("neg"), col(idCol)), k).as("top"))
-      .select(explode(col("top")).as("r"))
-      .select(col(s"r.$idCol").as("_graft_pick"))
-    df.join(broadcast(picked), col(idCol) === col("_graft_pick"), "left_semi")
+      .select(col(stratumCol).as("_graft_pick_stratum"),
+        explode(col("top")).as("r"))
+      .select(col("_graft_pick_stratum"), col(s"r.$idCol").as("_graft_pick"))
+    df.join(broadcast(picked),
+      col(idCol) === col("_graft_pick") &&
+        col(stratumCol) === col("_graft_pick_stratum"), "left_semi")
   }
 }

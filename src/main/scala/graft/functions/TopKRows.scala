@@ -116,7 +116,17 @@ case class TopKRows(
         if (r.isNullAt(i)) anyNull = true
         else {
           arr(i) = fieldTags(i) match {
-            case 0 => r.getLong(i).toDouble
+            case 0 =>
+              val l = r.getLong(i)
+              // long fields ride the heap as Double: values past 2^53 lose
+              // low bits and can flip tie-breaks SILENTLY (snowflake/epoch
+              // ids). Fail loudly instead — one branch per long field, paid
+              // only on the update hot path, never on merge/eval.
+              if (l > TopKRows.MaxExactLong || l < -TopKRows.MaxExactLong)
+                throw new IllegalArgumentException(
+                  s"topk_rows long field $i value $l exceeds 2^53; ranking " +
+                    "fields are held as Double and would lose precision")
+              l.toDouble
             case 1 => r.getInt(i).toDouble
             case _ => r.getDouble(i)
           }
@@ -183,7 +193,14 @@ case class TopKRows(
 }
 
 object TopKRows {
-  /** `topKRows(struct($"score", $"id"), 3)` — top-3 by score desc, id asc. */
+  /** Largest long exactly representable as Double (2^53): long ranking
+    * fields beyond this are rejected in update() — see the hot-path check. */
+  val MaxExactLong: Long = 1L << 53
+
+  /** `topKRows(struct($"score", $"id"), 3)` — top-3 by score desc, id asc.
+    * NOTE: all ranking fields are held as Double internally; long fields
+    * with |value| > 2^53 are rejected at update time (precision loss would
+    * silently flip tie-breaks). */
   def topKRows(c: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(

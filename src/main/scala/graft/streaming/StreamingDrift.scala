@@ -58,6 +58,12 @@ object StreamingDrift {
       .select(bucketOf.as("bucket")).groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
+  /** How many persisted state versions to retain (the written version plus
+    * retainVersions−1 prior merge-bases). Spark replays at most the one
+    * uncommitted batch, but recovery tooling can reach deeper; see the
+    * retention comment in [[monitorWithPrev]]. */
+  val retainVersions: Int = 4
+
   /** Laplace-smoothed PSI between two histograms, bucket-ordered sum. */
   def psi(ref: Map[Int, Long], cand: Map[Int, Long]): Double = {
     val buckets = (ref.keySet ++ cand.keySet).toSeq.sorted
@@ -147,9 +153,13 @@ object StreamingDrift {
           .map(b => b -> (base.getOrElse(b, 0L) + delta.getOrElse(b, 0L)))
           .toMap
         writeHist(fs, new Path(stateRoot, s"v$id"), merged)
-        // keep the version just merged from: a replay of THIS batch still
-        // needs it (steady state: two versions on disk)
-        prev.dropRight(1).foreach(fs.delete(_, true))
+        // retain the last `retainVersions` merge-bases: Spark's contract
+        // replays only the single uncommitted batch (needing one base), but
+        // operational recovery (checkpoint restore, manual commit surgery)
+        // can reach further back — rebuilding from a missing base would
+        // SILENTLY drop the dropped versions' histogram mass. Each version
+        // is O(buckets) bytes, so deeper retention is metadata-sized.
+        prev.dropRight(retainVersions - 1).foreach(fs.delete(_, true))
         onBatch(id, baseOpt.map(psi(ref, _)), psi(ref, merged))
       }
       .start()

@@ -1110,6 +1110,7 @@ class StreamingSpec extends SparkSpec {
       assert(out.size == 1, s"crossing must trigger once: ${out.asScala.toSeq}")
       val hit = out.peek()
       assert(hit.batchId == 1L && hit.psi >= threshold, hit.toString)
+      val crossingPsi = hit.psi
       assert(hit.recommendations.sorted == direct,
         s"loop recs ${hit.recommendations.sorted} vs direct $direct")
       assert(hit.demotedCandidates == directDemoted, hit.toString)
@@ -1133,6 +1134,13 @@ class StreamingSpec extends SparkSpec {
       assert(after.size == 1 && after.head.batchId == 1L,
         s"replay must replace, not append: $after")
       assert(after.head.recommendations.sorted == direct, after.head.toString)
+      // the replayed decision must derive from the SAME drift state: a
+      // 2-deep replay that rebuilt v1 from an empty base (lost batch-0
+      // mass) would shift the PSI even when the recommendation set happens
+      // to agree — this is what version retention protects
+      assert(after.head.psi == crossingPsi,
+        s"replayed PSI ${after.head.psi} != original crossing PSI $crossingPsi " +
+          "(drift state lost across replay)")
     } finally query.stop()
   }
 }

@@ -134,6 +134,25 @@ class TemporalSpec extends SparkSpec {
     assert(counts.forall(_ <= 3))
   }
 
+  test("topKPerStratum with ids unique only per stratum: still exactly k per stratum") {
+    // ids shared ACROSS strata must not ride another stratum's pick — the
+    // pick-set join is keyed on (stratum, id), so id 1 being picked in
+    // stratum "a" cannot keep stratum "b"'s id-1 row unless b picked it too
+    import spark.implicits._
+    val df = (for (s <- Seq("a", "b", "c"); id <- 1L to 10L) yield (s, id))
+      .toDF("stratum", "id")
+    val out = Sampling.topKPerStratum(df, "id", "stratum", 3)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 3L, "b" -> 3L, "c" -> 3L),
+      s"per-stratum counts drifted: $counts")
+    // and the kept ID SET is identical across strata (same hash family,
+    // same ids) — a same-id leak would instead inflate every stratum
+    val perStratum = out.collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    assert(perStratum.values.toSet.size == 1)
+  }
+
   test("topKPerStratum picks the SAME rows under any input partitioning") {
     // the deterministic-reservoir claim: the kept set is a pure function of
     // the data (hash order + id tiebreak), not of partition layout
