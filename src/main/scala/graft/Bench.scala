@@ -91,7 +91,21 @@ object Bench {
     // otherwise win the min — worse contamination than the noise min-of-2
     // exists to remove). A key with zero successful passes reports its min
     // elapsed anyway (the canary spec catches always-failing keys first).
-    def timedPass(): Map[String, (Double, Boolean)] = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter, mirroring graft.Verify's: SPARK_GRAFT_ONLY=k1,k2
+    // times only the named keys. The driver never sets it; when active the
+    // JSON carries "filtered":true so a filtered run can never masquerade
+    // as a round artifact, and the perkey file is NOT written (same stale-
+    // artifact rationale as the write-failure guard below).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val timedQueries = only match {
+      case Some(ks) =>
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY active: ${ks.toSeq.sorted.mkString(",")}")
+        SparkEntry.queries.filter { case (n, _) => ks(n) }
+      case None => SparkEntry.queries
+    }
+    def timedPass(): Map[String, (Double, Boolean)] = timedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (((System.nanoTime() - t0) / 1e9, ok))
@@ -122,8 +136,9 @@ object Bench {
     // "total" records and double-count), and the big line's run total is
     // named total_sec — NOT value — so a per_query consumer can't misread
     // the whole-run figure as a per-query one.
+    val filteredField = if (only.isDefined) """"filtered":true,""" else ""
     val perQueryLine =
-      s"""{"metric":"per_query","total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
+      s"""{"metric":"per_query",$filteredField"total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
     println(perQueryLine)
     // …and the SAME record as a file in the working dir: the driver's
     // log-tail capture window is ~2 KB, so the full per-key map above is
@@ -135,12 +150,13 @@ object Bench {
     // self-review): the filename is stable across rounds, so a failed
     // write with an unconditional advertisement would hand the artifact
     // builder a STALE previous run's map with no warning
-    val perkeyWritten =
+    val perkeyWritten = only.isEmpty && {
       // bench must never sink on a read-only CWD — but only NonFatal
       // errors degrade to "no perkey file"; an OOM/VM error must propagate
       try { java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
         (perQueryLine + "\n").getBytes("UTF-8")); true }
       catch { case scala.util.control.NonFatal(_) => false }
+    }
     // one-time session cost (JIT + codegen + cache builds), as its own metric
     // line so it can be tracked round-over-round without polluting the total
     println(s"""{"metric":"warmup_sec","value":${fmt(warmupSec)},"unit":"sec","sf":"$sfName"}""")
@@ -152,7 +168,7 @@ object Bench {
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt2(v)))
       .mkString("{", ",", "}")
     val perkeyField = if (perkeyWritten) s""","perkey_file":"$perkeyFile"""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns$perkeyField,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    println(s"""{"metric":"total",$filteredField"value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns$perkeyField,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }

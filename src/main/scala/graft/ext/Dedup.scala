@@ -451,7 +451,26 @@ object Dedup {
 
   /** SimHash near-dups: hamming(sig_a, sig_b) ≤ maxDist, candidates bucketed
     * by 16-bit band equality (a near-dup within ≤3 bits must agree on at
-    * least one of four 16-bit bands — pigeonhole). */
+    * least one of four 16-bit bands — pigeonhole, Manku et al. WWW 2007).
+    *
+    * Scale shape (r13): identical signatures are COLLAPSED before banding.
+    * The 4×16-bit bands are a FIXED 2^16 keyspace per band, so banding raw
+    * docs makes bucket population grow ∝ n and candidate work ∝ n²/2^16 —
+    * and exact-duplicate cliques (the common case in crawled corpora) land
+    * every member in every band bucket, squaring the clique inside the
+    * join. Banding only DISTINCT signatures bounds candidate work by
+    * d²/2^16 (d = distinct sigs, which saturates as clones accumulate);
+    * same-sig pairs are emitted arithmetically as dist-0 cliques and
+    * cross-sig survivors are expanded back through the membership frame.
+    * The residual d²/2^16 bound is structural to 16-bit bands — 4 bands is
+    * the MINIMUM for the dist≤3 pigeonhole, so the next lever would be a
+    * wider signature, not wider bands.
+    *
+    * Semantics are unchanged: a same-sig pair shares all four bands and has
+    * dist 0; a cross-sig pair with dist ≤ 3 < 4 bands shares at least one
+    * band by pigeonhole, so the band filter never rejects a true pair —
+    * the output is exactly {pairs with hamming ≤ maxDist}, which is what
+    * the DuckDB oracle (still the raw-doc banding form) computes. */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
       cacheKey: Option[String] = None): DataFrame = {
     val sigs = DfMemo.cached(spark, cacheKey, "simhash_sigs", persistUnkeyed = true) {
@@ -459,18 +478,36 @@ object Dedup {
         .select(col("doc_id"), tokenHashes61(split(col("text"), " ")).as("hashes"))
         .select(col("doc_id"), simhashFromHashes(col("hashes")).as("sig"))
     }
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // band only the distinct signatures: candidate pairs are SIG pairs
+    val distinctSigs = sigs.select("sig").distinct()
+    val banded = distinctSigs.select(col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF).as("bucket"))): _*)))
-      .select(col("doc_id"), col("sig"), col("col.band"), col("col.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("siga"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("sigb"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("siga"), col("sigb")).distinct()
+      .select(col("sig"), col("col.band"), col("col.bucket"))
+    val sa = banded.select(col("band"), col("bucket"), col("sig").as("siga"))
+    val sb = banded.select(col("band"), col("bucket"), col("sig").as("sigb"))
+    val sigPairs = sa.join(sb, Seq("band", "bucket"))
+      .where(col("siga") < col("sigb"))
+      .select("siga", "sigb").distinct()
       .withColumn("dist", bit_count(col("siga").bitwiseXOR(col("sigb"))))
       .where(col("dist") <= maxDist)
+    // expand cross-sig survivors through the membership frame; each doc
+    // pair appears once (a doc has exactly one sig, and sig pairs are
+    // value-ordered) — least/greatest restores the a_id < b_id contract
+    val ma = sigs.select(col("sig").as("siga"), col("doc_id").as("da"))
+    val mb = sigs.select(col("sig").as("sigb"), col("doc_id").as("db"))
+    val cross = sigPairs.join(ma, "siga").join(mb, "sigb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("dist"))
+    // same-sig cliques: dist 0 by definition, no banding or XOR needed —
+    // output-driven quadratic (the pair set ITSELF is the clique's edges)
+    val clones = sigs.select(col("sig"), col("doc_id").as("a_id"))
+      .join(sigs.select(col("sig"), col("doc_id").as("b_id")), Seq("sig"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        lit(0).cast("int").as("dist"))
+    clones.unionByName(cross)
       .select("a_id", "b_id", "dist")
       .orderBy("a_id", "b_id")
   }
