@@ -2081,22 +2081,37 @@ for ai_idx in range(len(ids_sorted)):
 check("simjoin_exact", pd.DataFrame(rows, columns=["a_id", "b_id", "cos"])
       .sort_values(["a_id", "b_id"]))
 
-# simjoin_ann: 8 integer-derived hyperplanes → bucket equi-join
-PLANES = [np.array([(i * 2654435761 + p * 40503) % 1000 - 500
-                    for i in range(64)], dtype=np.float64) for p in range(8)]
-BUCKET = {i: sum((1 << p) for p in range(8) if seqdot(v, PLANES[p]) >= 0.0)
-          for i, v in VEC.items()}
+# simjoin_ann: banded random-hyperplane LSH — 8 bands of corpus-scaled r
+# planes (r = clamp(ceil(log2(ceil(n/8))), 8, 30), n = raw embeddings rows),
+# candidates deduped across bands, verified with exact sequential-fold cos
+ANN_TGT = max(1, (len(emq) + 7) // 8)
+ANN_R = max(8, min(30, (ANN_TGT - 1).bit_length()))
+ANN_BANDS = 8
+
+
+def ann_plane(q):
+    return np.array([(i * 2654435761 + q * 2246822519 + i * q * 3266489917)
+                     % 1000 - 500 for i in range(64)], dtype=np.float64)
+
+
 by_bucket = {}
 for i in sorted(VEC):
-    by_bucket.setdefault(BUCKET[i], []).append(i)
-ann_pairs = []
+    if NRM[i] <= 0.0:
+        continue
+    for band in range(ANN_BANDS):
+        bkt = sum((1 << j) for j in range(ANN_R)
+                  if seqdot(VEC[i], ann_plane(band * ANN_R + j)) >= 0.0)
+        by_bucket.setdefault((band, bkt), []).append(i)
+ann_cand = set()
 for ids in by_bucket.values():
     for x in range(len(ids)):
         for y in range(x + 1, len(ids)):
-            a, b = ids[x], ids[y]
-            c = rN(seqdot(VEC[a], VEC[b]) / (NRM[a] * NRM[b]), 6)
-            if c >= 0.25:
-                ann_pairs.append((a, b, c))
+            ann_cand.add((ids[x], ids[y]))
+ann_pairs = []
+for a, b in sorted(ann_cand):
+    c = rN(seqdot(VEC[a], VEC[b]) / (NRM[a] * NRM[b]), 6)
+    if c >= 0.25:
+        ann_pairs.append((a, b, c))
 check("simjoin_ann", pd.DataFrame(
     [{"a_id": np.int64(a), "b_id": np.int64(b), "cos": c}
      for a, b, c in sorted(ann_pairs)], columns=["a_id", "b_id", "cos"]))

@@ -196,16 +196,21 @@ object Queries7 {
              |    150000 + (850 * c.contrib) // 1000 AS rank
              |  FROM dg JOIN (SELECT ed.d AS id, SUM(r.rank // r.deg) AS contrib
              |    FROM ed JOIN $prev r ON ed.s = r.id GROUP BY ed.d) c ON dg.s = c.id)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-           |bk AS (SELECT vec_id, v, nrm,
-           |  CAST(list_sum(list_transform(range(8), p -> CASE WHEN
-           |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + p*40503) % 1000 - 500 AS DOUBLE))) >= 0
-           |    THEN (1 << p) ELSE 0 END)) AS INT) AS bucket FROM n),
+        s"""WITH params AS (SELECT GREATEST(8, LEAST(30, CAST(ceil(log2(GREATEST(CAST(ceil(count(*) / 8.0) AS BIGINT), 1))) AS INT))) AS r FROM embeddings),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+           |      WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+           |bk AS (SELECT vec_id, band,
+           |  CAST(list_sum(list_transform(range(r), j -> CASE WHEN
+           |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + (band*r+j)*2246822519 + i*(band*r+j)*3266489917) % 1000 - 500 AS DOUBLE))) >= 0
+           |    THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+           |  FROM n, params, range(8) bs(band)),
+           |cd AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
            |pr AS (SELECT a_id, b_id FROM (
-           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |    ROUND(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / (a.nrm*b.nrm), 6) AS cos
-           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+           |  SELECT c.a_id, c.b_id,
+           |    ROUND(list_sum(list_transform(range(len(x.v)), i -> x.v[i+1]*y.v[i+1])) / (x.nrm*y.nrm), 6) AS cos
+           |  FROM cd c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id) z
            |  WHERE cos >= 0.25),
            |ed AS (SELECT a_id AS s, b_id AS d FROM pr UNION ALL SELECT b_id, a_id FROM pr),
            |dg AS (SELECT s, COUNT(*) AS deg FROM ed GROUP BY s),

@@ -360,24 +360,35 @@ object QueriesExt {
           |FROM e, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     QSpec("simjoin_ann",
-      // X4 LSH-bucketed ANN self-join. The plane weights are integer-derived
-      // literals and the dot products fold ascending (codegen VectorDot), so
-      // the oracle replays the bucket assignment bit-for-bit — sign-exact fp
-      // reproducibility is what VectorDot's fixed fold order buys. Recall vs
-      // the exact join is additionally asserted in ExtSpec.
-      (s, dir) => SimSearch.annSelfJoin(s, t(s, dir, "embeddings"),
-        dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir)),
+      // X4 banded random-hyperplane ANN self-join (AND-OR LSH: 8 bands of
+      // corpus-scaled r planes — see SimSearch.scaledPlanes). The plane
+      // weights are integer-derived literals and the dot products fold
+      // ascending (codegen VectorDot), so the oracle replays the band
+      // buckets bit-for-bit, including the corpus-scaled r (the params CTE
+      // derives the same r = clamp(ceil(log2(ceil(n/8))), 8, 30) from
+      // count(*)). Recall vs the exact join is asserted in ExtSpec.
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimSearch.annSelfJoin(s, emb, dim = 64,
+          rPlanes = SimSearch.scaledPlanes(emb, Some(dir)),
+          nBands = SimSearch.annBands, threshold = 0.25, cacheKey = Some(dir))
+      },
       Some(
-        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
-          |bk AS (SELECT vec_id, v, nrm,
-          |  CAST(list_sum(list_transform(range(8), p -> CASE WHEN
-          |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + p*40503) % 1000 - 500 AS DOUBLE))) >= 0
-          |    THEN (1 << p) ELSE 0 END)) AS INT) AS bucket FROM n)
+        """WITH params AS (SELECT GREATEST(8, LEAST(30, CAST(ceil(log2(GREATEST(CAST(ceil(count(*) / 8.0) AS BIGINT), 1))) AS INT))) AS r FROM embeddings),
+          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+          |      WHERE list_sum(list_transform(v, x -> x*x)) > 0),
+          |bk AS (SELECT vec_id, band,
+          |  CAST(list_sum(list_transform(range(r), j -> CASE WHEN
+          |    list_sum(list_transform(range(len(v)), i -> v[i+1] * CAST((i*2654435761 + (band*r+j)*2246822519 + i*(band*r+j)*3266489917) % 1000 - 500 AS DOUBLE))) >= 0
+          |    THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+          |  FROM n, params, range(8) bs(band)),
+          |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
           |SELECT a_id, b_id, cos FROM (
-          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-          |    ROUND(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1]*b.v[i+1])) / (a.nrm*b.nrm), 6) AS cos
-          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+          |  SELECT c.a_id, c.b_id,
+          |    ROUND(list_sum(list_transform(range(len(x.v)), i -> x.v[i+1]*y.v[i+1])) / (x.nrm*y.nrm), 6) AS cos
+          |  FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id) z
           |WHERE cos >= 0.25 ORDER BY a_id, b_id""".stripMargin)),
 
     QSpec("simjoin_exact",

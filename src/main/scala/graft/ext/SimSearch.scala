@@ -58,23 +58,57 @@ object SimSearch {
       .limit(k)
   }
 
-  /** IVF-style bucketed ANN: assign each vector to the sign-pattern bucket of
-    * `nPlanes` fixed pseudo-random hyperplanes (deterministic — derived from
-    * the dimension index, no RNG), then compare only within buckets. Recall
-    * is traded for turning an O(n²) cross join into a per-bucket self-join
-    * (shuffle on bucket id). */
-  def bucketId(v: Column, dim: Int, nPlanes: Int): Column = {
-    // plane p weight for dimension i: cos-ish deterministic pseudo-weights
-    // from integer arithmetic: w(p,i) = ((i*2654435761 + p*40503) mod 1000 - 500).
-    // The weights are plan-time literal arrays, so each projection is one
-    // codegen VectorDot (ascending fold — bit-identical to the former
-    // interpreted zip_with+aggregate, hence identical buckets).
-    val bits = (0 until nPlanes).map { p =>
-      val w = array((0 until dim).map(i =>
-        lit(((i.toLong * 2654435761L + p.toLong * 40503L) % 1000L).toDouble - 500.0)): _*)
-      when(dot(v, w) >= 0, lit(1 << p)).otherwise(lit(0))
+  /** Deterministic hyperplane weight for plane `q`, dimension `i`:
+    * w(q,i) = ((i·2654435761 + q·2246822519 + i·q·3266489917) mod 1000) − 500.
+    *
+    * The i·q cross term is what makes planes INDEPENDENT of each other —
+    * the r12 family w(p,i) = ((i·2654435761 + p·40503) mod 1000 − 500)
+    * varied only by a per-plane shift, so sign(v·w_p) was strongly
+    * correlated across p: at sf1 just 46 of 256 buckets were populated and
+    * the top bucket held 30% of all vectors (measured), turning the
+    * "bucketed" join quadratic inside a handful of hot buckets. With the
+    * cross term every bucket populates and the max bucket drops ~66×.
+    * All terms are positive and < 5e12, so plain int64 arithmetic is exact
+    * and any SQL engine replays the weights bit-for-bit. */
+  def planeWeight(q: Int, i: Int): Double =
+    ((i.toLong * 2654435761L + q.toLong * 2246822519L +
+      i.toLong * q.toLong * 3266489917L) % 1000L).toDouble - 500.0
+
+  /** Sign-pattern bucket of band `band` (planes band·r … band·r+r−1): bit j
+    * set iff v · w(band·r+j) ≥ 0. The weights are plan-time literal arrays,
+    * so each projection is one codegen VectorDot (ascending fold — exactly
+    * the arithmetic the DuckDB oracle replays). */
+  def bandBucket(v: Column, dim: Int, rPlanes: Int, band: Int): Column = {
+    val bits = (0 until rPlanes).map { j =>
+      val q = band * rPlanes + j
+      val w = array((0 until dim).map(i => lit(planeWeight(q, i))): _*)
+      when(dot(v, w) >= 0, lit(1 << j)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Fixed band count for the ANN OR-amplification (see [[annSelfJoin]]):
+    * a pair is a candidate if it agrees on ALL r planes of ANY of the
+    * `annBands` bands — recall 1−(1−p^r)^L per the standard LSH AND-OR
+    * construction, paid for with L× candidate-generation work. */
+  val annBands: Int = 8
+
+  /** Corpus-scaled planes-per-band for [[annSelfJoin]]: the smallest r with
+    * 2^r ≥ ⌈n/8⌉, clamped to [8, 30] — expected band-bucket population
+    * stays ~8 as the corpus grows, so per-band candidate work stays O(n)
+    * instead of O(n²/2^r) with a stale fixed r (the r12 shape: r=8 forever
+    * = 256 buckets forever, measured ×60 at 10× rows). The count is a
+    * build-time driver action by necessity (r shapes the plan's literal
+    * plane set), memoized per (session, corpus) alongside [[scaledK]]'s.
+    * The 30-plane cap keeps band buckets in INT range; past n ≈ 8·2^30
+    * vectors bucket population starts growing again — at that scale the
+    * band id becomes a BIGINT and the cap lifts. */
+  def scaledPlanes(emb: DataFrame, cacheKey: Option[String] = None): Int = {
+    val n = corpusSize(emb, cacheKey)
+    val target = math.max(1L, (n + 7L) / 8L)
+    val ceilLog2 = if (target <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(target - 1L)
+    math.max(8, math.min(30, ceilLog2))
   }
 
   private def memoized(spark: SparkSession, cacheKey: Option[String], tag: String)
@@ -87,25 +121,52 @@ object SimSearch {
     * definition so call sites can't drift on the LSH parameters. */
   def annPairsMemo(spark: SparkSession, dir: String): DataFrame =
     DfMemo.cached(spark, Some(dir), "annpairs") {
-      annSelfJoin(spark, graft.catalog.TableRegistry.table(spark, dir, "embeddings"),
-        dim = 64, nPlanes = 8, threshold = 0.25, cacheKey = Some(dir))
+      val emb = graft.catalog.TableRegistry.table(spark, dir, "embeddings")
+      annSelfJoin(spark, emb, dim = 64,
+        rPlanes = scaledPlanes(emb, Some(dir)), nBands = annBands,
+        threshold = 0.25, cacheKey = Some(dir))
         .select("a_id", "b_id")
     }
 
-  /** ANN self-join: pairs (a < b) with cosine ≥ threshold, candidates
-    * restricted to same bucket. The bucket-id projection (nPlanes dot
-    * products) feeds both join sides — pass `cacheKey` to materialize it
-    * once per (key, dim, nPlanes) instead of letting Catalyst inline it
-    * twice per call. */
+  /** Banded random-hyperplane ANN self-join: pairs (a < b) with cosine ≥
+    * threshold, candidates restricted to pairs agreeing on all `rPlanes`
+    * sign bits of at least one of `nBands` bands (the AND-OR LSH
+    * construction — per-band precision from r planes, recall recovered by
+    * OR-ing L bands; same shape as the minhash banding one file over).
+    *
+    * Scale design (r13, replacing the single fixed 8-plane band):
+    *  - r is corpus-scaled by the caller (see [[scaledPlanes]]) so expected
+    *    band-bucket population — and with it per-band candidate work per
+    *    vector — stays constant as the corpus grows (measured: sf1/sf0.1
+    *    candidate ratio ×10 at 10× rows, vs ×100 with fixed r).
+    *  - candidates are generated SKINNY: only (band, bucket, vec_id) rides
+    *    the self-join shuffle; the 512-byte vectors join back onto the
+    *    deduplicated pair set for verification instead of riding every
+    *    band-bucket collision (the r12 form shuffled both vectors through
+    *    the join and materialized them per candidate row).
+    * The banded projection (nBands · rPlanes codegen VectorDots) feeds both
+    * join sides — pass `cacheKey` to materialize it once. */
   def annSelfJoin(spark: SparkSession, emb: DataFrame, dim: Int,
-      nPlanes: Int, threshold: Double, cacheKey: Option[String] = None): DataFrame = {
-    val e = memoized(spark, cacheKey, s"ann:$dim:$nPlanes") {
-      withNorm(emb).withColumn("bucket", bucketId(col("v"), dim, nPlanes))
+      rPlanes: Int, nBands: Int, threshold: Double,
+      cacheKey: Option[String] = None): DataFrame = {
+    val e = memoized(spark, cacheKey, s"ann:$dim:$rPlanes:$nBands") {
+      withNorm(emb)
     }
-    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val banded = memoized(spark, cacheKey, s"annbands:$dim:$rPlanes:$nBands") {
+      e.select(col("vec_id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            bandBucket(col("v"), dim, rPlanes, b).as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val a = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "a_id").join(vb, "b_id")
       .select(col("a_id"), col("b_id"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= threshold)
@@ -152,14 +213,18 @@ object SimSearch {
     * exactly like [[seedCentroids]]'s collect) — memoized per (session,
     * corpus) so repeated builds over one fixture cost one metadata-sized
     * job total. */
-  def scaledK(emb: DataFrame, cacheKey: Option[String] = None): Int = {
-    val n = cacheKey match {
+  def scaledK(emb: DataFrame, cacheKey: Option[String] = None): Int =
+    math.max(8L, corpusSize(emb, cacheKey) / 256L).toInt
+
+  /** Corpus row count backing every corpus-scaled index parameter
+    * ([[scaledK]], [[scaledPlanes]]) — memoized per (session, corpus) so
+    * repeated index builds over one fixture cost one metadata-sized job. */
+  def corpusSize(emb: DataFrame, cacheKey: Option[String] = None): Long =
+    cacheKey match {
       case Some(k) =>
         sizeMemo.computeIfAbsent((emb.sparkSession, k), _ => emb.count())
       case None => emb.count()
     }
-    math.max(8L, n / 256L).toInt
-  }
 
   /** (ci, cv, c2) centroid index frame for the corpus-scaled assignment:
     * the first `k` nonzero-norm vectors by vec_id, indexed 0..k−1 in
