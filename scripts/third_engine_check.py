@@ -461,6 +461,17 @@ for _, r in dc.iterrows():
                 "keep_ratio": ratioR(ntok - nd, ntok, 6)})
 check("dedup_span_removal", pd.DataFrame(out).sort_values("doc_id"))
 
+# dedup_span_clean: the emitted corpus — covered positions removed from
+# each later doc, survivors re-joined with single spaces
+out = []
+for _, r in dc.iterrows():
+    toks = r.text.split(" ")
+    covset = _cov.get(int(r.doc_id), set())
+    kept = [t_ for i_, t_ in enumerate(toks) if i_ not in covset]
+    out.append({"doc_id": np.int64(r.doc_id), "n_keep": np.int64(len(kept)),
+                "clean_text": " ".join(kept)})
+check("dedup_span_clean", pd.DataFrame(out).sort_values("doc_id"))
+
 # bloom_prefilter: m=4096 k=3 over 8-token head fingerprints
 fp = {did: " ".join(txt.split(" ")[:8]) for did, txt in zip(dc.doc_id, dc.text)}
 def positions(th):

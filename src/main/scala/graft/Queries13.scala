@@ -200,11 +200,7 @@ object Queries13 {
       // combine), and a left join back to the per-doc token counts.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val covered = graft.ext.Winnow.matchSpans(s, dir, docs)
-          .select(col("b_id").as("doc_id"),
-            explode(sequence(col("b_start").cast("long"),
-              col("b_start").cast("long") + col("run_tokens") - 1L)).as("pos"))
-          .distinct()
+        val covered = graft.ext.Winnow.coveredPositions(s, dir, docs)
           .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
         docs.select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -276,6 +272,98 @@ object Queries13 {
           "n_tok - COALESCE(n_dup, 0)", "n_tok", 6) +
         """ AS keep_ratio
           |FROM tk LEFT JOIN cc ON tk.doc_id = cc.doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
+    QSpec("dedup_span_clean",
+      // X59 — EMIT the deduplicated corpus: each doc's text with its
+      // covered token positions (the X58 keep-first union) removed and the
+      // survivors re-joined — the artifact a span-dedup stage actually
+      // ships (Lee et al., arXiv:2107.06499 §4 trains on the deduplicated
+      // text, not on attrition counts). Scale shape: covered positions
+      // collapse to ONE sorted per-doc array (bounded by doc length), join
+      // docs on doc_id — one row per doc, text rides the join exactly once
+      // — and the removal is a per-row indexed-filter HOF over the token
+      // array: no token-granularity explode, no token-level shuffle, and
+      // docs without spans pass through untouched via the left join.
+      // Uncovered docs keep their text verbatim (token-join with single
+      // spaces is identity on the single-space fixture contract the whole
+      // token surface shares — see n_tok in X58).
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val covArr = graft.ext.Winnow.coveredPositions(s, dir, docs)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("cps"))
+        docs.join(covArr, Seq("doc_id"), "left")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"),
+            coalesce(col("cps"), array().cast("array<long>")).as("cps"))
+          .select(col("doc_id"),
+            filter(col("toks"),
+              (_, i) => !array_contains(col("cps"), i.cast("long"))).as("kept"))
+          .select(col("doc_id"),
+            size(col("kept")).cast("long").as("n_keep"),
+            array_join(col("kept"), " ").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH sp AS (SELECT doc_id, source, text, string_split(text, ' ') AS sp
+          |  FROM documents),
+          |sh AS (SELECT doc_id, CASE WHEN len(sp) < 4 THEN [text]
+          |    ELSE list_transform(range(1, len(sp) - 2),
+          |      i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) END AS sh
+          |  FROM sp),
+          |hs AS (SELECT doc_id, list_transform(sh, g ->
+          |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(range(1, length(g)+1), i -> CAST(unicode(g[i]) AS BIGINT))),
+          |      (a, c) -> (a * 131 + c) % 1000000007)) AS hl FROM sh),
+          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(hl)+1),
+          |      i -> {'pos': i - 1, 'h': hl[i]})) AS u FROM hs)),
+          |wn AS (SELECT doc_id, pos, h,
+          |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+          |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM p),
+          |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM wn
+          |  WHERE pos <= GREATEST(0, n - 4)),
+          |ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 16),
+          |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+          |  WHERE a.doc_id < b.doc_id),
+          |g0 AS (SELECT doc_id, list_transform(range(1, len(sp) - 2),
+          |    i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]) AS gs
+          |  FROM sp WHERE len(sp) >= 7),
+          |grams AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(gs)+1),
+          |      i -> {'p': i - 1, 'g': gs[i]})) AS u FROM g0)),
+          |pts AS (SELECT pr.a_id, pr.b_id, ga.p AS pa, gb.p AS pb
+          |  FROM pairs pr
+          |  JOIN grams ga ON ga.doc_id = pr.a_id
+          |  JOIN grams gb ON gb.doc_id = pr.b_id AND gb.g = ga.g),
+          |seg AS (SELECT a_id, b_id, pb - pa AS diag, pa, pb,
+          |    CASE WHEN pa - LAG(pa) OVER (PARTITION BY a_id, b_id, pb - pa
+          |      ORDER BY pa) = 1 THEN 0 ELSE 1 END AS brk FROM pts),
+          |seg2 AS (SELECT a_id, b_id, diag, pa, pb,
+          |    SUM(brk) OVER (PARTITION BY a_id, b_id, diag ORDER BY pa
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM seg),
+          |runs AS (SELECT a_id, b_id, MIN(pa) AS a_start, MIN(pb) AS b_start,
+          |    COUNT(*) + 3 AS run_tokens
+          |  FROM seg2 GROUP BY a_id, b_id, diag, seg
+          |  HAVING COUNT(*) + 3 >= 7),
+          |cov AS (SELECT DISTINCT doc_id, pos FROM (
+          |    SELECT b_id AS doc_id,
+          |      unnest(range(b_start, b_start + run_tokens)) AS pos FROM runs)),
+          |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(sp)+1),
+          |      i -> {'pos': i - 1, 'tok': sp[i]})) AS u FROM sp)),
+          |keep AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+          |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          |  WHERE c.doc_id IS NULL),
+          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_keep,
+          |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          |  FROM keep GROUP BY doc_id)
+          |SELECT d.doc_id AS doc_id,
+          |  CAST(COALESCE(a.n_keep, 0) AS BIGINT) AS n_keep,
+          |  COALESCE(a.clean_text, '') AS clean_text
+          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
           |ORDER BY doc_id""".stripMargin)),
 
     QSpec("pretokenize_bpe_regex",

@@ -99,4 +99,24 @@ object Winnow {
           col("b_start").cast("int").as("b_start"),
           col("run_tokens"))
     }
+
+  /** Distinct covered token positions of each LATER doc under the
+    * keep-first policy (Lee et al., arXiv:2107.06499: the duplicated
+    * substring is removed from the later occurrence): one (doc_id, pos)
+    * row per token position inside any of the doc's b-side verified runs —
+    * the union over runs, so overlapping runs on different diagonals never
+    * double-count a position. Shared by `dedup_span_removal` (attrition
+    * accounting) and `dedup_span_clean` (cleaned-corpus emission);
+    * memoized so the explode+distinct runs once per (session, dir). The
+    * position explode is bounded by covered-token count ≤ doc length. */
+  def coveredPositions(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, k: Int = 4, w: Int = 4, minRun: Int = 7,
+      dfCap: Int = 16): DataFrame =
+    DfMemo.cached(spark, Some(dir), s"winnow_cov:$k:$w:$minRun:$dfCap") {
+      matchSpans(spark, dir, docs, k, w, minRun, dfCap)
+        .select(col("b_id").as("doc_id"),
+          explode(sequence(col("b_start").cast("long"),
+            col("b_start").cast("long") + col("run_tokens") - 1L)).as("pos"))
+        .distinct()
+    }
 }

@@ -87,6 +87,21 @@ class Queries13Spec extends SparkSpec {
     assert(removal(0L)._2 == 0L, s"the EARLIER doc keeps its spans: ${removal(0L)}")
     assert((removal - 1L).values.forall(_._2 == 0L),
       s"only doc 1 sheds tokens: $removal")
+
+    // X59 emission over the same corpus: doc 1's cleaned text is EXACTLY
+    // its tokens minus positions 12..19 (run1) and 23..29 (run2) —
+    // bb0..bb11 ++ bm0..bm2 ++ bz0..bz5 — and every other doc's text
+    // passes through verbatim
+    val clean = SparkEntry.queries("dedup_span_clean")(spark, docsDir(Seq(
+        (0L, a, "src0"), (1L, b, "src0"), (2L, c, "src0"), (3L, d, "src0")) ++ noisy))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_keep"), r.getAs[String]("clean_text"))))
+      .toMap
+    val wantClean = (toks("bb", 12) ++ toks("bm", 3) ++ toks("bz", 6)).mkString(" ")
+    assert(clean(1L) == ((21L, wantClean)), clean(1L).toString)
+    assert(clean(0L) == ((34L, a)), s"earlier doc verbatim: ${clean(0L)}")
+    assert(clean(2L)._2 == c && clean(3L)._2 == d, "span-free docs verbatim")
+    assert(clean.size == 24, s"one row per doc: ${clean.size}")
   }
 
   test("index compression and the short-doc floor") {
