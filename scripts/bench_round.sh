@@ -43,6 +43,19 @@ if pk and os.path.isfile(pk):
 print(json.dumps(d))
 EOF
   cat "BENCH_SF1_r${ROUND}.json" >&2
+
+  # standing scale gate (r13): per-key sf1/sf0.1 ratios vs the threshold +
+  # boundedness-class allowlist in graft.ScaleGate — fails the round bench
+  # on an unallowed quadratic (the r12 class: green total, x60 key).
+  # bench_pair.sh's working-tree leg left bench_perkey_sf0.1.json in CWD;
+  # the sf1 run above left bench_perkey_sf1.json.
+  if [ -f bench_perkey_sf0.1.json ] && [ -f bench_perkey_sf1.json ]; then
+    echo "== scale gate (sf1/sf0.1 per-key ratios) ==" >&2
+    sbt -batch "runMain graft.ScaleGate bench_perkey_sf0.1.json bench_perkey_sf1.json" \
+      | grep '\[scale-gate\]' >&2
+  else
+    echo "WARN: per-key files missing — scale gate skipped" >&2
+  fi
 else
   echo "WARN: sf1 fixture $SF1 missing — run scripts/make_stress_fixtures.py first" >&2
 fi

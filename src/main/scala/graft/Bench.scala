@@ -139,7 +139,12 @@ object Bench {
     val filteredField = if (only.isDefined) """"filtered":true,""" else ""
     val perQueryLine =
       s"""{"metric":"per_query",$filteredField"total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
-    println(perQueryLine)
+    // the full per-key map goes ONLY to the perkey file (below) — printed,
+    // its >5 KB head was clipped by the driver's ~2 KB tail capture into
+    // the dead "tail" fragment the r12 verdict flagged; with stdout kept to
+    // the short lines, everything the driver captures parses. Filtered dev
+    // runs (no file) still print the map — it IS the result being read.
+    if (only.isDefined) println(perQueryLine)
     // …and the SAME record as a file in the working dir: the driver's
     // log-tail capture window is ~2 KB, so the full per-key map above is
     // head-clipped past parseability in the round artifact (r10 verdict
