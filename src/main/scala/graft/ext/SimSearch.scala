@@ -122,10 +122,17 @@ object SimSearch {
   def annPairsMemo(spark: SparkSession, dir: String): DataFrame =
     DfMemo.cached(spark, Some(dir), "annpairs") {
       val emb = graft.catalog.TableRegistry.table(spark, dir, "embeddings")
-      annSelfJoin(spark, emb, dim = 64,
-        rPlanes = scaledPlanes(emb, Some(dir)), nBands = annBands,
-        threshold = 0.25, cacheKey = Some(dir))
-        .select("a_id", "b_id")
+      // truncate lineage, not just persist: the banded projection's LOGICAL
+      // plan carries nBands·r 64-literal weight arrays, and the PageRank
+      // recurrence re-analyzes the pair frame's plan ~2 trees per iteration
+      // — with the r13 banded build that re-analysis alone cost +2.2 s at
+      // sf0.1 (1.6 → 3.8 s, data UNchanged). localCheckpoint collapses the
+      // consumer-visible plan to a flat scan; the cached data is identical.
+      Dedup.truncate(
+        annSelfJoin(spark, emb, dim = 64,
+          rPlanes = scaledPlanes(emb, Some(dir)), nBands = annBands,
+          threshold = 0.25, cacheKey = Some(dir))
+          .select("a_id", "b_id"))
     }
 
   /** Banded random-hyperplane ANN self-join: pairs (a < b) with cosine ≥
