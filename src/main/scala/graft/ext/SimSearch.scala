@@ -549,12 +549,22 @@ object SimSearch {
       iters: Int = 3, cacheKey: Option[String] = None): DataFrame = {
     val (pc, _, mu) = pcaTop(spark, emb, iters, cacheKey)
     val vLit = array(pc.toIndexedSeq.map(lit): _*)
-    val muLit = array(mu.toIndexedSeq.map(lit): _*)
     val vDotMu = pc.zip(mu).map { case (a, b) => a * b }.sum
+    // the per-row transform runs as the CenterDeflect codegen kernel (r13):
+    // the former indexed-transform HOF re-evaluated BOTH 64-literal arrays
+    // per element access (element_at over CreateArray, interpreted) —
+    // ~200 µs/row, 4.1 s for the 20k-row sf1 scan; the kernel is one pass
+    // against plan-constant double[]s, bit-identical per-element arithmetic
+    // (FunctionsSpec parity pin)
+    def centerDeflect(v: Column, d: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.CenterDeflect(
+        GraftColumnBridge.expression(v), GraftColumnBridge.expression(d),
+        mu.toIndexedSeq, pc.toIndexedSeq))
+    }
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("d", dot(col("v"), vLit) - lit(vDotMu)) // vᵀ(e−μ)
-      .withColumn("t", transform(col("v"), (x, i) =>
-        x - element_at(muLit, i + 1) - element_at(vLit, i + 1) * col("d")))
+      .withColumn("t", centerDeflect(col("v"), col("d")))
       .withColumn("nrm", norm(col("t")))
     val q = e.where(col("vec_id") === queryVecId)
       .select(col("t").as("qt"), col("nrm").as("qn"))
@@ -630,9 +640,14 @@ object SimSearch {
     * when codes do move. The scan shape is identical to [[topK]]: broadcast
     * query codes, one linear pass, no shuffle. */
   def quantize(v: Column): Column = {
-    val ma = array_max(transform(v, x => abs(x)))
-    when(ma === 0d, transform(v, _ => lit(0d)))
-      .otherwise(transform(v, x => floor(x / (ma / 127d) + 0.5d)))
+    // codegen kernel (r13): the former HOF form — array_max(transform(abs))
+    // + a transform(floor(x/(ma/127)+0.5)) — is CodegenFallback and cost
+    // ~190 µs/row on 64 dims (simsearch_quant 3.75 s for a 20k-row sf1
+    // scan); the kernel is one fused pass with the identical double-op
+    // order, pinned bit-equal to the HOF form in FunctionsSpec.
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.Int8Quantize(
+      GraftColumnBridge.expression(v)))
   }
 
   /** k-NN JOIN: every query vector (`vec_id < nQueries`) gets its k nearest

@@ -129,6 +129,30 @@ class CodegenGateSpec extends SparkSpec {
     gate(SignPack(Literal.create(Array(0.5, -0.5, 0.0), dArrNN)), Seq(row()))
   }
 
+  test("Int8Quantize and CenterDeflect compile over nullable and non-nullable children") {
+    for (nullable <- Seq(true, false)) {
+      val arrT = if (nullable) dArrN else dArrNN
+      val v = BoundReference(0, arrT, nullable = nullable)
+      val baseRows = Seq(
+        row(darr(1.0, -2.0, 0.5)),
+        row(darr(0.0, 0.0)), // all-zero → zeros branch
+        row(darr()))
+      val nullElem = if (nullable)
+        Seq(row(new GenericArrayData(Array[Any](1.0, null, -3.0)))) else Nil
+      val nullRow = if (nullable) Seq(row(null)) else Nil
+      gate(Int8Quantize(v), baseRows ++ nullElem ++ nullRow)
+      val vd = BoundReference(0, arrT, nullable = nullable)
+      val dRows = Seq(
+        row(darr(1.0, -2.0, 0.5)),
+        row(darr()))
+      val dNull = if (nullable) Seq(row(null)) else Nil
+      gate(CenterDeflect(vd, Literal(0.25d),
+        IndexedSeq(0.1, 0.2, 0.3), IndexedSeq(0.5, -0.5, 1.0)), dRows ++ dNull)
+    }
+    // literal child (the query-row path)
+    gate(Int8Quantize(Literal.create(Array(3.0, -1.5), dArrNN)), Seq(row()))
+  }
+
   test("NfcNormalize compiles over nullable and non-nullable children") {
     for (nullable <- Seq(true, false)) {
       val child = BoundReference(0, StringType, nullable = nullable)
@@ -166,6 +190,7 @@ class CodegenGateSpec extends SparkSpec {
     try {
       for (k <- Seq("kmeans_iterate", "simsearch_ivf", "simsearch_quant",
           "simsearch_hamming", "simsearch_matryoshka",
+          "embedding_abtt", "rank_fusion_rrf",
           "dedup_simhash", "dedup_minhash", "transform_bucket_iceberg")) {
         val n = SparkEntry.queries(k)(spark, sfDir).count()
         assert(n > 0, s"$k returned no rows under CODEGEN_ONLY")

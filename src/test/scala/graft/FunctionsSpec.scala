@@ -122,6 +122,42 @@ class FunctionsSpec extends SparkSpec {
     assert(viaKernel == 42.0 && viaSum == 42.0, s"kernel $viaKernel sum $viaSum")
   }
 
+  test("Int8Quantize and CenterDeflect are bit-identical to the HOF forms they replaced") {
+    // the r13 kernels must reproduce the former higher-order expressions
+    // EXACTLY (same IEEE double-op order) over the real fixture embeddings,
+    // or the quantized/ABTT oracles would drift — checked value-for-value
+    val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
+      .limit(200)
+      .select(col("vec_id"), graft.ext.SimSearch.asDouble(col("embedding")).as("v"))
+    // quantize: HOF twin
+    val qHof = {
+      val ma = array_max(transform(col("v"), x => abs(x)))
+      when(ma === 0d, transform(col("v"), _ => lit(0d)))
+        .otherwise(transform(col("v"), x => floor(x / (ma / 127d) + 0.5d)))
+    }
+    val qDiff = emb.select(graft.ext.SimSearch.quantize(col("v")).as("k"), qHof.as("h"))
+      .where(not(col("k") <=> col("h"))).count()
+    assert(qDiff == 0L, s"$qDiff rows diverge between Int8Quantize and the HOF form")
+    // centerDeflect: HOF twin against arbitrary non-trivial constants
+    val mu = IndexedSeq.tabulate(64)(i => 0.01 * i - 0.3)
+    val pc = IndexedSeq.tabulate(64)(i => math.sin(i + 1) / 8.0)
+    val muLit = array(mu.map(lit): _*)
+    val pcLit = array(pc.map(lit): _*)
+    val withD = emb.withColumn("d",
+      graft.ext.SimSearch.dot(col("v"), pcLit) - lit(0.123d))
+    val cdKernel = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.CenterDeflect(
+        GraftColumnBridge.expression(col("v")),
+        GraftColumnBridge.expression(col("d")), mu, pc))
+    }
+    val cdHof = transform(col("v"), (x, i) =>
+      x - element_at(muLit, i + 1) - element_at(pcLit, i + 1) * col("d"))
+    val cDiff = withD.select(cdKernel.as("k"), cdHof.as("h"))
+      .where(not(col("k") <=> col("h"))).count()
+    assert(cDiff == 0L, s"$cDiff rows diverge between CenterDeflect and the HOF form")
+  }
+
   test("interpreted and codegen paths agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
