@@ -748,17 +748,26 @@ object SimSearch {
     }
     val c2M = Array.tabulate(nSub, nCodes) { (s, c) => micros(fdot(subC(s)(c), subC(s)(c))) }
     val e = withNorm(emb).where(col("vec_id") =!= queryVecId)
-    val withCodes = (0 until nSub).foldLeft(e) { (df, s) =>
-      val cents = (0 until nCodes).map(c => (c, subC(s)(c))).toArray
-      df.withColumn(s"code$s",
-        nearestCentroid(slice(col("v"), s * dSub + 1, dSub), cents))
+    // fused ADC kernel (r13): assignment + both LUT sums in ONE codegen
+    // pass — the former per-subspace argmin folds duplicated every
+    // distance expression exponentially and ran each dot over a fresh
+    // slice() allocation (~260 µs/row; see graft.functions.PqAdc)
+    val adc = {
+      import org.apache.spark.sql.GraftColumnBridge
+      val c2flat = for (s <- 0 until nSub; c <- 0 until nCodes)
+        yield subC(s)(c).map(x => x * x).sum
+      GraftColumnBridge.column(graft.functions.PqAdc(
+        GraftColumnBridge.expression(col("v")),
+        (for (s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until dSub)
+          yield subC(s)(c)(i)).toIndexedSeq,
+        c2flat.toIndexedSeq,
+        (for (s <- 0 until nSub; c <- 0 until nCodes) yield qdotM(s)(c)).toIndexedSeq,
+        (for (s <- 0 until nSub; c <- 0 until nCodes) yield c2M(s)(c)).toIndexedSeq,
+        nSub, dSub, nCodes))
     }
-    def lut(table: Array[Array[Long]], s: Int): Column =
-      element_at(array(table(s).toIndexedSeq.map(lit): _*), col(s"code$s") + 1)
-    val am = (0 until nSub).map(s => lut(qdotM, s)).reduce(_ + _)
-    val rm = (0 until nSub).map(s => lut(c2M, s)).reduce(_ + _)
-    withCodes
-      .select(col("vec_id"), am.as("am"), rm.as("rm"))
+    e.select(col("vec_id"), adc.as("adc"))
+      .select(col("vec_id"),
+        element_at(col("adc"), 1).as("am"), element_at(col("adc"), 2).as("rm"))
       .where(col("rm") > 0)
       .select(col("vec_id"),
         round((col("am").cast("double") / 1000000.0d) /

@@ -153,6 +153,26 @@ class CodegenGateSpec extends SparkSpec {
     gate(Int8Quantize(Literal.create(Array(3.0, -1.5), dArrNN)), Seq(row()))
   }
 
+  test("PqAdc compiles over nullable and non-nullable children") {
+    val nSub = 2; val dSub = 2; val nCodes = 2
+    val subC = IndexedSeq(0.5, -0.5, 1.0, 0.0, 0.25, 0.75, -1.0, 0.5)
+    val c2 = IndexedSeq(0.5, 1.0, 0.625, 1.25)
+    val qd = IndexedSeq(10L, 20L, 30L, 40L)
+    val cm = IndexedSeq(1L, 2L, 3L, 4L)
+    for (nullable <- Seq(true, false)) {
+      val arrT = if (nullable) dArrN else dArrNN
+      val v = BoundReference(0, arrT, nullable = nullable)
+      val rows = Seq(
+        row(darr(1.0, -2.0, 0.5, 3.0)),
+        row(darr(1.0)), // shorter than nSub*dSub: shortfall contributes 0
+        row(darr())) ++
+        (if (nullable)
+          Seq(row(new GenericArrayData(Array[Any](1.0, null, 0.5, 2.0))), row(null))
+        else Nil)
+      gate(PqAdc(v, subC, c2, qd, cm, nSub, dSub, nCodes), rows)
+    }
+  }
+
   test("NfcNormalize compiles over nullable and non-nullable children") {
     for (nullable <- Seq(true, false)) {
       val child = BoundReference(0, StringType, nullable = nullable)
@@ -190,7 +210,7 @@ class CodegenGateSpec extends SparkSpec {
     try {
       for (k <- Seq("kmeans_iterate", "simsearch_ivf", "simsearch_quant",
           "simsearch_hamming", "simsearch_matryoshka",
-          "embedding_abtt", "rank_fusion_rrf",
+          "embedding_abtt", "rank_fusion_rrf", "simsearch_pq",
           "dedup_simhash", "dedup_minhash", "transform_bucket_iceberg")) {
         val n = SparkEntry.queries(k)(spark, sfDir).count()
         assert(n > 0, s"$k returned no rows under CODEGEN_ONLY")

@@ -158,6 +158,47 @@ class FunctionsSpec extends SparkSpec {
     assert(cDiff == 0L, s"$cDiff rows diverge between CenterDeflect and the HOF form")
   }
 
+  test("PqAdc is value-identical to the unrolled slice/argmin-fold form") {
+    val nSub = 8; val dSub = 8; val nCodes = 4
+    val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
+      .limit(200)
+      .select(col("vec_id"), graft.ext.SimSearch.asDouble(col("embedding")).as("v"))
+    // deterministic non-trivial codebook + LUTs
+    val subC = Array.tabulate(nSub, nCodes, dSub)((s, c, i) =>
+      math.sin(s * 31 + c * 7 + i + 1) / 3.0)
+    val qdotM = Array.tabulate(nSub, nCodes)((s, c) => (s * 1000 + c * 37).toLong)
+    val c2M = Array.tabulate(nSub, nCodes)((s, c) => (s * 500 + c * 11 + 1).toLong)
+    // old unrolled form
+    val withCodes = (0 until nSub).foldLeft(emb) { (df, s) =>
+      val cents = (0 until nCodes).map(c => (c, subC(s)(c))).toArray
+      df.withColumn(s"code$s", graft.ext.SimSearch.nearestCentroid(
+        slice(col("v"), s * dSub + 1, dSub), cents))
+    }
+    def lut(table: Array[Array[Long]], s: Int) =
+      element_at(array(table(s).toIndexedSeq.map(lit): _*), col(s"code$s") + 1)
+    val amOld = (0 until nSub).map(s => lut(qdotM, s)).reduce(_ + _)
+    val rmOld = (0 until nSub).map(s => lut(c2M, s)).reduce(_ + _)
+    // kernel form
+    val adc = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.PqAdc(
+        GraftColumnBridge.expression(col("v")),
+        (for (s <- 0 until nSub; c <- 0 until nCodes; i <- 0 until dSub)
+          yield subC(s)(c)(i)).toIndexedSeq,
+        (for (s <- 0 until nSub; c <- 0 until nCodes)
+          yield subC(s)(c).map(x => x * x).sum).toIndexedSeq,
+        (for (s <- 0 until nSub; c <- 0 until nCodes) yield qdotM(s)(c)).toIndexedSeq,
+        (for (s <- 0 until nSub; c <- 0 until nCodes) yield c2M(s)(c)).toIndexedSeq,
+        nSub, dSub, nCodes))
+    }
+    val diff = withCodes
+      .select(col("vec_id"), amOld.as("amo"), rmOld.as("rmo"), adc.as("adc"))
+      .where(not(element_at(col("adc"), 1) <=> col("amo")) ||
+        not(element_at(col("adc"), 2) <=> col("rmo")))
+      .count()
+    assert(diff == 0L, s"$diff rows diverge between PqAdc and the unrolled form")
+  }
+
   test("interpreted and codegen paths agree") {
     GraftFunctions.register(spark)
     import spark.implicits._
