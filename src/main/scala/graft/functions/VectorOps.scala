@@ -157,6 +157,70 @@ case class PqAdc(child: Expression,
     copy(child = newChild)
 }
 
+/** Row-local co-occurrence pair generation: for token i, pair it with each
+  * of its `k` successors j ∈ (i, i+k], skipping self-pairs, emitting the
+  * UNORDERED pair as "min SP max" (tokens are whitespace-split, so the
+  * space separator makes the encoding injective). Replaces the
+  * probe-explode + (doc_id, pos) self-JOIN formulation of windowed
+  * co-occurrence: pair generation is per-row work that feeds straight into
+  * a partial aggregation — the k·tokens pair stream never shuffles
+  * pre-aggregation, where the join form shuffled it twice (probe + partner
+  * sides). Null elements are skipped on either side of a pair. */
+case class WindowPairs(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"window_pairs needs k > 0, got $k")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"window_pairs needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WindowPairs.pairs(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowPairs.pairs($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowPairs =
+    copy(child = newChild)
+}
+
+object WindowPairs {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val SP = UTF8String.fromString(" ")
+
+  def pairs(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](math.max(0, n * k))
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val a = toks.getUTF8String(i)
+        var j = i + 1
+        val end = math.min(i + k, n - 1)
+        while (j <= end) {
+          if (!toks.isNullAt(j)) {
+            val b = toks.getUTF8String(j)
+            val c = a.compareTo(b)
+            if (c != 0) {
+              val (lo, hi) = if (c < 0) (a, b) else (b, a)
+              out.add(UTF8String.concat(lo, SP, hi))
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** `quantize(v)` — see [[VectorOps.quantize]]. */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 

@@ -47,6 +47,8 @@ class CodegenGateSpec extends SparkSpec {
     case (null, _) => null
     case (a: ArrayData, ArrayType(LongType, _)) => a.toLongArray.toSeq
     case (a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray.toSeq
+    case (a: ArrayData, ArrayType(StringType, _)) =>
+      a.toArray[Any](StringType).map(x => if (x == null) null else x.toString).toSeq
     case (x, _) => x
   }
 
@@ -151,6 +153,26 @@ class CodegenGateSpec extends SparkSpec {
     }
     // literal child (the query-row path)
     gate(Int8Quantize(Literal.create(Array(3.0, -1.5), dArrNN)), Seq(row()))
+  }
+
+  test("WindowPairs compiles and matches the positional-join pair semantics") {
+    val sArr = ArrayType(StringType, containsNull = true)
+    for (nullable <- Seq(true, false)) {
+      val child = BoundReference(0, if (nullable) sArr
+        else ArrayType(StringType, containsNull = false), nullable = nullable)
+      val rows = Seq(
+        row(sarr("b", "a", "b", "c")),
+        row(sarr("x")),
+        row(sarr())) ++
+        (if (nullable) Seq(row(sarr("a", null, "b")), row(null)) else Nil)
+      gate(WindowPairs(child, 4), rows)
+    }
+    // known answer, window 2 over [b, a, b, c], position order: i=0 pairs
+    // (b,a) and (b,b → self, skipped); i=1 pairs (a,b), (a,c); i=2 pairs
+    // (b,c) — emitted as unordered "min max" keys
+    val got = WindowPairs.pairs(sarr("b", "a", "b", "c"), 2)
+      .toArray[Any](StringType).map(_.toString).toSeq
+    assert(got == Seq("a b", "a b", "a c", "b c"), got.toString)
   }
 
   test("PqAdc compiles over nullable and non-nullable children") {
