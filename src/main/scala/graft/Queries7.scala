@@ -355,6 +355,11 @@ object Queries7 {
       // `token_cooccurrence` (the ±k window bounds fan-out at k×tokens).
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // NOTE(r13): a WindowPairs(k=MaxValue) row-local rewrite was tried
+        // and MEASURED SLOWER here (6.4 s vs 3.7 s at sf1) — at whole-doc
+        // fan-out the concatenated-pair-key emission costs more than the
+        // doc_id equi-join the windowed twin eliminates, so this
+        // fixture-scale form keeps the join
         val tokd = docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         val df_ = tokd.groupBy("tok").agg(count(lit(1)).as("df"))

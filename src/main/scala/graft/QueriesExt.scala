@@ -570,10 +570,15 @@ object QueriesExt {
     QSpec("corpus_curate",
       // the curation composite: language filter + quality floor + exact
       // dedup (keep min doc_id per surviving text), all in ONE declarative
-      // plan — predicate work stays in the scan stage, dedup is one shuffle
-      // on 32-byte sha2 keys, the keeper set joins back as a left-semi.
-      // This is the "clean corpus" materialization a training pipeline runs
-      // before packing; every component reuses an already-oracle-checked
+      // plan — predicate work stays in the scan stage and dedup is ONE
+      // min-struct aggregation on 32-byte sha2 keys (r13: the former
+      // keeper-set + left-semi form referenced the scored frame twice, so
+      // the string-heavy lang-id/quality scoring ran twice per plan —
+      // measured 4.5 s at sf1; the min-struct carries (doc_id, quality)
+      // through the shuffle, text never rides, and doc_id's uniqueness
+      // makes the struct min exactly the min-doc_id row). This is the
+      // "clean corpus" materialization a training pipeline runs before
+      // packing; every component reuses an already-oracle-checked
       // operator (lang_id / quality_score / dedup_exact).
       (s, dir) => {
         val scored = TextAnalysis.withLangIdIntersect(
@@ -581,11 +586,9 @@ object QueriesExt {
           .withColumn("quality",
             TextAnalysis.qualityScore(col("text"), Seq("the", "a")))
           .where(col("lang_pred") === "en" && col("quality") >= 0.5)
-        val keepers = scored.groupBy(sha2(col("text"), 256).as("h"))
-          .agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        scored.join(keepers, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("quality"))
+        scored.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(struct(col("doc_id"), col("quality"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.quality").as("quality"))
           .orderBy("doc_id")
       },
       Some(

@@ -196,13 +196,21 @@ object WindowPairs {
 
   def pairs(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
-    val out = new java.util.ArrayList[AnyRef](math.max(0, n * k))
+    // capacity HINT only, in long arithmetic: n·k wraps int with the
+    // k = MaxValue all-pairs mode (it pre-allocated a ~4e8-slot list per
+    // row — an executor OOM, caught by the r13 verify gate); cap by the
+    // true pair bound and a fixed ceiling, growth handles the rest
+    val bound = math.min(n.toLong * k, n.toLong * math.max(0, n - 1) / 2L)
+    val out = new java.util.ArrayList[AnyRef](
+      math.max(16L, math.min(bound, 1L << 16)).toInt)
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
         val a = toks.getUTF8String(i)
         var j = i + 1
-        val end = math.min(i + k, n - 1)
+        // long arithmetic: k = Int.MaxValue means "all successors" (the
+        // whole-document pair form) and i + k must not wrap negative
+        val end = math.min(i.toLong + k, (n - 1).toLong).toInt
         while (j <= end) {
           if (!toks.isNullAt(j)) {
             val b = toks.getUTF8String(j)
