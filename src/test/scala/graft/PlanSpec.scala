@@ -229,17 +229,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("token_cooccurrence pairs through an equi-join on (doc_id, pos) — fan-out k×tokens") {
-    // the bounded-at-scale guarantee (r4 verdict "What's wrong #2"): pair
-    // generation must be an equi-join keyed on BOTH doc_id and the probed
-    // position — a join on doc_id alone is the whole-doc vocabulary² form
+  test("token_cooccurrence pairs are row-local — no pair join, partial agg in the scan stage") {
+    // the bounded-at-scale guarantee, r13 form: pair generation is the
+    // WindowPairs kernel over each row's token array (fan-out k×tokens by
+    // construction — the r4 vocabulary² trap cannot re-enter without
+    // reintroducing a join), so the ONLY joins in the plan are the small
+    // unigram-count/total joins AFTER aggregation, and the pair stream
+    // must hit a partial HashAggregate before any Exchange
     val df = Queries.allSpecs.find(_.name == "token_cooccurrence").get.fn(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    val equiOnDocAndPos = "(?s)Join.{0,200}doc_id#\\d+L?\\)?, (knownnotnull\\()?pos#\\d+".r
-    assert(equiOnDocAndPos.findFirstIn(plan).isDefined,
-      s"pair join not keyed on (doc_id, pos):\n$plan")
+    assert(plan.contains("windowpairs"), s"pair kernel missing:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+    // no join keyed on doc_id/pos anywhere — pair work never shuffles raw
+    assert(!"(?s)Join.{0,200}doc_id#\\d+".r.findFirstIn(plan).isDefined,
+      s"a doc-keyed pair join re-entered:\n$plan")
+    // partial aggregation combines pairs map-side before the exchange
+    assert("(?s)HashAggregate.{0,400}partial_count".r.findFirstIn(plan).isDefined,
+      s"no map-side partial aggregation over the pair stream:\n$plan")
   }
 
   test("decontaminate_embedding broadcasts the eval side — corpus side scans once, no shuffle before the rollup") {
