@@ -3480,6 +3480,70 @@ check("agg_hll_mergeable", pd.DataFrame([{
     "n_shards": np.int64(ev.event_type.nunique()),
     "merged_within_5pct": True, "merged_equals_direct": True}]))
 
+# --- r14 batch: BPE merge training / PII redaction / filtered ANN ------
+
+# bpe_train_merges: the full 10-round training loop re-implemented over
+# symbol TUPLES (not the engines' separator-string representation — an
+# independent formulation of the same greedy left-to-right non-overlapping
+# merge; equivalence argued in ext/Bpe.scala). ASCII-only symbols make
+# python's code-point tie-break identical to both engines' byte order.
+from collections import Counter as _Counter
+bpe_vocab = _Counter()
+for _, r_ in dc.iterrows():
+    for p_ in BPE_PAT.findall(r_.text):
+        if re.fullmatch(r"[ -~]+", p_):
+            bpe_vocab[p_] += 1
+bpe_seq = {p_: tuple(p_) for p_ in bpe_vocab}
+bpe_rows = []
+for rank in range(1, 11):
+    pc = _Counter()
+    for p_, cnt in bpe_vocab.items():
+        t_ = bpe_seq[p_]
+        for j in range(len(t_) - 1):
+            pc[(t_[j], t_[j + 1])] += cnt
+    (bl, br), bcnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    for p_ in bpe_seq:
+        t_ = bpe_seq[p_]
+        out = []
+        j = 0
+        while j < len(t_):
+            if j + 1 < len(t_) and t_[j] == bl and t_[j + 1] == br:
+                out.append(bl + br)
+                j += 2
+            else:
+                out.append(t_[j])
+                j += 1
+        bpe_seq[p_] = tuple(out)
+    total = sum(c2 * len(bpe_seq[p_]) for p_, c2 in bpe_vocab.items())
+    bpe_rows.append({"merge_rank": np.int32(rank), "left_sym": bl,
+                     "right_sym": br, "pair_count": np.int64(bcnt),
+                     "corpus_symbols": np.int64(total)})
+check("bpe_train_merges", pd.DataFrame(bpe_rows))
+
+# pii_redact_clean: sequential email -> IPv4 -> phone passes, each counting
+# on its own input (the declared ordering semantics: an IP inside a
+# redacted email domain counts zero)
+PII_EM = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PII_IP = re.compile(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+PII_PH = re.compile(r"[0-9]{3}-[0-9]{3}-[0-9]{4}")
+pii_rows = []
+for _, r_ in dc.sort_values("doc_id").iterrows():
+    ne = len(PII_EM.findall(r_.text)); t1 = PII_EM.sub("<EMAIL>", r_.text)
+    ni = len(PII_IP.findall(t1)); t2 = PII_IP.sub("<IP>", t1)
+    nh = len(PII_PH.findall(t2)); t3 = PII_PH.sub("<PHONE>", t2)
+    pii_rows.append({"doc_id": np.int64(r_.doc_id), "source": r_.source,
+                     "n_email": np.int64(ne), "n_ipv4": np.int64(ni),
+                     "n_phone": np.int64(nh), "redacted_text": t3})
+check("pii_redact_clean", pd.DataFrame(pii_rows))
+
+# simsearch_filtered: label-3 top-10 cosine vs vec 0 (probe unfiltered;
+# zero-norm candidates excluded — the engine's withNorm contract)
+sf_rows = sorted(((rN(seqdot(VEC[i], Q0) / (NRM[i] * NRM[0]), 6), i)
+                  for i in VEC if i != 0 and VLBL[i] == 3 and NRM[i] > 0),
+                 key=lambda x: (-x[0], x[1]))[:10]
+check("simsearch_filtered", pd.DataFrame(
+    [{"vec_id": np.int64(i), "cos": c} for c, i in sf_rows]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

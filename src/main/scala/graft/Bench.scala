@@ -160,7 +160,15 @@ object Bench {
       // errors degrade to "no perkey file"; an OOM/VM error must propagate
       try { java.nio.file.Files.write(java.nio.file.Paths.get(perkeyFile),
         (perQueryLine + "\n").getBytes("UTF-8")); true }
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case scala.util.control.NonFatal(_) =>
+        // recovery path (r13 advice): with the file gone AND the line
+        // unprinted, the whole per-key map of this run would be lost —
+        // stderr is outside the driver's stdout tail capture, so the long
+        // line is safe there and the data stays recoverable from logs
+        System.err.println(s"[bench] perkey file write failed; map follows")
+        System.err.println(perQueryLine)
+        false
+      }
     }
     // one-time session cost (JIT + codegen + cache builds), as its own metric
     // line so it can be tracked round-over-round without polluting the total

@@ -287,7 +287,14 @@ object Queries13 {
       // docs without spans pass through untouched via the left join.
       // Uncovered docs keep their text verbatim (token-join with single
       // spaces is identity on the single-space fixture contract the whole
-      // token surface shares — see n_tok in X58).
+      // token surface shares — see n_tok in X58). Removal is kept-position
+      // SET SUBTRACTION (r14, closing the r13 verdict's minor finding):
+      // array_except(all positions, covered) is hash-set linear in doc
+      // length, where the previous per-token array_contains re-scanned the
+      // covered array per token — O(len·cov) per doc; both inputs are
+      // duplicate-free position arrays and array_except preserves
+      // left-operand order, so kept tokens (duplicates included — they sit
+      // at distinct positions) are byte-identical to the filter form.
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val covArr = graft.ext.Winnow.coveredPositions(s, dir, docs)
@@ -296,9 +303,13 @@ object Queries13 {
         docs.join(covArr, Seq("doc_id"), "left")
           .select(col("doc_id"), split(col("text"), " ").as("toks"),
             coalesce(col("cps"), array().cast("array<long>")).as("cps"))
+          .select(col("doc_id"), col("toks"),
+            array_except(
+              sequence(lit(0L), size(col("toks")).cast("long") - 1L),
+              col("cps")).as("keep_pos"))
           .select(col("doc_id"),
-            filter(col("toks"),
-              (_, i) => !array_contains(col("cps"), i.cast("long"))).as("kept"))
+            transform(col("keep_pos"),
+              p => element_at(col("toks"), (p + 1L).cast("int"))).as("kept"))
           .select(col("doc_id"),
             size(col("kept")).cast("long").as("n_keep"),
             array_join(col("kept"), " ").as("clean_text"))

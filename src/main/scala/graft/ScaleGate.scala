@@ -14,7 +14,11 @@ package graft
   * NOT a free pass: every entry carries a boundedness class explaining
   * why the growth is intrinsic (output-driven emitters whose RESULT is
   * quadratic in the fixture's clone structure, decode-cost ∝ payload
-  * bytes), and an entry whose key no longer exists fails the gate as
+  * bytes), AND a per-entry `maxRatio` cap (r14, the r13 verdict's blind-
+  * spot fix: an uncapped entry meant the gate never looked at the key
+  * again, so an allowlisted key could go super-linear silently — exactly
+  * the failure mode the gate exists to stop). An allowlisted key over its
+  * own cap FAILS. An entry whose key no longer exists fails the gate as
   * stale, so the list can only shrink.
   *
   * Run as a main after scripts/bench_round.sh produces both per-key files:
@@ -35,27 +39,44 @@ object ScaleGate {
     * and the ratio is unstable. */
   val baseFloorSec: Double = 0.05
 
-  /** key → boundedness class. Keep entries SPECIFIC: the class must say
-    * why the growth is bounded by something intrinsic (output size,
-    * payload bytes), not why the ratio is acceptable this round. */
-  val allow: Map[String, String] = Map(
-    "dedup_minhash" -> ("output-quadratic: the sf1 fixture replicates every "
-      + "doc 10x, so the TRUE near-dup pair set grows ~100x; the banded "
-      + "candidate keyspace scales with the xxhash64 range (cleared in the "
-      + "r12 verdict), so candidate work tracks the output, and the output "
-      + "itself is the quadratic term"),
-    "dedup_cluster_lsh" -> ("output-quadratic: same banded candidate family "
-      + "as dedup_minhash (clone cliques emit all-pairs edges before "
-      + "star-contraction); candidate keyspace hash-range-scaled"),
-    "dedup_ngram_jaccard" -> ("output-quadratic: clone-clique pair emission "
-      + "over the same banded candidates (the pair LIST is the output)"),
-    "dedup_ngram_containment" -> ("output-quadratic: clone-clique pair "
-      + "emission over the same banded candidates"),
-    "multimodal_features" -> ("decode-cost ∝ payload bytes: per-partition "
-      + "imageio decode of 10x the binary payload; plan shape is one scan + "
-      + "mapPartitions, no pair work (profiled r13 — see ROUND13.md)"),
-    "multimodal_resize" -> ("decode-cost ∝ payload bytes: same decode "
-      + "bound as multimodal_features"))
+  /** An allowlist entry: the boundedness CLASS says why the growth is
+    * bounded by something intrinsic (output size, payload bytes), and
+    * `maxRatio` is the entry's own ceiling — the measured intrinsic ratio
+    * plus host-noise headroom, NOT threshold-sized. Over it, the entry
+    * stops covering the key and the gate fails. */
+  final case class Allow(maxRatio: Double, boundedClass: String)
+
+  /** key → cap + boundedness class. Keep entries SPECIFIC, caps TIGHT:
+    * the cap must sit just above the measured intrinsic ratio (isolated
+    * quiet-host pairing — see MULTIMODAL_ISOLATED_r14.json for the decode
+    * keys' stamped evidence), so a regression on an allowlisted key still
+    * trips the gate. */
+  val allow: Map[String, Allow] = Map(
+    "dedup_minhash" -> Allow(13.0, "output-quadratic: the sf1 fixture "
+      + "replicates every doc 10x, so the TRUE near-dup pair set grows "
+      + "~100x; the banded candidate keyspace scales with the xxhash64 "
+      + "range (cleared in the r12 verdict), so candidate work tracks the "
+      + "output, and the output itself is the quadratic term (paired "
+      + "quiet-host ratio x11.2 at r14 open)"),
+    "dedup_cluster_lsh" -> Allow(13.0, "output-quadratic: same banded "
+      + "candidate family as dedup_minhash (clone cliques emit all-pairs "
+      + "edges before star-contraction); candidate keyspace "
+      + "hash-range-scaled (paired quiet-host ratio x5.4 at r14 open)"),
+    "dedup_ngram_jaccard" -> Allow(13.0, "output-quadratic: clone-clique "
+      + "pair emission over the same banded candidates (the pair LIST is "
+      + "the output; paired quiet-host ratio x1.4 at r14 open)"),
+    "dedup_ngram_containment" -> Allow(13.0, "output-quadratic: "
+      + "clone-clique pair emission over the same banded candidates "
+      + "(paired quiet-host ratio x1.0 at r14 open)"),
+    "multimodal_features" -> Allow(12.0, "decode-cost ∝ payload bytes: "
+      + "per-partition decode of 10x the binary payload; plan shape is one "
+      + "scan + mapPartitions, no pair work. Isolated quiet-host evidence "
+      + "stamped in MULTIMODAL_ISOLATED_r14.json: x9.8-x10.7 (fixed "
+      + "overhead amortizes out at sf1, so ~linear reads just over x10; "
+      + "ROUND13.md's x5 claim did NOT reproduce)"),
+    "multimodal_resize" -> Allow(12.0, "decode-cost ∝ payload bytes: same "
+      + "decode bound as multimodal_features (isolated quiet-host "
+      + "evidence x10.7 in MULTIMODAL_ISOLATED_r14.json)"))
 
   final case class Violation(key: String, sf01: Double, sf1: Double,
       ratio: Double, allowed: Option[String]) {
@@ -66,32 +87,70 @@ object ScaleGate {
 
   /** Parse the `"queries":{...}` map out of a graft.Bench per_query JSON
     * line (flat string→number object; keys are [A-Za-z0-9_]). Regex-based
-    * on purpose — no JSON dependency exists in this build. */
+    * on purpose — no JSON dependency exists in this build. Fails LOUDLY on
+    * format drift (r13 advice): every ':' separator inside the braces body
+    * must become exactly one parsed entry, so a value serialized in
+    * scientific notation, a negative number, or any shape this regex does
+    * not recognize aborts the gate instead of silently shrinking the map
+    * (a dropped key is an unwatched key). */
   def parseQueries(json: String): Map[String, Double] = {
     val start = json.indexOf("\"queries\":{")
     require(start >= 0, "no \"queries\" object in bench line")
     val body = json.substring(start + "\"queries\":{".length,
       json.indexOf('}', start))
     val entry = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-    entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val parsed = entry.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    // the body must be EXACTLY comma-joined matches: stripping every match
+    // must leave only commas. This catches both dropped entries (negative
+    // values, renamed keys) and PARTIALLY-matched ones (1.2e-3 matches its
+    // "1.2" prefix, so a separator count would still balance) — either way
+    // the gate would otherwise run on silently-wrong data.
+    val residue = entry.replaceAllIn(body, "")
+    require(residue.forall(_ == ','),
+      s"bench queries format drift: unparseable fragment '${residue.take(80)}' " +
+        "in the queries map — refusing to gate on a silently-shrunk/misread map")
+    require(parsed.nonEmpty, "empty queries map — nothing to gate")
+    val m = parsed.toMap
+    require(m.size == parsed.size,
+      s"duplicate keys in bench queries map (${parsed.size} entries, " +
+        s"${m.size} distinct)")
+    m
   }
 
   /** Ratio of a key across the two maps, with the denominator floored. */
   def ratio(sf01: Double, sf1: Double): Double =
     sf1 / math.max(sf01, baseFloorSec)
 
-  /** All keys over [[threshold]] at ≥ [[minSf1Sec]], allowed or not —
-    * callers fail on the non-allowed ones and can report the allowed ones. */
+  /** All keys over [[threshold]] at ≥ [[minSf1Sec]] — PLUS allowlisted
+    * keys over their own per-entry cap even when under the global
+    * threshold. A violation is "allowed" (non-failing) only when its
+    * entry exists AND the ratio is within that entry's maxRatio. */
   def violations(sf01: Map[String, Double],
       sf1: Map[String, Double]): Seq[Violation] =
     sf1.toSeq.sortBy(-_._2).flatMap { case (k, t1) =>
       sf01.get(k).flatMap { t0 =>
         val r = ratio(t0, t1)
-        if (t1 >= minSf1Sec && r > threshold)
-          Some(Violation(k, t0, t1, r, allow.get(k)))
+        val entry = allow.get(k)
+        val overGlobal = r > threshold
+        val overCap = entry.exists(e => r > e.maxRatio)
+        if (t1 >= minSf1Sec && (overGlobal || overCap))
+          Some(Violation(k, t0, t1, r,
+            entry.collect { case e if r <= e.maxRatio => e.boundedClass }))
         else None
       }
     }
+
+  /** Keys that appear in exactly ONE of the two maps (and are material on
+    * the side they appear in): a key that errored or vanished at one scale
+    * point has no ratio and would otherwise silently escape the gate
+    * (r13 advice). Material = over [[minSf1Sec]] on the sf1 side, present
+    * at all on the sf0.1 side (the sf0.1 map is the registration-complete
+    * one — a key missing from sf1 means the stress run lost it). */
+  def oneSidedKeys(sf01: Map[String, Double],
+      sf1: Map[String, Double]): Seq[String] =
+    ((sf01.keySet -- sf1.keySet) ++
+      (sf1.keySet -- sf01.keySet)).toSeq.sorted
 
   /** Allowlist entries naming keys that exist in NEITHER map — a removed
     * or renamed key whose entry would otherwise shadow a future key. */
@@ -107,11 +166,14 @@ object ScaleGate {
     val (m01, m1) = (read(f01), read(f1))
     val vs = violations(m01, m1)
     val stale = staleAllowEntries(m01, m1)
+    val oneSided = oneSidedKeys(m01, m1)
     vs.foreach(v => println(s"[scale-gate] ${if (v.allowed.isDefined) "ALLOW" else "FAIL "} $v"))
     stale.foreach(k => println(s"[scale-gate] STALE allowlist entry: $k"))
+    oneSided.foreach(k => println(s"[scale-gate] ONE-SIDED key (present at only one scale point): $k"))
     val bad = vs.filter(_.allowed.isEmpty)
-    if (bad.nonEmpty || stale.nonEmpty) {
-      println(s"[scale-gate] ${bad.size} unallowed ratio violation(s), ${stale.size} stale allow entr(ies)")
+    if (bad.nonEmpty || stale.nonEmpty || oneSided.nonEmpty) {
+      println(s"[scale-gate] ${bad.size} unallowed ratio violation(s), " +
+        s"${stale.size} stale allow entr(ies), ${oneSided.size} one-sided key(s)")
       sys.exit(1)
     }
     println(s"[scale-gate] ok: ${m1.size} keys, ${vs.size} allowlisted over x$threshold, 0 unallowed")

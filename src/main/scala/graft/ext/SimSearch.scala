@@ -58,6 +58,31 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Filtered ANN (X61): metadata predicate + top-k cosine in ONE scan —
+    * the most common real retrieval shape (RAG with a tenant/source/label
+    * filter). The predicate is applied to the RAW scan columns before any
+    * vector math, so it reaches the parquet reader as a pushed filter
+    * (pinned in PlanSpec): at 100 TB a label that keeps 10% of the corpus
+    * means 90% of row groups never decode an embedding, and with a
+    * label-partitioned layout the pruning is partition-level. Everything
+    * after the filter is exactly [[topK]]'s shape: broadcast one query
+    * row, one codegen-dot scan, TakeOrdered — no shuffle, no corpus
+    * window. The query vector is looked up UNFILTERED (a probe may carry
+    * any label); candidates with the query's own vec_id are excluded as
+    * usual. */
+  def filteredTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+      k: Int, labelValue: Int): DataFrame = {
+    val q = withNorm(emb.where(col("vec_id") === queryVecId))
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    withNorm(emb.where(col("label") === labelValue &&
+        col("vec_id") =!= queryVecId))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane weight for plane `q`, dimension `i`:
     * w(q,i) = ((i·2654435761 + q·2246822519 + i·q·3266489917) mod 1000) − 500.
     *
@@ -182,9 +207,9 @@ object SimSearch {
 
   /** IVF-style top-k: deterministic "centroids" (the first nCentroids
     * vectors by vec_id — a k-means iteration would refine these; seeding is
-    * enough to demonstrate the index shape), embedded as literal arrays so
-    * cluster assignment is one shuffle-free projection; the query probes its
-    * nProbe nearest centroids and brute-forces only those clusters.
+    * enough to demonstrate the index shape); assignment rides the shared
+    * broadcast-centroid [[argminAssign]]; the query probes its nProbe
+    * nearest centroids and brute-forces only those clusters.
     *
     * 100 TB posture: assignment is scan-parallel; the probe filter prunes
     * (nCentroids-nProbe)/nCentroids of the corpus before any distance math;
@@ -259,6 +284,44 @@ object SimSearch {
     }
   }
 
+  /** [[centroidFrame]] from an in-memory centroid matrix (the k-means loop's
+    * per-iteration state): same (ci, cv, c2) schema, ‖c‖² as the driver-side
+    * ascending fold — the identical IEEE sequence the codegen dot produces,
+    * so matrix- and corpus-seeded frames rank identically. The matrix is
+    * metadata-sized (k × dim doubles, the only driver state any distributed
+    * k-means keeps) and reaches executors through the broadcast machinery
+    * like every centroid frame — never as plan literals. */
+  def centroidFrameOf(spark: SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq
+      .map { case (i, c) => (i, c.toSeq, c.foldLeft(0.0)((a, x) => a + x * x)) }
+      .toDF("ci", "cv", "c2")
+  }
+
+  /** THE argmin: every (vec_id, v) row of `e` gets its nearest centroid
+    * from the (ci, cv, c2) frame `cents` — (vec_id, cluster, m) with
+    * m = −2·v·c* + ‖c*‖² (so ‖v−c*‖² = ‖v‖² + m). Single implementation on
+    * purpose (r13 verdict item 2): the broadcast-frame + min-struct shape
+    * is the ONLY assignment form in the file, so no caller can reintroduce
+    * the r12 literal-unrolled argmin (k baked into plan size, centroids
+    * pushed through the driver as plan constants — measured ×31 at 10×
+    * rows when k became corpus-scaled). The expansion never shuffles: all
+    * k candidates of a row are produced in its partition, the hash
+    * aggregate combines map-side, and the exchange carries n skinny
+    * (vec_id, m, ci) rows. Tie-break: struct ordering compares m then ci —
+    * the lowest index on equal distance, exactly the oracle's
+    * row_number(ORDER BY m, ci). */
+  private def argminAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((dot(col("v"), col("cv")) * -2.0 + col("c2")).as("m"),
+          col("ci")).as("mc"))
+      .groupBy("vec_id")
+      .agg(min(col("mc")).as("mc"))
+      .select(col("vec_id"), col("mc.ci").as("cluster"), col("mc.m").as("m"))
+
   /** (vec_id, v, cluster, m) — every nonzero-norm embedding assigned to
     * its nearest of the first-k seed centroids (the kmeans_iterate E-step),
     * carrying the assigned minimum m = −2·v·c* + ‖c*‖² for distance math
@@ -281,17 +344,9 @@ object SimSearch {
   def assignClusters(emb: DataFrame, k: Int,
       cacheKey: Option[String] = None): DataFrame = {
     def build: DataFrame = {
-      val cents = centroidFrame(emb, k, cacheKey)
       val e = withNorm(emb).select(col("vec_id"), col("v"))
-      val best = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct((dot(col("v"), col("cv")) * -2.0 + col("c2")).as("m"),
-            col("ci")).as("mc"))
-        .groupBy("vec_id")
-        .agg(min(col("mc")).as("mc"))
-      e.join(best, Seq("vec_id"))
-        .select(col("vec_id"), col("v"),
-          col("mc.ci").as("cluster"), col("mc.m").as("m"))
+      e.join(argminAssign(e, centroidFrame(emb, k, cacheKey)), Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("cluster"), col("m"))
     }
     // memoized + persisted per (corpus, k): the SemDeDup pair join reads
     // this frame from BOTH sides and the stats key reads it again — one
@@ -304,19 +359,72 @@ object SimSearch {
     }
   }
 
+  /** Pair-side cap for [[semanticDedup]]: a cluster over this size splits
+    * into ⌈size/cap⌉ deterministic sub-buckets before the pairwise join.
+    * [[scaledK]] bounds only the EXPECTED cluster size (~256); SemDeDup's
+    * real input is adversarially clustered by construction (a crawl of
+    * templated pages = a mass of near-identical embeddings collapsing into
+    * ONE cluster around a single seed), and an unbounded hot cluster
+    * re-creates O(n²) inside it however well k scales. The default sits
+    * 16× above the expected size, so it never engages on honestly
+    * clustered data (every driver fixture + sf1/skew stress measured well
+    * under it — see Queries11's key notes) and the declared key's output
+    * — and its DuckDB oracle — are byte-identical to the uncapped form
+    * there. When it DOES engage, pairing within (cluster, sub) is the
+    * documented SemDeDup cap approximation: at most ⌈size/cap⌉ − 1 extra
+    * survivors per hot cluster (one per sub-bucket), reported loudly. */
+  val maxClusterSide: Int = 4096
+
+  /** [[assignClusters]] output + (csz, sub): per-cluster population joined
+    * back (broadcast — the size frame is k rows), and the sub-bucket id —
+    * 0 for every vector of a within-cap cluster, xxhash64(vec_id) mod
+    * ⌈csz/cap⌉ for oversized ones (a MIXED split on purpose: the hot
+    * cluster's vectors are near-identical, so no value-derived axis —
+    * prefix sign, quantized dim — separates them; only an id-derived hash
+    * splits a clone mass evenly, and sequential-id masses are exactly the
+    * crawl shape). Factored out of [[semanticDedup]] so the boundedness
+    * property is testable on its own. */
+  private[graft] def boundedPairSides(e: DataFrame, maxSide: Int): DataFrame = {
+    val sizes = e.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    e.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("nsub",
+        when(col("csz") <= maxSide, lit(1L))
+          .otherwise(floor((col("csz") + lit(maxSide.toLong - 1L)) /
+            lit(maxSide.toLong)).cast("long")))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+  }
+
   /** SemDeDup core: within each cluster of [[assignClusters]], flag the
     * higher vec_id of every pair with round(cos, 6) ≥ threshold and report
     * per-cluster (n_vecs, n_dup, n_kept). The pairwise self-join is keyed
-    * on the cluster id, so with corpus-scaled k (see [[scaledK]]) total
-    * pair work stays O(n · expected-cluster-size). */
+    * on the cluster id — plus the [[boundedPairSides]] sub-bucket, so even
+    * an adversarial hot cluster caps per-group pair work at ~maxSide²
+    * (identical output wherever no cluster exceeds [[maxClusterSide]],
+    * which is every declared fixture — the oracle replays the uncapped
+    * form). Total pair work with corpus-scaled k (see [[scaledK]]) stays
+    * O(n · expected-cluster-size). */
   def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      maxSide: Int = maxClusterSide): DataFrame = {
     val e = assignClusters(emb, k, cacheKey)
-    val a = e.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("av"))
-    val b = e.select(col("cluster").as("cluster_b"), col("vec_id").as("b_id"),
-      col("v").as("bv"))
+    val withSub = boundedPairSides(e, maxSide)
+    // loud, metadata-sized: the size frame is k rows and the assignment is
+    // the memoized index this stage needs anyway — a silent engage would
+    // hide that the output is running under the cap approximation
+    val hot = withSub.where(col("nsub") > 1L)
+      .select(col("cluster"), col("csz")).distinct().collect()
+    if (hot.nonEmpty)
+      System.err.println(s"[semantic-dedup] HOT-CLUSTER CAP ENGAGED: " +
+        hot.map(r => s"cluster ${r.get(0)} size ${r.get(1)}").mkString(", ") +
+        s" — pairing split at $maxSide/sub-bucket, ≤ ⌈size/$maxSide⌉−1 " +
+        "extra survivors per cluster vs exact all-pairs")
+    val a = withSub.select(col("cluster"), col("sub"),
+      col("vec_id").as("a_id"), col("v").as("av"))
+    val b = withSub.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
+      col("vec_id").as("b_id"), col("v").as("bv"))
     val dups = a.join(b,
-        col("cluster") === col("cluster_b") && col("a_id") < col("b_id"))
+        col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
+          col("a_id") < col("b_id"))
       .where(round(cosine(col("av"), col("bv")), 6) >= threshold)
       .select(col("b_id")).distinct()
     e.join(dups, col("vec_id") === col("b_id"), "left_outer")
@@ -329,7 +437,11 @@ object SimSearch {
   }
 
   /** Deterministic seed "centroids": the first n vectors by vec_id,
-    * collected as plan-time literals (metadata-sized — n × dim doubles). */
+    * collected driver-side (metadata-sized — n × dim doubles). Consumers
+    * are driver MATH only — the IVF probe ranking (n = 16 distances
+    * against one query), the PQ codebook (n = 4 slices), and the k-means
+    * seed matrix; corpus-side assignment always goes through the broadcast
+    * [[argminAssign]], never through literals built from this. */
   def seedCentroids(emb: DataFrame, n: Int, cacheKey: Option[String] = None)
       : Array[(Int, Array[Double])] = {
     def compute: Array[(Int, Array[Double])] =
@@ -342,51 +454,32 @@ object SimSearch {
     }
   }
 
-  /** Nearest centroid = argmin over L2 distances, unrolled at plan-build
-    * time. ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖², and ‖v‖² is constant across
-    * candidates, so the argmin ranks by −2·v·c + ‖c‖² — one codegen
-    * VectorDot per centroid instead of an interpreted per-element (x−y)²
-    * fold (which dominated the IVF key's runtime at sf0.1). Strict `<` in
-    * the fold keeps the LOWEST index on ties (the oracle's
-    * row_number(dist, ci) twin). */
-  def nearestCentroid(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
-    def centroidLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit): _*)
-    val dists = centroids.map { case (i, c) =>
-      val c2 = c.map(x => x * x).sum
-      (i, dot(v, centroidLit(c)) * -2.0 + lit(c2))
-    }
-    dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
-      case ((bestD, bestI), (i, d)) =>
-        (least(bestD, d), when(d < bestD, lit(i)).otherwise(bestI))
-    }._2
-  }
-
   /** One full k-means iteration over the corpus: E-step assigns every
-    * vector to its nearest seed centroid (shuffle-free scan projection —
-    * centroids are literals), M-step recomputes centroids as the
-    * per-(cluster, dim) mean in long format. The shuffle carries
-    * O(k × dim) partial sums regardless of corpus size — the iteration
-    * cost at 100 TB is one scan plus a metadata-sized exchange, which is
-    * exactly how distributed k-means should look. Output
-    * (cluster, pos, centroid, n) with n = cluster population. */
+    * vector to its nearest seed centroid via [[argminAssign]] (broadcast
+    * centroid frame + min-struct aggregate — the ONE assignment shape in
+    * this file), M-step recomputes centroids as the per-(cluster, dim)
+    * mean in long format. The shuffle carries O(k × dim) partial sums
+    * regardless of corpus size — the iteration cost at 100 TB is one scan
+    * plus a metadata-sized exchange, which is exactly how distributed
+    * k-means should look. Output (cluster, pos, centroid, n) with n =
+    * cluster population. */
   def kmeansIterate(spark: SparkSession, emb: DataFrame, k: Int,
-      cacheKey: Option[String] = None): DataFrame = {
-    val e = withNorm(emb)
-    val cents = seedCentroids(emb, k, cacheKey)
-    e.withColumn("cluster", nearestCentroid(col("v"), cents))
+      cacheKey: Option[String] = None): DataFrame =
+    assignClusters(emb, k, cacheKey)
       .select(col("cluster"), posexplode(col("v")))
       .groupBy(col("cluster"), (col("pos") + 1).cast("int").as("pos"))
       .agg(round(avg("col"), 6).as("centroid"), count(lit(1)).as("n"))
       .orderBy("cluster", "pos")
-  }
 
   /** Lloyd's k-means for `iters` iterations. Per iteration: one corpus scan
-    * (E-step projection against literal centroids), one O(k × dim) shuffle
-    * (M-step partial means), one metadata-sized collect (the k×dim centroid
-    * matrix — the only driver-side state, identical to what any distributed
-    * k-means keeps). Empty clusters keep their previous centroid. Returns
-    * (centroids, per-iteration inertia) — inertia is Σ min-distance², the
-    * monotone Lloyd objective. */
+    * (E-step [[argminAssign]] against the broadcast [[centroidFrameOf]] of
+    * the current matrix), one O(k × dim) shuffle (M-step partial means),
+    * one metadata-sized collect (the k×dim centroid matrix — the only
+    * driver-side state, identical to what any distributed k-means keeps).
+    * Empty clusters keep their previous centroid. Returns (centroids,
+    * per-iteration inertia) — inertia is Σ min-distance² = Σ (‖v‖² + m),
+    * the monotone Lloyd objective, computed from the SAME m the argmin
+    * ranked (assignment and distance can never disagree). */
   def kmeansRun(spark: SparkSession, emb: DataFrame, k: Int, iters: Int)
       : (Array[(Int, Array[Double])], Seq[Double]) = {
     val e = withNorm(emb)
@@ -394,17 +487,11 @@ object SimSearch {
     var cents = seedCentroids(emb, k)
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to iters).foreach { _ =>
-      val assigned = e.withColumn("cluster", nearestCentroid(col("v"), cents))
-      // inertia under the CURRENT centroids: ‖v‖² − 2·v·c + ‖c‖² per row
-      // cluster matches exactly one branch per row, so the sum of
-      // zero-defaulted branches is that row's distance²
-      val distCol = cents.map { case (i, c) =>
-        val c2 = c.map(x => x * x).sum
-        coalesce(when(col("cluster") === i,
-          col("nrm") * col("nrm") + dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) * -2.0 + lit(c2)),
-          lit(0.0))
-      }.reduce(_ + _)
-      inertias += assigned.agg(sum(distCol)).collect()(0).getDouble(0)
+      val assigned = e
+        .join(argminAssign(e, centroidFrameOf(spark, cents)), Seq("vec_id"))
+      inertias += assigned
+        .agg(sum(col("nrm") * col("nrm") + col("m")))
+        .collect()(0).getDouble(0)
       val next = assigned
         .select(col("cluster"), posexplode(col("v")))
         .groupBy("cluster", "pos").agg(avg("col").as("m"))
@@ -590,14 +677,20 @@ object SimSearch {
     val probes = centroids.map { case (i, c) =>
       (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum)
     }.sortBy(_._2).take(nProbe).map(_._1)
-    // cluster assignment is the only data-proportional pass; memoized (and
-    // persisted) per cacheKey so repeated probes share one index build. The
-    // query vector is a plan-time literal — no broadcast join needed, and
-    // dot(v, lit(qv)) folds ascending exactly like the former column form,
-    // so cosines are bit-identical to the joined variant.
-    val assigned = memoized(spark, cacheKey, s"ivf:$nCentroids") {
-      withNorm(emb).withColumn("cluster", nearestCentroid(col("v"), centroids))
-    }
+    // cluster assignment is the only data-proportional pass — the shared
+    // broadcast-frame [[argminAssign]] via assignClusters (r14: the former
+    // literal-unrolled projection here was the one surviving instance of
+    // the r12 scale-killer shape — fine at fixed k = 16, but nothing
+    // stopped a future corpus-scaled caller), memoized + persisted per
+    // (cacheKey, k) so repeated probes AND the recall-curve key share one
+    // index build. The norm is recomputed from the assigned v (same
+    // codegen fold withNorm ran — bit-identical), cheaper than carrying a
+    // second persisted frame. The query vector stays a plan-time literal —
+    // one vector, no broadcast join needed, and dot(v, lit(qv)) folds
+    // ascending exactly like the former column form, so cosines are
+    // bit-identical to the joined variant.
+    val assigned = assignClusters(emb, nCentroids, cacheKey)
+      .withColumn("nrm", norm(col("v")))
     val qvLit = array(qv.toIndexedSeq.map(lit): _*)
     assigned
       .where(col("cluster").isin(probes.toIndexedSeq.map(Integer.valueOf): _*) && col("vec_id") =!= queryVecId)

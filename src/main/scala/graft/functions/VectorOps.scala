@@ -18,12 +18,22 @@ import org.apache.spark.sql.types._
   * in FunctionsSpec) and the DuckDB oracles are untouched.
   *
   * Null-element contract: fixture embeddings carry no null elements (the
-  * [[VectorDot]] family's standing contract); a null element contributes a
-  * 0.0 output slot here (primitive output arrays cannot hold nulls), which
-  * downstream dot/norm math treats exactly like VectorDot's skip-null SUM
-  * semantics.
+  * [[VectorDot]] family's standing contract). The HOF forms these kernels
+  * claim bit-parity with PROPAGATE null elements; a primitive output array
+  * cannot, so rather than silently zero-filling (a value change hidden
+  * behind a parity claim — r13 advice) a null element THROWS, the TopKRows
+  * 2^53-guard discipline: a contract breach surfaces loudly at the first
+  * row that violates it.
   */
 object VectorOps {
+
+  private def nullElement(op: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$op: null element at position $i — the codegen kernel's output " +
+        "array cannot hold nulls, and zero-filling would silently diverge " +
+        "from the null-propagating HOF form it is pinned bit-equal to; " +
+        "clean the vector column upstream (fixture embeddings are " +
+        "null-free by contract)")
 
   /** Symmetric max-abs int8 quantization: scale = max|v|/127,
     * out_i = floor(v_i / scale + 0.5); an all-zero (or empty) vector maps
@@ -35,17 +45,16 @@ object VectorOps {
     var ma = 0.0
     var i = 0
     while (i < n) {
-      if (!v.isNullAt(i)) {
-        val a = math.abs(v.getDouble(i))
-        if (a > ma) ma = a
-      }
+      if (v.isNullAt(i)) nullElement("int8_quantize", i)
+      val a = math.abs(v.getDouble(i))
+      if (a > ma) ma = a
       i += 1
     }
     if (ma != 0.0) {
       val s = ma / 127.0d
       i = 0
       while (i < n) {
-        if (!v.isNullAt(i)) out(i) = math.floor(v.getDouble(i) / s + 0.5d)
+        out(i) = math.floor(v.getDouble(i) / s + 0.5d)
         i += 1
       }
     }
@@ -62,7 +71,8 @@ object VectorOps {
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (!v.isNullAt(i)) out(i) = v.getDouble(i) - mu(i) - pc(i) * d
+      if (v.isNullAt(i)) nullElement("center_deflect", i)
+      out(i) = v.getDouble(i) - mu(i) - pc(i) * d
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

@@ -139,10 +139,10 @@ class CodegenGateSpec extends SparkSpec {
         row(darr(1.0, -2.0, 0.5)),
         row(darr(0.0, 0.0)), // all-zero → zeros branch
         row(darr()))
-      val nullElem = if (nullable)
-        Seq(row(new GenericArrayData(Array[Any](1.0, null, -3.0)))) else Nil
+      // null ELEMENTS throw by contract (r14 — FunctionsSpec pins the
+      // throw); the gate feeds null-free arrays plus the null ROW case
       val nullRow = if (nullable) Seq(row(null)) else Nil
-      gate(Int8Quantize(v), baseRows ++ nullElem ++ nullRow)
+      gate(Int8Quantize(v), baseRows ++ nullRow)
       val vd = BoundReference(0, arrT, nullable = nullable)
       val dRows = Seq(
         row(darr(1.0, -2.0, 0.5)),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, IcebergMurmur3}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -158,6 +159,30 @@ class FunctionsSpec extends SparkSpec {
     assert(cDiff == 0L, s"$cDiff rows diverge between CenterDeflect and the HOF form")
   }
 
+  test("Int8Quantize and CenterDeflect THROW on a null element instead of zero-filling") {
+    // r13 advice: the HOF forms these kernels are pinned bit-equal to
+    // PROPAGATE null elements; the kernels' primitive output arrays cannot,
+    // so a null element must surface the contract breach loudly (the
+    // TopKRows 2^53-guard discipline), never silently change values
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS v, 0.5D AS d")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    val qErr = intercept[Exception] {
+      df.select(graft.ext.SimSearch.quantize(col("v"))).collect()
+    }
+    assert(chain(qErr).exists(_.contains("int8_quantize")), chain(qErr).mkString("\n"))
+    val cd = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.CenterDeflect(
+        GraftColumnBridge.expression(col("v")),
+        GraftColumnBridge.expression(col("d")),
+        IndexedSeq.fill(3)(0.0), IndexedSeq.fill(3)(0.1)))
+    }
+    val cErr = intercept[Exception] { df.select(cd).collect() }
+    assert(chain(cErr).exists(_.contains("center_deflect")), chain(cErr).mkString("\n"))
+  }
+
   test("PqAdc is value-identical to the unrolled slice/argmin-fold form") {
     val nSub = 8; val dSub = 8; val nCodes = 4
     val emb = graft.catalog.TableRegistry.table(spark, sfDir, "embeddings")
@@ -168,10 +193,24 @@ class FunctionsSpec extends SparkSpec {
       math.sin(s * 31 + c * 7 + i + 1) / 3.0)
     val qdotM = Array.tabulate(nSub, nCodes)((s, c) => (s * 1000 + c * 37).toLong)
     val c2M = Array.tabulate(nSub, nCodes)((s, c) => (s * 500 + c * 11 + 1).toLong)
-    // old unrolled form
+    // the retired literal-unrolled argmin (r14 removed it from SimSearch —
+    // the r12 scale-killer shape must not exist as a callable), kept HERE
+    // as the spec's independent reference formulation of the same
+    // strict-<, lowest-index fold the kernel implements
+    def unrolledArgmin(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
+      val dists = centroids.map { case (i, c) =>
+        val c2 = c.map(x => x * x).sum
+        (i, graft.ext.SimSearch.dot(v,
+          array(c.toIndexedSeq.map(lit): _*)) * -2.0 + lit(c2))
+      }
+      dists.tail.foldLeft((dists.head._2, lit(dists.head._1))) {
+        case ((bestD, bestI), (i, d)) =>
+          (least(bestD, d), when(d < bestD, lit(i)).otherwise(bestI))
+      }._2
+    }
     val withCodes = (0 until nSub).foldLeft(emb) { (df, s) =>
       val cents = (0 until nCodes).map(c => (c, subC(s)(c))).toArray
-      df.withColumn(s"code$s", graft.ext.SimSearch.nearestCentroid(
+      df.withColumn(s"code$s", unrolledArgmin(
         slice(col("v"), s * dSub + 1, dSub), cents))
     }
     def lut(table: Array[Array[Long]], s: Int) =

@@ -125,7 +125,12 @@ class ListenerSpec extends SparkSpec {
       // DriftReanalysis collects the vetted recommendation set at a
       // threshold crossing — one (view, partition_spec) row per advised
       // view, catalog-bounded like the advisor snapshots it mirrors
-      "DriftReanalysis.scala")
+      "DriftReanalysis.scala",
+      // Bpe collects ONE argmax row + one total scalar per merge round —
+      // the merge decision is driver state by definition (the k-means
+      // centroid discipline); the vocabulary frame itself never leaves
+      // the executors
+      "Bpe.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)

@@ -18,13 +18,42 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(vs.head.allowed.isEmpty, "an unallowlisted quadratic must FAIL")
   }
 
-  test("allowlisted keys surface as allowed, not as failures") {
-    val sf01 = Map("dedup_minhash" -> 0.3)
-    val sf1 = Map("dedup_minhash" -> 11.0)
-    val vs = ScaleGate.violations(sf01, sf1)
-    assert(vs.size == 1 && vs.head.allowed.isDefined)
-    assert(vs.head.allowed.get.contains("output-quadratic"),
-      "the allow entry must carry a boundedness class")
+  test("allowlist entries cover a key only within their own cap") {
+    // within the entry's own cap (13.0): no violation row at all
+    val vs = ScaleGate.violations(Map("dedup_minhash" -> 1.0),
+      Map("dedup_minhash" -> 12.5))
+    assert(vs.isEmpty, "x12.5 is under BOTH the global threshold and the cap")
+    // over the cap AND the global threshold: a FAILING violation — the
+    // allowlist must not cover it
+    val over = ScaleGate.violations(Map("dedup_minhash" -> 0.3),
+      Map("dedup_minhash" -> 5.0))
+    assert(over.size == 1 && over.head.allowed.isEmpty,
+      "x16.7 exceeds the entry's maxRatio 13.0 — the allowlist must not cover it")
+    // a hypothetical loose cap would still report the boundedness class on
+    // an over-threshold-under-cap reading — pinned via the entry text so
+    // the class plumbing stays exercised
+    assert(ScaleGate.allow("dedup_minhash").boundedClass.contains("output-quadratic"))
+  }
+
+  test("an allowlisted key over its own cap FAILS even under the global threshold") {
+    // r14 (r13 verdict item 1): multimodal cap is 12.0 < threshold 15.0 —
+    // a x13 reading is under the global gate but over the entry's cap, and
+    // an uncapped allowlist entry was a permanent blind spot
+    val vs = ScaleGate.violations(Map("multimodal_features" -> 0.5),
+      Map("multimodal_features" -> 6.5))
+    assert(vs.size == 1, vs.mkString(", "))
+    assert(vs.head.ratio == 13.0 && vs.head.allowed.isEmpty,
+      s"x13 > cap 12 must FAIL: ${vs.head}")
+    // under the cap: no violation row at all
+    val ok = ScaleGate.violations(Map("multimodal_features" -> 0.5),
+      Map("multimodal_features" -> 5.0))
+    assert(ok.isEmpty, "x10 is under the cap and the threshold — no violation row")
+    // every allow entry keeps a cap at or under the global threshold —
+    // an entry with maxRatio > threshold would be the old uncapped blind spot
+    ScaleGate.allow.foreach { case (k, e) =>
+      assert(e.maxRatio <= ScaleGate.threshold,
+        s"$k: maxRatio ${e.maxRatio} exceeds the global threshold — cap it")
+    }
   }
 
   test("sub-second sf1 keys and floored denominators never violate") {
@@ -53,6 +82,27 @@ class ScaleGateSpec extends AnyFunSuite {
       == Map("q1_agg" -> 0.12, "dedup_minhash" -> 0.3))
   }
 
+  test("format drift in the queries map aborts instead of silently shrinking it") {
+    // r13 advice: a value the regex cannot read (scientific notation,
+    // negative) must fail loudly — a dropped entry is an unwatched key
+    val sci = """{"metric":"per_query","queries":{"a":0.12,"b":1.2e-3}}"""
+    val err = intercept[IllegalArgumentException](ScaleGate.parseQueries(sci))
+    assert(err.getMessage.contains("format drift"), err.getMessage)
+    val neg = """{"metric":"per_query","queries":{"a":0.12,"b":-0.3}}"""
+    intercept[IllegalArgumentException](ScaleGate.parseQueries(neg))
+    val empty = """{"metric":"per_query","queries":{}}"""
+    intercept[IllegalArgumentException](ScaleGate.parseQueries(empty))
+  }
+
+  test("keys present at only one scale point are reported, not skipped") {
+    // r13 advice: violations() can only ratio keys in BOTH maps — a key
+    // that errored out of one bench must surface as its own failure class
+    val os = ScaleGate.oneSidedKeys(
+      Map("both" -> 0.1, "only01" -> 0.2), Map("both" -> 0.5, "only1" -> 3.0))
+    assert(os == Seq("only01", "only1"), os.mkString(","))
+    assert(ScaleGate.oneSidedKeys(Map("k" -> 1.0), Map("k" -> 2.0)).isEmpty)
+  }
+
   test("REAL artifacts: no unallowed ratio over the threshold, no stale allow entries") {
     val f01 = new java.io.File("bench_perkey_sf0.1.json")
     val f1 = new java.io.File("bench_perkey_sf1.json")
@@ -70,5 +120,7 @@ class ScaleGateSpec extends AnyFunSuite {
       s"with a boundedness class): ${bad.mkString("; ")}")
     val stale = ScaleGate.staleAllowEntries(m01, m1)
     assert(stale.isEmpty, s"stale scale-gate allow entries: $stale")
+    val oneSided = ScaleGate.oneSidedKeys(m01, m1)
+    assert(oneSided.isEmpty, s"keys present at only one scale point: $oneSided")
   }
 }
