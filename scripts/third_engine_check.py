@@ -2962,6 +2962,7 @@ b11_members = {}
 for i in b11_ids:
     b11_members.setdefault(b11_asg[i], []).append(i)
 sd_rows = []
+sd_dup_all = set()  # reused by dedup_semantic_clean (r14) — same pair loop
 for cl in sorted(b11_members):
     mem = b11_members[cl]
     dup = set()
@@ -2971,6 +2972,7 @@ for cl in sorted(b11_members):
             c = rN(seqdot(VEC[a_], VEC[b_]) / (NRM[a_] * NRM[b_]), 6)
             if c >= 0.9:
                 dup.add(b_)
+    sd_dup_all |= dup
     sd_rows.append({"cluster": np.int32(cl), "n_vecs": np.int64(len(mem)),
                     "n_dup": np.int64(len(dup)),
                     "n_kept": np.int64(len(mem) - len(dup))})
@@ -3543,6 +3545,36 @@ sf_rows = sorted(((rN(seqdot(VEC[i], Q0) / (NRM[i] * NRM[0]), 6), i)
                  key=lambda x: (-x[0], x[1]))[:10]
 check("simsearch_filtered", pd.DataFrame(
     [{"vec_id": np.int64(i), "cos": c} for c, i in sf_rows]))
+
+# bpe_encode_fertility: per-source encode under the final trained vocab
+# (bpe_seq holds the post-10-round symbol tuples)
+bef_pre = {}
+bef_ws = {}
+for _, r_ in dc.iterrows():
+    nd, wt = bef_ws.get(r_.source, (0, 0))
+    bef_ws[r_.source] = (nd + 1, wt + len(r_.text.split(" ")))
+    for p_ in BPE_PAT.findall(r_.text):
+        if re.fullmatch(r"[ -~]+", p_):
+            k2 = (r_.source, p_)
+            bef_pre[k2] = bef_pre.get(k2, 0) + 1
+bef_agg = {}
+for (s2, p_), c2 in bef_pre.items():
+    a2, e2 = bef_agg.get(s2, (0, 0))
+    bef_agg[s2] = (a2 + c2, e2 + c2 * len(bpe_seq[p_]))
+check("bpe_encode_fertility", pd.DataFrame(
+    [{"source": s2, "n_docs": np.int64(bef_ws[s2][0]),
+      "ws_tokens": np.int64(bef_ws[s2][1]),
+      "ascii_pretokens": np.int64(bef_agg.get(s2, (0, 0))[0]),
+      "encoded_tokens": np.int64(bef_agg.get(s2, (0, 0))[1]),
+      "encoded_per_ws": ratioR(bef_agg.get(s2, (0, 0))[1], bef_ws[s2][1], 6)}
+     for s2 in sorted(bef_ws)]))
+
+# dedup_semantic_clean: the keeper manifest off the SAME b11 assignment +
+# pair loop dedup_semantic already ran (sd_dup_all)
+check("dedup_semantic_clean", pd.DataFrame(
+    [{"vec_id": np.int64(i), "cluster": np.int32(b11_asg[i]),
+      "kept": np.int32(0 if i in sd_dup_all else 1)}
+     for i in b11_ids]))
 
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:

@@ -58,7 +58,7 @@ object Queries11 {
     * head, and the nearest-centroid assignment (same −2·v·c + ‖c‖² ranking
     * and low-index tie-break as the engine's min-struct argmin), carrying the assigned
     * minimum m for distance math. Ends after `asg` — callers append. */
-  private val assignCtes: String =
+  private[graft] val assignCtes: String =
     """WITH e AS (SELECT vec_id, v FROM (
       |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |    FROM embeddings) raw

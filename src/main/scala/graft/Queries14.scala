@@ -59,8 +59,45 @@ object Queries14 {
       // fixture's texts are space-joined lowercase words, so the trained
       // merges are real (whole high-frequency words assemble within 10
       // rounds) and the compression trajectory is strictly decreasing.
-      (s, dir) => graft.ext.Bpe.trainMerges(s, t(s, dir, "documents"), nMerges = 10),
+      (s, dir) => graft.ext.Bpe.trainMerges(s, t(s, dir, "documents"),
+        nMerges = 10, cacheKey = Some(dir)),
       Some(graft.ext.Bpe.trainMergesOracleSql(10))),
+
+    QSpec("bpe_encode_fertility",
+      // X63 — apply the X60-trained vocabulary: per-source whitespace
+      // tokens, ASCII pretokens, and the token count the 10-merge vocab
+      // encodes the source to, with encoded-per-ws as the POST-training
+      // budget dial (X56's fertility measured the pre-merge stream). The
+      // encode never touches symbol strings — counts join the
+      // vocabulary-sized (pretoken, n_syms) frame and multiply. Shares the
+      // memoized training run with bpe_train_merges.
+      (s, dir) => graft.ext.Bpe.encodeFertility(s, t(s, dir, "documents"),
+        nMerges = 10, cacheKey = Some(dir)),
+      Some(graft.ext.Bpe.encodeFertilityOracleSql(10))),
+
+    QSpec("dedup_semantic_clean",
+      // X64 — the keeper manifest dedup_semantic only counts: one row per
+      // nonzero-norm vector with (cluster, kept) under the keep-first
+      // policy at cos ≥ 0.9 and corpus-scaled k. The fixture plants no
+      // semantic dups, so kept = 1 everywhere is the honest corpus answer
+      // (the oracle still pins the full assignment + pair chain; the drop
+      // path is pinned by Queries14Spec's planted duplicate).
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimSearch.semanticKeepers(emb, SimSearch.scaledK(emb, Some(dir)),
+          threshold = 0.9, cacheKey = Some(dir))
+      },
+      Some(
+        s"""${Queries11.assignCtes},
+           |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+           |      (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+           |d AS (SELECT DISTINCT b_id FROM p WHERE cos >= 0.9)
+           |SELECT vec_id, cluster,
+           |  CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+           |FROM asg LEFT JOIN d ON asg.vec_id = d.b_id
+           |ORDER BY vec_id""".stripMargin)),
 
     QSpec("pii_redact_clean",
       // X62 — emit the scrubbed corpus + per-doc redaction counts. The

@@ -62,18 +62,51 @@ object Bpe {
     concat(lit(SEP),
       array_join(regexp_extract_all(p, lit("."), lit(0)), SEP2), lit(SEP))
 
-  /** Train `nMerges` BPE merges over `docs.text`; returns the merge table
-    * (merge_rank, left_sym, right_sym, pair_count, corpus_symbols) where
-    * corpus_symbols is the frequency-weighted total symbol count AFTER
-    * applying that round's merge — the compression trajectory a tokenizer
-    * team actually reads off a training run. */
-  def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
+  /** (merge table, final (p, n_syms) vocabulary) memo — the training loop
+    * is a deterministic driver-side fold over vocab-sized jobs, so the
+    * train key and the encode key (X63) share ONE run per (session,
+    * fixture, nMerges) instead of each paying the full loop (the
+    * [[SimSearch]] centroidMemo discipline). Stopped-session entries are
+    * swept on access like [[DfMemo]]'s. */
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]()
+
+  /** Drop this session's training memos (the [[DfMemo.clear]] sibling). */
+  def clear(spark: SparkSession): Unit = {
+    val it = trainMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq spark) it.remove()
+  }
+
+  private def trained(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      cacheKey: Option[String]): (DataFrame, DataFrame) = {
+    val it = trainMemo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    def compute: (DataFrame, DataFrame) = trainLoop(spark, docs, nMerges)
+    cacheKey match {
+      case Some(k) =>
+        val key = (spark, k, nMerges)
+        val existing = trainMemo.get(key)
+        if (existing != null) existing
+        else {
+          // unlike DfMemo's lazy persist, the loop RUNS here (driver fold) —
+          // a concurrent duplicate build wastes work but stays correct, and
+          // the putIfAbsent loser adopts the winner's frames
+          val built = compute
+          val prev = trainMemo.putIfAbsent(key, built)
+          if (prev != null) prev else built
+        }
+      case None => compute
+    }
+  }
+
+  private def trainLoop(spark: SparkSession, docs: DataFrame, nMerges: Int)
+      : (DataFrame, DataFrame) = {
     var vocab = Dedup.truncate(
       docs.select(explode(
           regexp_extract_all(col("text"), lit(pretokenPattern), lit(0))).as("p"))
         .where(col("p").rlike("^[ -~]+$"))
         .groupBy("p").agg(count(lit(1)).as("cnt"))
-        .select(wrap(col("p")).as("s"), col("cnt")))
+        .select(col("p"), wrap(col("p")).as("s"), col("cnt")))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
     (1 to nMerges).foreach { rank =>
       val top = vocab
@@ -91,7 +124,7 @@ object Bpe {
         s"BPE merge round $rank: no adjacent pairs left — corpus fully merged " +
           s"before nMerges=$nMerges (lower nMerges for this corpus)")
       val (l, r, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      vocab = Dedup.truncate(vocab.select(
+      vocab = Dedup.truncate(vocab.select(col("p"),
         replace(col("s"), lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
         col("cnt")))
       val total = vocab
@@ -100,15 +133,63 @@ object Bpe {
       merges += ((rank, l, r, pcnt, total))
     }
     import spark.implicits._
-    merges.toSeq
+    val table = merges.toSeq
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count", "corpus_symbols")
+    (table, vocab.select(col("p"), size(symbols(col("s"))).as("n_syms")))
+  }
+
+  /** Train `nMerges` BPE merges over `docs.text`; returns the merge table
+    * (merge_rank, left_sym, right_sym, pair_count, corpus_symbols) where
+    * corpus_symbols is the frequency-weighted total symbol count AFTER
+    * applying that round's merge — the compression trajectory a tokenizer
+    * team actually reads off a training run. */
+  def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      cacheKey: Option[String] = None): DataFrame =
+    trained(spark, docs, nMerges, cacheKey)._1
+
+  /** X63 — APPLY the trained vocabulary: per-source whitespace tokens,
+    * ASCII pretokens, and the token count the `nMerges`-merge vocab
+    * actually encodes the source to, with encoded-per-ws-token as the
+    * post-training budget dial (X56's fertility measured the PRE-merge
+    * stream; this is the number a trained tokenizer produces). Scale
+    * shape: the per-source pretoken counts join the vocabulary-sized
+    * (p, n_syms) frame — the encode step never touches symbol strings,
+    * only multiplies counts; one grouped rollup per side, one
+    * vocab-keyed join. Sources whose every pretoken is non-ASCII (outside
+    * the trained range) encode to zero, kept by the left join. */
+  def encodeFertility(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val vocabSyms = trained(spark, docs, nMerges, cacheKey)._2
+    val perSource = docs
+      .select(col("source"), explode(
+        regexp_extract_all(col("text"), lit(pretokenPattern), lit(0))).as("p"))
+      .where(col("p").rlike("^[ -~]+$"))
+      .groupBy("source", "p").agg(count(lit(1)).as("cnt"))
+      .join(vocabSyms, "p")
+      .groupBy("source")
+      .agg(sum("cnt").as("ascii_pretokens"),
+        sum(col("cnt") * col("n_syms")).as("encoded_tokens"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"))
+      .join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("ws_tokens"),
+        coalesce(col("ascii_pretokens"), lit(0L)).as("ascii_pretokens"),
+        coalesce(col("encoded_tokens"), lit(0L)).as("encoded_tokens"),
+        ExactMath.ratioRounded(
+          coalesce(col("encoded_tokens"), lit(0L)), col("ws_tokens"), 6)
+          .as("encoded_per_ws"))
+      .orderBy("source")
   }
 
   /** The DuckDB oracle: the WHOLE training loop replayed as `nMerges`
     * chained CTE blocks over the identical U+001F representation (the
     * doc_quality_logreg replayed-chained-CTE discipline) — an independent
     * second implementation, not a dump of the engine's answer. */
-  def trainMergesOracleSql(nMerges: Int): String = {
+  /** The chained training CTEs shared by both oracles: `pre` → `v0` …
+    * `v$nMerges` (each carrying the pretoken `p`, its U+001F symbol string
+    * `s`, and `cnt`), plus per-round `p$i`/`m$i`/`t$i`. */
+  private def trainCtes(nMerges: Int): String = {
     // '' doubles the quotes for SQL embedding of the pretoken pattern
     val pat = pretokenPattern.replace("'", "''")
     val sep = "chr(31)"
@@ -117,7 +198,7 @@ object Bpe {
       s"""WITH pre AS (SELECT u.p AS p FROM (
          |    SELECT unnest(regexp_extract_all(text, '$pat')) AS p FROM documents) u
          |  WHERE regexp_matches(u.p, '^[ -~]+$$')),
-         |v0 AS (SELECT $sep || array_to_string(regexp_extract_all(p, '.'), $sep2) || $sep AS s,
+         |v0 AS (SELECT p, $sep || array_to_string(regexp_extract_all(p, '.'), $sep2) || $sep AS s,
          |    CAST(COUNT(*) AS BIGINT) AS cnt FROM pre GROUP BY p)""".stripMargin
     val rounds = (1 to nMerges).map { i =>
       val prev = s"v${i - 1}"
@@ -126,15 +207,48 @@ object Bpe {
          |      SELECT string_split(s[2:length(s) - 1], $sep2) AS tk, cnt FROM $prev))
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, pcnt FROM p$i ORDER BY pcnt DESC, l, r LIMIT 1),
-         |v$i AS (SELECT replace(s, $sep || l || $sep2 || r || $sep,
+         |v$i AS (SELECT p, replace(s, $sep || l || $sep2 || r || $sep,
          |    $sep || l || r || $sep) AS s, cnt FROM $prev, m$i),
          |t$i AS (SELECT SUM(cnt * len(string_split(s[2:length(s) - 1], $sep2))) AS total FROM v$i)""".stripMargin
     }.mkString(",\n")
+    s"$header,\n$rounds"
+  }
+
+  /** The DuckDB oracle: the WHOLE training loop replayed as `nMerges`
+    * chained CTE blocks over the identical U+001F representation (the
+    * doc_quality_logreg replayed-chained-CTE discipline) — an independent
+    * second implementation, not a dump of the engine's answer. */
+  def trainMergesOracleSql(nMerges: Int): String = {
     val rows = (1 to nMerges).map { i =>
       s"SELECT CAST($i AS INT) AS merge_rank, l AS left_sym, r AS right_sym, " +
         s"CAST(pcnt AS BIGINT) AS pair_count, " +
         s"CAST((SELECT total FROM t$i) AS BIGINT) AS corpus_symbols FROM m$i"
     }.mkString("\nUNION ALL\n")
-    s"$header,\n$rounds\n$rows\nORDER BY merge_rank"
+    s"${trainCtes(nMerges)}\n$rows\nORDER BY merge_rank"
+  }
+
+  /** X63's oracle: the same training chain, then the per-source encode
+    * rollup against the final vocabulary `v$nMerges`. */
+  def encodeFertilityOracleSql(nMerges: Int): String = {
+    val pat = pretokenPattern.replace("'", "''")
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    s"""${trainCtes(nMerges)},
+       |vs AS (SELECT p, len(string_split(s[2:length(s) - 1], $sep2)) AS n_syms FROM v$nMerges),
+       |pre2 AS (SELECT source, u.p AS p FROM (
+       |    SELECT source, unnest(regexp_extract_all(text, '$pat')) AS p FROM documents) u
+       |  WHERE regexp_matches(u.p, '^[ -~]+$$')),
+       |sc AS (SELECT source, p, CAST(COUNT(*) AS BIGINT) AS cnt FROM pre2 GROUP BY 1, 2),
+       |enc AS (SELECT source, SUM(cnt) AS ascii_pretokens,
+       |    SUM(cnt * n_syms) AS encoded_tokens FROM sc JOIN vs USING (p) GROUP BY source),
+       |ws AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT ws.source AS source, n_docs, ws_tokens,
+       |  CAST(COALESCE(ascii_pretokens, 0) AS BIGINT) AS ascii_pretokens,
+       |  CAST(COALESCE(encoded_tokens, 0) AS BIGINT) AS encoded_tokens,
+       |  ${ExactMath.ratioRoundedSql("COALESCE(encoded_tokens, 0)", "ws_tokens", 6)} AS encoded_per_ws
+       |FROM ws LEFT JOIN enc ON ws.source = enc.source
+       |ORDER BY source""".stripMargin
   }
 }

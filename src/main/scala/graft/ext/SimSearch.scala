@@ -403,10 +403,11 @@ object SimSearch {
     * which is every declared fixture — the oracle replays the uncapped
     * form). Total pair work with corpus-scaled k (see [[scaledK]]) stays
     * O(n · expected-cluster-size). */
-  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
-      cacheKey: Option[String] = None,
-      maxSide: Int = maxClusterSide): DataFrame = {
-    val e = assignClusters(emb, k, cacheKey)
+  /** The flagged-duplicate id set (single column b_id) over an
+    * [[assignClusters]] frame — the shared core of [[semanticDedup]] and
+    * [[semanticKeepers]]. */
+  private def semanticDups(e: DataFrame, threshold: Double,
+      maxSide: Int): DataFrame = {
     val withSub = boundedPairSides(e, maxSide)
     // loud, metadata-sized: the size frame is k rows and the assignment is
     // the memoized index this stage needs anyway — a silent engage would
@@ -422,18 +423,45 @@ object SimSearch {
       col("vec_id").as("a_id"), col("v").as("av"))
     val b = withSub.select(col("cluster").as("cluster_b"), col("sub").as("sub_b"),
       col("vec_id").as("b_id"), col("v").as("bv"))
-    val dups = a.join(b,
+    a.join(b,
         col("cluster") === col("cluster_b") && col("sub") === col("sub_b") &&
           col("a_id") < col("b_id"))
       .where(round(cosine(col("av"), col("bv")), 6) >= threshold)
       .select(col("b_id")).distinct()
-    e.join(dups, col("vec_id") === col("b_id"), "left_outer")
+  }
+
+  def semanticDedup(emb: DataFrame, k: Int, threshold: Double,
+      cacheKey: Option[String] = None,
+      maxSide: Int = maxClusterSide): DataFrame = {
+    val e = assignClusters(emb, k, cacheKey)
+    e.join(semanticDups(e, threshold, maxSide),
+        col("vec_id") === col("b_id"), "left_outer")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("b_id").isNotNull, 1L).otherwise(0L)).as("n_dup"))
       .select(col("cluster"), col("n_vecs"), col("n_dup"),
         (col("n_vecs") - col("n_dup")).as("n_kept"))
       .orderBy("cluster")
+  }
+
+  /** X64 — the keeper MANIFEST [[semanticDedup]] only counts: one row per
+    * nonzero-norm vector with its cluster and keep flag (the keep-first
+    * policy — kept ⟺ no lower-id within-cluster neighbor at cos ≥
+    * threshold). This is the artifact a SemDeDup stage actually ships
+    * downstream (the training job reads kept ids, not attrition counts —
+    * the `dedup_span_clean` emission discipline applied to the embedding
+    * tier); at 100 TB it is the id manifest a partitioned
+    * anti-join-on-ingest consumes. Same memoized assignment + dup frame
+    * as the stats key — emitting costs one extra left join. */
+  def semanticKeepers(emb: DataFrame, k: Int, threshold: Double,
+      cacheKey: Option[String] = None,
+      maxSide: Int = maxClusterSide): DataFrame = {
+    val e = assignClusters(emb, k, cacheKey)
+    e.join(semanticDups(e, threshold, maxSide),
+        col("vec_id") === col("b_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("b_id").isNull, 1).otherwise(0).as("kept"))
+      .orderBy("vec_id")
   }
 
   /** Deterministic seed "centroids": the first n vectors by vec_id,

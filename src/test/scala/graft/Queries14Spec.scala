@@ -65,6 +65,37 @@ class Queries14Spec extends SparkSpec {
       == (("aa", "a", 1L)), rows(1).toString)
   }
 
+  test("BPE encode applies the trained vocab: hand-computed per-source fertility") {
+    // "ab ab ab" after 2 merges: vocab "ab"→[ab], " ab"→[" ab"] — 3 ascii
+    // pretokens encode to 3 symbols over 3 ws tokens → encoded_per_ws 1.0
+    val dir = docsDir(Seq((0L, "ab ab ab", "src0")))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = graft.ext.Bpe.encodeFertility(spark, docs, nMerges = 2).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("src0", 1L, 3L, 3L, 3L, 1.0)), r.toString)
+  }
+
+  test("semantic keeper manifest drops exactly the planted duplicate, keeps first by id") {
+    import spark.implicits._
+    // the Queries11Spec fixture shape: 23 one-hot + an exact copy of vec 10
+    val base = (0 until 23).map { i =>
+      (i.toLong, Array.tabulate(23)(j => if (j == i) 1.0f else 0.0f))
+    }
+    val emb = (base :+ ((23L, base(10)._2))).toDF("vec_id", "embedding")
+    val out = graft.ext.SimSearch.semanticKeepers(emb, k = 4, threshold = 0.9)
+      .collect()
+    assert(out.length == 24)
+    assert(out.map(_.getLong(0)).toSeq == (0L to 23L), "one row per vector, id order")
+    val dropped = out.filter(_.getInt(2) == 0).map(_.getLong(0)).toSeq
+    assert(dropped == Seq(23L), s"exactly the later copy drops: $dropped")
+    // manifest agrees with the stats key's totals
+    val stats = graft.ext.SimSearch.semanticDedup(emb, k = 4, threshold = 0.9)
+      .agg(sum("n_dup"), sum("n_vecs")).collect()(0)
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == 24L)
+  }
+
   test("PII redaction: exact redacted text, sequential email-shadows-IP ordering") {
     val dir = docsDir(Seq(
       (0L, "contact bob.smith+x@mail-host.org or 10.0.0.1 call 555-123-4567", "src0"),
