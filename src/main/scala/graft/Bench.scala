@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see graft.Verify: 4 MB open cost shreds many-small-files scans
+      // into thousands of near-empty tasks on this storage class
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: analysis-time deprecation warnings land immediately

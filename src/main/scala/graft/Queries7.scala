@@ -482,14 +482,24 @@ object Queries7 {
         // sf0.1 bench. Tractable for the DuckDB twin because candidate
         // generation (banding) bounds the recursive-CTE edge set; only
         // lsh_recall_curve keeps a cap (its oracle is exact all-pairs).
-        val sh = Dedup.memoizedSignatures(s, docs, 3, 20, Some(dir))
-        val pairs = Dedup.bandCandidates(Dedup.bandedBuckets(sh, 20, 4))
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .where(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")) >= 0.2)
+        //
+        // r14: rides the distinct-shingle-set collapse (Dedup.
+        // groupedSignatures — the dedup_simhash discipline): banding +
+        // verification on one rep per distinct set, and since contraction
+        // only needs CONNECTIVITY, clone cliques contract through rep→
+        // member STAR edges (gsz−1 per group) instead of the clique's
+        // all-pairs edge list — same components, same labels, same sizes,
+        // so the raw-doc recursive-CTE oracle is untouched, while edge
+        // count drops from Σ clique² to Σ clique.
+        val grp = Dedup.groupedSignatures(s, docs, 3, 20, Some(dir))
+        val repPairs = Dedup.minhashRepPairs(s, docs, 3, 20, 4,
+            threshold = 0.2, cacheKey = Some(dir))
           .select("a_id", "b_id")
-        Dedup.clusters(s, docs, pairs)
+        val starEdges = Dedup.signatureMembers(s, docs, 3, 20, Some(dir))
+          .join(grp.select(col("gkey"), col("rid")), Seq("gkey"))
+          .where(col("doc_id") =!= col("rid"))
+          .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
+        Dedup.clusters(s, docs, repPairs.unionAll(starEdges))
       },
       Some(
         """WITH RECURSIVE sh AS (

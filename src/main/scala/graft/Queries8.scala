@@ -222,17 +222,26 @@ object Queries8 {
         // un-replicated shuffle and map-side combine at both stages.
         // Equivalent because countDistinct skips NULL suppkeys and the
         // pair form filters them explicitly.
-        val perOrder = li.where(col("l_suppkey").isNotNull)
-          .groupBy(col("l_orderkey").as("po_orderkey"), col("l_suppkey").as("po_suppkey"))
+        //
+        // r14: the qualifying condition (exactly ONE returning supplier in
+        // a ≥2-supplier order) means the pair frame already NAMES that
+        // supplier — max(suppkey WHERE ret) over the order is the unique
+        // returner — so the former second lineitem scan + fact-sized join
+        // back (the biggest shuffle in the plan at 10× rows) collapses to
+        // an orders-sized projection; numwait = plain count (each
+        // qualifying order contributes its one returner exactly once —
+        // the countDistinct is implied by construction).
+        val waiting = li.where(col("l_suppkey").isNotNull)
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
-          .groupBy("po_orderkey")
-          .agg(count(lit(1)).as("n_supp"), sum("ret").cast("long").as("n_supp_ret"))
-        li.where(col("l_returnflag") === "R")
-          .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum("ret").cast("long").as("n_supp_ret"),
+            max(when(col("ret") === 1, col("l_suppkey"))).as("ret_supp"))
           .where(col("n_supp") >= 2 && col("n_supp_ret") === 1)
-          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        waiting
+          .join(t(s, dir, "supplier"), col("ret_supp") === col("s_suppkey"))
           .groupBy("s_name")
-          .agg(countDistinct("l_orderkey").as("numwait"))
+          .agg(count(lit(1)).as("numwait"))
           .orderBy(desc("numwait"), asc("s_name"))
       },
       Some(

@@ -52,22 +52,14 @@ object ScaleGate {
     * keys' stamped evidence), so a regression on an allowlisted key still
     * trips the gate. */
   val allow: Map[String, Allow] = Map(
-    "dedup_minhash" -> Allow(13.0, "output-quadratic: the sf1 fixture "
-      + "replicates every doc 10x, so the TRUE near-dup pair set grows "
-      + "~100x; the banded candidate keyspace scales with the xxhash64 "
-      + "range (cleared in the r12 verdict), so candidate work tracks the "
-      + "output, and the output itself is the quadratic term (paired "
-      + "quiet-host ratio x11.2 at r14 open)"),
-    "dedup_cluster_lsh" -> Allow(13.0, "output-quadratic: same banded "
-      + "candidate family as dedup_minhash (clone cliques emit all-pairs "
-      + "edges before star-contraction); candidate keyspace "
-      + "hash-range-scaled (paired quiet-host ratio x5.4 at r14 open)"),
-    "dedup_ngram_jaccard" -> Allow(13.0, "output-quadratic: clone-clique "
-      + "pair emission over the same banded candidates (the pair LIST is "
-      + "the output; paired quiet-host ratio x1.4 at r14 open)"),
-    "dedup_ngram_containment" -> Allow(13.0, "output-quadratic: "
-      + "clone-clique pair emission over the same banded candidates "
-      + "(paired quiet-host ratio x1.0 at r14 open)"),
+    // the four dedup output-quadratic entries were REMOVED mid-r14: the
+    // distinct-shingle-set pre-collapse (Dedup.groupedSignatures — the
+    // dedup_simhash discipline) makes clone-clique work saturate in the
+    // DISTINCT set count, so dedup_minhash measures x1.1 and
+    // dedup_cluster_lsh x1.7 at 10x rows (quiet-host SPARK_GRAFT_ONLY
+    // pairing, ROUND14.md) — far under the x15 gate; if a future fixture
+    // pushes them back over, the gate should FAIL and force a fresh look,
+    // not silently cover them.
     "multimodal_features" -> Allow(12.0, "decode-cost ∝ payload bytes: "
       + "per-partition decode of 10x the binary payload; plan shape is one "
       + "scan + mapPartitions, no pair work. Isolated quiet-host evidence "

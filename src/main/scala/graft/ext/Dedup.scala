@@ -157,25 +157,100 @@ object Dedup {
       signatureFrame(docs, shingleW, k)
     }
 
-  /** Candidate pairs via LSH banding: signature split into bands of `rows`
-    * hashes; docs sharing any band bucket become candidates; candidates are
-    * verified with exact shingle-set Jaccard. Returns
-    * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold. */
-  def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
-      k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
-      cacheKey: Option[String] = None): DataFrame = {
-    val sh = memoizedSignatures(spark, docs, shingleW, k, cacheKey)
-    // band join carries only (band, bucket, slice, doc_id) — shingle arrays
+  /** Injective group key of a distinct-shingle-set array: sha2 over a
+    * LENGTH-PREFIXED join — a separator-only join could be spoofed by a
+    * token containing the separator; with each element prefixed by its
+    * length, equal keys mean equal arrays short of a SHA-256 collision
+    * (the corpus_curate dedup contract). */
+  private def shingleSetKey(sh: Column): Column =
+    sha2(concat_ws("|", transform(sh, x => concat(length(x), lit(":"), x))), 256)
+
+  /** Distinct-shingle-set pre-collapse (r14 — the r13 `dedup_simhash`
+    * discipline applied to the minhash family): exact-duplicate texts
+    * (identical distinct-shingle SETS — what a crawl's clone mass is by
+    * construction, and what the sf1 stress fixture plants 10 copies of)
+    * carry identical signatures, band slices, and Jaccard against EVERY
+    * partner, so banding + verifying them individually does clique² work
+    * to rediscover facts group membership already states. One rep row
+    * (min doc_id) per distinct set rides the banding; [[minhashNearDups]]
+    * expands members arithmetically afterwards. Returns
+    * (gkey, rid, gsz, sh, sig). */
+  def groupedSignatures(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      k: Int, cacheKey: Option[String]): DataFrame =
+    DfMemo.cached(spark, cacheKey, s"minhash_grp:$shingleW:$k",
+      persistUnkeyed = true) {
+      memoizedSignatures(spark, docs, shingleW, k, cacheKey)
+        .withColumn("gkey", shingleSetKey(col("sh")))
+        .groupBy("gkey")
+        // sh/sig are group-constant (identical arrays), so first() is
+        // deterministic in VALUE; the rep id is the group minimum
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("gsz"),
+          first("sh").as("sh"), first("sig").as("sig"))
+    }
+
+  /** (doc_id, gkey) membership of [[groupedSignatures]]'s groups. */
+  def signatureMembers(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      k: Int, cacheKey: Option[String]): DataFrame =
+    DfMemo.cached(spark, cacheKey, s"minhash_mem:$shingleW:$k",
+      persistUnkeyed = true) {
+      memoizedSignatures(spark, docs, shingleW, k, cacheKey)
+        .select(col("doc_id"), shingleSetKey(col("sh")).as("gkey"))
+    }
+
+  /** Verified near-dup REP pairs (ga, gb, jaccard) over the collapsed
+    * groups: banding + exact-Jaccard verification runs on one row per
+    * distinct shingle set — clone masses cost d² (d = distinct sets, which
+    * SATURATES as clones accumulate), never n². Shared by
+    * [[minhashNearDups]] (which expands to the full pair list — the pair
+    * LIST is that key's output) and the cluster key (which only needs
+    * connectivity and expands to rep→member star edges instead). */
+  def minhashRepPairs(spark: SparkSession, docs: DataFrame, shingleW: Int,
+      k: Int, rows: Int, threshold: Double,
+      cacheKey: Option[String]): DataFrame = {
+    val grp = groupedSignatures(spark, docs, shingleW, k, cacheKey)
+    val repSh = grp.select(col("rid").as("doc_id"), col("sh"), col("sig"))
+    // band join carries only (band, bucket, slice, rep_id) — shingle arrays
     // would multiply the shuffle by the document size; they're joined back
     // onto the (small) candidate-pair set for verification instead.
-    val candidates = bandCandidates(bandedBuckets(sh, k, rows))
-    candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+    bandCandidates(bandedBuckets(repSh, k, rows))
+      .join(grp.select(col("rid").as("a_id"), col("sh").as("sha"),
+        col("gkey").as("ga")), Seq("a_id"))
+      .join(grp.select(col("rid").as("b_id"), col("sh").as("shb"),
+        col("gkey").as("gb")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sha")) + size(col("shb")) - col("inter")), 6))
       .where(col("jaccard") >= threshold)
+      .select("ga", "gb", "a_id", "b_id", "jaccard")
+  }
+
+  /** Candidate pairs via LSH banding: signature split into bands of `rows`
+    * hashes; docs sharing any band bucket become candidates; candidates are
+    * verified with exact shingle-set Jaccard. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id and jaccard ≥ threshold.
+    *
+    * Output is IDENTICAL to the former band-all-docs form (so the raw-doc
+    * DuckDB oracle is untouched), derived through the [[groupedSignatures]]
+    * collapse: a within-group pair has identical signatures (always a
+    * candidate) and Jaccard exactly 1 ≥ any threshold ≤ 1, so it emits
+    * arithmetically; a cross-group pair is a candidate iff its REPS share
+    * a band slice (signatures are group-level facts) and carries the reps'
+    * Jaccard verbatim. */
+  def minhashNearDups(spark: SparkSession, docs: DataFrame, shingleW: Int = 3,
+      k: Int = 20, rows: Int = 4, threshold: Double = 0.7,
+      cacheKey: Option[String] = None): DataFrame = {
+    val mem = signatureMembers(spark, docs, shingleW, k, cacheKey)
+    val cross = minhashRepPairs(spark, docs, shingleW, k, rows, threshold, cacheKey)
+      .select("ga", "gb", "jaccard")
+      .join(mem.select(col("gkey").as("ga"), col("doc_id").as("x")), Seq("ga"))
+      .join(mem.select(col("gkey").as("gb"), col("doc_id").as("y")), Seq("gb"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    val within = mem.select(col("gkey"), col("doc_id").as("a_id"))
+      .join(mem.select(col("gkey"), col("doc_id").as("b_id")), Seq("gkey"))
+      .where(col("a_id") < col("b_id") && lit(1.0) >= lit(threshold))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    cross.unionAll(within)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }

@@ -19,20 +19,19 @@ class ScaleGateSpec extends AnyFunSuite {
   }
 
   test("allowlist entries cover a key only within their own cap") {
-    // within the entry's own cap (13.0): no violation row at all
-    val vs = ScaleGate.violations(Map("dedup_minhash" -> 1.0),
-      Map("dedup_minhash" -> 12.5))
-    assert(vs.isEmpty, "x12.5 is under BOTH the global threshold and the cap")
+    // within the entry's own cap (12.0): no violation row at all
+    val vs = ScaleGate.violations(Map("multimodal_resize" -> 1.0),
+      Map("multimodal_resize" -> 11.5))
+    assert(vs.isEmpty, "x11.5 is under BOTH the global threshold and the cap")
     // over the cap AND the global threshold: a FAILING violation — the
     // allowlist must not cover it
-    val over = ScaleGate.violations(Map("dedup_minhash" -> 0.3),
-      Map("dedup_minhash" -> 5.0))
+    val over = ScaleGate.violations(Map("multimodal_resize" -> 0.3),
+      Map("multimodal_resize" -> 5.0))
     assert(over.size == 1 && over.head.allowed.isEmpty,
-      "x16.7 exceeds the entry's maxRatio 13.0 — the allowlist must not cover it")
-    // a hypothetical loose cap would still report the boundedness class on
-    // an over-threshold-under-cap reading — pinned via the entry text so
+      "x16.7 exceeds the entry's maxRatio 12.0 — the allowlist must not cover it")
+    // the boundedness class rides the entry — pinned via the entry text so
     // the class plumbing stays exercised
-    assert(ScaleGate.allow("dedup_minhash").boundedClass.contains("output-quadratic"))
+    assert(ScaleGate.allow("multimodal_resize").boundedClass.contains("decode-cost"))
   }
 
   test("an allowlisted key over its own cap FAILS even under the global threshold") {
