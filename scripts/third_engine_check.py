@@ -1122,7 +1122,9 @@ rows = [{"a_id": a, "b_id": b, "jaccard": rN(jaccard(a, b), 6)}
 check("dedup_minhash", pd.DataFrame(rows,
       columns=["a_id", "b_id", "jaccard"]))
 
-# dedup_cluster_lsh: components over candidates verified at jaccard >= 0.2
+# dedup_cluster_lsh: components over candidates verified at ROUND(jaccard, 6)
+# >= 0.2 (r15: the rounded compare is the declared semantics on all three
+# engines — the dedup_minhash convention)
 parent = {did: did for did in doc_shset}
 def find(x):
     while parent[x] != x:
@@ -1130,7 +1132,7 @@ def find(x):
         x = parent[x]
     return x
 for a, b in cands:
-    if jaccard(a, b) >= 0.2:
+    if rN(jaccard(a, b), 6) >= 0.2:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

@@ -10,9 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // see graft.Verify: 4 MB open cost shreds many-small-files scans
-      // into thousands of near-empty tasks on this storage class
-      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      // openCostInBytes stays at Spark's 4 MB default HERE (r14 verdict
+      // #2): a session-wide 128 KB lowered maxSplitBytes' floor for every
+      // regular parquet scan — invisible at local[4] but a ~+10% per-key
+      // regression at local[32], where bytes-per-core is small and the
+      // open cost IS the floor. The many-small-files fix lives scoped in
+      // Multimodal.ingestSession (only binaryFile listings see 128 KB).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: analysis-time deprecation warnings land immediately
@@ -26,6 +29,19 @@ object Bench {
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
+    // epoch stamp (r14 verdict #1): the per-key map is only meaningful
+    // against the tree + core count that produced it — r14 shipped a RED
+    // standing gate purely because a pre-sweep sf1 leftover was paired with
+    // a post-sweep sf0.1 map. Stamp git SHA (suffixed -dirty when the
+    // working tree differs from HEAD) and the core count into every bench
+    // line so graft.ScaleGate can REFUSE a mixed-epoch pairing instead of
+    // reporting fake ratio violations.
+    val gitSha: String = try {
+      import scala.sys.process._
+      val sha = Seq("git", "rev-parse", "--short=12", "HEAD").!!.trim
+      val dirty = Seq("git", "status", "--porcelain").!!.trim.nonEmpty
+      if (dirty) s"$sha-dirty" else sha
+    } catch { case _: Throwable => "unknown" }
     val warmT0 = System.nanoTime()
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query isn't charged ~3 s of session startup
@@ -140,8 +156,9 @@ object Bench {
     // named total_sec — NOT value — so a per_query consumer can't misread
     // the whole-run figure as a per-query one.
     val filteredField = if (only.isDefined) """"filtered":true,""" else ""
+    val stampFields = s""""git_sha":"$gitSha","cpus":"$cpus","""
     val perQueryLine =
-      s"""{"metric":"per_query",$filteredField"total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
+      s"""{"metric":"per_query",$filteredField$stampFields"total_sec":${fmt(total)},"unit":"sec","sf":"$sfName","runs":$benchRuns,"queries":$qs}"""
     // the full per-key map goes ONLY to the perkey file (below) — printed,
     // its >5 KB head was clipped by the driver's ~2 KB tail capture into
     // the dead "tail" fragment the r12 verdict flagged; with stdout kept to
@@ -184,7 +201,7 @@ object Bench {
     val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + fmt2(v)))
       .mkString("{", ",", "}")
     val perkeyField = if (perkeyWritten) s""","perkey_file":"$perkeyFile"""" else ""
-    println(s"""{"metric":"total",$filteredField"value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns$perkeyField,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    println(s"""{"metric":"total",$filteredField$stampFields"value":${fmt(total)},"unit":"sec","queries":$hq,"sf":"$sfName","nqueries":${results.size},"runs":$benchRuns$perkeyField,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
   }
 }

@@ -491,6 +491,12 @@ object Queries7 {
         // all-pairs edge list — same components, same labels, same sizes,
         // so the raw-doc recursive-CTE oracle is untouched, while edge
         // count drops from Σ clique² to Σ clique.
+        //
+        // r15 (r14 advice): both sides threshold on ROUND(jaccard, 6) ≥ 0.2
+        // — the engine inherits the rounded compare from minhashRepPairs,
+        // and the oracle's pairs CTE now rounds identically (the
+        // dedup_minhash oracle convention), so a borderline pair lands the
+        // same side of the threshold on every engine by construction.
         val grp = Dedup.groupedSignatures(s, docs, 3, 20, Some(dir))
         val repPairs = Dedup.minhashRepPairs(s, docs, 3, 20, 4,
             threshold = 0.2, cacheKey = Some(dir))
@@ -525,8 +531,8 @@ object Queries7 {
           |), pairs AS (
           |  SELECT a_id, b_id FROM (
           |    SELECT c.a_id, c.b_id,
-          |      CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-          |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+          |      ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+          |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
           |    FROM cand c JOIN sig x ON x.doc_id = c.a_id JOIN sig y ON y.doc_id = c.b_id) v
           |  WHERE jaccard >= 0.2
           |), edges AS (

@@ -77,6 +77,42 @@ object ScaleGate {
         allowed.map(c => s" [allowed: $c]").getOrElse("")
   }
 
+  /** Epoch stamp of a per-key bench artifact: the tree (git SHA, -dirty
+    * suffixed when the working tree differed from HEAD) and core count
+    * that produced it. graft.Bench writes both into every line (r15). */
+  final case class Stamp(gitSha: String, cpus: String)
+
+  /** The stamp, if the artifact carries one (pre-r15 artifacts do not). */
+  def parseStamp(json: String): Option[Stamp] = {
+    val sha = """"git_sha":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val cp = """"cpus":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    for (s <- sha; c <- cp) yield Stamp(s, c)
+  }
+
+  /** The distinct stale/mixed-pairing diagnosis (r14 verdict #1): HEAD
+    * shipped with the standing gate RED because a pre-sweep sf1 per-key
+    * map was paired against a post-sweep sf0.1 map — the gate computed
+    * fake ×22+ ratios from a cross-epoch pairing instead of refusing it.
+    * Returns the refusal message when the two artifacts were produced by
+    * different trees, at different core counts, or lack stamps entirely;
+    * None when the pairing is gateable. */
+  def pairingError(json01: String, json1: String): Option[String] =
+    (parseStamp(json01), parseStamp(json1)) match {
+      case (Some(a), Some(b)) if a.gitSha != b.gitSha =>
+        Some(s"STALE PAIRING: sf0.1 map from tree ${a.gitSha}, sf1 map from " +
+          s"tree ${b.gitSha} — per-key ratios across different trees are " +
+          "meaningless; re-run bench_round.sh on the current tree")
+      case (Some(a), Some(b)) if a.cpus != b.cpus =>
+        Some(s"MIXED CONFIG: sf0.1 map at cpus=${a.cpus}, sf1 map at " +
+          s"cpus=${b.cpus} — split packing and task overhead shift with core " +
+          "count, so cross-config ratios are not comparable")
+      case (a, b) if a.isEmpty || b.isEmpty =>
+        Some(s"UNSTAMPED artifact (sf0.1 stamped: ${a.isDefined}, sf1 " +
+          s"stamped: ${b.isDefined}) — regenerate both per-key maps with the " +
+          "stamping graft.Bench (r15+) so epoch mixing is detectable")
+      case _ => None
+    }
+
   /** Parse the `"queries":{...}` map out of a graft.Bench per_query JSON
     * line (flat string→number object; keys are [A-Za-z0-9_]). Regex-based
     * on purpose — no JSON dependency exists in this build. Fails LOUDLY on
@@ -133,12 +169,14 @@ object ScaleGate {
       }
     }
 
-  /** Keys that appear in exactly ONE of the two maps (and are material on
-    * the side they appear in): a key that errored or vanished at one scale
-    * point has no ratio and would otherwise silently escape the gate
-    * (r13 advice). Material = over [[minSf1Sec]] on the sf1 side, present
-    * at all on the sf0.1 side (the sf0.1 map is the registration-complete
-    * one — a key missing from sf1 means the stress run lost it). */
+  /** Keys that appear in exactly ONE of the two maps: a key that errored
+    * or vanished at one scale point has no ratio and would otherwise
+    * silently escape the gate (r13 advice). ANY one-sided key fails
+    * unconditionally — no materiality filter on purpose (r14 advice
+    * resolution): both maps are full-surface registration dumps, so a
+    * one-sided key means a run LOST it (error, filtered run leaked into
+    * an artifact), and a sub-[[minSf1Sec]] timing doesn't make a lost key
+    * any less lost. */
   def oneSidedKeys(sf01: Map[String, Double],
       sf1: Map[String, Double]): Seq[String] =
     ((sf01.keySet -- sf1.keySet) ++
@@ -152,10 +190,17 @@ object ScaleGate {
 
   def main(args: Array[String]): Unit = {
     val Array(f01, f1) = args
-    def read(p: String) = parseQueries(
+    def raw(p: String) =
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8"))
-    val (m01, m1) = (read(f01), read(f1))
+        "UTF-8")
+    val (r01, r1) = (raw(f01), raw(f1))
+    // epoch check FIRST: a cross-tree or cross-config pairing must refuse
+    // with its own diagnosis, never reach the ratio math (r14 verdict #1)
+    pairingError(r01, r1).foreach { msg =>
+      println(s"[scale-gate] $msg")
+      sys.exit(1)
+    }
+    val (m01, m1) = (parseQueries(r01), parseQueries(r1))
     val vs = violations(m01, m1)
     val stale = staleAllowEntries(m01, m1)
     val oneSided = oneSidedKeys(m01, m1)

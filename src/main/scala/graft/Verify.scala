@@ -15,13 +15,10 @@ object Verify {
       // events.ts is timestamp[ns] parquet; Spark 4 rejects NANOS unless read
       // as epoch-nanos bigint (graft code derives timestamps from it).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Spark's 4 MB default models HDFS seek cost; on local/NVMe (and any
-      // object store with packed listings) it over-counts a small file ~30×,
-      // shredding a many-small-files scan into thousands of near-empty
-      // tasks (the binaryFile media corpus: 50k PNGs → 1563 tasks of ~4 ms
-      // work each). 128 KB keeps single-file tables untouched and packs
-      // small-file scans to sane task sizes.
-      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      // openCostInBytes keeps Spark's 4 MB default here; the many-small-
+      // files ingest fix is scoped to Multimodal.ingestSession (r14
+      // verdict #2 — session-wide 128 KB shattered regular scans' splits
+      // at high core counts; see graft.Bench for the mechanism)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

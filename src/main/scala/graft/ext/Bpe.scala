@@ -224,8 +224,25 @@ object Bpe {
         s"CAST(pcnt AS BIGINT) AS pair_count, " +
         s"CAST((SELECT total FROM t$i) AS BIGINT) AS corpus_symbols FROM m$i"
     }.mkString("\nUNION ALL\n")
-    s"${trainCtes(nMerges)}\n$rows\nORDER BY merge_rank"
+    s"${trainCtes(nMerges)}\n$rows\nUNION ALL\n${oracleGuardArm(nMerges,
+      "CAST(NULL AS INT), error('BPE oracle: corpus fully merged before " +
+        s"nMerges=$nMerges — the engine aborts loudly here; the oracle must " +
+        "not return a truncated merge table'), CAST(NULL AS VARCHAR), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)")}\nORDER BY merge_rank"
   }
+
+  /** Failure-parity guard (r14 advice item 4): the engine's trainLoop
+    * THROWS when the corpus fully merges before `nMerges`, but an empty
+    * p$i would silently empty every later CTE in the oracle's chain and
+    * return a truncated merge table. This zero-row-when-healthy UNION arm
+    * fires DuckDB's error() exactly when the LAST round's argmax CTE is
+    * empty (any earlier round emptying cascades into it), so an
+    * oracle-only run fails loudly like the engine instead of diverging.
+    * error() is evaluated per-row at runtime — with the WHERE false it
+    * emits nothing and is never constant-folded (verified against the
+    * driver's DuckDB). */
+  private def oracleGuardArm(nMerges: Int, nullRow: String): String =
+    s"SELECT $nullRow WHERE (SELECT COUNT(*) FROM m$nMerges) = 0"
 
   /** X63's oracle: the same training chain, then the per-source encode
     * rollup against the final vocabulary `v$nMerges`. */
@@ -249,6 +266,12 @@ object Bpe {
        |  CAST(COALESCE(encoded_tokens, 0) AS BIGINT) AS encoded_tokens,
        |  ${ExactMath.ratioRoundedSql("COALESCE(encoded_tokens, 0)", "ws_tokens", 6)} AS encoded_per_ws
        |FROM ws LEFT JOIN enc ON ws.source = enc.source
+       |UNION ALL
+       |${oracleGuardArm(nMerges,
+          "error('BPE oracle: corpus fully merged before nMerges=" + nMerges +
+            " — refusing to encode against a truncated vocabulary'), " +
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), " +
+            "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)")}
        |ORDER BY source""".stripMargin
   }
 }

@@ -102,7 +102,28 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleGate.oneSidedKeys(Map("k" -> 1.0), Map("k" -> 2.0)).isEmpty)
   }
 
-  test("REAL artifacts: no unallowed ratio over the threshold, no stale allow entries") {
+  test("a mixed-epoch pairing is refused with a distinct diagnosis, never fake ratios") {
+    // r14 verdict #1: HEAD shipped with this spec's REAL case RED because a
+    // pre-sweep sf1 leftover paired against a post-sweep sf0.1 map computed
+    // x22+ "violations" — the gate must name the stale pairing instead
+    def line(sha: String, cpus: String) =
+      s"""{"metric":"per_query","git_sha":"$sha","cpus":"$cpus","queries":{"k":0.5}}"""
+    val mixedSha = ScaleGate.pairingError(line("aaa111", "4"), line("bbb222", "4"))
+    assert(mixedSha.exists(_.contains("STALE PAIRING")), mixedSha.toString)
+    assert(mixedSha.exists(m => m.contains("aaa111") && m.contains("bbb222")))
+    val mixedCpus = ScaleGate.pairingError(line("aaa111", "4"), line("aaa111", "32"))
+    assert(mixedCpus.exists(_.contains("MIXED CONFIG")), mixedCpus.toString)
+    val unstamped = ScaleGate.pairingError(
+      """{"metric":"per_query","queries":{"k":0.5}}""", line("aaa111", "4"))
+    assert(unstamped.exists(_.contains("UNSTAMPED")), unstamped.toString)
+    // a same-tree same-config pairing passes through to the ratio math
+    assert(ScaleGate.pairingError(line("aaa111", "4"), line("aaa111", "4")).isEmpty)
+    // a dirty-tree stamp is its own epoch: dirty vs clean at one SHA differs
+    assert(ScaleGate.pairingError(line("aaa111-dirty", "4"), line("aaa111", "4"))
+      .exists(_.contains("STALE PAIRING")))
+  }
+
+  test("REAL artifacts: same-epoch pairing, no unallowed ratio, no stale allow entries") {
     val f01 = new java.io.File("bench_perkey_sf0.1.json")
     val f1 = new java.io.File("bench_perkey_sf1.json")
     // the files are round-bench products (gitignored); the gate runs
@@ -110,9 +131,16 @@ class ScaleGateSpec extends AnyFunSuite {
     // enforced by bench_round.sh via the ScaleGate main
     assume(f01.isFile && f1.isFile,
       "per-key bench artifacts not present — run scripts/bench_round.sh")
-    def read(f: java.io.File) = ScaleGate.parseQueries(
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    val (m01, m1) = (read(f01), read(f1))
+    def raw(f: java.io.File) =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val (raw01, raw1) = (raw(f01), raw(f1))
+    // pre-r15 legacy artifacts carry no stamp: cancel visibly rather than
+    // compute possibly-cross-epoch ratios; a STAMPED mismatch is a hard FAIL
+    val epochErr = ScaleGate.pairingError(raw01, raw1)
+    assume(!epochErr.exists(_.contains("UNSTAMPED")),
+      "pre-stamp legacy per-key artifacts — regenerate via scripts/bench_round.sh")
+    assert(epochErr.isEmpty, epochErr.getOrElse(""))
+    val (m01, m1) = (ScaleGate.parseQueries(raw01), ScaleGate.parseQueries(raw1))
     assert(m01.size > 100 && m1.size > 100, s"${m01.size}/${m1.size} keys")
     val bad = ScaleGate.violations(m01, m1).filter(_.allowed.isEmpty)
     assert(bad.isEmpty, "quadratic-plan suspects (fix the plan or allowlist " +
