@@ -3578,6 +3578,86 @@ check("dedup_semantic_clean", pd.DataFrame(
       "kept": np.int32(0 if i in sd_dup_all else 1)}
      for i in b11_ids]))
 
+# bpe_tokenize_shards (X65): per-doc token ids under the final trained
+# vocab (bpe_seq holds the post-10-round symbol tuples); ids are 1-based
+# lexicographic ranks (ASCII symbols: python code-point sort == the
+# engines' UTF8 binary order); hash is the exact-integer ordered fold;
+# shard is murmur3(doc_id, seed 42) pmod 16 like shard_manifest
+bts_symids = {s2: i + 1 for i, s2 in enumerate(
+    sorted({s2 for t_ in bpe_seq.values() for s2 in t_}))}
+bts_rows = []
+for _, r_ in dc.sort_values("doc_id").iterrows():
+    h, ntok = 7, 0
+    for p_ in BPE_PAT.findall(r_.text):
+        if re.fullmatch(r"[ -~]+", p_):
+            for s2 in bpe_seq[p_]:
+                h = (h * 131 + bts_symids[s2]) % 1000000007
+                ntok += 1
+    bts_rows.append({"doc_id": np.int64(r_.doc_id),
+                     "shard": np.int32(((murmur_long(int(r_.doc_id), 42) % 16) + 16) % 16),
+                     "n_tokens": np.int64(ntok), "token_hash": np.int64(h)})
+check("bpe_tokenize_shards", pd.DataFrame(bts_rows))
+
+# dedup_semantic_incremental (X66): base batch (vec_id%10<7) clustered and
+# deduped on its own scaled k; new batch (%10>=7) assigned to the BASE
+# centroids and dropped iff cos >= 0.9 with a KEPT base vector in-cluster
+inc_b1 = [i for i in sorted(VEC) if i % 10 < 7 and NRM[i] > 0]
+inc_b2 = [i for i in sorted(VEC) if i % 10 >= 7 and NRM[i] > 0]
+inc_k = max(8, sum(1 for i in VEC if i % 10 < 7) // 256)
+inc_cents = [(ci, VEC[vid], seqsum(VEC[vid] * VEC[vid]))
+             for ci, vid in enumerate(inc_b1[:inc_k])]
+def inc_assign(ids):
+    return {i: min(((seqdot(VEC[i], cv) * -2.0 + c2, ci)
+                    for ci, cv, c2 in inc_cents))[1] for i in ids}
+inc_a1, inc_a2 = inc_assign(inc_b1), inc_assign(inc_b2)
+inc_mem1 = {}
+for i in inc_b1:
+    inc_mem1.setdefault(inc_a1[i], []).append(i)
+inc_drop1 = set()
+for cl, mem in inc_mem1.items():
+    for x in range(len(mem)):
+        for y in range(x + 1, len(mem)):
+            if rN(seqdot(VEC[mem[x]], VEC[mem[y]]) /
+                  (NRM[mem[x]] * NRM[mem[y]]), 6) >= 0.9:
+                inc_drop1.add(mem[y])
+inc_kept1 = {}
+for i in inc_b1:
+    if i not in inc_drop1:
+        inc_kept1.setdefault(inc_a1[i], []).append(i)
+check("dedup_semantic_incremental", pd.DataFrame(
+    [{"vec_id": np.int64(i), "cluster": np.int32(inc_a2[i]),
+      "kept": np.int32(0 if any(
+          rN(seqdot(VEC[i], VEC[j]) / (NRM[i] * NRM[j]), 6) >= 0.9
+          for j in inc_kept1.get(inc_a2[i], [])) else 1)}
+     for i in inc_b2]))
+
+# admission_gate (X67): Gopher rule battery + X62 sequential redaction
+# counts, ADMITTED = all rules pass AND zero PII
+ag_acc = {}
+for _, r_ in dc.iterrows():
+    txt = r_.text
+    ne = len(PII_EM.findall(txt)); ag_t1 = PII_EM.sub("<EMAIL>", txt)
+    ni = len(PII_IP.findall(ag_t1)); ag_t2 = PII_IP.sub("<IP>", ag_t1)
+    nh = len(PII_PH.findall(ag_t2))
+    nred = ne + ni + nh
+    sp = txt.split(" "); n = len(sp); ch = int(r_.n_chars) - (n - 1)
+    st = sum(1 for tk in sp if tk in ("the", "a"))
+    if n >= 2:
+        bi = [sp[i] + " " + sp[i + 1] for i in range(n - 1)]
+        tbi, dbi = len(bi), len(set(bi))
+    else:
+        tbi = dbi = 0
+    qp = (20 <= n <= 90) and (3 * n <= ch <= 5 * n) and st >= 2 \
+        and (tbi - dbi) * 20 <= tbi
+    a = ag_acc.setdefault(r_.source, [0, 0, 0, 0, 0])
+    a[0] += 1; a[1] += nred; a[2] += 0 if qp else 1
+    a[3] += 1 if nred > 0 else 0; a[4] += 1 if (qp and nred == 0) else 0
+check("admission_gate", pd.DataFrame(
+    [{"source": s2, "n_docs": np.int64(a[0]), "n_redactions": np.int64(a[1]),
+      "n_quality_fail": np.int64(a[2]), "n_pii_hit": np.int64(a[3]),
+      "n_admitted": np.int64(a[4]), "admit_frac": ratioR(a[4], a[0], 6)}
+     for s2, a in sorted(ag_acc.items())]))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

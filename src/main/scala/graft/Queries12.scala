@@ -105,18 +105,10 @@ object Queries12 {
       // count and the exact pass fraction. One scan (rules are scan-stage
       // projections), one O(sources)-group shuffle — corpus-linear.
       (s, dir) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val n = size(toks).cast("long")
-        val charsSum = col("n_chars").cast("long") - (n - lit(1L))
-        val stops = size(filter(toks, tk => tk.isin("the", "a"))).cast("long")
-        val tbi = when(n >= 2L, n - lit(1L)).otherwise(lit(0L))
-        val dbi = when(n >= 2L,
-          size(array_distinct(Dedup.shingles(col("text"), 2))).cast("long"))
-          .otherwise(lit(0L))
-        val rLen = n.between(20L, 90L)
-        val rWord = charsSum >= lit(3L) * n && charsSum <= lit(5L) * n
-        val rStop = stops >= 2L
-        val rRep = (tbi - dbi) * lit(20L) <= tbi
+        // rule columns factored into TextAnalysis.gopherRules (r15) so the
+        // streaming admission gate screens with the identical predicates
+        val (rLen, rWord, rStop, rRep) =
+          TextAnalysis.gopherRules(col("text"), col("n_chars"))
         def cnt(c: org.apache.spark.sql.Column) =
           sum(when(c, 1L).otherwise(0L))
         t(s, dir, "documents")

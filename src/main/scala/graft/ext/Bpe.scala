@@ -107,9 +107,24 @@ object Bpe {
         .where(col("p").rlike("^[ -~]+$"))
         .groupBy("p").agg(count(lit(1)).as("cnt"))
         .select(col("p"), wrap(col("p")).as("s"), col("cnt")))
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    // ONE action per merge round (r14 verdict #5 — was two: argmax + total).
+    // The folded identity: a round's frequency-weighted total symbol count
+    // is total_r = Σ_p cnt_p · len_r(p), and the NEXT round's pair stream
+    // carries cnt_p exactly (len_r(p) − 1) times per pretoken, so
+    // Σ pairs_{r+1} = total_r − Σ cnt — round r+1's pair aggregation hands
+    // back round r's corpus_symbols for the constant price of Σ cnt
+    // (pretoken frequencies never change; ONE O(1)-row job before the
+    // loop). Only the final round's total needs its own pass after the
+    // loop — the loop itself runs nMerges actions, not 2·nMerges.
+    val totalCnt = vocab.select(sum("cnt")).collect()(0).getLong(0)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val totals = new Array[Long](nMerges)
     (1 to nMerges).foreach { rank =>
-      val top = vocab
+      // argmax + global pair mass in one aggregation: min of
+      // struct(−pcnt, l, r) IS the (pcnt desc, l asc, r asc) top-1 (struct
+      // ordering compares fields left to right; U+001F-free ASCII symbols
+      // make Spark's UTF8 binary order the oracle's lexicographic order)
+      val row = vocab
         .select(col("cnt"), symbols(col("s")).as("tk"))
         .where(size(col("tk")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -118,24 +133,30 @@ object Bpe {
           .as("pr"))
         .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
         .agg(sum("cnt").as("pcnt"))
-        .orderBy(desc("pcnt"), asc("l"), asc("r"))
-        .limit(1).collect()
-      require(top.nonEmpty,
+        .agg(min(struct((-col("pcnt")).as("np"), col("l"), col("r"))).as("top"),
+          sum("pcnt").as("tp"))
+        .collect()(0)
+      require(!row.isNullAt(0),
         s"BPE merge round $rank: no adjacent pairs left — corpus fully merged " +
           s"before nMerges=$nMerges (lower nMerges for this corpus)")
-      val (l, r, pcnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val top = row.getStruct(0)
+      val (l, r, pcnt) = (top.getString(1), top.getString(2), -top.getLong(0))
+      // this round's pair mass is the PREVIOUS round's post-merge total
+      if (rank >= 2) totals(rank - 2) = row.getLong(1) + totalCnt
       vocab = Dedup.truncate(vocab.select(col("p"),
         replace(col("s"), lit(SEP + l + SEP2 + r + SEP), lit(SEP + l + r + SEP)).as("s"),
         col("cnt")))
-      val total = vocab
-        .select(sum(col("cnt") * size(symbols(col("s")))).as("t"))
-        .collect()(0).getLong(0)
-      merges += ((rank, l, r, pcnt, total))
+      merges += ((rank, l, r, pcnt))
     }
+    totals(nMerges - 1) = vocab
+      .select(sum(col("cnt") * size(symbols(col("s")))).as("t"))
+      .collect()(0).getLong(0)
     import spark.implicits._
     val table = merges.toSeq
+      .map { case (rank, l, r, pcnt) => (rank, l, r, pcnt, totals(rank - 1)) }
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count", "corpus_symbols")
-    (table, vocab.select(col("p"), size(symbols(col("s"))).as("n_syms")))
+    (table, vocab.select(col("p"), col("s"),
+      size(symbols(col("s"))).as("n_syms")))
   }
 
   /** Train `nMerges` BPE merges over `docs.text`; returns the merge table
@@ -180,6 +201,104 @@ object Bpe {
           coalesce(col("encoded_tokens"), lit(0L)), col("ws_tokens"), 6)
           .as("encoded_per_ws"))
       .orderBy("source")
+  }
+
+  /** X65 — TOKENIZE the corpus under the trained vocabulary and compose
+    * with the deterministic shard assignment (the `shard_manifest` hash
+    * family): per document, the greedy-merge token-id sequence the trained
+    * tokenizer produces, surfaced as scalar columns — token count and an
+    * order-pinning polynomial hash of the id sequence — plus the murmur3
+    * shard the tokenized-shard writer would route the document to. This is
+    * the LAST stage of the data pipeline: X60 trains the vocabulary, X63
+    * budgets with it, this key emits the ids a trainer actually ingests.
+    *
+    * Scale shape: tokenization is a per-document LOOKUP, not a re-merge —
+    * the final vocabulary already carries every pretoken's fully-merged
+    * symbol string, so encoding = pretoken stream ⋈ vocab (broadcast:
+    * vocabularies are ~100k rows at any corpus size) ⋈ symbol-id table
+    * (broadcast, same bound), then ONE groupBy(doc_id) whose state is a
+    * single document's token list. Token ids are the 1-based rank of the
+    * symbol in lexicographic order — at 100 TB the id table is an offline
+    * artifact exactly like an IVF codebook, here derived in-plan from the
+    * memoized training run. The hash is the exact-integer fold
+    * h ← (h·131 + id) mod 1e9+7 over (pretoken_pos, symbol_pos) order
+    * (every term < 2^63: h < 1e9+7, ·131 + id < 2^40), replayed by both
+    * oracles; docs with zero in-range pretokens keep the empty-fold seed 7
+    * so they stay visible in the manifest. */
+  def tokenizeShards(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      nShards: Int, cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = trained(spark, docs, nMerges, cacheKey)._2 // (p, s, n_syms)
+    // the vocab-sized window is an index-build step, not a corpus window
+    val symIds = DfMemo.cached(spark, cacheKey, s"bpe_symids:$nMerges") {
+      vocab.select(explode(symbols(col("s"))).as("sym")).distinct()
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy("sym")).cast("long"))
+    }
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(
+        regexp_extract_all(col("text"), lit(pretokenPattern), lit(0)))
+        .as(Seq("pt_pos", "p")))
+      .where(col("p").rlike("^[ -~]+$"))
+      .join(broadcast(vocab.select(col("p"), col("s"))), Seq("p"))
+      .select(col("doc_id"), col("pt_pos"),
+        posexplode(symbols(col("s"))).as(Seq("sym_pos", "sym")))
+      .join(broadcast(symIds), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(
+            sort_array(collect_list(
+              struct(col("pt_pos"), col("sym_pos"), col("tok_id")))),
+            x => x.getField("tok_id")),
+          lit(7L),
+          (a, x) => (a * lit(131L) + x) % lit(1000000007L)).as("token_hash"))
+    docs
+      .select(col("doc_id"),
+        pmod(hash(col("doc_id")), lit(nShards)).cast("int").as("shard"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shard"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_hash"), lit(7L)).as("token_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** X65's oracle: the same training chain, then the symbol-id table and
+    * the per-doc ordered fold — DuckDB's `list(… ORDER BY pos)` +
+    * `list_reduce` replay the engine's sort_array + aggregate exactly, and
+    * the murmur3 shard rides [[graft.Queries.murmurCte]] (the
+    * shard_manifest oracle). */
+  def tokenizeShardsOracleSql(nMerges: Int, nShards: Int): String = {
+    val pat = pretokenPattern.replace("'", "''")
+    val sep = "chr(31)"
+    val sep2 = s"$sep || $sep"
+    s"""${trainCtes(nMerges)},
+       |${graft.Queries.murmurCte("documents", "doc_id", 42).stripPrefix("WITH ").stripSuffix("\n")
+          // the murmur chain's m1..m12 stage CTEs collide with the training
+          // chain's m1..m10 merge CTEs — rename just the numeric m-stages
+          // (mbase/mblk/mf0../msigned are collision-free)
+          .replaceAll("\\bm([0-9]+)\\b", "mm$1")},
+       |syms AS (SELECT DISTINCT unnest(string_split(s[2:length(s) - 1], $sep2)) AS sym FROM v$nMerges),
+       |sid AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS tok_id FROM syms),
+       |dpt AS (SELECT doc_id, j AS pt_pos, pts[j] AS p FROM (
+       |    SELECT doc_id, pts, unnest(range(1, len(pts) + 1)) AS j FROM (
+       |      SELECT doc_id, regexp_extract_all(text, '$pat') AS pts FROM documents))
+       |  WHERE regexp_matches(pts[j], '^[ -~]+$$')),
+       |dsym AS (SELECT doc_id, pt_pos, k AS sym_pos, tk[k] AS sym FROM (
+       |    SELECT doc_id, pt_pos, tk, unnest(range(1, len(tk) + 1)) AS k FROM (
+       |      SELECT d.doc_id, d.pt_pos, string_split(v.s[2:length(v.s) - 1], $sep2) AS tk
+       |      FROM dpt d JOIN v$nMerges v ON d.p = v.p))),
+       |dtok AS (SELECT doc_id, pt_pos, sym_pos, tok_id FROM dsym JOIN sid USING (sym)),
+       |dh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(7 AS BIGINT), list(tok_id ORDER BY pt_pos, sym_pos)),
+       |      (acc, c) -> (acc * 131 + c) % 1000000007) AS token_hash
+       |  FROM dtok GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(((sh % $nShards) + $nShards) % $nShards AS INT) AS shard,
+       |  CAST(COALESCE(dh.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(dh.token_hash, 7) AS BIGINT) AS token_hash
+       |FROM documents d JOIN msigned ON msigned.v = d.doc_id
+       |LEFT JOIN dh ON dh.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The DuckDB oracle: the WHOLE training loop replayed as `nMerges`

@@ -464,6 +464,59 @@ object SimSearch {
       .orderBy("vec_id")
   }
 
+  /** Assign a NEW embedding batch to an EXISTING corpus's centroid frame —
+    * the ingest-time face of [[assignClusters]]: the centroid index comes
+    * from `baseEmb` (memoized per cacheKey, so repeated ingests share the
+    * one index build), while the argmin runs over `newEmb` only. This is
+    * the shape a 100 TB pipeline actually runs per arriving batch: the
+    * index is a fixed offline artifact, re-clustering never happens on
+    * ingest. Same (vec_id, v, cluster, m) contract as [[assignClusters]].
+    */
+  def assignToExisting(newEmb: DataFrame, baseEmb: DataFrame, k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val e = withNorm(newEmb).select(col("vec_id"), col("v"))
+    e.join(argminAssign(e, centroidFrame(baseEmb, k, cacheKey)), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cluster"), col("m"))
+  }
+
+  /** X66 — CROSS-RUN incremental SemDeDup: the composition of [[
+    * semanticKeepers]]' manifest with `dedup_incremental`'s discipline. A
+    * new batch is assigned to the EXISTING centroid frame
+    * ([[assignToExisting]]) and checked against the KEPT vectors of the
+    * base corpus only — a new vector is dropped iff some kept base vector
+    * in its assigned cluster sits at round(cos, 6) ≥ threshold. The base
+    * manifest never changes (keep-first across runs: earlier batches won),
+    * which is exactly why the manifest exists — re-clustering and
+    * re-pairing the historical corpus per arriving batch would be the
+    * O(corpus) work this key avoids.
+    *
+    * Scale shape: one broadcast argmin over the NEW batch, one
+    * cluster-keyed join of new × kept. The kept side is inherently
+    * clone-free — a clone mass in the base corpus kept ~1 representative,
+    * so the adversarial hot-cluster case collapses BEFORE this join (the
+    * [[maxClusterSide]] concern applies to building the base manifest,
+    * not to consuming it) and per-cluster pair work is ~|new| ·
+    * expected-cluster-size. Output: (vec_id, cluster, kept) for the new
+    * batch — the manifest rows an ingest job appends. */
+  def incrementalKeepers(newEmb: DataFrame, baseEmb: DataFrame, k: Int,
+      threshold: Double, cacheKey: Option[String] = None): DataFrame = {
+    val base = assignClusters(baseEmb, k, cacheKey)
+    val keptVecs = base
+      .join(semanticKeepers(baseEmb, k, threshold, cacheKey)
+        .where(col("kept") === 1).select("vec_id"), Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val newAsg = assignToExisting(newEmb, baseEmb, k, cacheKey)
+    val dup = newAsg
+      .select(col("cluster"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(keptVecs, Seq("cluster"))
+      .where(round(cosine(col("av"), col("bv")), 6) >= threshold)
+      .select(col("a_id")).distinct()
+    newAsg.join(dup, col("vec_id") === col("a_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("a_id").isNull, 1).otherwise(0).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic seed "centroids": the first n vectors by vec_id,
     * collected driver-side (metadata-sized — n × dim doubles). Consumers
     * are driver MATH only — the IVF probe ranking (n = 16 distances

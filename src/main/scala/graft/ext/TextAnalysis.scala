@@ -254,6 +254,32 @@ object TextAnalysis {
       size(grams).cast("long"), 6)
   }
 
+  /** The four Gopher-style admission rule booleans over (text, n_chars) —
+    * the `quality_gopher_rules` battery, factored out so the streaming
+    * admission gate (X67) screens with the IDENTICAL predicates the batch
+    * observability key reports on. Every rule is an integer comparison (no
+    * float enters a pass/fail decision): token count ∈ [20, 90]; mean
+    * token length ∈ [3, 5] (cross-multiplied, Σlen derived as
+    * n_chars − (n − 1) under the corpus's single-space tokenization);
+    * ≥ 2 stopword occurrences; duplicate-bigram fraction ≤ 5%
+    * ((t − d) · 20 ≤ t, < 2 tokens trivially passes). All four are
+    * scan-stage projections — no shuffle, corpus-linear. */
+  def gopherRules(text: Column, nChars: Column)
+      : (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val charsSum = nChars.cast("long") - (n - lit(1L))
+    val stops = size(filter(toks, tk => tk.isin("the", "a"))).cast("long")
+    val tbi = when(n >= 2L, n - lit(1L)).otherwise(lit(0L))
+    val dbi = when(n >= 2L,
+      size(array_distinct(Dedup.shingles(text, 2))).cast("long"))
+      .otherwise(lit(0L))
+    (n.between(20L, 90L),
+      charsSum >= lit(3L) * n && charsSum <= lit(5L) * n,
+      stops >= 2L,
+      (tbi - dbi) * lit(20L) <= tbi)
+  }
+
   /** Sequence packing for training-data assembly: documents are concatenated
     * in doc_id order within each shard and cut into fixed token-budget
     * sequences; a document is assigned to the sequence containing its first

@@ -130,7 +130,12 @@ class ListenerSpec extends SparkSpec {
       // the merge decision is driver state by definition (the k-means
       // centroid discipline); the vocabulary frame itself never leaves
       // the executors
-      "Bpe.scala")
+      "Bpe.scala",
+      // StreamingAdmission collects per-batch PER-SOURCE counter rows only
+      // — O(sources) rows of six longs per micro-batch, further bounded by
+      // the lex-first sourceCap fold; the doc stream itself is never
+      // retained (the StreamingDrift histogram discipline)
+      "StreamingAdmission.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)

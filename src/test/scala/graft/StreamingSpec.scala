@@ -1143,4 +1143,75 @@ class StreamingSpec extends SparkSpec {
           "(drift state lost across replay)")
     } finally query.stop()
   }
+
+  test("streaming admission gate snapshot == batch twin across any micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAdmission
+    // the real corpus plus one planted-PII doc so redaction counts move
+    val rows = TableRegistry.table(spark, sfDir, "documents")
+      .select(col("source"), col("text"), col("n_chars"))
+      .as[(String, String, Long)].collect().toSeq :+
+      (("srcpii", "mail bob@x.org or 10.0.0.1 now", 30L))
+    val want = StreamingAdmission.perSourceStats(
+      rows.toDF("source", "text", "n_chars")).collect()
+      .map(r => r.getString(0) -> StreamingAdmission.Counts(r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(want("srcpii").nRedactions == 2L && want("srcpii").nAdmitted == 0L,
+      "planted-PII doc must exercise the redaction path")
+    def run(splits: Seq[Seq[(String, String, Long)]])
+        : Map[String, StreamingAdmission.Counts] = {
+      val stream = MemoryStream[(String, String, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("admit_ckpt").toString
+      @volatile var last = Map.empty[String, StreamingAdmission.Counts]
+      val q = StreamingAdmission.monitor(
+        stream.toDF().toDF("source", "text", "n_chars"), ckpt) {
+        (_, st) => last = st
+      }
+      try {
+        splits.foreach { b => stream.addData(b); q.processAllAvailable() }
+        last
+      } finally q.stop()
+    }
+    // three uneven micro-batches and one single batch must land on the
+    // IDENTICAL snapshot — counters are additive, the merge is
+    // split-invariant
+    val (a, rest) = rows.splitAt(rows.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    assert(run(Seq(a, b, c)) == want, "3-batch split drifted from the batch twin")
+    assert(run(Seq(rows)) == want, "single-batch run drifted from the batch twin")
+  }
+
+  test("admission gate bounded state: the lex-first cap folds overflow split-invariantly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAdmission
+    // four sources, cap 2: s2/s3 fold into __overflow whatever the
+    // arrival order — including a source arriving AFTER being displaced
+    val doc = (s: String) => (s, "mail bob@x.org now", 18L)
+    val rows = Seq(doc("s0"), doc("s1"), doc("s2"), doc("s3"), doc("s2"))
+    def run(splits: Seq[Seq[(String, String, Long)]])
+        : Map[String, StreamingAdmission.Counts] = {
+      val stream = MemoryStream[(String, String, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("admit_cap_ckpt").toString
+      @volatile var last = Map.empty[String, StreamingAdmission.Counts]
+      val q = StreamingAdmission.monitor(
+        stream.toDF().toDF("source", "text", "n_chars"), ckpt, sourceCap = 2) {
+        (_, st) => last = st
+      }
+      try {
+        splits.foreach { b => stream.addData(b); q.processAllAvailable() }
+        last
+      } finally q.stop()
+    }
+    // reversed arrival (s3 first) vs forward arrival vs one batch
+    val fwd = run(rows.map(Seq(_)))
+    val rev = run(rows.reverse.map(Seq(_)))
+    val one = run(Seq(rows))
+    assert(fwd == one, s"per-doc batches drifted: $fwd vs $one")
+    assert(rev == one, s"reversed arrival drifted: $rev vs $one")
+    assert(one.keySet == Set("s0", "s1", StreamingAdmission.Overflow), one.keySet.toString)
+    assert(one(StreamingAdmission.Overflow).nDocs == 3L,
+      s"overflow must hold s2's two docs + s3's one: ${one(StreamingAdmission.Overflow)}")
+  }
 }
