@@ -1122,6 +1122,24 @@ rows = [{"a_id": a, "b_id": b, "jaccard": rN(jaccard(a, b), 6)}
 check("dedup_minhash", pd.DataFrame(rows,
       columns=["a_id", "b_id", "jaccard"]))
 
+# dedup_minhash_incremental (X69): new batch (doc_id%10>=7) screened
+# against KEPT docs of the already-deduped base (doc_id%10<7), same
+# family. Banding is per-pair, so restricting the all-docs candidate set
+# to (base,base) / (new,kept) sides reproduces split-corpus banding.
+mi_drop = set()
+for a, b in cands:
+    if a % 10 < 7 and b % 10 < 7 and rN(jaccard(a, b), 6) >= 0.7:
+        mi_drop.add(b)
+mi_keptset = {d for d in doc_shset if d % 10 < 7 and d not in mi_drop}
+mi_hit = set()
+for a, b in cands:
+    for n_, k_ in ((a, b), (b, a)):
+        if n_ % 10 >= 7 and k_ in mi_keptset and rN(jaccard(n_, k_), 6) >= 0.7:
+            mi_hit.add(n_)
+check("dedup_minhash_incremental", pd.DataFrame(
+    [{"doc_id": np.int64(d), "kept": np.int32(0 if d in mi_hit else 1)}
+     for d in sorted(doc_shset) if d % 10 >= 7]))
+
 # dedup_cluster_lsh: components over candidates verified at ROUND(jaccard, 6)
 # >= 0.2 (r15: the rounded compare is the declared semantics on all three
 # engines — the dedup_minhash convention)
@@ -3657,6 +3675,66 @@ check("admission_gate", pd.DataFrame(
       "n_quality_fail": np.int64(a[2]), "n_pii_hit": np.int64(a[3]),
       "n_admitted": np.int64(a[4]), "admit_frac": ratioR(a[4], a[0], 6)}
      for s2, a in sorted(ag_acc.items())]))
+
+# knn_classify (X70): 64 probes (vec_id < 64) classified by the majority
+# label of their 5 nearest (rounded cosine desc, vec_id asc) among the
+# disjoint rest; vote ties -> smallest label; confusion rollup
+kc_conf = {}
+for kc_qi in sorted(VEC):
+    if kc_qi >= 64:
+        continue
+    kc_nb = sorted(
+        ((-rN(seqdot(VEC[kc_qi], VEC[j]) / (NRM[kc_qi] * NRM[j]), 6), j)
+         for j in VEC if j >= 64))[:5]
+    kc_cnt = {}
+    for _, j in kc_nb:
+        kc_cnt[int(VLBL[j])] = kc_cnt.get(int(VLBL[j]), 0) + 1
+    kc_pred = min(kc_cnt, key=lambda l: (-kc_cnt[l], l))
+    kc_key = (int(VLBL[kc_qi]), kc_pred)
+    kc_conf[kc_key] = kc_conf.get(kc_key, 0) + 1
+check("knn_classify", pd.DataFrame(
+    [{"true_label": np.int32(a), "pred_label": np.int32(b), "n": np.int64(c)}
+     for (a, b), c in sorted(kc_conf.items())]))
+
+# dedup_image_phash (X68): dHash over the deterministic PNG raster formula
+# (independent of BOTH the engine's javax.imageio decode and the DuckDB
+# list replay): 9x8 nearest-neighbor resample of band 0, bit(y*8+x) =
+# [p(x+1,y) > p(x,y)], four 16-bit bands, candidates share >=1 exact band,
+# verified Hamming <= 10, keep-first manifest
+def _ph_bands(d):
+    w, h = 8 + d % 24, 8 + (3 * d) % 24
+    kk = np.arange(72)
+    pix = (31 * d + 7 * (((kk % 9) * w) // 9) + 13 * (((kk // 9) * h) // 8)) % 256
+    yy, xx = np.arange(64) // 8, np.arange(64) % 8
+    bits = (pix[yy * 9 + xx + 1] > pix[yy * 9 + xx]).astype(np.int64)
+    return tuple(int((bits[16 * j:16 * j + 16] << np.arange(16)).sum())
+                 for j in range(4))
+
+ph_ids = sorted(int(i) for i in t("documents")["doc_id"])
+ph_hash = {d: _ph_bands(d) for d in ph_ids}
+ph_min = {}
+for d in ph_ids:
+    ph_min.setdefault(ph_hash[d], d)
+ph_distinct = list(ph_min)
+# vectorized pair sweep over distinct hashes (m² pairs; a pure-python loop
+# is minutes at sf1): popcount via a 16-bit lookup table
+ph_H = np.array(ph_distinct, dtype=np.int64).reshape(len(ph_distinct), 4)
+ph_M = np.array([ph_min[h] for h in ph_distinct], dtype=np.int64)
+ph_pop = np.array([bin(v).count("1") for v in range(1 << 16)], dtype=np.int16)
+ph_nmin = {}
+for i, ha in enumerate(ph_distinct):
+    share = (ph_H == ph_H[i]).any(axis=1)
+    ham = ph_pop[np.bitwise_xor(ph_H, ph_H[i])].sum(axis=1)
+    cand = share & (ham <= 10)
+    cand[i] = False
+    if cand.any():
+        ph_nmin[ha] = int(ph_M[cand].min())
+check("dedup_image_phash", pd.DataFrame(
+    [{"doc_id": np.int64(d),
+      "hash_hex": "%04X%04X%04X%04X" % ph_hash[d],
+      "kept": np.int32(1 if ph_min[ph_hash[d]] == d and
+                       ph_nmin.get(ph_hash[d], d + 1) > d else 0)}
+     for d in ph_ids]))
 
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:

@@ -935,7 +935,7 @@ object Queries {
     specs ++ QueriesExt.specs ++ Queries3.specs ++ Queries4.specs ++ Queries5.specs ++
       Queries6.specs ++ Queries7.specs ++ Queries8.specs ++ Queries9.specs ++
       Queries10.specs ++ Queries11.specs ++ Queries12.specs ++ Queries13.specs ++
-      Queries14.specs ++ Queries15.specs
+      Queries14.specs ++ Queries15.specs ++ Queries16.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(q => q.name -> q.fn).toMap

@@ -255,6 +255,69 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Cross-run incremental MinHash dedup (X69) — the text-tier sibling of
+    * [[graft.ext.SimSearch.incrementalKeepers]]: a NEW document batch is
+    * screened against the KEPT docs of an already-deduped BASE corpus under
+    * the `dedup_minhash` family (same shingles, same polynomial signature,
+    * same 5×4 banding, same rounded-Jaccard threshold), and the base
+    * manifest never changes (keep-first across runs). Within-batch dups of
+    * other NEW docs are deliberately NOT dropped — that is the batch key's
+    * job; this key is the per-arriving-batch ingest gate.
+    *
+    * Scale shape: both sides ride the [[groupedSignatures]] collapse. The
+    * base keeper set needs NO pair expansion: a base doc is kept iff it is
+    * its group's min (rid) AND no banding-adjacent group (rep-verified
+    * jaccard ≥ threshold) has a smaller rid — the dedup_semantic d1 policy
+    * derived from O(distinct-set) group facts, Σ clique never Σ clique².
+    * Kept base docs are inherently clone-free (a clone mass keeps ~1 rep),
+    * so the cross band join is ~|new distinct sets| × bucket occupancy; a
+    * NEW-side clone mass verifies once per distinct set and expands its
+    * verdict arithmetically. Returns (doc_id, kept) for every new doc. */
+  def minhashIncrementalKeepers(spark: SparkSession, newDocs: DataFrame,
+      baseDocs: DataFrame, shingleW: Int = 3, k: Int = 20, rows: Int = 4,
+      threshold: Double = 0.7, cacheKey: Option[String] = None): DataFrame = {
+    val baseKey = cacheKey.map(_ + "#incbase")
+    val newKey = cacheKey.map(_ + "#incnew")
+    val bg = groupedSignatures(spark, baseDocs, shingleW, k, baseKey)
+    // rep-level near-group adjacency, symmetrized: neighMin(g) = the
+    // smallest member id (= rid) over groups verified near g
+    val rp = minhashRepPairs(spark, baseDocs, shingleW, k, rows, threshold,
+      baseKey).select("ga", "gb")
+    val adj = rp.select(col("ga").as("g"), col("gb").as("o"))
+      .unionAll(rp.select(col("gb").as("g"), col("ga").as("o")))
+      .join(bg.select(col("gkey").as("o"), col("rid").as("orid")), Seq("o"))
+      .groupBy("g").agg(min("orid").as("neigh_min"))
+    val keptBase = bg.join(adj.withColumnRenamed("g", "gkey"), Seq("gkey"), "left")
+      .where(col("neigh_min").isNull || col("neigh_min") > col("rid"))
+      .select(col("rid").as("doc_id"), col("sh"), col("sig"))
+    val ng = groupedSignatures(spark, newDocs, shingleW, k, newKey)
+    val nReps = ng.select(col("rid").as("doc_id"), col("sig"))
+    val a = bandedBuckets(nReps, k, rows).select(col("band"), col("bucket"),
+      col("doc_id").as("n_id"), col("bslice").as("sa"))
+    val b = bandedBuckets(keptBase.select("doc_id", "sig"), k, rows)
+      .select(col("band"), col("bucket"), col("doc_id").as("k_id"),
+        col("bslice").as("sb"))
+    // bucket equi-join, raw-slice equality, then exact-Jaccard verification
+    // against the kept doc's shingle set (shingle arrays join the small
+    // candidate set, never the band shuffle)
+    val hits = a.join(b, Seq("band", "bucket"))
+      .where(col("sa") === col("sb"))
+      .select("n_id", "k_id").distinct()
+      .join(ng.select(col("rid").as("n_id"), col("sh").as("shn"),
+        col("gkey")), Seq("n_id"))
+      .join(keptBase.select(col("doc_id").as("k_id"), col("sh").as("shk")),
+        Seq("k_id"))
+      .withColumn("inter", size(array_intersect(col("shn"), col("shk"))))
+      .where(round(col("inter") /
+        (size(col("shn")) + size(col("shk")) - col("inter")), 6) >= threshold)
+      .select("gkey").distinct()
+    signatureMembers(spark, newDocs, shingleW, k, newKey)
+      .join(hits.withColumn("hit", lit(1)), Seq("gkey"), "left")
+      .select(col("doc_id"),
+        when(col("hit").isNull, 1).otherwise(0).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard self-join via an inverted index: explode to
     * (shingle, doc_id), equi-join on the shingle, and count co-occurrences
     * per pair — |A∩B| as one codegen'd hash aggregation. Identical output to

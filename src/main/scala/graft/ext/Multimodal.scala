@@ -333,6 +333,94 @@ object Multimodal {
     }
   }
 
+  /** A 64-bit difference-hash (dHash) split into four 16-bit bands — the
+    * band split IS the LSH scheme (two hashes within Hamming distance 10
+    * of 64 bits share at least one exact 16-bit band with good
+    * probability; sharing a band is the candidate condition the declared
+    * key verifies exactly). Kept as four ints rather than one long so the
+    * band join needs no bit slicing on either engine. */
+  final case class DHashRecord(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual dHash over the decoded raster (X68): nearest-neighbor
+    * resample to 9×8 on band 0 ([[ImageCodec.resize]] — the same integer
+    * source-coordinate contract the resize oracle replays), then bit
+    * (y·8+x) = 1 iff pixel(x+1, y) > pixel(x, y) (unsigned, strict — ties
+    * are 0 on every engine). Bit k lands in band k/16 at offset k mod 16.
+    *
+    * Non-decodable payloads are OMITTED (flatMap over the decode Option):
+    * a payload with no raster has no perceptual identity, and inventing a
+    * stub hash would let a corrupt file "duplicate" another corrupt file.
+    * Same mapPartitions discipline as [[extractFeatures]] — one reader per
+    * executor thread, media bytes never shuffle (64 bits + an id do). */
+  def dHashes(media: Dataset[MediaRecord]): Dataset[DHashRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        ImageCodec.resize(r, 9, 8).map { th =>
+          val p = th.thumb
+          val bands = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if ((p(y * 9 + x + 1) & 0xFF) > (p(y * 9 + x) & 0xFF)) {
+                val k = y * 8 + x
+                bands(k >> 4) |= 1 << (k & 15)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          DHashRecord(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+  }
+
+  /** Perceptual-dedup keeper manifest over [[dHashes]] (X68): one row per
+    * decodable payload with its 64-bit dHash (hex) and kept ∈ {0,1} under
+    * the keep-first policy — a doc drops iff ANY earlier (smaller doc_id)
+    * decodable doc hashes within `maxHamming` bits AND shares at least one
+    * exact 16-bit band (the LSH candidate condition; the declared
+    * semantics, like dedup_minhash's banding, NOT brute-force all-pairs —
+    * the oracle replays band-sharing too). Dropping against earlier docs
+    * regardless of their own kept flag is the dedup_semantic d1 policy.
+    *
+    * Scale shape (the groupedSignatures discipline, ext/Dedup.scala): the
+    * pair join runs over DISTINCT hashes only — a clone mass of any size
+    * is ONE row in the band join and expands arithmetically at the final
+    * per-doc join; band-bucket work is Σ bucket² over 16-bit values of
+    * distinct hashes (a pathological single-motif corpus could sub-bucket
+    * like SimSearch.boundedPairSides, not needed while hashes are
+    * distinct-collapsed). Per-doc state after the kernel is 64 bits + an
+    * id; rasters never shuffle. */
+  def dHashKeepManifest(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    val hs = dHashes(media).toDF()
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val hd = hs.groupBy(bandCols.map(col): _*).agg(min("doc_id").as("min_doc"))
+    val bands = hd.select(col("b0"), col("b1"), col("b2"), col("b3"), col("min_doc"),
+      posexplode(array(bandCols.map(col): _*)).as(Seq("band_idx", "band_val")))
+    val sameHash = bandCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val hamming = bandCols.map(c =>
+      bit_count(col(s"a.$c").bitwiseXOR(col(s"b.$c")))).reduce(_ + _)
+    // a hash pair sharing several bands joins several times; min() makes the
+    // duplicates harmless, so no distinct shuffle is spent removing them
+    val nb = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .where(!sameHash && hamming <= maxHamming)
+      .groupBy(bandCols.map(c => col(s"a.$c").as(c)): _*)
+      .agg(min(col("b.min_doc")).as("neigh_min"))
+    val hashHex = concat(bandCols.map(c => lpad(hex(col(c)), 4, "0")): _*)
+    hs.join(hd, bandCols).join(nb, bandCols, "left")
+      .select(col("doc_id"), hashHex.as("hash_hex"),
+        when(col("doc_id") === col("min_doc") &&
+            (col("neigh_min").isNull || col("neigh_min") > col("doc_id")), 1)
+          .otherwise(0).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-thumbnail stats record for the oracle-checked resize key: byte count
     * plus the sum of the resized pixel bytes (unsigned). */
   final case class ThumbStats(doc_id: Long, width: Int, height: Int,

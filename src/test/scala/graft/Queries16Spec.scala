@@ -1,0 +1,106 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.MediaRecord
+
+/** Batch-16 semantics: the perceptual-dedup manifest drops an exact byte
+  * copy and a one-pixel tweak of an earlier image, keeps a structurally
+  * different image, and omits payloads no image reader claims. */
+class Queries16Spec extends SparkSpec {
+
+  /** Render a w×h PNG whose band-0 value at (x, y) is f(x, y) — the
+    * PngFixtures band scheme (G = R+85, B = R+170 mod 256) so decode sees
+    * three distinct bands like the fixture corpus. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = f(x, y) % 256
+      img.setRGB(x, y, (r << 16) | (((r + 85) % 256) << 8) | ((r + 170) % 256))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash manifest: exact copy and 1-pixel tweak drop, distinct image keeps, corrupt payload omitted") {
+    import spark.implicits._
+    // 9×8 source = the dHash thumb grid exactly, so resize is the identity
+    // and the planted pixel edit maps to known bits. Gradient +7 per x step
+    // never wraps (max sample 31 + 13·7 + 7·8 = 178), so every strict
+    // compare is true: hash = all-ones, bands = FFFF each.
+    val grad = png(9, 8)((x, y) => 31 + 7 * x + 13 * y)
+    // one-pixel edit at (3, 3): −3 keeps both neighbors' strict compares
+    // TRUE on one side and flips the other — Hamming ≤ 2 of 64, at least
+    // three bands untouched → candidate via band share, verified dup.
+    val tweak = png(9, 8)((x, y) =>
+      if (x == 3 && y == 3) 31 + 7 * 3 + 13 * 3 - 10 else 31 + 7 * x + 13 * y)
+    val flat = png(9, 8)((_, _) => 100) // all compares false: hash 0, no shared band
+    val media = Seq(
+      MediaRecord(1L, "file/png", grad),
+      MediaRecord(2L, "file/png", grad.clone()), // exact byte copy, later id
+      MediaRecord(3L, "file/png", tweak),
+      MediaRecord(4L, "file/png", flat),
+      MediaRecord(5L, "file/bin", "not a png at all".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.dHashKeepManifest(media, maxHamming = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L)) // doc 5 omitted
+    val kept = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(kept == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1), kept.toString)
+    val hex = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hex(1L) == "FFFFFFFFFFFFFFFF", hex(1L))
+    assert(hex(2L) == hex(1L))
+    assert(hex(4L) == "0000000000000000", hex(4L))
+    // the tweak is a NEAR dup, not an exact one: some but few bits moved
+    val dist = hex(3L).grouped(4).zip(hex(1L).grouped(4)).map { case (a, b) =>
+      Integer.bitCount(Integer.parseInt(a, 16) ^ Integer.parseInt(b, 16))
+    }.sum
+    assert(dist > 0 && dist <= 10, s"tweak hamming $dist")
+  }
+
+  test("incremental minhash: new-batch copy of a KEPT base doc drops, copy of a DROPPED base doc drops via the keeper, novel doc survives") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " lambda" // near-dup of a (J = 10/11 ≈ 0.909 ≥ 0.7) → base-dropped
+    val novel = "one two three four five six seven eight nine ten"
+    val base = Seq((10L, a), (20L, b), (30L, novel))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (17L, a),     // copy of KEPT base 10 → drops
+      (27L, b),     // copy of base-DROPPED 20 → still drops (J vs 10 ≥ 0.7)
+      (37L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.minhashIncrementalKeepers(spark, fresh, base)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(17L -> 0, 27L -> 0, 37L -> 1), out.toString)
+    // the base manifest is untouched by construction (the function never
+    // writes base rows); re-screening the SAME new batch is idempotent
+    val again = graft.ext.Dedup.minhashIncrementalKeepers(spark, fresh, base)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+  }
+
+  test("knn_classify: majority vote picks the 3-2 winner, a 2-2 tie breaks to the smallest label") {
+    import spark.implicits._
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // probes: vec_id < 64. Probe 0 at 0° (true label 7): nearest five are
+    // 5/10/15° (label 2) then 20/25° (label 5) → vote 3-2 → pred 2.
+    // Probe 1 at 90° (true label 4): nearest five are 85/95° (labels 1, 9),
+    // 80/100° (labels 9, 1), 75° (label 3) → vote {1:2, 9:2, 3:1} → tie →
+    // smallest label 1.
+    val rows = Seq(
+      (0L, unit(0), 7), (1L, unit(90), 4),
+      (64L, unit(5), 2), (65L, unit(10), 2), (66L, unit(15), 2),
+      (67L, unit(20), 5), (68L, unit(25), 5),
+      (69L, unit(85), 1), (70L, unit(95), 9), (71L, unit(80), 9),
+      (72L, unit(100), 1), (73L, unit(75), 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q16_knn").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("knn_classify")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq((4, 1, 1L), (7, 2, 1L)), out.toString)
+  }
+}
