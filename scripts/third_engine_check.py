@@ -3676,6 +3676,34 @@ check("admission_gate", pd.DataFrame(
       "n_admitted": np.int64(a[4]), "admit_frac": ratioR(a[4], a[0], 6)}
      for s2, a in sorted(ag_acc.items())]))
 
+# bloom_partition_index (X71): per-month k=3/m=16384 Bloom over o_custkey,
+# exact integer bit positions + the ratioRounded fill contract
+BP_P, BP_M = 1000000007, 16384
+def bp_bits(key):
+    return {((((i * 2654435761) % BP_P) * int(key)
+              + (i * 40503 + 17) % BP_P) % BP_P) % BP_M for i in (1, 2, 3)}
+bp_probe = bp_bits(777)
+bp_acc = {}
+for mo, ck in zip(pd.to_datetime(od.o_orderdate).dt.strftime("%Y-%m"),
+                  od.o_custkey):
+    a = bp_acc.setdefault(mo, [0, set()])
+    a[0] += 1
+    a[1].add(int(ck))
+bp_rows = []
+for mo in sorted(bp_acc):
+    nrows, ks = bp_acc[mo]
+    bits = set()
+    for ck in ks:
+        bits |= bp_bits(ck)
+    nset = len(bits)
+    bp_rows.append({
+        "month": mo, "n_rows": np.int64(nrows), "n_keys": np.int64(len(ks)),
+        "n_set_bits": np.int64(nset),
+        "fill": ((2000000 * nset + BP_M) // (2 * BP_M)) / 1e6,
+        "probe_maybe": np.int32(1 if bp_probe <= bits else 0),
+        "probe_actual": np.int32(1 if 777 in ks else 0)})
+check("bloom_partition_index", pd.DataFrame(bp_rows))
+
 # knn_classify (X70): 64 probes (vec_id < 64) classified by the majority
 # label of their 5 nearest (rounded cosine desc, vec_id asc) among the
 # disjoint rest; vote ties -> smallest label; confusion rollup
@@ -3735,6 +3763,65 @@ check("dedup_image_phash", pd.DataFrame(
       "kept": np.int32(1 if ph_min[ph_hash[d]] == d and
                        ph_nmin.get(ph_hash[d], d + 1) > d else 0)}
      for d in ph_ids]))
+
+# decontaminate_eval (X72): per train doc (doc_id%10 != 3), distinct
+# 3-shingle overlap with the union of the eval split's (doc_id%10 == 3)
+# shingles; rounded ratio + flag at rounded >= 0.5
+dx_eval = set()
+for did, sh in doc_shset.items():
+    if did % 10 == 3:
+        dx_eval |= sh
+dx_rows = []
+for did in sorted(doc_shset):
+    if did % 10 == 3:
+        continue
+    sh = doc_shset[did]
+    nh = len(sh & dx_eval)
+    cont = ratioR(nh, len(sh), 6)
+    dx_rows.append({"doc_id": np.int64(did),
+                    "n_shingles": np.int64(len(sh)), "n_hits": np.int64(nh),
+                    "contamination": cont,
+                    "flagged": np.int32(1 if cont >= 0.5 else 0)})
+check("decontaminate_eval", pd.DataFrame(dx_rows))
+
+# zonemap_partition_index (X73): per-month min/max envelope over
+# o_totalprice + interior range probe [249000, 249250]
+zm_rows = []
+zm_mo = pd.to_datetime(od.o_orderdate).dt.strftime("%Y-%m")
+for mo, g in od.groupby(zm_mo):
+    mn, mx = float(g.o_totalprice.min()), float(g.o_totalprice.max())
+    zm_rows.append({
+        "month": mo, "n_rows": np.int64(len(g)),
+        "min_val": mn, "max_val": mx,
+        "probe_maybe": np.int32(0 if (mx < 249000.0 or mn > 249250.0) else 1),
+        "probe_actual": np.int32(
+            1 if ((g.o_totalprice >= 249000.0)
+                  & (g.o_totalprice <= 249250.0)).any() else 0)})
+check("zonemap_partition_index", pd.DataFrame(zm_rows).sort_values("month")
+      .reset_index(drop=True))
+
+# range_partition_bounds (X74): bucket = floor(startOffset*16/N) over the
+# o_custkey-ordered cumulative row count
+rp = od.groupby("o_custkey").size().sort_index()
+rp_n = int(rp.sum())
+rp_off = rp.cumsum() - rp
+rp_b = (rp_off * 16 // rp_n).astype("int64")
+rp_rows = [{"bucket": np.int64(b), "lo_key": np.int64(g.index.min()),
+            "hi_key": np.int64(g.index.max()), "n_keys": np.int64(len(g)),
+            "n_rows": np.int64(g.sum())}
+           for b, g in rp.groupby(rp_b)]
+check("range_partition_bounds", pd.DataFrame(rp_rows))
+
+# salt_plan_topk (X75): 10 heaviest user_ids (count desc, key asc) with
+# share and salt_factor = ceil(n*32/total)
+sp = ev.groupby("user_id").size().reset_index(name="n_rows") \
+    .sort_values(["n_rows", "user_id"], ascending=[False, True]).head(10)
+sp_t = int(len(ev))
+check("salt_plan_topk", pd.DataFrame(
+    [{"user_id": np.int64(r.user_id), "n_rows": np.int64(r.n_rows),
+      "share": ratioR(r.n_rows, sp_t, 6),
+      "salt_factor": np.int64(max(1, (int(r.n_rows) * 32 + sp_t - 1) // sp_t))}
+     for r in sp.itertuples()]))
 
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:

@@ -2,7 +2,7 @@ package graft
 
 import graft.catalog.TableRegistry
 import graft.ext.{Dedup, Multimodal, SimSearch}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,12 +10,192 @@ import org.apache.spark.sql.functions._
   * image-tier sibling of the text near-dup family (MinHash/SimHash) the
   * multimodal tier lacked — features/resize/frames measured rasters but
   * nothing deduplicated them, and image dedup is a first-class stage of a
-  * multimodal training pipeline.
+  * multimodal training pipeline; plus the data-skipping / adaptive-layout
+  * tier (X71 Bloom index, X73 zone map, X74 range bounds, X75 salt plan)
+  * and benchmark decontamination (X72) — the eval-overlap screen between
+  * the dedup tier and corpus shipment.
   */
 object Queries16 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     TableRegistry.table(s, dir, name)
+
+  /** Partition-level Bloom data-skipping index (X71): per month-partition
+    * of `orders`, the k-hash Bloom bit set over the join key plus a probe
+    * report (would the index admit `probeKey`? is it actually there?) —
+    * the index a lakehouse skipping layer maintains next to each
+    * partition so point/semi-join scans prune partitions before touching
+    * data. Hash family is the minhash affine family over the key VALUE
+    * (h_i = ((i·2654435761 mod P)·key + (i·40503+17 mod P)) mod P mod m,
+    * P = 1e9+7) — pure integer arithmetic, so DuckDB and python replay
+    * the exact bit positions; products stay < 2^63 for any BIGINT key in
+    * the fixture domain. Scale shape: one scan → (month, key) distinct
+    * (map-side combined), bit explode is ×k on the DISTINCT keys only,
+    * per-partition state is ≤ m bits, and the index is MERGEABLE (bitwise
+    * OR) so 1000 executors build shard blooms independently. */
+  private[graft] def bloomPartitionIndex(orders: DataFrame, mBits: Long,
+      kHashes: Int, probeKey: Long): DataFrame = {
+    val P = 1000000007L
+    def bitOf(i: Column, key: Column) =
+      ((((i * lit(2654435761L)) % P) * key + (i * lit(40503L) + 17L) % P) % P) % mBits
+    val probeBits = (1 to kHashes).map { i =>
+      ((((i * 2654435761L) % P) * probeKey + (i * 40503L + 17L) % P) % P) % mBits
+    }.distinct
+    // ONE scan, one (month, key) shuffle, one month rollup: the ×k bit
+    // explode rides the already-distinct key rows, so every per-month stat
+    // (rows via Σnr/k — each key row appears k times — distinct keys,
+    // distinct bits, probe bits, ground truth) folds in a single grouped
+    // aggregation; no join, no second scan of the fact table.
+    val keys = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_custkey"))
+      .groupBy("month", "o_custkey").agg(count(lit(1)).as("nr"))
+    keys
+      .select(col("month"), col("o_custkey"), col("nr"),
+        explode(sequence(lit(1), lit(kHashes))).as("i"))
+      .select(col("month"), col("o_custkey"), col("nr"),
+        bitOf(col("i"), col("o_custkey")).as("bit"))
+      .groupBy("month").agg(
+        expr(s"sum(nr) div $kHashes").as("n_rows"),
+        countDistinct("o_custkey").as("n_keys"),
+        countDistinct("bit").as("n_set_bits"),
+        countDistinct(when(col("bit").isin(probeBits: _*), col("bit")))
+          .as("probe_hits"),
+        max(when(col("o_custkey") === probeKey, 1).otherwise(0)).as("probe_actual"))
+      .select(col("month"), col("n_rows"), col("n_keys"), col("n_set_bits"),
+        graft.ext.ExactMath.ratioRounded(col("n_set_bits"), lit(mBits), 6).as("fill"),
+        (col("probe_hits") === probeBits.size).cast("int").as("probe_maybe"),
+        col("probe_actual").cast("int").as("probe_actual"))
+      .orderBy("month")
+  }
+
+  /** Per-doc decontamination manifest (X72): per TRAIN document, how much
+    * of its distinct 3-word-shingle set also appears anywhere in the EVAL
+    * split — the removal DECISION artifact a cleaning anti-join consumes
+    * (GPT-3 appendix C / Dolma §5 n-gram decontamination; shingle family
+    * shared verbatim with the dedup tier via [[Dedup.shingles]]). The
+    * per-SOURCE any-hit rollup already exists as `decontaminate_ngram`
+    * (Queries5, the observability dial) and its semantic complement as
+    * `decontaminate_embedding`; this key scores PARTIAL overlap — a doc
+    * quoting one benchmark line is not condemned with a full clone — and
+    * names the docs, closing the loop the way X64 closed SemDeDup's.
+    * Scale shape: the eval side of the join is benchmark-sized BY NATURE
+    * (eval sets don't grow with the crawl), so its distinct-shingle set is
+    * broadcast and the train side streams through one scan → explode →
+    * broadcast-hash probe → per-doc fold; nothing shuffles proportional to
+    * the corpus except the per-doc groupBy, which is map-side combined.
+    * Contamination ratio is half-up-rounded via the exact-integer
+    * [[graft.ext.ExactMath.ratioRounded]] contract and the flag compares
+    * ON THE ROUNDED VALUE, so all three engines agree on boundary docs. */
+  private[graft] def decontaminateEval(docs: DataFrame, evalMod: Long,
+      flagAt: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("g"))
+    val evalSet = sh.where(col("doc_id") % 10 === evalMod)
+      .select("g").distinct().withColumn("hit", lit(1L))
+    sh.where(col("doc_id") % 10 =!= evalMod)
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        graft.ext.ExactMath.ratioRounded(col("n_hits"), col("n_shingles"), 6)
+          .as("contamination"))
+      .withColumn("flagged", (col("contamination") >= flagAt).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Partition zone-map (min/max) skipping index (X73): the OTHER index a
+    * lakehouse skipping layer maintains beside X71's Bloom — per
+    * month-partition of `orders`, the [min, max] envelope of a measure
+    * column plus a range-probe report: would the zone map admit the scan
+    * (`probe_maybe` = envelope overlaps [lo, hi]) and does the partition
+    * actually hold a qualifying row (`probe_actual`)? The gap between the
+    * two IS the zone map's false-positive behavior, surfaced honestly.
+    * One scan, one map-side-combined month rollup, ≤ one row of state per
+    * partition, mergeable (min/max fold), no join, no second scan. */
+  private[graft] def zonemapPartitionIndex(orders: DataFrame, valueCol: String,
+      lo: Double, hi: Double): DataFrame =
+    orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col(valueCol).as("v"))
+      .groupBy("month").agg(
+        count(lit(1)).as("n_rows"),
+        min("v").as("min_val"),
+        max("v").as("max_val"),
+        max(when(col("v").between(lo, hi), 1).otherwise(0)).as("probe_actual"))
+      .select(col("month"), col("n_rows"), col("min_val"), col("max_val"),
+        (!(col("max_val") < lo || col("min_val") > hi)).cast("int")
+          .as("probe_maybe"),
+        col("probe_actual").cast("int"))
+      .orderBy("month")
+
+  /** Adaptive range-partition boundaries (X74): the balanced range layout
+    * the reference's whole advisory loop exists to recommend — given a
+    * target of `nBuckets` range partitions over a join/sort key, emit per
+    * bucket its key interval [lo_key, hi_key], distinct-key count, and row
+    * count, where a key's bucket is `floor(startOffset · B / N)` over the
+    * key-ordered cumulative row count (exact integer arithmetic; a hot key
+    * spanning several bucket widths lands whole in the bucket its offset
+    * starts in, so buckets absorb skew instead of splitting a key).
+    *
+    * Scale shape — the global weighted cumsum is decomposed two-level so
+    * NO single-partition window ever sees the key domain: keys group by a
+    * coarse prefix (`key div groupWidth`); per-group subtotals (a frame
+    * `distinctKeys/groupWidth` small) take the only global window; the
+    * per-key cumsum runs partitionBy(group) — each window partition is ≤
+    * groupWidth keys — and the group offsets broadcast back. The DuckDB
+    * oracle computes the SAME boundaries with one naive global cumsum,
+    * certifying the decomposition exact. */
+  private[graft] def rangePartitionBounds(orders: DataFrame, keyCol: String,
+      nBuckets: Int, groupWidth: Long): DataFrame = {
+    // The distinct-key histogram is materialized ONCE ([[Dedup.truncate]]:
+    // localCheckpoint on local[n], reliable checkpoint under a checkpoint
+    // dir) — the offsets branch, the per-key cumsum, and the total all ride
+    // it, so the fact table is scanned exactly once however large it is.
+    val perKey = Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("nr"))
+      .withColumn("grp", graft.ext.ExactMath.intDiv(col("k"), lit(groupWidth))))
+    val grpOffsets = perKey.groupBy("grp").agg(sum("nr").as("gnr"))
+      .withColumn("goff", coalesce(sum("gnr").over(
+        Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val total = perKey.agg(sum("nr")).first().getLong(0)
+    perKey
+      .withColumn("woff", coalesce(sum("nr").over(
+        Window.partitionBy("grp").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(grpOffsets.select("grp", "goff")), Seq("grp"))
+      .withColumn("bucket", graft.ext.ExactMath.intDiv(
+        (col("goff") + col("woff")) * nBuckets, lit(total)))
+      .groupBy("bucket").agg(
+        min("k").as("lo_key"), max("k").as("hi_key"),
+        count(lit(1)).as("n_keys"), sum("nr").as("n_rows"))
+      .orderBy("bucket")
+  }
+
+  /** Skew salting plan (X75): the per-key salt-factor head a skew-aware
+    * join planner consumes — the `nBuckets`-relative weight of the top
+    * `topN` heaviest keys (count desc, key asc ties), salt_factor =
+    * ceil(n_rows · nBuckets / total) clamped to ≥ 1: replicate-broadcast
+    * the other side by this factor (or split the key across this many
+    * salted sub-keys) and the hot key's partition work falls back under
+    * the uniform-bucket envelope. One map-side-combined groupBy, a top-N
+    * head (TakeOrdered-sized driver result), and a broadcast scalar total;
+    * nothing else leaves the executors. */
+  private[graft] def saltPlanTopK(events: DataFrame, nBuckets: Int,
+      topN: Int): DataFrame = {
+    val perKey = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val total = events.count()
+    perKey
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+      .limit(topN)
+      .select(col("user_id"), col("n_rows"),
+        graft.ext.ExactMath.ratioRounded(col("n_rows"), lit(total), 6)
+          .as("share"),
+        greatest(lit(1L), graft.ext.ExactMath.intDiv(
+          col("n_rows") * nBuckets + (total - 1L), lit(total))).as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+  }
 
   def specs: Seq[QSpec] = Seq(
 
@@ -164,5 +344,123 @@ object Queries16 {
           |  WHERE rk = 1)
           |SELECT q.true_label, pr.pred_label, CAST(COUNT(*) AS BIGINT) AS n
           |FROM pr JOIN q USING (q_id)
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QSpec("bloom_partition_index",
+      // X71 — partition-level Bloom data-skipping index + probe-pruning
+      // report (the index emission a lakehouse skipping layer maintains;
+      // bloom_prefilter is the JOIN-side consumer, this is the per-
+      // partition INDEX artifact): m=16384 bits / k=3 affine hashes over
+      // o_custkey per order month, fill ratio, and for probe key 777 both
+      // the index verdict (all 3 bits set) and ground truth. The oracle
+      // replays the exact bit arithmetic.
+      (s, dir) => bloomPartitionIndex(t(s, dir, "orders"),
+        mBits = 16384L, kHashes = 3, probeKey = 777L),
+      Some(
+        """WITH k AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey,
+          |    COUNT(*) AS nr
+          |  FROM orders GROUP BY 1, 2),
+          |b AS (SELECT DISTINCT month,
+          |    ((((i * 2654435761) % 1000000007) * o_custkey
+          |      + (i * 40503 + 17) % 1000000007) % 1000000007) % 16384 AS bit
+          |  FROM k, range(1, 4) t(i)),
+          |pb AS (SELECT DISTINCT
+          |    ((((i * 2654435761) % 1000000007) * 777
+          |      + (i * 40503 + 17) % 1000000007) % 1000000007) % 16384 AS bit
+          |  FROM range(1, 4) t(i)),
+          |pm AS (SELECT month, SUM(nr) AS n_rows, COUNT(*) AS n_keys,
+          |    MAX(CASE WHEN o_custkey = 777 THEN 1 ELSE 0 END) AS probe_actual
+          |  FROM k GROUP BY 1),
+          |sb AS (SELECT month, COUNT(*) AS n_set_bits,
+          |    COUNT(*) FILTER (WHERE bit IN (SELECT bit FROM pb)) AS probe_hits
+          |  FROM b GROUP BY 1)
+          |SELECT pm.month, CAST(n_rows AS BIGINT) AS n_rows,
+          |  CAST(n_keys AS BIGINT) AS n_keys,
+          |  CAST(n_set_bits AS BIGINT) AS n_set_bits,
+          |  CAST((2000000 * n_set_bits + 16384) // 32768 AS DOUBLE) / 1000000 AS fill,
+          |  CAST(CASE WHEN probe_hits = (SELECT COUNT(*) FROM pb)
+          |    THEN 1 ELSE 0 END AS INT) AS probe_maybe,
+          |  CAST(probe_actual AS INT) AS probe_actual
+          |FROM pm JOIN sb USING (month) ORDER BY month""".stripMargin)),
+
+    QSpec("decontaminate_eval",
+      // X72 — per-doc decontamination manifest (the decision-artifact face
+      // of decontaminate_ngram's per-source rollup): per train doc
+      // (doc_id%10 != 3),
+      // the fraction of its distinct 3-shingles that appear anywhere in
+      // the eval split (doc_id%10 == 3); flag at rounded fraction >= 0.5.
+      // The eval shingle set is broadcast (benchmark-sized by nature).
+      (s, dir) => decontaminateEval(t(s, dir, "documents"),
+        evalMod = 3L, flagAt = 0.5),
+      Some(
+        s"""WITH sh0 AS (SELECT doc_id, list_distinct(CASE WHEN len(sp) < 3 THEN [text]
+          |    ELSE list_transform(range(1, len(sp)-1), i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2]) END) AS sh
+          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents) d),
+          |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh0),
+          |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 3),
+          |a AS (SELECT doc_id, COUNT(*) AS n_shingles,
+          |    COUNT(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS n_hits
+          |  FROM ex WHERE doc_id % 10 <> 3 GROUP BY 1)
+          |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+          |  CAST(n_hits AS BIGINT) AS n_hits,
+          |  ${graft.ext.ExactMath.ratioRoundedSql("n_hits", "n_shingles", 6)} AS contamination,
+          |  CAST(CASE WHEN ${graft.ext.ExactMath.ratioRoundedSql("n_hits", "n_shingles", 6)} >= 0.5
+          |    THEN 1 ELSE 0 END AS INT) AS flagged
+          |FROM a ORDER BY doc_id""".stripMargin)),
+
+    QSpec("zonemap_partition_index",
+      // X73 — per-month min/max zone map over o_totalprice + a NARROW
+      // interior range probe [249000, 249250]: the envelope admits nearly
+      // every partition (probe_maybe=1) while ground truth is sparse —
+      // the zone map's false-positive behavior on an uncorrelated column,
+      // surfaced honestly (and exactly why X71's Bloom exists for point
+      // probes). min/max/actual compare exactly: all three engines read
+      // the same stored doubles and fold them without arithmetic.
+      (s, dir) => zonemapPartitionIndex(t(s, dir, "orders"),
+        valueCol = "o_totalprice", lo = 249000.0, hi = 249250.0),
+      Some(
+        """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          |  COUNT(*) AS n_rows, MIN(o_totalprice) AS min_val,
+          |  MAX(o_totalprice) AS max_val,
+          |  CAST(CASE WHEN MAX(o_totalprice) < 249000.0
+          |      OR MIN(o_totalprice) > 249250.0 THEN 0 ELSE 1 END AS INT)
+          |    AS probe_maybe,
+          |  CAST(MAX(CASE WHEN o_totalprice BETWEEN 249000.0 AND 249250.0
+          |    THEN 1 ELSE 0 END) AS INT) AS probe_actual
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QSpec("range_partition_bounds",
+      // X74 — adaptive balanced range-partition boundaries over o_custkey
+      // at B=16: bucket = floor(startOffset·16/N) over the key-ordered
+      // cumulative row count. The oracle computes the same boundaries with
+      // ONE naive global cumsum, certifying the engine's two-level
+      // (group-offset + within-group) decomposition exact.
+      (s, dir) => rangePartitionBounds(t(s, dir, "orders"),
+        keyCol = "o_custkey", nBuckets = 16, groupWidth = 1024L),
+      Some(
+        """WITH k AS (SELECT o_custkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+          |c AS (SELECT k, nr, COALESCE(SUM(nr) OVER (ORDER BY k
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM k),
+          |t AS (SELECT SUM(nr) AS n FROM k)
+          |SELECT CAST((s * 16) // n AS BIGINT) AS bucket,
+          |  MIN(k) AS lo_key, MAX(k) AS hi_key,
+          |  CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(nr) AS BIGINT) AS n_rows
+          |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QSpec("salt_plan_topk",
+      // X75 — skew salting plan head: the 10 heaviest event user_ids
+      // (count desc, key asc) with their corpus share and salt_factor =
+      // ceil(n_rows·32/total) — the replication factor a skew-aware join
+      // planner applies to the build side of each hot key.
+      (s, dir) => saltPlanTopK(t(s, dir, "events"), nBuckets = 32, topN = 10),
+      Some(
+        s"""WITH k AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+          |t AS (SELECT SUM(n_rows) AS n FROM k),
+          |r AS (SELECT user_id, n_rows, ROW_NUMBER() OVER (
+          |    ORDER BY n_rows DESC, user_id ASC) AS rk FROM k)
+          |SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+          |  ${graft.ext.ExactMath.ratioRoundedSql("n_rows", "n", 6)} AS share,
+          |  CAST(GREATEST(1, (n_rows * 32 + n - 1) // n) AS BIGINT) AS salt_factor
+          |FROM r, t WHERE rk <= 10
+          |ORDER BY n_rows DESC, user_id ASC""".stripMargin)))
 }

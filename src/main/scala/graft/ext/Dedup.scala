@@ -42,7 +42,7 @@ object Dedup {
     * conf, default false) — set it on any cluster running deep clustering
     * loops, or the ~log₂(n) per-loop round files accumulate in the
     * checkpoint dir until application exit. */
-  private[ext] def truncate(df: DataFrame): DataFrame = {
+  private[graft] def truncate(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val dirSet = sess.sparkContext.getCheckpointDir.isDefined
     val reliable =

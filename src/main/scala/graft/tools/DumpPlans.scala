@@ -52,7 +52,10 @@ object DumpPlans {
       "simsearch_matryoshka" -> "prefix-dim retrieval — 32-of-64-dim codegen dot, integer-micro stage-1 TakeOrdered(100), full-dim re-rank post-limit",
       "drift_ks" -> "two-sample KS — one grouped count, window over DISTINCT lengths only, decimal cross-multiplied gaps, TakeOrdered(1)",
       "dedup_exact_normalized" -> "normalization-aware dedup — NFC+casefold+collapse feed sha2 in the scan stage, digest-only shuffle",
-      "fingerprint_winnowing" -> "winnowed fingerprint index — text dropped at the first projection, per-doc min-window rides the doc_id shuffle, global min-doc/df is ONE window by fingerprint (no pair join)")
+      "fingerprint_winnowing" -> "winnowed fingerprint index — text dropped at the first projection, per-doc min-window rides the doc_id shuffle, global min-doc/df is ONE window by fingerprint (no pair join)",
+      "bloom_partition_index" -> "partition Bloom index — one scan, (month,key) distinct map-side combined, ×k bit explode on DISTINCT keys only, single month rollup, no join",
+      "decontaminate_eval" -> "per-doc decontamination manifest — eval shingle set broadcast, train side one scan → explode → broadcast-hash probe → map-side-combined per-doc fold",
+      "range_partition_bounds" -> "adaptive range bounds — two-level cumsum: the only global window rides the coarse-group subtotal frame, per-key cumsum partitioned by group, offsets broadcast back")
     val md = new StringBuilder
     md.append("# PLANS — formatted physical plans of representative queries\n\n")
     md.append("Generated by `graft.tools.DumpPlans` at sf0.001 (plans are\n")

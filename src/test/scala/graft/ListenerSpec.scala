@@ -175,6 +175,11 @@ class ListenerSpec extends SparkSpec {
       "Queries9.scala", // cohort_retention — user over DISTINCT weeks (≤ #weeks rows)
       "Queries11.scala", // scd2 (entity history, declared-capped),
       //                    sample_weight two-level, curriculum 50-row head
+      "Queries16.scala", // knn_classify vote rank — ≤ nQueries(64) partitions
+      //                    of ≤ #labels rows (the post-TopKRows vote rollup);
+      //                    range_partition_bounds group-offset window — the
+      //                    only global window runs over the coarse-group
+      //                    subtotal frame (distinctKeys/groupWidth rows)
       "Scoring.scala", // top-N per view — table-count-sized
       "StreamingUsage.scala", // sessionize twin (entity) + LSH flags (micro-batch)
       "Temporal.scala", // as-of running-last — per-key ordered history

@@ -103,4 +103,96 @@ class Queries16Spec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
     assert(out == Seq((4, 1, 1L), (7, 2, 1L)), out.toString)
   }
+
+  test("bloom partition index: a constructed false positive reads maybe=1/actual=0, presence never reads maybe=0") {
+    import spark.implicits._
+    val P = 1000000007L
+    val m = 16384L
+    def bits(key: Long): Set[Long] = (1 to 3).map(i =>
+      ((((i * 2654435761L) % P) * key + (i * 40503L + 17L) % P) % P) % m).toSet
+    val keys1 = (1L to 400L).toSeq
+    val union1 = keys1.flatMap(bits).toSet
+    val smallU = bits(11L) ++ bits(12L)
+    // search a key ABSENT from every month whose bits are covered by
+    // month-1's union (a genuine Bloom false positive) but NOT by month-3's
+    val fp = (100000L to 300000L).find(x =>
+      bits(x).subsetOf(union1) && !bits(x).subsetOf(smallU)).get
+    def mk(mo: String, ks: Seq[Long]) =
+      ks.map(k => (java.sql.Timestamp.valueOf(s"$mo-01 00:00:00"), k))
+    val orders = (mk("1995-01", keys1) ++ mk("1995-02", Seq(fp, 9L)) ++
+      mk("1995-03", Seq(11L, 12L))).toDF("o_orderdate", "o_custkey")
+    val out = Queries16.bloomPartitionIndex(orders, m, 3, fp).collect()
+      .map(r => r.getString(0) -> ((r.getInt(5), r.getInt(6)))).toMap
+    assert(out("1995-01") == ((1, 0)), s"false positive: ${out("1995-01")}")
+    assert(out("1995-02") == ((1, 1)), s"true positive: ${out("1995-02")}")
+    assert(out("1995-03") == ((0, 0)), s"true negative: ${out("1995-03")}")
+  }
+
+  test("decontamination: full clone of an eval doc flags, half overlap reads 0.5 and flags, disjoint doc reads 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "a b c d e"),   // eval split (doc_id % 10 == 3)
+      (1L, "a b c d e"),   // full clone: 3/3 eval shingles → 1.0, flagged
+      (2L, "a b c q r s"), // shingles {abc,bcq,cqr,qrs}: 1/4 → 0.25
+      (4L, "a b c b c d"), // {abc,bcb,cbc,bcd}: 2/4 → exactly 0.5, flagged
+      (5L, "x y z w")      // disjoint → 0.0
+    ).toDF("doc_id", "text")
+    val out = Queries16.decontaminateEval(docs, evalMod = 3L, flagAt = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, 1)), out(1L).toString)
+    assert(out(2L) == ((4L, 1L, 0.25, 0)), out(2L).toString)
+    assert(out(4L) == ((4L, 2L, 0.5, 1)), out(4L).toString)
+    assert(out(5L) == ((2L, 0L, 0.0, 0)), out(5L).toString)
+    assert(!out.contains(3L)) // eval docs are not scored
+  }
+
+  test("zonemap: envelope below the band prunes, interior gap is a false positive, straddling row is a true positive") {
+    import spark.implicits._
+    def mk(mo: String, vs: Seq[Double]) =
+      vs.map(v => (java.sql.Timestamp.valueOf(s"$mo-01 00:00:00"), v))
+    // band [249000, 249250]: month 1 all below → (0,0); month 2 envelope
+    // covers the band but no row inside → (1,0); month 3 row inside → (1,1)
+    val orders = (mk("1995-01", Seq(100.0, 248999.9)) ++
+      mk("1995-02", Seq(1000.0, 500000.0)) ++
+      mk("1995-03", Seq(249100.0, 300000.0)))
+      .toDF("o_orderdate", "o_totalprice")
+    val out = Queries16.zonemapPartitionIndex(orders, "o_totalprice",
+      249000.0, 249250.0).collect()
+      .map(r => r.getString(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out == Map("1995-01" -> ((0, 0)), "1995-02" -> ((1, 0)),
+      "1995-03" -> ((1, 1))), out.toString)
+  }
+
+  test("range bounds: uniform keys split evenly; a hot key lands whole in its start bucket and absorbs the skew") {
+    import spark.implicits._
+    def rows(k: Long, n: Int) = Seq.fill(n)(Tuple1(k))
+    // keys 1..8 × 1 row, B=4 → two keys per bucket; groupWidth=2 forces
+    // the two-level cumsum across 4 groups (decomposition exercised)
+    val uni = (1L to 8L).flatMap(rows(_, 1)).toDF("o_custkey")
+    val u = Queries16.rangePartitionBounds(uni, "o_custkey", 4, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(u.toSeq == Seq((0L, 1L, 2L, 2L, 2L), (1L, 3L, 4L, 2L, 2L),
+      (2L, 5L, 6L, 2L, 2L), (3L, 7L, 8L, 2L, 2L)), u.mkString(","))
+    // key 5 carries 9 of 16 rows (offset 4 of 16, B=4 → bucket 1): it
+    // lands WHOLE in bucket 1; buckets 2 of the uniform layout vanish and
+    // the tail keys 6..8 start at offset 16·¾ → bucket 3
+    val skew = ((1L to 4L) ++ (6L to 8L)).flatMap(rows(_, 1)) ++ rows(5L, 9)
+    val sk = Queries16.rangePartitionBounds(skew.toDF("o_custkey"), "o_custkey", 4, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(sk.toSeq == Seq((0L, 1L, 4L, 4L), (1L, 5L, 5L, 9L), (3L, 6L, 8L, 3L)),
+      sk.mkString(","))
+  }
+
+  test("salt plan: the hot key's factor is the ceil of its bucket-relative weight; ties order by key") {
+    import spark.implicits._
+    // 64 rows: user 9 has 32 (share 0.5, B=8 → factor 4), users 1..4 have
+    // 7 each (ceil(7·8/64) = 1), user 5 has 4
+    val ev = (Seq.fill(32)(9L) ++ (1L to 4L).flatMap(u => Seq.fill(7)(u)) ++
+      Seq.fill(4)(5L)).toDF("user_id")
+    val out = Queries16.saltPlanTopK(ev, nBuckets = 8, topN = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((9L, 32L, 0.5, 4L), (1L, 7L, 0.109375, 1L),
+      (2L, 7L, 0.109375, 1L), (3L, 7L, 0.109375, 1L)), out.mkString(","))
+  }
 }
