@@ -3823,6 +3823,108 @@ check("salt_plan_topk", pd.DataFrame(
       "salt_factor": np.int64(max(1, (int(r.n_rows) * 32 + sp_t - 1) // sp_t))}
      for r in sp.itertuples()]))
 
+# bloom_index_fpr (X77): 100 present + 100 absent probe keys against every
+# month's k=3/m=16384 Bloom; observed FPR per class (bp_bits from X71)
+bf_mk = set()
+for mo, ck in zip(pd.to_datetime(od.o_orderdate).dt.strftime("%Y-%m"),
+                  od.o_custkey):
+    bf_mk.add((mo, int(ck)))
+bf_months = sorted({m for m, _ in bf_mk})
+bf_keys = sorted({k for _, k in bf_mk})
+bf_probes = [(k, "present") for k in bf_keys[:100]] + \
+    [(bf_keys[-1] + i, "absent") for i in range(1, 101)]
+bf_mbits = {}
+for mo, k in bf_mk:
+    bf_mbits.setdefault(mo, set()).update(bp_bits(k))
+bf_acc = {}
+for k, cls in bf_probes:
+    kb = bp_bits(k)
+    for mo in bf_months:
+        adm = 1 if kb <= bf_mbits[mo] else 0
+        act = 1 if (mo, k) in bf_mk else 0
+        a = bf_acc.setdefault(cls, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += adm
+        a[2] += act
+        a[3] += 1 if adm and not act else 0
+check("bloom_index_fpr", pd.DataFrame(
+    [{"probe_class": cls, "n_pairs": np.int64(a[0]),
+      "n_admitted": np.int64(a[1]), "n_actual": np.int64(a[2]),
+      "n_false_pos": np.int64(a[3]), "fpr": ratioR(a[3], a[0] - a[2], 6)}
+     for cls, a in sorted(bf_acc.items())]))
+
+# workload_pruning_sim (X80): every logged query screened against the
+# month layout + zone maps; regex recognizers identical to the engine's
+import re as _re
+wp_parts = od.groupby(pd.to_datetime(od.o_orderdate).dt.strftime("%Y-%m")) \
+    .o_totalprice.max()
+wp_runs = pd.Series([CANNED[i % 5] for i in ev.event_id]) \
+    .value_counts().to_dict()
+wp_rows = []
+for q in sorted(set(CANNED)):
+    dm = _re.search(r"o_orderdate >= DATE '([0-9-]+)'", q)
+    pm = _re.search(r"o_totalprice > ([0-9.]+)", q)
+    supported = 1 if ("FROM orders" in q and (dm or pm)) else 0
+    pruned = 0
+    if supported:
+        for mo, mx in wp_parts.items():
+            if (dm and mo < dm.group(1)[:7]) or \
+               (pm and mx <= float(pm.group(1))):
+                pruned += 1
+    wp_rows.append({
+        "query": q, "n_runs": np.int64(wp_runs.get(q, 0)),
+        "supported": np.int32(supported),
+        "n_partitions": np.int64(len(wp_parts)),
+        "n_pruned": np.int64(pruned),
+        "prune_frac": ratioR(pruned, len(wp_parts), 6)})
+check("workload_pruning_sim", pd.DataFrame(wp_rows))
+
+# partition_balance_report (X79): X74 bounds FROZEN on the pre-1998 base
+# epoch, step-assigned over the full corpus; load_ratio + rebalance flag
+pb_base = od[pd.to_datetime(od.o_orderdate) < np.datetime64("1998-01-01")]
+pb_bk = pb_base.groupby("o_custkey").size().sort_index()
+pb_n = int(pb_bk.sum())
+pb_bucket = ((pb_bk.cumsum() - pb_bk) * 16 // pb_n).astype("int64")
+pb_lo = pb_bucket.reset_index().groupby(0).o_custkey.min().sort_index()
+pb_ck = od.groupby("o_custkey").size().sort_index()
+pb_t = int(pb_ck.sum())
+pb_asg = np.maximum(
+    np.searchsorted(pb_lo.values, pb_ck.index.values, side="right") - 1, 0)
+pb_rows = []
+for b, g in pb_ck.groupby(pb_lo.index.values[pb_asg]):
+    lr = ratioR(int(g.sum()) * 16, pb_t, 6)
+    pb_rows.append({
+        "bucket": np.int64(b), "n_keys": np.int64(len(g)),
+        "n_rows": np.int64(g.sum()), "share": ratioR(int(g.sum()), pb_t, 6),
+        "load_ratio": lr, "rebalance": np.int32(1 if lr >= 1.5 else 0)})
+check("partition_balance_report", pd.DataFrame(pb_rows))
+
+# zorder_layout (X76): 16-bit Morton interleave of (custkey scaled to 8
+# bits, month ordinal scaled to 8 bits), 16 value-range blocks vs the
+# date-sorted layout, per-block dual envelopes
+zo_maxk = int(od.o_custkey.max())
+zo_dt = pd.to_datetime(od.o_orderdate)
+zo = pd.DataFrame({
+    "cx": ((od.o_custkey.astype("int64") * 256) // (zo_maxk + 1)).values,
+    "dx": ((((zo_dt.dt.year - 1995) * 12 + zo_dt.dt.month - 1) * 256) // 84)
+        .values.astype("int64")})
+zo_cx, zo_dx = zo.cx.values, zo.dx.values
+zo_z = sum((((zo_cx >> i) & 1) << (2 * i + 1)) + (((zo_dx >> i) & 1) << (2 * i))
+           for i in range(8))
+zo_rows = []
+for layout, blk in (("linear", (zo.dx * 16) // 256), ("zorder", zo_z // 4096)):
+    for b, g in zo.groupby(blk):
+        lo_c, hi_c = int(g.cx.min()), int(g.cx.max())
+        lo_d, hi_d = int(g.dx.min()), int(g.dx.max())
+        zo_rows.append({
+            "layout": layout, "block": np.int64(b),
+            "n_rows": np.int64(len(g)),
+            "cx_lo": np.int64(lo_c), "cx_hi": np.int64(hi_c),
+            "dx_lo": np.int64(lo_d), "dx_hi": np.int64(hi_d),
+            "envelope_area": np.int64((hi_c - lo_c + 1) * (hi_d - lo_d + 1))})
+check("zorder_layout", pd.DataFrame(zo_rows)
+      .sort_values(["layout", "block"]).reset_index(drop=True))
+
 fails = [r for r in results if not r[1]]
 for key, ok, msg in results:
     print(f"{'ok  ' if ok else 'FAIL'} {key}" + (f"  {msg}" if msg else ""))

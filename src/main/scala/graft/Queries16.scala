@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * multimodal tier lacked — features/resize/frames measured rasters but
   * nothing deduplicated them, and image dedup is a first-class stage of a
   * multimodal training pipeline; plus the data-skipping / adaptive-layout
-  * tier (X71 Bloom index, X73 zone map, X74 range bounds, X75 salt plan)
-  * and benchmark decontamination (X72) — the eval-overlap screen between
-  * the dedup tier and corpus shipment.
+  * tier — X71 Bloom index, X73 zone map, X74 range bounds, X75 salt plan,
+  * X76 z-order layout, X77 index FPR measurement, X79 layout staleness
+  * (X78, the streaming maintenance face, lives in
+  * [[graft.streaming.StreamingIndex]]) — and benchmark decontamination
+  * (X72), the eval-overlap screen between the dedup tier and corpus
+  * shipment.
   */
 object Queries16 {
 
@@ -195,6 +198,199 @@ object Queries16 {
         greatest(lit(1L), graft.ext.ExactMath.intDiv(
           col("n_rows") * nBuckets + (total - 1L), lit(total))).as("salt_factor"))
       .orderBy(col("n_rows").desc, col("user_id").asc)
+  }
+
+  /** Z-order clustering layout report (X76): the multi-dimensional
+    * data-skipping layout the single-column tier (X71/X73/X74) can't
+    * reach — interleave the bits of two bucketed dimensions (customer key
+    * scaled to 8 bits against its max; order-month ordinal scaled to 8
+    * bits against `nMonths`) into a 16-bit Morton code, cut the code
+    * space into `nBlocks` equal ranges (value-based, so NO global sort is
+    * needed to assign blocks), and emit each block's [lo,hi] envelope in
+    * BOTH dimensions beside the same report for the naive date-sorted
+    * layout. Read the two side by side: the z-order blocks are tight in
+    * both dimensions (a predicate on EITHER column skips blocks) while
+    * the linear layout is tight only in the sort dimension — the measured
+    * argument for OPTIMIZE ZORDER over single-column clustering. All
+    * arithmetic is integer (bit shifts + exact scaled division), so
+    * DuckDB and python replay every code and envelope bit-exactly; the
+    * only non-grouped action is the max-key scalar (metadata-sized). */
+  private[graft] def zorderLayoutStats(orders: DataFrame, baseYear: Int,
+      nMonths: Int, nBlocks: Int): DataFrame = {
+    val maxKey = orders.agg(max("o_custkey")).first().getLong(0)
+    val dord = (year(col("o_orderdate")) - baseYear) * 12 +
+      month(col("o_orderdate")) - 1
+    val dims = orders.select(
+      graft.ext.ExactMath.intDiv(col("o_custkey") * 256L, lit(maxKey + 1L))
+        .as("cx"),
+      graft.ext.ExactMath.intDiv(dord.cast("long") * 256L, lit(nMonths.toLong))
+        .as("dx"))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("cx"), i) bitwiseAND 1L, 2 * i + 1) +
+        shiftleft(shiftright(col("dx"), i) bitwiseAND 1L, 2 * i)
+    }.reduce(_ + _)
+    def blockReport(tagged: DataFrame, layout: String) = tagged
+      .groupBy(col("block")).agg(
+        count(lit(1)).as("n_rows"),
+        min("cx").as("cx_lo"), max("cx").as("cx_hi"),
+        min("dx").as("dx_lo"), max("dx").as("dx_hi"))
+      .select(lit(layout).as("layout"), col("block"), col("n_rows"),
+        col("cx_lo"), col("cx_hi"), col("dx_lo"), col("dx_hi"),
+        ((col("cx_hi") - col("cx_lo") + 1L) * (col("dx_hi") - col("dx_lo") + 1L))
+          .as("envelope_area"))
+    blockReport(dims.withColumn("block",
+        graft.ext.ExactMath.intDiv(z, lit(65536L / nBlocks))), "zorder")
+      .unionAll(blockReport(dims.withColumn("block",
+        graft.ext.ExactMath.intDiv(col("dx") * nBlocks, lit(256L))), "linear"))
+      .orderBy("layout", "block")
+  }
+
+  /** Bloom-index false-positive-rate measurement (X77): the quality dial
+    * an operator watches AFTER deploying X71's index — probe every month
+    * partition with 100 keys KNOWN to the corpus (the 100 smallest
+    * distinct custkeys) and 100 keys known ABSENT (maxKey+1..maxKey+100),
+    * count pairs the index admits vs pairs that actually hold the key,
+    * and report the observed FPR per probe class (false admissions over
+    * negative pairs). The absent class measures pure hash-collision FPR
+    * at the index's realized fill; the present class shows admissions
+    * dominated by true hits plus cross-month collisions. Scale shape:
+    * ONE scan of the fact feeds a checkpointed distinct (month, key)
+    * frame; everything downstream (bit frames, probe cross, hit counts)
+    * is months × 200 probes — metadata-sized however large the fact is;
+    * probes broadcast into every join. */
+  private[graft] def bloomIndexFpr(orders: DataFrame, mBits: Long,
+      kHashes: Int, nProbes: Int): DataFrame = {
+    val P = 1000000007L
+    def bitOf(i: Column, key: Column) =
+      ((((i * lit(2654435761L)) % P) * key + (i * lit(40503L) + 17L) % P) % P) % mBits
+    val mk = Dedup.truncate(orders.select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_custkey").as("k")).distinct())
+    val maxKey = mk.agg(max("k")).first().getLong(0)
+    val present = mk.select("k").distinct().orderBy("k").limit(nProbes)
+      .withColumn("probe_class", lit("present"))
+    val absent = mk.sparkSession.range(1, nProbes + 1)
+      .select((lit(maxKey) + col("id")).as("k"),
+        lit("absent").as("probe_class"))
+    val probes = present.unionAll(absent)
+    val probeBits = probes
+      .select(col("k"), col("probe_class"),
+        explode(sequence(lit(1), lit(kHashes))).as("i"))
+      .select(col("k"), col("probe_class"), bitOf(col("i"), col("k")).as("bit"))
+      .distinct()
+    val probeN = probeBits.groupBy("k", "probe_class")
+      .agg(count(lit(1)).as("nb"))
+    val monthBits = mk
+      .select(col("month"), explode(sequence(lit(1), lit(kHashes))).as("i"),
+        col("k"))
+      .select(col("month"), bitOf(col("i"), col("k")).as("bit"))
+      .distinct()
+    val hits = monthBits.join(broadcast(probeBits), Seq("bit"))
+      .groupBy("month", "k").agg(countDistinct("bit").as("nh"))
+    val pairs = mk.select("month").distinct()
+      .crossJoin(broadcast(probeN))
+    pairs
+      .join(hits, Seq("month", "k"), "left")
+      .join(mk.withColumn("act", lit(1)), Seq("month", "k"), "left")
+      .select(col("probe_class"),
+        (coalesce(col("nh"), lit(0L)) === col("nb")).cast("int").as("adm"),
+        coalesce(col("act"), lit(0)).as("act"))
+      .groupBy("probe_class").agg(
+        count(lit(1)).as("n_pairs"),
+        sum("adm").as("n_admitted"),
+        sum("act").cast("long").as("n_actual"),
+        sum(when(col("adm") === 1 && col("act") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("probe_class"), col("n_pairs"), col("n_admitted"),
+        col("n_actual"), col("n_false_pos"),
+        graft.ext.ExactMath.ratioRounded(col("n_false_pos"),
+          col("n_pairs") - col("n_actual"), 6).as("fpr"))
+      .orderBy("probe_class")
+  }
+
+  /** Range-layout balance / staleness report (X79): the ADAPTIVE half of
+    * adaptive partitioning — X74 computes balanced bounds from the data a
+    * layout was built on; this report re-evaluates those FROZEN bounds
+    * against the data as it stands now and says whether the layout went
+    * stale. Bounds come from the base epoch (orders before `baseCutoff`,
+    * through [[rangePartitionBounds]] unchanged); every current key is
+    * assigned by the step function "greatest lo_key ≤ key" (keys below
+    * the first bound fall to bucket 0); per bucket the report emits
+    * key/row counts, corpus share, load_ratio = share·B (1.0 = perfectly
+    * balanced) and the rebalance flag at rounded load_ratio ≥ 1.5 — the
+    * signal an adaptive layout manager acts on by re-running X74. Scale
+    * shape: the bounds frame is ≤ B rows and BROADCASTS into the
+    * assignment join; the current-key histogram is checkpointed once (the
+    * X74 discipline) and feeds both the assignment and the total; nothing
+    * data-proportional crosses the driver. */
+  private[graft] def partitionBalanceReport(orders: DataFrame,
+      baseCutoff: String, keyCol: String, nBuckets: Int,
+      groupWidth: Long): DataFrame = {
+    val bounds = rangePartitionBounds(
+      orders.where(col("o_orderdate") < lit(baseCutoff).cast("timestamp")),
+      keyCol, nBuckets, groupWidth).select("bucket", "lo_key")
+    val perKey = Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("nr")))
+    val total = perKey.agg(sum("nr")).first().getLong(0)
+    perKey
+      .join(broadcast(bounds), col("k") >= col("lo_key"), "left")
+      .groupBy("k", "nr").agg(coalesce(max("bucket"), lit(0L)).as("bucket"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_keys"), sum("nr").as("n_rows"))
+      .select(col("bucket"), col("n_keys"), col("n_rows"),
+        graft.ext.ExactMath.ratioRounded(col("n_rows"), lit(total), 6)
+          .as("share"),
+        graft.ext.ExactMath.ratioRounded(col("n_rows") * nBuckets, lit(total), 6)
+          .as("load_ratio"))
+      .withColumn("rebalance", (col("load_ratio") >= 1.5).cast("int"))
+      .orderBy("bucket")
+  }
+
+  /** Workload pruning simulation (X80): the reference's whole advisory
+    * loop asks "would this partition layout help THIS workload?" — this
+    * key answers it measurably. Every logged query (the §1 query-log
+    * derivation) is screened against the month layout + X73 zone maps:
+    * a recognized `o_orderdate >= DATE 'd'` predicate prunes months below
+    * d's month (partition pruning); a recognized `o_totalprice > p`
+    * predicate prunes months whose zone-map max ≤ p; queries not touching
+    * `orders` or carrying no recognized predicate are reported
+    * `supported = 0` with zero pruning — the simulator is honest about
+    * its predicate coverage, never optimistic. Output per distinct
+    * workload query: run count, support flag, partition/pruned counts,
+    * prune_frac (ratioRounded). Scale shape: the workload rollup is
+    * O(distinct queries), the partition stats are one fact scan →
+    * month rollup (≤ one row per partition), and the simulation is a
+    * broadcast cross of two metadata-sized frames — nothing
+    * data-proportional moves for ANY log or fact size. */
+  private[graft] def workloadPruningSim(qlog: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val datePat = "o_orderdate >= DATE '([0-9-]+)'"
+    val pricePat = "o_totalprice > ([0-9.]+)"
+    val wl = qlog.groupBy("query").agg(count(lit(1)).as("n_runs"))
+      .withColumn("date_lit", regexp_extract(col("query"), datePat, 1))
+      .withColumn("price_lit", regexp_extract(col("query"), pricePat, 1))
+      .withColumn("on_orders", col("query").contains("FROM orders"))
+      .withColumn("supported", (col("on_orders") &&
+        (col("date_lit") =!= "" || col("price_lit") =!= "")).cast("int"))
+    val parts = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+      .groupBy("month").agg(max("o_totalprice").as("max_price"))
+    parts.crossJoin(broadcast(wl))
+      .withColumn("pruned", when(col("supported") === 1 &&
+        ((col("date_lit") =!= "" &&
+          col("month") < substring(col("date_lit"), 1, 7)) ||
+         (col("price_lit") =!= "" &&
+          col("max_price") <= col("price_lit").cast("double"))), 1L)
+        .otherwise(0L))
+      .groupBy("query", "n_runs", "supported").agg(
+        count(lit(1)).as("n_partitions"),
+        sum("pruned").as("n_pruned"))
+      .select(col("query"), col("n_runs"), col("supported"),
+        col("n_partitions"), col("n_pruned"),
+        graft.ext.ExactMath.ratioRounded(col("n_pruned"), col("n_partitions"), 6)
+          .as("prune_frac"))
+      .orderBy("query")
   }
 
   def specs: Seq[QSpec] = Seq(
@@ -462,5 +658,149 @@ object Queries16 {
           |  ${graft.ext.ExactMath.ratioRoundedSql("n_rows", "n", 6)} AS share,
           |  CAST(GREATEST(1, (n_rows * 32 + n - 1) // n) AS BIGINT) AS salt_factor
           |FROM r, t WHERE rk <= 10
-          |ORDER BY n_rows DESC, user_id ASC""".stripMargin)))
+          |ORDER BY n_rows DESC, user_id ASC""".stripMargin)),
+
+    QSpec("zorder_layout",
+      // X76 — z-order vs linear clustering layout report: 16 equal Morton-
+      // code blocks over (custkey-scaled-to-8-bits, month-ordinal-scaled-
+      // to-8-bits) beside 16 date-sorted blocks, each with both dimension
+      // envelopes + area. The oracle replays the bit interleave term by
+      // term.
+      (s, dir) => zorderLayoutStats(t(s, dir, "orders"),
+        baseYear = 1995, nMonths = 84, nBlocks = 16),
+      Some {
+        val zSql = (0 until 8).map(i =>
+          s"((((cx >> $i) & 1) << ${2 * i + 1}) + (((dx >> $i) & 1) << ${2 * i}))")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT
+          |    ((o_custkey * 256) // (SELECT MAX(o_custkey) + 1 FROM orders)) AS cx,
+          |    ((((EXTRACT(year FROM o_orderdate) - 1995) * 12
+          |       + EXTRACT(month FROM o_orderdate) - 1) * 256) // 84) AS dx
+          |  FROM orders),
+          |r AS (
+          |  SELECT 'zorder' AS layout, ($zSql) // 4096 AS block,
+          |    COUNT(*) AS n_rows, MIN(cx) AS cx_lo, MAX(cx) AS cx_hi,
+          |    MIN(dx) AS dx_lo, MAX(dx) AS dx_hi
+          |  FROM d GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'linear', (dx * 16) // 256, COUNT(*), MIN(cx), MAX(cx),
+          |    MIN(dx), MAX(dx)
+          |  FROM d GROUP BY 2)
+          |SELECT layout, CAST(block AS BIGINT) AS block,
+          |  CAST(n_rows AS BIGINT) AS n_rows, cx_lo, cx_hi, dx_lo, dx_hi,
+          |  CAST((cx_hi - cx_lo + 1) * (dx_hi - dx_lo + 1) AS BIGINT)
+          |    AS envelope_area
+          |FROM r ORDER BY layout, block""".stripMargin
+      }),
+
+    QSpec("bloom_index_fpr",
+      // X77 — observed false-positive rate of X71's partition Bloom
+      // index: 100 known-present + 100 known-absent probe keys against
+      // every month partition; the absent class reads the pure
+      // hash-collision FPR at the realized fill, integer-exact on all
+      // three engines.
+      (s, dir) => bloomIndexFpr(t(s, dir, "orders"),
+        mBits = 16384L, kHashes = 3, nProbes = 100),
+      Some {
+        def bit(k: String) = s"((((i * 2654435761) % 1000000007) * ($k)" +
+          s" + (i * 40503 + 17) % 1000000007) % 1000000007) % 16384"
+        s"""WITH mk AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+          |    o_custkey AS k FROM orders),
+          |mx AS (SELECT MAX(k) AS maxk FROM mk),
+          |pk AS (SELECT k, 'present' AS probe_class
+          |    FROM (SELECT DISTINCT k FROM mk ORDER BY k LIMIT 100)
+          |  UNION ALL SELECT maxk + i, 'absent' FROM mx, range(1, 101) t(i)),
+          |pb AS (SELECT DISTINCT k, probe_class, ${bit("k")} AS bit
+          |  FROM pk, range(1, 4) t(i)),
+          |pn AS (SELECT k, probe_class, COUNT(*) AS nb FROM pb GROUP BY 1, 2),
+          |mb AS (SELECT DISTINCT month, ${bit("k")} AS bit
+          |  FROM mk, range(1, 4) t(i)),
+          |hit AS (SELECT mb.month, pb.k, COUNT(DISTINCT mb.bit) AS nh
+          |  FROM mb JOIN pb ON mb.bit = pb.bit GROUP BY 1, 2),
+          |pair AS (SELECT mo.month, pn.k, pn.probe_class, pn.nb
+          |  FROM (SELECT DISTINCT month FROM mk) mo, pn),
+          |j AS (SELECT pair.probe_class,
+          |    CASE WHEN COALESCE(hit.nh, 0) = pair.nb THEN 1 ELSE 0 END AS adm,
+          |    CASE WHEN mk2.k IS NOT NULL THEN 1 ELSE 0 END AS act
+          |  FROM pair
+          |  LEFT JOIN hit ON hit.month = pair.month AND hit.k = pair.k
+          |  LEFT JOIN mk mk2 ON mk2.month = pair.month AND mk2.k = pair.k)
+          |SELECT probe_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |  CAST(SUM(adm) AS BIGINT) AS n_admitted,
+          |  CAST(SUM(act) AS BIGINT) AS n_actual,
+          |  CAST(SUM(CASE WHEN adm = 1 AND act = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_false_pos,
+          |  ${graft.ext.ExactMath.ratioRoundedSql(
+            "SUM(CASE WHEN adm = 1 AND act = 0 THEN 1 ELSE 0 END)",
+            "COUNT(*) - SUM(act)", 6)} AS fpr
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    QSpec("partition_balance_report",
+      // X79 — staleness check of a FROZEN range layout: bounds computed
+      // on orders before 1994-01-01 (the X74 arithmetic verbatim),
+      // re-evaluated on the full corpus via greatest-lo_key-≤-key step
+      // assignment; per bucket share, load_ratio (1.0 = balanced) and the
+      // rebalance flag at rounded load_ratio ≥ 1.5. The oracle replays
+      // bounds + step assignment with one naive global cumsum.
+      (s, dir) => partitionBalanceReport(t(s, dir, "orders"),
+        baseCutoff = "1998-01-01", keyCol = "o_custkey", nBuckets = 16,
+        groupWidth = 1024L),
+      Some(
+        s"""WITH bk AS (SELECT o_custkey AS k, COUNT(*) AS nr FROM orders
+          |  WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+          |c AS (SELECT k, nr, COALESCE(SUM(nr) OVER (ORDER BY k
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM bk),
+          |tb AS (SELECT SUM(nr) AS n FROM bk),
+          |bounds AS (SELECT (s * 16) // n AS bucket, MIN(k) AS lo_key
+          |  FROM c, tb GROUP BY 1),
+          |ck AS (SELECT o_custkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+          |t2 AS (SELECT SUM(nr) AS n FROM ck),
+          |asg AS (SELECT k, nr, COALESCE((SELECT MAX(bucket) FROM bounds b
+          |    WHERE b.lo_key <= ck.k), 0) AS bucket FROM ck),
+          |g AS (SELECT bucket, COUNT(*) AS n_keys, SUM(nr) AS n_rows
+          |  FROM asg GROUP BY 1)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+          |  ${graft.ext.ExactMath.ratioRoundedSql("n_rows", "n", 6)} AS share,
+          |  ${graft.ext.ExactMath.ratioRoundedSql("n_rows * 16", "n", 6)}
+          |    AS load_ratio,
+          |  CAST(CASE WHEN ${graft.ext.ExactMath.ratioRoundedSql(
+            "n_rows * 16", "n", 6)} >= 1.5
+          |    THEN 1 ELSE 0 END AS INT) AS rebalance
+          |FROM g, t2 ORDER BY bucket""".stripMargin)),
+
+    QSpec("workload_pruning_sim",
+      // X80 — workload-driven pruning simulation: every logged query
+      // screened against the month layout + zone maps; recognized
+      // o_orderdate >= DATE / o_totalprice > predicates prune, everything
+      // else reports supported = 0 honestly. The oracle replays the qlog
+      // CTE + the same regex recognizers.
+      (s, dir) => workloadPruningSim(
+        TableRegistry.queryLog(s, dir), t(s, dir, "orders")),
+      Some(
+        s"""WITH qlog AS (
+          |${TableRegistry.queryLogOracleCte}
+          |),
+          |wl AS (SELECT query, COUNT(*) AS n_runs,
+          |    regexp_extract(query, 'o_orderdate >= DATE ''([0-9-]+)''', 1)
+          |      AS date_lit,
+          |    regexp_extract(query, 'o_totalprice > ([0-9.]+)', 1) AS price_lit,
+          |    (query LIKE '%FROM orders%') AS on_orders
+          |  FROM qlog GROUP BY 1),
+          |w2 AS (SELECT *, CASE WHEN on_orders AND (date_lit <> '' OR price_lit <> '')
+          |    THEN 1 ELSE 0 END AS supported FROM wl),
+          |p AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          |    MAX(o_totalprice) AS max_price FROM orders GROUP BY 1),
+          |j AS (SELECT query, n_runs, supported,
+          |    CASE WHEN supported = 1 AND ((date_lit <> '' AND month < substr(date_lit, 1, 7))
+          |      OR (price_lit <> '' AND max_price <= CAST(price_lit AS DOUBLE)))
+          |    THEN 1 ELSE 0 END AS pruned FROM p, w2)
+          |SELECT query, CAST(n_runs AS BIGINT) AS n_runs,
+          |  CAST(supported AS INT) AS supported,
+          |  CAST(COUNT(*) AS BIGINT) AS n_partitions,
+          |  CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+          |  ${graft.ext.ExactMath.ratioRoundedSql("SUM(pruned)", "COUNT(*)", 6)}
+          |    AS prune_frac
+          |FROM j GROUP BY 1, 2, 3 ORDER BY query""".stripMargin)))
 }

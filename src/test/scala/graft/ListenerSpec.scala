@@ -135,7 +135,13 @@ class ListenerSpec extends SparkSpec {
       // — O(sources) rows of six longs per micro-batch, further bounded by
       // the lex-first sourceCap fold; the doc stream itself is never
       // retained (the StreamingDrift histogram discipline)
-      "StreamingAdmission.scala")
+      "StreamingAdmission.scala",
+      // StreamingIndex collects per-batch INDEX-sized deltas only: a
+      // 3-scalar rollup per month partition plus the distinct (month, bit)
+      // frame — bounded by partitions × mBits (2 KiB/partition at
+      // m=16384) regardless of batch or stream size; the order stream
+      // itself is never retained (X78 scale note)
+      "StreamingIndex.scala")
     val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)

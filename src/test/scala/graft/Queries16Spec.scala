@@ -184,6 +184,102 @@ class Queries16Spec extends SparkSpec {
       sk.mkString(","))
   }
 
+  test("zorder: same-month rows split into key-distinct Morton blocks; the linear layout lumps them with a full-width envelope") {
+    import spark.implicits._
+    // maxKey = 255 so cx = k exactly; all rows in 1992-01 so dx = 0.
+    // Interleave puts cx bits at odd positions: z(1)=2, z(128)=1<<15,
+    // z(255)=0b1010…10 = 43690 → zorder blocks 0, 8, 10; linear block 0.
+    val orders = Seq(1L, 128L, 255L)
+      .map(k => (java.sql.Timestamp.valueOf("1992-01-01 00:00:00"), k))
+      .toDF("o_orderdate", "o_custkey")
+    val out = Queries16.zorderLayoutStats(orders, 1992, 84, 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7)))).toMap
+    assert(out(("zorder", 0L)) == ((1L, 1L, 1L, 1L)))
+    assert(out(("zorder", 8L)) == ((1L, 128L, 128L, 1L)))
+    assert(out(("zorder", 10L)) == ((1L, 255L, 255L, 1L)))
+    // linear: one block, cx envelope spans the whole key range → area 255
+    assert(out(("linear", 0L)) == ((3L, 1L, 255L, 255L)), out.toString)
+    assert(out.size == 4)
+  }
+
+  test("bloom FPR: a planted covered key is a present-class false positive; every count reconciles with an exact set replay") {
+    import spark.implicits._
+    val P = 1000000007L
+    val m = 16384L
+    def bits(key: Long): Set[Long] = (1 to 3).map(i =>
+      ((((i * 2654435761L) % P) * key + (i * 40503L + 17L) % P) % P) % m).toSet
+    val m1Keys = (1L to 99L).toSeq
+    val union1 = m1Keys.flatMap(bits).toSet
+    // x: a corpus key living ONLY in month 2 whose bits month 1's Bloom
+    // covers — probing month 1 with x is admitted but not actual
+    val x = (100000L to 400000L).find(k => bits(k).subsetOf(union1)).get
+    def mk(mo: String, ks: Seq[Long]) =
+      ks.map(k => (java.sql.Timestamp.valueOf(s"$mo-01 00:00:00"), k))
+    val orders = (mk("1995-01", m1Keys) ++ mk("1995-02", Seq(x)))
+      .toDF("o_orderdate", "o_custkey")
+    val out = Queries16.bloomIndexFpr(orders, m, 3, nProbes = 100).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact replay over the 100 present (all corpus keys) + 100 absent
+    // probes × 2 months
+    val union2 = bits(x)
+    val monthSets = Seq(("1995-01", m1Keys.toSet, union1),
+      ("1995-02", Set(x), union2))
+    def replay(probe: Seq[Long]) = {
+      val trip = for ((k, (_, ks, u)) <- probe.flatMap(k => monthSets.map(k -> _)))
+        yield (if (bits(k).subsetOf(u)) 1L else 0L, if (ks(k)) 1L else 0L)
+      (trip.size.toLong, trip.map(_._1).sum, trip.map(_._2).sum,
+        trip.count(t => t._1 == 1L && t._2 == 0L).toLong)
+    }
+    assert(out("present") == replay(m1Keys :+ x), out("present").toString)
+    assert(out("absent") == replay((1L to 100L).map(x + _)), out("absent").toString)
+    // the planted cross-month false positive is really in the count
+    assert(out("present")._4 >= 1L, out("present").toString)
+    assert(out("present")._3 == 100L) // each corpus key actual in its month
+  }
+
+  test("balance report: post-cutoff mass on one key overloads its frozen bucket and fires the rebalance flag") {
+    import spark.implicits._
+    def mk(mo: String, ks: Seq[Long]) =
+      ks.map(k => (java.sql.Timestamp.valueOf(s"$mo-01 00:00:00"), k))
+    // base epoch: keys 1..8 × 1 row → B=4 bounds at lo = 1, 3, 5, 7;
+    // after the cutoff 16 more rows land on key 8 → bucket 3 holds 18 of
+    // 24 rows (load_ratio 3.0, flagged) while the others sit at 0.33
+    val orders = (mk("1997-06", 1L to 8L) ++
+      mk("1999-01", Seq.fill(16)(8L))).toDF("o_orderdate", "o_custkey")
+    val out = Queries16.partitionBalanceReport(orders, "1998-01-01",
+      "o_custkey", 4, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getInt(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 0.333333, 0), (1L, 2L, 2L, 0.333333, 0),
+      (2L, 2L, 2L, 0.333333, 0), (3L, 2L, 18L, 3.0, 1)), out.mkString(","))
+  }
+
+  test("pruning sim: date predicate prunes earlier months, price predicate prunes low-max months, non-orders query reads unsupported") {
+    import spark.implicits._
+    val qlog = Seq(
+      "SELECT * FROM orders WHERE o_orderdate >= DATE '1995-03-01'",
+      "SELECT * FROM orders WHERE o_orderdate >= DATE '1995-03-01'",
+      "SELECT a FROM orders JOIN x ON 1=1 WHERE o_totalprice > 500.0",
+      "SELECT c FROM customer").toDF("query")
+    def mk(mo: String, vs: Seq[Double]) =
+      vs.map(v => (java.sql.Timestamp.valueOf(s"$mo-01 00:00:00"), v))
+    // months: 01 (max 100), 02 (max 900), 03 (max 400)
+    val orders = (mk("1995-01", Seq(100.0)) ++ mk("1995-02", Seq(900.0, 10.0)) ++
+      mk("1995-03", Seq(400.0))).toDF("o_orderdate", "o_totalprice")
+    val out = Queries16.workloadPruningSim(qlog, orders).collect()
+      .map(r => r.getString(0).take(14) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // date query (2 runs): months 01, 02 < "1995-03" pruned → 2 of 3
+    assert(out("SELECT * FROM ") == ((2L, 1, 3L, 2L)), out.toString)
+    // price query: months with max <= 500 pruned → 01 and 03
+    assert(out("SELECT a FROM ") == ((1L, 1, 3L, 2L)), out.toString)
+    // non-orders query: supported 0, nothing pruned
+    assert(out("SELECT c FROM ") == ((1L, 0, 3L, 0L)), out.toString)
+  }
+
   test("salt plan: the hot key's factor is the ceil of its bucket-relative weight; ties order by key") {
     import spark.implicits._
     // 64 rows: user 9 has 32 (share 0.5, B=8 → factor 4), users 1..4 have

@@ -1214,4 +1214,54 @@ class StreamingSpec extends SparkSpec {
     assert(one(StreamingAdmission.Overflow).nDocs == 3L,
       s"overflow must hold s2's two docs + s3's one: ${one(StreamingAdmission.Overflow)}")
   }
+
+  test("streaming index maintenance snapshot == the batch-built indexes across any micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIndex
+    val rows = TableRegistry.table(spark, sfDir, "orders")
+      .select(col("o_orderdate"), col("o_custkey"), col("o_totalprice"))
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+    // batch twins: the DECLARED index keys built from the full frame
+    val df = rows.toDF("o_orderdate", "o_custkey", "o_totalprice")
+    val bloomWant = Queries16.bloomPartitionIndex(df, 16384L, 3, 777L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getInt(5)))).toMap
+    val zoneWant = Queries16.zonemapPartitionIndex(df, "o_totalprice",
+      249000.0, 249250.0).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    def run(splits: Seq[Seq[(java.sql.Timestamp, Long, Double)]])
+        : Map[String, StreamingIndex.PartState] = {
+      val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("sidx_ckpt").toString
+      @volatile var last = Map.empty[String, StreamingIndex.PartState]
+      val q = StreamingIndex.monitor(
+        stream.toDF().toDF("o_orderdate", "o_custkey", "o_totalprice"), ckpt) {
+        (_, st) => last = st
+      }
+      try {
+        splits.foreach { b => stream.addData(b); q.processAllAvailable() }
+        last
+      } finally q.stop()
+    }
+    val (a, rest) = rows.splitAt(rows.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val snap = run(Seq(a, b, c))
+    assert(snap.keySet == bloomWant.keySet, "month partitions drifted")
+    snap.foreach { case (m, s) =>
+      assert((s.nRows, s.bits.size.toLong) ==
+        ((bloomWant(m)._1, bloomWant(m)._2)),
+        s"$m: streamed rows/bits ${(s.nRows, s.bits.size)} vs batch ${bloomWant(m)}")
+      assert((s.minVal, s.maxVal) == zoneWant(m),
+        s"$m: streamed envelope ${(s.minVal, s.maxVal)} vs batch ${zoneWant(m)}")
+      // the streamed Bloom answers probes exactly like the batch index
+      val maybe = if (StreamingIndex.bitsOfKey(777L, 16384L, 3)
+        .subsetOf(s.bits)) 1 else 0
+      assert(maybe == bloomWant(m)._3, s"$m: probe verdict drifted")
+    }
+    // arrival-order invariance: reversed and single-batch runs land on
+    // the identical state (all merges commutative: sum/min/max/union)
+    assert(run(Seq(c, b, a)) == snap, "reversed arrival drifted")
+    assert(run(Seq(rows)) == snap, "single-batch run drifted")
+  }
 }
