@@ -16,6 +16,28 @@ object Bench {
       // regression at local[32], where bytes-per-core is small and the
       // open cost IS the floor. The many-small-files fix lives scoped in
       // Multimodal.ingestSession (only binaryFile listings see 128 KB).
+      //
+      // opt-r15: respect AQE's advisory partition size when coalescing
+      // instead of stopping at defaultParallelism (the Spark-docs
+      // recommendation). With the default parallelismFirst=true every
+      // tiny reduce stage keeps ~defaultParallelism partitions, so at 32
+      // cores each small shuffle runs 32 micro-tasks of pure scheduling
+      // overhead (measured: a uniform per-key tax, e.g.
+      // source_overlap_matrix 1.08 s at local[32] vs 0.29 s at local[4]
+      // on identical data). At cluster scale the same setting yields the
+      // 64 MB-advisory-sized reduce partitions guide §2.2 calls for —
+      // this is NOT a local-only tune; map-stage parallelism still scales
+      // with cores.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // …with the advisory target parameterised: 8 MB locally (A/B'd —
+      // 64 MB over-coalesces medium shuffles to 1 task and costs the keys
+      // with real post-shuffle compute their parallelism at 32 cores,
+      // e.g. dedup_cluster_lsh 1.74 → 2.40 s; 8 MB keeps KB-sized
+      // shuffles at 1 task and ~50-100 MB shuffles at 6-12). On a
+      // cluster set SPARK_GRAFT_ADVISORY to 64m-256m per guide §2.2 —
+      // the right value tracks executor memory per core, not this host.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: analysis-time deprecation warnings land immediately

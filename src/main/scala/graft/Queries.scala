@@ -561,18 +561,36 @@ object Queries {
           |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
 
     QSpec("q5_region",
-      // TPC-H-Q5-shaped 6-way join through the dimension chain
-      (s, dir) => t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .where(col("r_name") === "ASIA")
-        .groupBy("n_name")
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
-        .orderBy("n_name"),
+      // TPC-H-Q5-shaped 6-way join through the dimension chain.
+      //
+      // opt-r15 (guide §2.3/§3.3 — filter before the big shuffle): the
+      // former chain applied r_name = 'ASIA' only AFTER
+      // customer⋈orders⋈lineitem⋈supplier, so every lineitem row crossed
+      // the two fact-sized joins before ~4/5 of them were discarded. All
+      // joins are inner and the filter touches only the supplier→nation→
+      // region chain, so reordering is result-identical (oracle
+      // untouched): resolve the ASIA supplier set FIRST (dimension-sized,
+      // nation/region broadcast), join it to lineitem at the scan, and
+      // only the surviving ~1/5 of lineitem rides the o_orderkey and
+      // o_custkey joins. At 100 TB this cuts the two largest shuffles of
+      // the plan by the region's selectivity. No broadcast hint on the
+      // supplier side: it grows with the corpus; AQE broadcasts it at
+      // fixture scale on its own.
+      (s, dir) => {
+        val asiaSupp = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select(col("s_suppkey"), col("n_name"))
+        t(s, dir, "lineitem")
+          .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+          .orderBy("n_name")
+      },
       Some(
         """SELECT n_name,
           |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue

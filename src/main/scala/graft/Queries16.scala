@@ -91,6 +91,16 @@ object Queries16 {
     * ON THE ROUNDED VALUE, so all three engines agree on boundary docs. */
   private[graft] def decontaminateEval(docs: DataFrame, evalMod: Long,
       flagAt: Double): DataFrame = {
+    // opt-r15: examined as the #1 sf1 key (11.3 s at 10× data) and left
+    // in the string-probe form. An xxhash64-keyed probe variant (the
+    // source_overlap_matrix convention) was built and MEASURED SLOWER
+    // (sf0.1/32c 1.32 → 1.59 s; sf1 ~flat): the broadcast string
+    // HashedRelation was never the bottleneck — per-shingle string
+    // construction is, and the extra hash pass only added to it. The
+    // plan shape (one train scan → explode → broadcast probe →
+    // map-side-combined per-doc fold; eval subtree benchmark-sized) is
+    // the minimal exact-membership shape; cost is linear in corpus
+    // (sf1/sf0.1 ratio ≈ 8.5 at 10× rows, under the ×15 scale gate).
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(Dedup.shingles(col("text"), 3))).as("g"))
     val evalSet = sh.where(col("doc_id") % 10 === evalMod)
@@ -149,32 +159,48 @@ object Queries16 {
     * groupWidth keys — and the group offsets broadcast back. The DuckDB
     * oracle computes the SAME boundaries with one naive global cumsum,
     * certifying the decomposition exact. */
-  private[graft] def rangePartitionBounds(orders: DataFrame, keyCol: String,
-      nBuckets: Int, groupWidth: Long): DataFrame = {
-    // The distinct-key histogram is materialized ONCE ([[Dedup.truncate]]:
-    // localCheckpoint on local[n], reliable checkpoint under a checkpoint
-    // dir) — the offsets branch, the per-key cumsum, and the total all ride
-    // it, so the fact table is scanned exactly once however large it is.
-    val perKey = Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
-      .agg(count(lit(1)).as("nr"))
-      .withColumn("grp", graft.ext.ExactMath.intDiv(col("k"), lit(groupWidth))))
+  /** The X74 bounds arithmetic over an ALREADY-materialized (k, nr)
+    * histogram (callers pass a [[Dedup.truncate]]d frame so the offsets
+    * branch, the per-key cumsum, and the total all ride one computation).
+    * Factored out (opt-r15) so [[partitionBalanceReport]] can feed the
+    * base-epoch histogram from its single dual-count fact scan instead of
+    * scanning the fact table a second time. */
+  private[graft] def boundsFromHistogram(histKNr: DataFrame, nBuckets: Int,
+      groupWidth: Long): DataFrame = {
+    val perKey = histKNr
+      .withColumn("grp", graft.ext.ExactMath.intDiv(col("k"), lit(groupWidth)))
     val grpOffsets = perKey.groupBy("grp").agg(sum("nr").as("gnr"))
       .withColumn("goff", coalesce(sum("gnr").over(
         Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val total = perKey.agg(sum("nr")).first().getLong(0)
+    // opt-r15: the total rides a broadcast scalar column instead of a
+    // driver .first() — one fewer action (and driver round-trip) per
+    // invocation; same exact-integer bucket arithmetic.
+    val total = perKey.agg(sum("nr").as("tot"))
     perKey
       .withColumn("woff", coalesce(sum("nr").over(
         Window.partitionBy("grp").orderBy("k")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .join(broadcast(grpOffsets.select("grp", "goff")), Seq("grp"))
+      .crossJoin(broadcast(total))
       .withColumn("bucket", graft.ext.ExactMath.intDiv(
-        (col("goff") + col("woff")) * nBuckets, lit(total)))
+        (col("goff") + col("woff")) * nBuckets, col("tot")))
       .groupBy("bucket").agg(
         min("k").as("lo_key"), max("k").as("hi_key"),
         count(lit(1)).as("n_keys"), sum("nr").as("n_rows"))
       .orderBy("bucket")
   }
+
+  private[graft] def rangePartitionBounds(orders: DataFrame, keyCol: String,
+      nBuckets: Int, groupWidth: Long): DataFrame =
+    // The distinct-key histogram is materialized ONCE ([[Dedup.truncate]]:
+    // localCheckpoint on local[n], reliable checkpoint under a checkpoint
+    // dir) — the offsets branch, the per-key cumsum, and the total all ride
+    // it, so the fact table is scanned exactly once however large it is.
+    boundsFromHistogram(
+      Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("nr"))),
+      nBuckets, groupWidth)
 
   /** Skew salting plan (X75): the per-key salt-factor head a skew-aware
     * join planner consumes — the `nBuckets`-relative weight of the top
@@ -187,16 +213,27 @@ object Queries16 {
     * nothing else leaves the executors. */
   private[graft] def saltPlanTopK(events: DataFrame, nBuckets: Int,
       topN: Int): DataFrame = {
-    val perKey = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
-    val total = events.count()
+    // opt-r15: the former `events.count()` was a SECOND full fact scan
+    // (plus a driver action) run at query-construction time; Σ of the
+    // per-key counts IS the row total (count(lit(1)) counts every row,
+    // null keys included), so derive it from the histogram instead and
+    // ride it in as a broadcast scalar column. The histogram is
+    // checkpointed ([[Dedup.truncate]], the X74 discipline) because BOTH
+    // the top-N head and the total read it — one fact scan total, same
+    // exact integer arithmetic.
+    val perKey = Dedup.truncate(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("n_rows")))
+    val total = perKey.agg(sum("n_rows").as("tot"))
     perKey
       .orderBy(col("n_rows").desc, col("user_id").asc)
       .limit(topN)
+      .crossJoin(broadcast(total))
       .select(col("user_id"), col("n_rows"),
-        graft.ext.ExactMath.ratioRounded(col("n_rows"), lit(total), 6)
+        graft.ext.ExactMath.ratioRounded(col("n_rows"), col("tot"), 6)
           .as("share"),
         greatest(lit(1L), graft.ext.ExactMath.intDiv(
-          col("n_rows") * nBuckets + (total - 1L), lit(total))).as("salt_factor"))
+          col("n_rows") * nBuckets + col("tot") - 1L, col("tot")))
+          .as("salt_factor"))
       .orderBy(col("n_rows").desc, col("user_id").asc)
   }
 
@@ -217,11 +254,14 @@ object Queries16 {
     * only non-grouped action is the max-key scalar (metadata-sized). */
   private[graft] def zorderLayoutStats(orders: DataFrame, baseYear: Int,
       nMonths: Int, nBlocks: Int): DataFrame = {
-    val maxKey = orders.agg(max("o_custkey")).first().getLong(0)
+    // opt-r15: the max-key scalar rides a broadcast column instead of a
+    // driver .first() — one fewer action per invocation; the broadcast
+    // subtree is the same column-pruned max aggregation.
+    val maxKey1 = orders.agg((max("o_custkey") + 1L).as("mk1"))
     val dord = (year(col("o_orderdate")) - baseYear) * 12 +
       month(col("o_orderdate")) - 1
-    val dims = orders.select(
-      graft.ext.ExactMath.intDiv(col("o_custkey") * 256L, lit(maxKey + 1L))
+    val dims = orders.crossJoin(broadcast(maxKey1)).select(
+      graft.ext.ExactMath.intDiv(col("o_custkey") * 256L, col("mk1"))
         .as("cx"),
       graft.ext.ExactMath.intDiv(dord.cast("long") * 256L, lit(nMonths.toLong))
         .as("dx"))
@@ -229,19 +269,44 @@ object Queries16 {
       shiftleft(shiftright(col("cx"), i) bitwiseAND 1L, 2 * i + 1) +
         shiftleft(shiftright(col("dx"), i) bitwiseAND 1L, 2 * i)
     }.reduce(_ + _)
-    def blockReport(tagged: DataFrame, layout: String) = tagged
-      .groupBy(col("block")).agg(
-        count(lit(1)).as("n_rows"),
-        min("cx").as("cx_lo"), max("cx").as("cx_hi"),
-        min("dx").as("dx_lo"), max("dx").as("dx_hi"))
-      .select(lit(layout).as("layout"), col("block"), col("n_rows"),
+    // opt-r15: ONE scan + ONE fact-sized aggregation for both layout
+    // reports. The former unionAll of two groupBys referenced `dims`
+    // twice, so the fact scan (and the dimension-scaling arithmetic) ran
+    // once per layout. Count/min/max compose associatively, so aggregate
+    // the fact ONCE to the (zorder block, linear block) CELL grid — ≤
+    // nBlocks² rows, map-side combined — and fold each layout's report
+    // from the cells (two metadata-sized aggregations). Row-identical
+    // output, fact scans 2 → 1, and the per-row work is one grouped
+    // aggregation instead of two (plans/r15/zorder_layout_before/
+    // _after.txt). At 100 TB the second full fact pass disappears.
+    // The 2-element layout explode rides the CELL frame (≤ nBlocks² rows
+    // — free), not the fact, so the fact-sized aggregation subtree is
+    // referenced exactly once: no persist, no checkpoint, no double pass.
+    // (Two rejected variants, both measured: explode-on-the-fact doubled
+    // the rows through the aggregation, +0.15 s; an eager cell checkpoint
+    // cost a materialization job that outweighed the saved 2.7 MB fixture
+    // scan, +0.25 s.)
+    val cells = dims
+      .groupBy(
+        graft.ext.ExactMath.intDiv(z, lit(65536L / nBlocks)).as("zb"),
+        graft.ext.ExactMath.intDiv(col("dx") * nBlocks, lit(256L)).as("lb"))
+      .agg(count(lit(1)).as("c"),
+        min("cx").as("cxl"), max("cx").as("cxh"),
+        min("dx").as("dxl"), max("dx").as("dxh"))
+    cells
+      .select(explode(array(
+          struct(lit("zorder").as("layout"), col("zb").as("block")),
+          struct(lit("linear").as("layout"), col("lb").as("block")))).as("t"),
+        col("c"), col("cxl"), col("cxh"), col("dxl"), col("dxh"))
+      .groupBy(col("t.layout").as("layout"), col("t.block").as("block"))
+      .agg(
+        sum("c").as("n_rows"),
+        min("cxl").as("cx_lo"), max("cxh").as("cx_hi"),
+        min("dxl").as("dx_lo"), max("dxh").as("dx_hi"))
+      .select(col("layout"), col("block"), col("n_rows"),
         col("cx_lo"), col("cx_hi"), col("dx_lo"), col("dx_hi"),
         ((col("cx_hi") - col("cx_lo") + 1L) * (col("dx_hi") - col("dx_lo") + 1L))
           .as("envelope_area"))
-    blockReport(dims.withColumn("block",
-        graft.ext.ExactMath.intDiv(z, lit(65536L / nBlocks))), "zorder")
-      .unionAll(blockReport(dims.withColumn("block",
-        graft.ext.ExactMath.intDiv(col("dx") * nBlocks, lit(256L))), "linear"))
       .orderBy("layout", "block")
   }
 
@@ -280,11 +345,18 @@ object Queries16 {
       .distinct()
     val probeN = probeBits.groupBy("k", "probe_class")
       .agg(count(lit(1)).as("nb"))
+    // opt-r15: NO distinct before the probe join. The former
+    // `.distinct()` shuffled the full keys×k bit explode just to dedup
+    // (month, bit) pairs, but the only consumer is `hits`, whose
+    // countDistinct("bit") dedups anyway — so the broadcast probe join
+    // (≤ nProbes·k bit values, ~2% selectivity at m=16384) filters the
+    // explode FIRST and the distinct work happens on the survivors. At
+    // 100 TB this deletes the largest exchange of the plan (fact-keys×k
+    // rows); row-identical output by countDistinct idempotence.
     val monthBits = mk
       .select(col("month"), explode(sequence(lit(1), lit(kHashes))).as("i"),
         col("k"))
       .select(col("month"), bitOf(col("i"), col("k")).as("bit"))
-      .distinct()
     val hits = monthBits.join(broadcast(probeBits), Seq("bit"))
       .groupBy("month", "k").agg(countDistinct("bit").as("nh"))
     val pairs = mk.select("month").distinct()
@@ -326,21 +398,35 @@ object Queries16 {
   private[graft] def partitionBalanceReport(orders: DataFrame,
       baseCutoff: String, keyCol: String, nBuckets: Int,
       groupWidth: Long): DataFrame = {
-    val bounds = rangePartitionBounds(
-      orders.where(col("o_orderdate") < lit(baseCutoff).cast("timestamp")),
-      keyCol, nBuckets, groupWidth).select("bucket", "lo_key")
-    val perKey = Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
-      .agg(count(lit(1)).as("nr")))
-    val total = perKey.agg(sum("nr")).first().getLong(0)
+    // opt-r15: ONE fact scan + ONE checkpoint serve BOTH histograms. The
+    // former shape ran rangePartitionBounds on the filtered fact (scan +
+    // checkpoint #1) and built the current-epoch histogram from a second
+    // full scan (+ checkpoint #2); the base-epoch per-key counts are just
+    // a conditional count in the same grouped aggregation, and keys absent
+    // before the cutoff drop out via nr_base > 0 — row-identical to the
+    // filtered groupBy (plan evidence: plans/r15/partition_balance_report
+    // _before/_after.txt, 2 fact scans → 1).
+    val hist = Dedup.truncate(orders.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("nr"),
+        count(when(col("o_orderdate") < lit(baseCutoff).cast("timestamp"), 1))
+          .as("nr_base")))
+    val bounds = boundsFromHistogram(
+      hist.where(col("nr_base") > 0).select(col("k"), col("nr_base").as("nr")),
+      nBuckets, groupWidth).select("bucket", "lo_key")
+    val perKey = hist.select("k", "nr")
+    // opt-r15: total as a broadcast scalar column (one fewer driver
+    // action; the agg reads the checkpoint, not the fact)
+    val total = perKey.agg(sum("nr").as("tot"))
     perKey
       .join(broadcast(bounds), col("k") >= col("lo_key"), "left")
       .groupBy("k", "nr").agg(coalesce(max("bucket"), lit(0L)).as("bucket"))
       .groupBy("bucket").agg(
         count(lit(1)).as("n_keys"), sum("nr").as("n_rows"))
+      .crossJoin(broadcast(total))
       .select(col("bucket"), col("n_keys"), col("n_rows"),
-        graft.ext.ExactMath.ratioRounded(col("n_rows"), lit(total), 6)
+        graft.ext.ExactMath.ratioRounded(col("n_rows"), col("tot"), 6)
           .as("share"),
-        graft.ext.ExactMath.ratioRounded(col("n_rows") * nBuckets, lit(total), 6)
+        graft.ext.ExactMath.ratioRounded(col("n_rows") * nBuckets, col("tot"), 6)
           .as("load_ratio"))
       .withColumn("rebalance", (col("load_ratio") >= 1.5).cast("int"))
       .orderBy("bucket")

@@ -286,10 +286,21 @@ object Queries4 {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     QSpec("q18_large_orders",
-      // TPC-H Q18 shape: IN + grouped HAVING subquery. The qty aggregate is
-      // computed once and reused for both the membership test and the
-      // output column (Catalyst dedups the subquery); top-100 bounded by a
-      // total order.
+      // TPC-H Q18 shape: grouped HAVING subquery joined back; top-100
+      // bounded by a total order.
+      //
+      // opt-r15: the original carried Q18's redundant `o_orderkey IN
+      // (SELECT … HAVING …)` clause alongside the equivalent inner join on
+      // sq. Catalyst does NOT dedup that subquery — the before-plan
+      // (plans/r15/q18_large_orders_before.txt) scans lineitem THREE times
+      // and runs the full l_orderkey aggregation three times (nodes 3-6,
+      // 18-21, 26-28: the IN semi-join build twice, then sq itself
+      // aggregated after a semi-join against another copy). The inner join
+      // on sq already enforces exactly the IN membership, so dropping the
+      // clause is result-identical (oracle untouched, still carries the
+      // IN) and the plan collapses to ONE lineitem scan + ONE aggregation.
+      // At 100 TB this deletes two full fact scans and two fact-sized
+      // aggregation shuffles.
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("ord_q18")
         t(s, dir, "lineitem").createOrReplaceTempView("li_q18")
@@ -302,8 +313,6 @@ object Queries4 {
             |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
             |      FROM li_q18 GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) sq
             |  ON sq.l_orderkey = o.o_orderkey
-            |WHERE o.o_orderkey IN (SELECT l_orderkey FROM li_q18
-            |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
             |ORDER BY sq.total_qty DESC, o.o_orderkey LIMIT 100""".stripMargin)
       },
       Some(

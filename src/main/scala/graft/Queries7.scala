@@ -57,12 +57,14 @@ object Queries7 {
       // as cms_token_counts), so the error CURVE itself is hash-checked.
       // Scale shape unchanged: per-width cells are sums — map-side combine
       // IS the merge.
+      // opt-r15: the two widths ride ONE corpus pass
+      // ([[Sketches.cmsTokenCountsMulti]] — the former per-width unionAll
+      // tokenized and counted the corpus once per width; the width is just
+      // another explode dimension, which is how the oracle already
+      // computes the curve). Rows identical per width by associativity.
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        Seq(16, 64).map { w =>
-          Sketches.cmsTokenCounts(docs, d = 4, w = w)
-            .select(lit(w).as("w"), col("true_cnt"), col("cms_est"))
-        }.reduce(_ unionAll _)
+        Sketches.cmsTokenCountsMulti(docs, d = 4, ws = Seq(16, 64))
           .groupBy("w")
           .agg(count(lit(1)).as("n_tokens"),
             sum(when(col("cms_est") === col("true_cnt"), 1L).otherwise(0L)).as("n_exact"),

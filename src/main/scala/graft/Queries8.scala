@@ -26,17 +26,35 @@ object Queries8 {
       // Q7 shape: nation-to-nation trade volume through the full
       // supplier→lineitem→orders→customer chain with BOTH nation dims
       // joined (broadcast), grouped by the directed nation pair and year.
+      // opt-r15 (guide §2.3 — filter before the big shuffle): the former
+      // chain joined the FULL supplier and customer tables through
+      // lineitem⋈orders and applied the two-nation predicate only at the
+      // end, so ~all lineitem rows crossed both fact-sized joins to be
+      // discarded (2 of N nations survive). The disjunction only ever
+      // admits supp_nation ∈ {N0,N1} AND cust_nation ∈ {N0,N1}, so
+      // prefiltering each dimension side to that superset is
+      // result-identical (the exact OR is still applied before the
+      // rollup; oracle untouched). Lineitem now shrinks to the two
+      // nations' suppliers AT THE SCAN-SIDE join, before the o_orderkey
+      // shuffle; orders shrinks via the filtered-customer join before
+      // meeting lineitem.
       (s, dir) => {
         val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
           col("n_name").as("supp_nation"))
         val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
           col("n_name").as("cust_nation"))
-        t(s, dir, "supplier")
-          .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        val supp2 = t(s, dir, "supplier")
           .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .where(col("supp_nation").isin("NATION_0", "NATION_1"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust2 = t(s, dir, "customer")
           .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .where(col("cust_nation").isin("NATION_0", "NATION_1"))
+          .select(col("c_custkey"), col("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(supp2, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(cust2, col("o_custkey") === col("c_custkey"))
           .where((col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
             (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
           .groupBy(col("supp_nation"), col("cust_nation"),
@@ -65,19 +83,30 @@ object Queries8 {
       // Q8 shape: market share of one supplier nation inside one customer
       // region per year — conditional share of a revenue aggregate. The
       // share is ONE division of two decimal-exact sums per group.
+      // opt-r15 (guide §2.3 — filter before the big shuffle): r_name =
+      // 'ASIA' constrains only the customer→nation→region chain, yet the
+      // former plan applied it after supplier⋈lineitem⋈orders⋈customer —
+      // the full fact crossed every join first. Resolve the ASIA customer
+      // set FIRST (nation/region broadcast), shrink orders through it
+      // BEFORE the o_orderkey join, and lineitem then meets an
+      // already-region-filtered orders side. All joins inner, filter
+      // dimension-only → result-identical; oracle untouched.
       (s, dir) => {
         val nS = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
           col("n_name").as("supp_nation"))
         val nC = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
           col("n_regionkey").as("c_rk"))
-        val joined = t(s, dir, "supplier")
-          .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
+        val asiaCust = t(s, dir, "customer")
           .join(broadcast(nC), col("c_nationkey") === col("c_nk"))
           .join(broadcast(t(s, dir, "region")), col("c_rk") === col("r_regionkey"))
           .where(col("r_name") === "ASIA")
+          .select(col("c_custkey"))
+        val joined = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").join(asiaCust,
+              col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nS), col("s_nationkey") === col("s_nk"))
         joined
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
@@ -154,17 +183,27 @@ object Queries8 {
            |WHERE year(l_shipdate) = 1997""".stripMargin)),
 
     QSpec("q17_small_qty",
-      // Q17 shape: per-part average-quantity correlated aggregate joined
-      // back — never a correlated re-scan per row. NO broadcast hint on
-      // the aggregate: it is fact-derived (part-cardinality grows with
-      // the corpus), so the join must stay a shuffle join on l_partkey at
-      // scale; AQE broadcasts it at fixture scale on its own.
+      // Q17 shape: per-part average-quantity correlated aggregate — never
+      // a correlated re-scan per row.
+      //
+      // opt-r15 (guide §2.4 — two operations keyed the same way share one
+      // exchange): the former groupBy-then-join-back scanned lineitem
+      // TWICE and shuffled twice (the narrow partkey aggregate, then the
+      // full fact for the join — the aggregate is fact-derived, so at
+      // scale that join is a second fact-sized shuffle). The per-part
+      // average is a window over l_partkey: ONE scan, ONE shuffle, and
+      // the avg expression is arithmetic-identical (same decimal(18,2)
+      // sum / count per part, divided as double), so every row lands the
+      // same side of the 0.5·avg predicate — oracle (which keeps the
+      // join-back form) hash-identical at all SFs. partkey is
+      // high-cardinality/unskewed, so no hot-key window task (the r12
+      // window audit criterion).
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
-          .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-            count(lit(1))).as("avg_qty"))
-        li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+        li.withColumn("avg_qty",
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
           .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double"), 2).as("small_qty_revenue"),

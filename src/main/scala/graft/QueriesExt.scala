@@ -331,9 +331,18 @@ object QueriesExt {
         // repartition by the partition column first: one file per partition
         // instead of (tasks × partitions) small files — the file-count
         // discipline that matters at 1000-executor scale.
+        // opt-r15: EXPLICIT partition count. A bare repartition(col) is an
+        // AQE-coalescible shuffle, and with advisory-size coalescing
+        // (Bench opt-r15) the write stage collapsed to 1-2 tasks — the
+        // whole fact written by one thread (measured +1.7 s at sf0.1; the
+        // same single-writer cliff a cluster would hit). Pinning the count
+        // to the session's shuffle parallelism keeps the writers parallel
+        // and the per-month file layout identical (partitionBy splits by
+        // value either way).
         t(s, dir, "lineitem")
           .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
-          .repartition(col("ship_month"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("ship_month"))
           .write.mode("overwrite").partitionBy("ship_month").parquet(out)
         s.read.parquet(out)
           .groupBy("ship_month")

@@ -19,6 +19,11 @@ object Verify {
       // files ingest fix is scoped to Multimodal.ingestSession (r14
       // verdict #2 — session-wide 128 KB shattered regular scans' splits
       // at high core counts; see graft.Bench for the mechanism)
+      // opt-r15: same AQE coalescing policy as graft.Bench (respect the
+      // advisory size; see Bench.scala for the measured mechanism)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

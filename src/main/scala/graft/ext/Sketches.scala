@@ -89,6 +89,29 @@ object Sketches {
       .orderBy("tok")
   }
 
+  /** [[cmsTokenCounts]] for SEVERAL widths out of ONE corpus pass
+    * (opt-r15): the token-count aggregation — the only corpus-sized work —
+    * runs once, and the width dimension rides the same per-row struct
+    * explode as the d hash rows (the shape the DuckDB error-curve twin
+    * already uses). Per-width rows identical to cmsTokenCounts(docs, d, w)
+    * by associativity: cells are sums of the same per-token counts. */
+  def cmsTokenCountsMulti(docs: DataFrame, d: Int, ws: Seq[Int]): DataFrame = {
+    ws.foreach(requireDims(d, _))
+    val tokc = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", polyHashCol(col("tok")))
+    val rb = tokc.select(col("tok"), col("cnt"),
+      explode(array((for { w <- ws; i <- 1 to d } yield
+        struct(lit(w).as("w"), lit(i).as("i"),
+          bucket(col("th"), i, w).as("bucket"))): _*)).as("rb"))
+      .select(col("tok"), col("cnt"), col("rb.w").as("w"),
+        col("rb.i").as("i"), col("rb.bucket").as("bucket"))
+    val sketch = rb.groupBy("w", "i", "bucket").agg(sum("cnt").as("cell"))
+    rb.join(sketch, Seq("w", "i", "bucket"))
+      .groupBy("w", "tok")
+      .agg(max("cnt").as("true_cnt"), min("cell").as("cms_est"))
+  }
+
   /** The raw count-min CELL TABLE from a stream (or batch) of documents:
     * each token occurrence increments its d cells, so the output is the
     * (i, bucket, cell) state a STREAMING aggregation maintains

@@ -178,6 +178,10 @@ class ListenerSpec extends SparkSpec {
       "Queries5.scala", // length_bucket_batches in-sub numbering (two-level)
       "Queries6.scala", // vocab_growth two-level bucket prefix
       "Queries7.scala", // chunk_cdc (per doc), cluster_keep_policy (~256-doc clusters)
+      "Queries8.scala", // q17 per-part avg window (opt-r15) — per-entity
+      //                   (l_partkey) frames, bounded by part fan-out; the
+      //                   window replaced a second fact scan + fact-sized
+      //                   join-back (one exchange serves avg + predicate)
       "Queries9.scala", // cohort_retention — user over DISTINCT weeks (≤ #weeks rows)
       "Queries11.scala", // scd2 (entity history, declared-capped),
       //                    sample_weight two-level, curriculum 50-row head
