@@ -38,13 +38,14 @@ object Queries11 {
     * doc_ppl_bigram alone (the memoizedSignatures double-compute class). */
   private def pplBigramsMemo(s: SparkSession, dir: String): DataFrame =
     graft.ext.DfMemo.cached(s, Some(dir), "ppl_bigrams") {
+      // opt-r15: word bigrams ARE the 2-shingle kernel output for docs of
+      // ≥ 2 tokens (the guard excludes the kernel's whole-text collapse),
+      // so the interpreted transform+concat runs as one codegen pass
       t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .as("bg"))
+        .select(col("doc_id"),
+          explode(graft.ext.Dedup.shingles(col("text"), 2)).as("bg"))
     }
 
   /** The [[SimSearch.assignClusters]] frame at corpus-scaled k, memoized
@@ -527,10 +528,12 @@ object Queries11 {
         // memoized + persisted: the per-source sizes and BOTH sides of the
         // inverted-index self-join read this distinct-shingle frame
         val sh = graft.ext.DfMemo.cached(s, Some(dir), "srcshingle") {
+          // opt-r15: one-pass DistinctShingleHashes kernel (no shingle
+          // strings materialize; values bit-identical — see Queries6's
+          // span_shh note)
           t(s, dir, "documents")
             .select(col("source"),
-              explode(array_distinct(graft.ext.Dedup.shingles(col("text"), 3))).as("sh"))
-            .select(col("source"), xxhash64(col("sh")).as("shh"))
+              explode(graft.ext.Dedup.distinctShingleHashes(col("text"), 3)).as("shh"))
             .distinct()
         }
         val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))

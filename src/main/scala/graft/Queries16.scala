@@ -91,22 +91,28 @@ object Queries16 {
     * ON THE ROUNDED VALUE, so all three engines agree on boundary docs. */
   private[graft] def decontaminateEval(docs: DataFrame, evalMod: Long,
       flagAt: Double): DataFrame = {
-    // opt-r15: examined as the #1 sf1 key (11.3 s at 10× data) and left
-    // in the string-probe form. An xxhash64-keyed probe variant (the
-    // source_overlap_matrix convention) was built and MEASURED SLOWER
-    // (sf0.1/32c 1.32 → 1.59 s; sf1 ~flat): the broadcast string
-    // HashedRelation was never the bottleneck — per-shingle string
-    // construction is, and the extra hash pass only added to it. The
-    // plan shape (one train scan → explode → broadcast probe →
-    // map-side-combined per-doc fold; eval subtree benchmark-sized) is
-    // the minimal exact-membership shape; cost is linear in corpus
-    // (sf1/sf0.1 ratio ≈ 8.5 at 10× rows, under the ×15 scale gate).
+    // opt-r15: the #1 sf1 key (12.6 s at 10× data). Root cause was never
+    // the probe side but per-shingle STRING construction: the HOF
+    // shingles() form ran an interpreted per-window lambda allocating
+    // every window string (an earlier xxhash64-variant that still BUILT
+    // the strings before hashing measured SLOWER, 1.32 → 1.59 s at
+    // sf0.1/32c — hashing on top of construction only added work). The
+    // DistinctShingleHashes kernel deletes construction itself: one
+    // codegen pass over the text bytes dedups window VIEWS and emits
+    // 64-bit hashes, so only (doc_id, gh:long) rows flow through the
+    // explode → broadcast probe → map-side-combined per-doc fold. Engine
+    // joins on the 64-bit shingle hash, the oracle on shingle identity —
+    // the span_dup_fraction / source_overlap_matrix collision convention
+    // (same shingle space, w=3, already accepted there; counts identical
+    // short of a 64-bit birthday collision, re-verified on the oracle at
+    // sf0.001/0.01/0.1 + skew + sf1). Plan shape unchanged: one train
+    // scan, eval subtree benchmark-sized, no corpus-sized shuffle.
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(Dedup.shingles(col("text"), 3))).as("g"))
+      explode(Dedup.distinctShingleHashes(col("text"), 3)).as("gh"))
     val evalSet = sh.where(col("doc_id") % 10 === evalMod)
-      .select("g").distinct().withColumn("hit", lit(1L))
+      .select("gh").distinct().withColumn("hit", lit(1L))
     sh.where(col("doc_id") % 10 =!= evalMod)
-      .join(broadcast(evalSet), Seq("g"), "left")
+      .join(broadcast(evalSet), Seq("gh"), "left")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_shingles"),
         coalesce(sum("hit"), lit(0L)).as("n_hits"))

@@ -211,10 +211,13 @@ object Queries6 {
         // (measured 2× the key at sf1); persisted once, both branches
         // read the materialized sketch (the memoizedSignatures discipline)
         val sh = graft.ext.DfMemo.cached(s, Some(dir), "span_shh") {
+          // opt-r15: one-pass DistinctShingleHashes kernel — the former
+          // explode(array_distinct(shingles)) + xxhash64(sh) built every
+          // distinct window STRING only to hash it at the next projection;
+          // values bit-identical (dedup on string identity, then xxhash64)
           t(s, dir, "documents")
             .select(col("doc_id"),
-              explode(array_distinct(Dedup.shingles(col("text"), 4))).as("sh"))
-            .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+              explode(Dedup.distinctShingleHashes(col("text"), 4)).as("shh"))
         }
         val df = sh.groupBy("shh").agg(count(lit(1)).as("ndocs"))
         sh.join(df, "shh")

@@ -60,10 +60,16 @@ object Queries9 {
       // size<3 guard matters: Spark's sequence(0, n) with n negative
       // generates a DESCENDING sequence, so an unguarded short doc would
       // fabricate out-of-range indices instead of an empty list.
+      // opt-r15: trigram list == the 3-shingle kernel output (adjacent
+      // tokens joined by the single spaces they were split on), so the
+      // interpreted transform+concat runs as the one-pass codegen
+      // ShingleArray kernel; the size<3 guard keeps its meaning (the
+      // kernel collapses short docs to ONE whole-text shingle, which this
+      // key must exclude, not emit)
       (s, dir) => t(s, dir, "documents")
-        .select(split(col("text"), " ").as("tk"))
+        .select(col("text"), split(col("text"), " ").as("tk"))
         .select(explode(when(size(col("tk")) >= 3,
-          expr("transform(sequence(0, size(tk)-3), i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"))
+          graft.ext.Dedup.shingles(col("text"), 3))
           .otherwise(expr("CAST(array() AS array<string>)"))).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("ngram")).limit(20),

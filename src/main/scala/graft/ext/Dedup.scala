@@ -87,12 +87,48 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
-  /** Word-shingle array (w consecutive tokens joined). */
+  /** Word-shingle array (w consecutive tokens joined). opt-r15: runs as the
+    * one-pass codegen [[graft.functions.ShingleArray]] kernel — the former
+    * `transform(sequence(…), i -> concat_ws(" ", slice(toks, i, w)))` form
+    * evaluated the per-window lambda INTERPRETED (HOFs are CodegenFallback)
+    * and allocated every window string; bit-identical (ShinglerSpec pins
+    * the HOF form as the executable spec). */
   def shingles(text: Column, w: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < w, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w)))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.ShingleArray(GraftColumnBridge.expression(text), w))
+  }
+
+  /** `array_distinct(shingles(text, w))` as one codegen pass (opt-r15). */
+  def distinctShingles(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.DistinctShingles(GraftColumnBridge.expression(text), w))
+  }
+
+  /** `transform(array_distinct(shingles(text, w)), xxhash64)` as one
+    * codegen pass — dedup on string identity, then one xxhash64 per
+    * distinct window; no shingle strings ever materialize (opt-r15). */
+  def distinctShingleHashes(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.DistinctShingleHashes(GraftColumnBridge.expression(text), w))
+  }
+
+  /** `transform(shingles(text, w), xxhash64)` — positional per-window
+    * hashes for the winnowing verification frame (opt-r15). */
+  def shingleHashes64(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.ShingleHashes(GraftColumnBridge.expression(text), w))
+  }
+
+  /** `size(array_distinct(shingles(text, w)))` with zero materialization
+    * (opt-r15; Gopher duplicate-bigram rule / repetition ratio). */
+  def distinctShingleCount(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.DistinctShingleCount(GraftColumnBridge.expression(text), w))
   }
 
   /** MinHash signature: each shingle string is hashed ONCE to a 64-bit
@@ -161,7 +197,7 @@ object Dedup {
     * build it per micro-batch over batch-sized input). */
   def signatureFrame(docs: DataFrame, shingleW: Int, k: Int): DataFrame =
     docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), shingleW)).as("sh"))
+      distinctShingles(col("text"), shingleW).as("sh"))
       .withColumn("sig", minhashPolySignature(col("sh"), k))
 
   /** [[signatureFrame]] materialized through DfMemo: the k-aggregate
@@ -352,7 +388,7 @@ object Dedup {
     val sh = DfMemo.cached(spark, cacheKey, s"jaccard_sh:$shingleW:$idCap",
       persistUnkeyed = true) {
       docs.where(col("doc_id") < idCap)
-        .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+        .select(col("doc_id"), distinctShingles(col("text"), shingleW).as("sh"))
         .withColumn("n", size(col("sh")))
     }
     val inv = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
@@ -387,7 +423,7 @@ object Dedup {
     val sh = DfMemo.cached(spark, cacheKey, s"jaccard_sh:$shingleW:$idCap",
       persistUnkeyed = true) {
       docs.where(col("doc_id") < idCap)
-        .select(col("doc_id"), array_distinct(shingles(col("text"), shingleW)).as("sh"))
+        .select(col("doc_id"), distinctShingles(col("text"), shingleW).as("sh"))
         .withColumn("n", size(col("sh")))
     }
     val inv = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("g"))

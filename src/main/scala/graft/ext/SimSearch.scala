@@ -16,7 +16,10 @@ object SimSearch {
 
   /** Cast float embedding to double once — keeps all arithmetic in fp64 so
     * results are reproducible against the DuckDB oracle. */
-  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  // opt-r15: plain Cast — codegen'd elementwise widening; the former
+  // transform(c, _.cast("double")) ran an interpreted per-element lambda
+  // (HOFs are CodegenFallback) on every embedding row
+  def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Native codegen dot product — bit-identical to the interpreted
     * `aggregate(zip_with(…))` fold (same ascending summation order) but

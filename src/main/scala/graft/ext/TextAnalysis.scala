@@ -226,10 +226,16 @@ object TextAnalysis {
     * in profile order with a strictly greater score. */
   def withLangIdOccurrence(df: DataFrame, textCol: String, out: String,
       profiles: Seq[(String, Seq[String])] = defaultTrigramProfiles): DataFrame = {
+    // opt-r15: the length-delta-of-replace() form allocated a full replaced
+    // COPY of the text per profile pattern (25 copies/row over the default
+    // profiles); LangOccurrenceScore counts the same non-overlapping
+    // occurrences allocation-free and replays the identical truncating
+    // arithmetic (ShinglerSpec pins equality incl. multi-byte profiles)
+    import org.apache.spark.sql.GraftColumnBridge
     val withScores = profiles.foldLeft(df) { case (d, (lang, ps)) =>
-      d.withColumn(s"__s_$lang", ps.map { p =>
-        ((length(col(textCol)) - length(replace(col(textCol), lit(p)))) / p.length).cast("int")
-      }.reduce(_ + _))
+      d.withColumn(s"__s_$lang", GraftColumnBridge.column(
+        graft.functions.LangOccurrenceScore(
+          GraftColumnBridge.expression(col(textCol)), ps)))
     }
     val scores = profiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
     val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
@@ -245,12 +251,15 @@ object TextAnalysis {
     * One codegen pass per row (array_distinct over the shingle array), no
     * shuffle — runs in the scan stage at any corpus size. */
   def repetitionRatio(text: Column): Column = {
+    // opt-r15: total == size(shingles) and the distinct count run as
+    // one-pass codegen kernels (the former size(array_distinct(shingles))
+    // materialized every bigram string just to hash and discard it)
     val grams = Dedup.shingles(text, 2)
     // integer-exact: 1 − distinct/total == (total − distinct)/total as a
     // rational; rounded without the engine-ambiguous double ROUND (see
     // ExactMath — denominators with a 2^7 factor land on the boundary)
     ExactMath.ratioRounded(
-      (size(grams) - size(array_distinct(grams))).cast("long"),
+      (size(grams) - Dedup.distinctShingleCount(text, 2)).cast("long"),
       size(grams).cast("long"), 6)
   }
 
@@ -272,7 +281,7 @@ object TextAnalysis {
     val stops = size(filter(toks, tk => tk.isin("the", "a"))).cast("long")
     val tbi = when(n >= 2L, n - lit(1L)).otherwise(lit(0L))
     val dbi = when(n >= 2L,
-      size(array_distinct(Dedup.shingles(text, 2))).cast("long"))
+      Dedup.distinctShingleCount(text, 2).cast("long"))
       .otherwise(lit(0L))
     (n.between(20L, 90L),
       charsSum >= lit(3L) * n && charsSum <= lit(5L) * n,

@@ -72,11 +72,14 @@ object Winnow {
       // twice (the memoizedSignatures double-compute trap; measured 2×
       // the key at sf1); persisted once, both sides read it
       val grams = DfMemo.cached(spark, Some(dir), s"winnow_grams:$k:$minRun") {
+        // opt-r15: positional per-window xxhash64 in ONE codegen pass —
+        // the former shingles() + posexplode + xxhash64(g) materialized
+        // every window string only to hash it (values bit-identical:
+        // ShingleHashes == transform(shingles, xxhash64), positions kept)
         docs
-          .select(col("doc_id"), Dedup.shingles(col("text"), k).as("gs"))
+          .select(col("doc_id"), Dedup.shingleHashes64(col("text"), k).as("gs"))
           .where(size(col("gs")) >= minRun - k + 1)
-          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "g")))
-          .select(col("doc_id"), col("p"), xxhash64(col("g")).as("gh"))
+          .select(col("doc_id"), posexplode(col("gs")).as(Seq("p", "gh")))
       }
       val pts = pairs
         .join(grams.select(col("doc_id").as("a_id"), col("p").as("pa"), col("gh")),
