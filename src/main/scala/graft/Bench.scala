@@ -38,6 +38,12 @@ object Bench {
       // the right value tracks executor memory per core, not this host.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
+      // opt-r15: preferSortMergeJoin=false (allow shuffled-hash join) was
+      // A/B'd with an interleaved full-bench pair at local[32]/sf0.1 and
+      // measured WORSE (75.3/76.0 s default vs 78.3/85.0 s with the flag):
+      // the surface's joins are broadcast- or tiny-partition-shaped, where
+      // SHJ's per-partition hash build only adds overhead. Left at the
+      // Spark default.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: analysis-time deprecation warnings land immediately

@@ -197,6 +197,14 @@ object Queries4 {
       // the UNROUNDED score (identical IEEE arithmetic on both engines);
       // only the emitted value is rounded. Output bounded to doc_id < 50.
       (s, dir) => {
+        // opt-r15: examined — the INITIAL plan shows the corpus explode
+        // inlined into four branches (tf, len, dfreq, n), but the tf/len/
+        // dfreq branches end in exchanges ReuseExchange dedups at runtime.
+        // A windows-over-tf rewrite (len = Σcnt per doc, df = count per
+        // token as window functions) was built and measured AMBIGUOUS
+        // (sf1 2.56 → 2.43 s, sf0.1/32c 0.49 → 0.55 s — the window sorts
+        // trade evenly against the join shuffles), so the join form with
+        // its map-side-combined dfreq stays.
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))

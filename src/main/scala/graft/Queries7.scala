@@ -315,6 +315,12 @@ object Queries7 {
           .select(substring_index(col("pk"), " ", 1).as("tok_a"),
             substring_index(col("pk"), " ", -1).as("tok_b"),
             col("pair_cnt"))
+        // opt-r15: tc feeds three branches (both join sides + the corpus
+        // total) and the INITIAL plan shows the explode inlined per branch
+        // — but the branches end in byte-identical exchanges, so
+        // ReuseExchange computes tc once at runtime; a keyed-persist
+        // variant was built and measured exactly FLAT at sf1 (2.50 →
+        // 2.51 s), so the plain form stays.
         val tc = docs
           .select(explode(split(col("text"), " ")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -219,8 +219,14 @@ object Dedup {
     * token containing the separator; with each element prefixed by its
     * length, equal keys mean equal arrays short of a SHA-256 collision
     * (the corpus_curate dedup contract). */
-  private def shingleSetKey(sh: Column): Column =
-    sha2(concat_ws("|", transform(sh, x => concat(length(x), lit(":"), x))), 256)
+  private def shingleSetKey(sh: Column): Column = {
+    // opt-r15: one-pass codegen digest — the HOF form ran interpreted and
+    // allocated a length-prefixed copy of every shingle plus the joined
+    // string per doc (ShinglerSpec pins bit-equality to that form)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.ShingleSetKey(GraftColumnBridge.expression(sh)))
+  }
 
   /** Distinct-shingle-set pre-collapse (r14 — the r13 `dedup_simhash`
     * discipline applied to the minhash family): exact-duplicate texts

@@ -143,6 +143,39 @@ object Shingler {
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
 
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** See [[graft.functions.ShingleSetKey]]: SHA-256 (lowercase hex) over
+    * the length-prefixed ':'-separated '|'-joined element stream. Null
+    * elements are skipped with no separator — transform maps them to null
+    * and concat_ws drops nulls — though kernel inputs never carry any. */
+  def shingleSetKey(sh: ArrayData): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val n = sh.numElements()
+    var first = true
+    var i = 0
+    while (i < n) {
+      if (!sh.isNullAt(i)) {
+        val s = sh.getUTF8String(i)
+        if (!first) md.update('|'.toByte)
+        first = false
+        md.update(String.valueOf(s.numChars()).getBytes("US-ASCII"))
+        md.update(':'.toByte)
+        md.update(s.getByteBuffer)
+      }
+      i += 1
+    }
+    val d = md.digest()
+    val hex = new Array[Byte](d.length * 2)
+    var j = 0
+    while (j < d.length) {
+      hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** == `size(array_distinct(Dedup.shingles(text, w)))`: the count alone —
     * nothing materializes at all (Gopher duplicate-bigram rule,
     * repetition ratio). */
@@ -215,6 +248,28 @@ case class DistinctShingleHashes(child: Expression, w: Int) extends ShinglerKern
   override def nullSafeEval(input: Any): Any =
     Shingler.distinctShingleHashes(input.asInstanceOf[UTF8String], w)
   override protected def withNewChildInternal(newChild: Expression): DistinctShingleHashes =
+    copy(child = newChild)
+}
+
+/** Injective group key of a shingle-set array (opt-r15) — bit-identical to
+  * `sha2(concat_ws("|", transform(sh, x => concat(length(x), ":", x))), 256)`
+  * (Dedup.shingleSetKey's dataflow form): each element length-prefixed by
+  * its CHARACTER count in decimal, ':'-separated, '|'-joined, SHA-256,
+  * lowercase hex. The HOF form ran interpreted and allocated a
+  * length-prefixed copy of every shingle plus the full joined string per
+  * doc; this streams the same bytes through one MessageDigest. */
+case class ShingleSetKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"shingle_set_key needs array<string>, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    Shingler.shingleSetKey(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingler.shingleSetKey($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetKey =
     copy(child = newChild)
 }
 

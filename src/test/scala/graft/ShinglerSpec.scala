@@ -102,6 +102,25 @@ class ShinglerSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(row.isNullAt(i), s"col $i"))
   }
 
+  test("ShingleSetKey == sha2(concat_ws of length-prefixed elements, 256)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    // the pre-kernel definition, verbatim (Dedup.shingleSetKey pre-opt-r15)
+    def hofKey(sh: Column): Column =
+      sha2(concat_ws("|", transform(sh, x => concat(length(x), lit(":"), x))), 256)
+    def kKey(sh: Column): Column = GraftColumnBridge.column(
+      graft.functions.ShingleSetKey(GraftColumnBridge.expression(sh)))
+    // real distinct-shingle arrays + adversarial ones: empty array, empty
+    // string element, multi-byte elements (length() counts CHARACTERS),
+    // elements containing the separators themselves
+    val arrs = fixtures.select(Dedup.distinctShingles(col("text"), 3).as("sh"))
+      .unionAll(Seq(
+        Seq[String](), Seq(""), Seq("", ""), Seq("a|b", "c:d"),
+        Seq("héllo wörld", "日本 語 テ"), Seq("🙂 a b")).toDF("sh"))
+    val bad = arrs.select(kKey(col("sh")).as("k"), hofKey(col("sh")).as("h"))
+      .where(not(col("k") <=> col("h")))
+    assert(bad.count() === 0)
+  }
+
   test("LangOccurrenceScore == replace-length-delta sum, per language") {
     import org.apache.spark.sql.GraftColumnBridge
     // the pre-kernel definition, verbatim (withLangIdOccurrence pre-opt-r15)
